@@ -1,0 +1,94 @@
+"""GraphCatalog — named graphs as graph_id-partitioned parquet.
+
+Reference parity (SURVEY.md §2.1 ops 1/2):
+- op 1 "add graph"    (primary_server.c:45-157): create-or-overwrite one
+  graph file.  Ours: dynamic partition overwrite of one graph_id.
+- op 2 "modify graph" (primary_server.c:140-143, file opened "w+" =
+  truncate at :65): byte-identical to op 1 — full replace, never a merge.
+  So ``put`` IS both ops; no upsert logic exists by design.
+- readers-writers isolation (primary_server.c:60,150; secondary_server.c:
+  229-234,297-303): free here — parquet snapshot reads over immutable
+  files; a reader that already listed its files never sees a concurrent
+  overwrite (upgrade path for true ACID: Delta/Iceberg table format).
+
+Scale posture: the catalog is ONE dataset partitioned by graph_id, so a
+query on one graph prunes to one partition directory (partition pruning is
+visible in the scan's PartitionFilters), and a fleet-wide query (all
+graphs) is a single distributed scan.  The reference caps the catalog at
+20 graphs x 30 nodes (primary_server.c:22, client.c:15); ours is unbounded.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .schemas import GRAPH_EDGES_SCHEMA, GRAPH_VERTICES_SCHEMA
+
+
+class GraphCatalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self._edges_path = f"{self.root}/edges"
+        self._vertices_path = f"{self.root}/vertices"
+
+    # -- write path (reference ops 1 and 2 — "modify" is a full replace) --
+
+    def put(self, graph_id: int, edges: DataFrame, vertices: DataFrame) -> None:
+        """Create-or-overwrite one graph.  Dynamic partition overwrite
+        touches only this graph_id's partition; other graphs' files are
+        never rewritten (the per-file writer lock of primary_server.c:60
+        becomes partition-granularity isolation)."""
+        spark = self.spark
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            edges.select(
+                F.lit(graph_id).cast("int").alias("graph_id"),
+                F.col("src").cast("long"),
+                F.col("dst").cast("long"),
+            )
+            .write.partitionBy("graph_id")
+            .mode("overwrite")
+            .parquet(self._edges_path)
+        )
+        (
+            vertices.select(
+                F.lit(graph_id).cast("int").alias("graph_id"),
+                F.col("id").cast("long"),
+            )
+            .write.partitionBy("graph_id")
+            .mode("overwrite")
+            .parquet(self._vertices_path)
+        )
+
+    def drop(self, graph_id: int) -> None:
+        """Remove one graph by overwriting its partition with zero rows is
+        not expressible via dynamic overwrite; use an explicit partition
+        path delete (same effect as the reference never having the file)."""
+        import shutil, os
+
+        for base in (self._edges_path, self._vertices_path):
+            part = f"{base}/graph_id={graph_id}"
+            if os.path.exists(part):
+                shutil.rmtree(part)
+
+    # -- read path --
+
+    def edges(self, graph_id: int | None = None) -> DataFrame:
+        df = self.spark.read.schema(GRAPH_EDGES_SCHEMA).parquet(self._edges_path)
+        if graph_id is not None:
+            df = df.filter(F.col("graph_id") == graph_id)  # partition-pruned scan
+        return df
+
+    def vertices(self, graph_id: int | None = None) -> DataFrame:
+        df = self.spark.read.schema(GRAPH_VERTICES_SCHEMA).parquet(self._vertices_path)
+        if graph_id is not None:
+            df = df.filter(F.col("graph_id") == graph_id)
+        return df
+
+    def graph_ids(self) -> list[int]:
+        return [
+            r["graph_id"]
+            for r in self.vertices().select("graph_id").distinct().orderBy("graph_id").collect()
+        ]

@@ -1,0 +1,205 @@
+"""Graph traversal operators (reference ops 3 and 4, SURVEY.md §2.1).
+
+Reference semantics being re-expressed:
+
+- op 4 BFS (secondary_server.c:389-550): level-synchronous traversal from a
+  1-based start node, one pthread per popped frontier node pushing unvisited
+  neighbours under a mutex (BFShelper :363-387).  The thread races make the
+  output order nondeterministic and can emit a vertex twice (visited is set
+  only at pop, :521).  Canonical semantics here: each reachable vertex once,
+  with its level = shortest-path hop count; canonical order (level, id).
+
+- op 3 DFS "leaf report" (secondary_server.c:209-361): parallel DFS whose
+  output is only the base-case vertices (:166) — isolated vertices, or
+  vertices whose only neighbour is already visited.  Canonical semantics
+  (SURVEY.md §2.1, chosen to match the reference's output *set* exactly):
+  vertices reachable from start with degree <= 1, excluding a non-isolated
+  start vertex.  SQL-expressible, deterministic.
+
+Scale design: BFS is the textbook BSP/Pregel loop (GraphX, OSDI'14) as
+DataFrame ops — one equi-join + anti-join per superstep; the shuffle IS the
+synchronization barrier.  All graphs traverse simultaneously (keys are
+(graph_id, id)) so a catalog of millions of graphs is one job, and a single
+giant graph parallelizes across its edge partitions.  AQE broadcasts the
+frontier side automatically while it is small.  ``localCheckpoint`` every
+few supersteps truncates lineage so plans do not grow unboundedly — the
+standard iterative-algorithm-on-Spark pattern.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+_CHECKPOINT_EVERY = 3
+
+
+def bfs(
+    edges: DataFrame,
+    starts: DataFrame,
+    max_level: int | None = None,
+) -> DataFrame:
+    """Multi-source, multi-graph BFS.
+
+    Args:
+      edges:  (graph_id, src, dst) with both directions materialized.
+      starts: (graph_id, id) — one or many (graph, start-vertex) pairs.
+    Returns:
+      (graph_id, id, level) — level 0 for the start vertex, each reachable
+      vertex exactly once at its minimum hop distance.
+    """
+    # Rename edge endpoints so every superstep joins by name — avoids the
+    # self-lineage column-ambiguity trap of iterative DataFrame loops.
+    adj = edges.select("graph_id", F.col("src").alias("id"), F.col("dst").alias("nb"))
+    visited = starts.select("graph_id", F.col("id").cast("long").alias("id")).withColumn(
+        "level", F.lit(0)
+    )
+    frontier = visited
+    level = 0
+    while True:
+        if max_level is not None and level >= max_level:
+            break
+        level += 1
+        neighbours = (
+            frontier.join(adj, on=["graph_id", "id"])
+            .select("graph_id", F.col("nb").alias("id"))
+            .distinct()
+        )
+        frontier = neighbours.join(visited, on=["graph_id", "id"], how="left_anti").withColumn(
+            "level", F.lit(level)
+        )
+        if level % _CHECKPOINT_EVERY == 0:
+            # Truncate lineage: without this the plan doubles per superstep.
+            frontier = frontier.localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+        visited = visited.union(frontier)
+        if level % _CHECKPOINT_EVERY == 0:
+            visited = visited.localCheckpoint(eager=True)
+    return visited
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(graph_id, id, degree) for every vertex with at least one edge.
+    Edges are symmetrized, so degree(v) = distinct neighbours of v."""
+    return (
+        edges.select("graph_id", F.col("src").alias("id"), "dst")
+        .distinct()
+        .groupBy("graph_id", "id")
+        .agg(F.count("*").alias("degree"))
+    )
+
+
+def dfs_leaves(edges: DataFrame, starts: DataFrame) -> DataFrame:
+    """Reference op 3, canonical semantics (SURVEY.md §2.1): vertices
+    reachable from the start with degree <= 1, excluding a non-isolated
+    start vertex.  Matches the reference's emitted set on every fixture.
+
+    Pure DataFrame composition: reachability (BFS kernel) + degree
+    left-join + filter — no Python in the hot path.
+    """
+    reachable = bfs(edges, starts).select("graph_id", "id", "level")
+    deg = degrees(edges)
+    return (
+        reachable.join(deg, on=["graph_id", "id"], how="left")
+        .withColumn("degree", F.coalesce(F.col("degree"), F.lit(0)))
+        .filter(
+            (F.col("degree") <= 1)
+            & ~((F.col("level") == 0) & (F.col("degree") >= 1))  # non-isolated start excluded
+        )
+        .select("graph_id", "id")
+    )
+
+
+def dfs_preorder(edges: DataFrame, starts: DataFrame) -> DataFrame:
+    """Sequential DFS preorder per graph, neighbours visited in ascending id
+    (the deterministic canonicalization of the reference's thread-racing DFS,
+    secondary_server.c:183-200 — thread spawn order replaced by sorted order).
+
+    Implementation: grouped-map pandas UDF (``applyInPandas``) — one Arrow
+    batch per graph.  Correct tool because a *single* DFS preorder is
+    inherently sequential; the parallelism axis is the fleet of graphs
+    (reference: one server thread per request — same shape).  Only suitable
+    for graphs that fit in one executor's memory; the reference caps graphs
+    at 30 nodes (client.c:15), ours comfortably handles millions of edges
+    per graph before this needs the big-graph reachability path instead.
+
+    Returns (graph_id, id, pos) with pos = 0-based preorder position.
+    """
+    tagged = edges.join(
+        starts.withColumnRenamed("id", "_start"), on="graph_id", how="inner"
+    ).select("graph_id", "src", "dst", "_start")
+    # Isolated start vertices have no edges; union a marker row so the group exists.
+    marker = starts.select(
+        "graph_id",
+        F.lit(None).cast("long").alias("src"),
+        F.lit(None).cast("long").alias("dst"),
+        F.col("id").cast("long").alias("_start"),
+    )
+    grouped = tagged.unionByName(marker)
+
+    def run_dfs(pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = int(pdf["graph_id"].iloc[0])
+        start = int(pdf["_start"].iloc[0])
+        adj: dict[int, list[int]] = {}
+        for s, d in zip(pdf["src"], pdf["dst"]):
+            if pd.isna(s):
+                continue
+            adj.setdefault(int(s), []).append(int(d))
+        for v in adj:
+            adj[v].sort()
+        order: list[int] = []
+        seen = {start}
+        stack = [(start, iter(adj.get(start, [])))]
+        order.append(start)
+        while stack:
+            v, it = stack[-1]
+            advanced = False
+            for nb in it:
+                if nb not in seen:
+                    seen.add(nb)
+                    order.append(nb)
+                    stack.append((nb, iter(adj.get(nb, []))))
+                    advanced = True
+                    break
+            if not advanced:
+                stack.pop()
+        return pd.DataFrame(
+            {"graph_id": gid, "id": order, "pos": range(len(order))}
+        )
+
+    return grouped.groupBy("graph_id").applyInPandas(
+        run_dfs, schema="graph_id int, id long, pos long"
+    )
+
+
+def connected_components(edges: DataFrame, vertices: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Connected components by iterative min-label propagation (the classic
+    Pregel formulation): every vertex starts labelled with its own id; each
+    superstep every vertex takes the min of its own and its neighbours'
+    labels; converged when the global label sum stops changing (one cheap
+    scalar aggregate per superstep — no full comparison join).
+
+    Returns (graph_id, id, component) with component = min vertex id in the
+    component.
+    """
+    adj = edges.select("graph_id", F.col("src").alias("id"), F.col("dst").alias("nb"))
+    labels = vertices.select("graph_id", "id", F.col("id").alias("component"))
+    prev_sum = None
+    for i in range(max_iters):
+        msgs = labels.join(adj, on=["graph_id", "id"]).select(
+            "graph_id", F.col("nb").alias("id"), "component"
+        )
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("graph_id", "id")
+            .agg(F.min("component").alias("component"))
+        )
+        if i % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
+            labels = labels.localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum("component")).head()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels

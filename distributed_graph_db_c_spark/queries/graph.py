@@ -1,0 +1,220 @@
+"""Graph queries over relational-table-derived edges (reference ops 3/4).
+
+The correctness driver can only oracle-check SQL over the driver's parquet
+tables, so the graphs here are derived deterministically from those tables
+(FIXTURES.md §B) and every traversal has a DuckDB ``WITH RECURSIVE`` oracle:
+
+- order-chain graph: per customer, orders sorted by (o_orderdate,
+  o_orderkey) form a path; symmetrized.  BFS from the first order of
+  customer 1 walks that customer's chain — level = hop count.
+- nation graph: nations in the same region form a clique (5 components of
+  ~5 — good CC fixture).
+
+Scale: identical code paths to the golden-fixture traversals; edge
+derivation is a window + self-union (one shuffle by customer), BFS is the
+iterative-join kernel from operators.traversal.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..operators.traversal import bfs, connected_components, degrees, dfs_leaves
+from ..registry import register
+from ..sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# shared edge derivations (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def order_chain_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(graph_id=0, src, dst): per-customer order chains, symmetrized."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chain = (
+        orders.select(
+            F.lag("o_orderkey").over(w).alias("src"),
+            F.col("o_orderkey").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull())
+    )
+    sym = chain.unionByName(chain.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return sym.select(F.lit(0).alias("graph_id"), "src", "dst")
+
+
+def nation_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(graph_id=0, src, dst): same-region nation cliques (already symmetric)."""
+    nation = load_table(spark, sf_dir, "nation")
+    a = nation.select(F.col("n_regionkey").alias("rk"), F.col("n_nationkey").alias("src"))
+    b = nation.select(F.col("n_regionkey").alias("rk"), F.col("n_nationkey").alias("dst"))
+    return (
+        a.join(b, on="rk")
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.lit(0).alias("graph_id"), F.col("src").cast("long"), F.col("dst").cast("long"))
+    )
+
+
+# SQL fragments shared by all graph oracles (DuckDB dialect).
+_CHAIN_CTES = """
+ordered AS (
+    SELECT o_orderkey,
+           LAG(o_orderkey) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS prev_key
+    FROM orders
+),
+chain AS (SELECT prev_key AS src, o_orderkey AS dst FROM ordered WHERE prev_key IS NOT NULL),
+edges AS (SELECT src, dst FROM chain UNION ALL SELECT dst AS src, src AS dst FROM chain)
+"""
+
+_START_CTE = "start AS (SELECT MIN(o_orderkey) AS s FROM orders WHERE o_custkey = 1)"
+
+_ORDER_CHAIN_SQL = f"{_CHAIN_CTES},\n{_START_CTE}"
+
+# Bounded-level BFS recursion: components are single-customer chains
+# (<= a few dozen nodes), so the level bound caps the ping-pong growth of
+# the (id, level) pair space that UNION-dedup recursion needs to terminate.
+_BFS_SQL = f"""
+WITH RECURSIVE
+{_ORDER_CHAIN_SQL},
+walk(id, level) AS (
+    SELECT s, 0 FROM start
+    UNION
+    SELECT e.dst, w.level + 1
+    FROM walk w JOIN edges e ON e.src = w.id
+    WHERE w.level < 100
+)
+SELECT id, MIN(level) AS level FROM walk GROUP BY id
+"""
+
+
+@register("graph_bfs_order_chain", oracle=_BFS_SQL)
+def graph_bfs_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference op 4 (BFS level traversal, secondary_server.c:389-550) on
+    the order-chain graph: (id, level) for every order reachable from
+    customer 1's first order."""
+    orders = load_table(spark, sf_dir, "orders")
+    start = (
+        orders.filter(F.col("o_custkey") == 1)
+        .agg(F.min("o_orderkey").alias("id"))
+        .select(F.lit(0).alias("graph_id"), "id")
+    )
+    edges = order_chain_edges(spark, sf_dir)
+    return bfs(edges, start).select(F.col("id"), F.col("level").cast("long").alias("level"))
+
+
+_DFS_LEAVES_SQL = f"""
+WITH RECURSIVE
+{_ORDER_CHAIN_SQL},
+walk(id, level) AS (
+    SELECT s, 0 FROM start
+    UNION
+    SELECT e.dst, w.level + 1
+    FROM walk w JOIN edges e ON e.src = w.id
+    WHERE w.level < 100
+),
+reach AS (SELECT id, MIN(level) AS level FROM walk GROUP BY id),
+deg AS (SELECT src AS id, COUNT(DISTINCT dst) AS degree FROM edges GROUP BY src)
+SELECT r.id
+FROM reach r LEFT JOIN deg d USING (id)
+WHERE COALESCE(d.degree, 0) <= 1
+  AND NOT (r.level = 0 AND COALESCE(d.degree, 0) >= 1)
+"""
+
+
+@register("graph_dfs_leaves_order_chain", oracle=_DFS_LEAVES_SQL)
+def graph_dfs_leaves_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference op 3 (DFS leaf report, secondary_server.c:209-361),
+    canonical semantics (SURVEY.md §2.1): reachable vertices with degree
+    <= 1, excluding a non-isolated start."""
+    orders = load_table(spark, sf_dir, "orders")
+    start = (
+        orders.filter(F.col("o_custkey") == 1)
+        .agg(F.min("o_orderkey").alias("id"))
+        .select(F.lit(0).alias("graph_id"), "id")
+    )
+    edges = order_chain_edges(spark, sf_dir)
+    return dfs_leaves(edges, start).select("id")
+
+
+# Unbounded UNION recursion terminates here because the state is (id, comp)
+# pairs within a component — finite, no level column.
+_CC_SQL = """
+WITH RECURSIVE
+e AS (
+    SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+),
+r(id, comp) AS (
+    SELECT n_nationkey, n_nationkey FROM nation
+    UNION
+    SELECT e.dst, r.comp FROM r JOIN e ON e.src = r.id
+)
+SELECT id, MIN(comp) AS component FROM r GROUP BY id
+"""
+
+
+@register("graph_connected_components_nations", oracle=_CC_SQL)
+def graph_connected_components_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (SURVEY.md §2.3 graph analytics) on the
+    same-region nation graph: min-label propagation, Pregel-style."""
+    nation = load_table(spark, sf_dir, "nation")
+    vertices = nation.select(
+        F.lit(0).alias("graph_id"), F.col("n_nationkey").cast("long").alias("id")
+    )
+    edges = nation_edges(spark, sf_dir)
+    return connected_components(edges, vertices).select(
+        F.col("id"), F.col("component").cast("long").alias("component")
+    )
+
+
+_DEGREE_HIST_SQL = f"""
+WITH
+{_CHAIN_CTES},
+deg AS (SELECT src AS id, COUNT(DISTINCT dst) AS degree FROM edges GROUP BY src)
+SELECT degree, COUNT(*) AS cnt FROM deg GROUP BY degree
+"""
+
+
+@register("graph_degree_histogram", oracle=_DEGREE_HIST_SQL)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the order-chain graph (SURVEY.md §2.3)."""
+    edges = order_chain_edges(spark, sf_dir)
+    return (
+        degrees(edges)
+        .groupBy("degree")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("degree"), F.col("cnt"))
+    )
+
+
+_TRIANGLE_SQL = """
+WITH e AS (
+    SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+)
+SELECT CAST(COUNT(*) / 6 AS BIGINT) AS triangles
+FROM e e1
+JOIN e e2 ON e1.dst = e2.src
+JOIN e e3 ON e2.dst = e3.src AND e3.dst = e1.src
+"""
+
+
+@register("graph_triangle_count_nations", oracle=_TRIANGLE_SQL)
+def graph_triangle_count_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count via 2-hop self-join (SURVEY.md §2.3); each triangle
+    appears 6x in the directed-closure count, divide out."""
+    e = nation_edges(spark, sf_dir).select("src", "dst")
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = e.select(F.col("src").alias("c"), F.col("dst").alias("a2"))
+    tri = (
+        e1.join(e2, on="b")
+        .join(e3, on="c")
+        .filter(F.col("a") == F.col("a2"))
+        .agg((F.count("*") / 6).cast("long").alias("triangles"))
+    )
+    return tri

@@ -1,0 +1,92 @@
+"""G-format codec: the reference's adjacency-matrix text files <-> edge DataFrames.
+
+Reference on-disk format (written primary_server.c:118-128, parsed
+secondary_server.c:283-292): line 1 = node count n, then n rows of n
+whitespace-separated 0/1 ints; undirected, 1-based external node ids.
+
+The dense matrix is an *ingest codec only* — the reference itself converts
+to an adjacency list before any traversal (secondary_server.c:306-326), so
+our processing representation is the edge list.  The parse is expressed as
+DataFrame ops (``split`` + ``posexplode``) so cell explosion runs JVM-side;
+a single matrix file is inherently one ordered text blob (row order is
+positional), so line numbering uses a window over the file — fine for the
+reference's <=30-node graphs, while big graphs enter as edge lists/parquet.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..schemas import GRAPH_EDGES_SCHEMA, GRAPH_VERTICES_SCHEMA
+
+
+def read_gformat(spark: SparkSession, path: str, graph_id: int) -> tuple[DataFrame, DataFrame]:
+    """Parse one G-format file into (edges, vertices) DataFrames.
+
+    Edges come out symmetrized (input matrices are symmetric — undirected
+    graphs, SURVEY.md §1.2) so every traversal step is a plain equi-join.
+    Vertices cover 1..n so isolated nodes survive (fixture G14: no edges).
+    """
+    lines = (
+        spark.read.text(path)
+        .select(F.monotonically_increasing_id().alias("_file_order"), "value")
+        .withColumn("row_idx", F.row_number().over(Window.orderBy("_file_order")) - 1)
+    )
+    n = lines.filter(F.col("row_idx") == 0).select(F.trim("value").cast("long")).head()[0]
+
+    edges = (
+        lines.filter(F.col("row_idx") > 0)
+        .select(
+            F.col("row_idx").alias("src"),  # 1-based row index == 1-based node id
+            F.posexplode(F.split(F.trim("value"), r"\s+")).alias("col_idx", "cell"),
+        )
+        .filter(F.col("cell") == "1")
+        .select(
+            F.lit(graph_id).cast("int").alias("graph_id"),
+            F.col("src").cast("long"),
+            (F.col("col_idx") + 1).cast("long").alias("dst"),
+        )
+    )
+    vertices = spark.range(1, n + 1).select(
+        F.lit(graph_id).cast("int").alias("graph_id"), F.col("id").cast("long")
+    )
+    return edges, vertices
+
+
+def matrix_to_edges(
+    spark: SparkSession, matrix: list[list[int]], graph_id: int
+) -> tuple[DataFrame, DataFrame]:
+    """Build (edges, vertices) from an in-memory 0/1 matrix (the reference's
+    op-1 payload: client ships int[n][n] via shared memory, client.c:131-144).
+
+    Only for small client-supplied graphs (reference caps n at 30,
+    client.c:15); large graphs arrive as files or edge lists.
+    """
+    n = len(matrix)
+    rows = [
+        (graph_id, i + 1, j + 1) for i in range(n) for j in range(n) if matrix[i][j] == 1
+    ]
+    edges = spark.createDataFrame(rows, GRAPH_EDGES_SCHEMA)
+    vertices = spark.range(1, n + 1).select(
+        F.lit(graph_id).cast("int").alias("graph_id"), F.col("id").cast("long")
+    )
+    return edges, vertices
+
+
+def write_gformat(edges: DataFrame, vertices: DataFrame, graph_id: int, path: str) -> None:
+    """Export one graph back to the reference text codec (round-trip parity).
+
+    Driver-side by design: the format is a dense n x n matrix in one ordered
+    text file, only meaningful for graphs that fit on one machine (reference
+    cap: 30 nodes, client.c:15).  Scale path is parquet edge lists.
+    """
+    n = vertices.filter(F.col("graph_id") == graph_id).count()
+    present = {
+        (r["src"], r["dst"])
+        for r in edges.filter(F.col("graph_id") == graph_id).select("src", "dst").collect()
+    }
+    with open(path, "w") as f:
+        f.write(f"{n}\n")
+        for i in range(1, n + 1):
+            f.write(" ".join("1" if (i, j) in present else "0" for j in range(1, n + 1)) + "\n")

@@ -1,0 +1,110 @@
+"""G-format codec round-trip + GraphCatalog (reference ops 1/2) tests."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from distributed_graph_db_c_spark.catalog import GraphCatalog
+from distributed_graph_db_c_spark.sources.gformat import (
+    matrix_to_edges,
+    read_gformat,
+    write_gformat,
+)
+
+# G1-shaped matrix (path + branch: 1-2, 2-3, 3-4, 3-5), FIXTURES.md §A.
+G1_MATRIX = [
+    [0, 1, 0, 0, 0],
+    [1, 0, 1, 0, 0],
+    [0, 1, 0, 1, 1],
+    [0, 0, 1, 0, 0],
+    [0, 0, 1, 0, 0],
+]
+
+
+def _write_matrix_file(path, matrix):
+    with open(path, "w") as f:
+        f.write(f"{len(matrix)}\n")
+        for row in matrix:
+            f.write(" ".join(str(c) for c in row) + "\n")
+
+
+def test_read_gformat(spark, tmp_path):
+    p = str(tmp_path / "G1.txt")
+    _write_matrix_file(p, G1_MATRIX)
+    edges, vertices = read_gformat(spark, p, graph_id=1)
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    expected = {(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (3, 5), (5, 3)}
+    # fixture 3-5 edge: matrix has (3,5),(5,3),(4,3)... derive from matrix directly
+    expected = {
+        (i + 1, j + 1)
+        for i in range(5)
+        for j in range(5)
+        if G1_MATRIX[i][j] == 1
+    }
+    assert got == expected
+    assert {r["id"] for r in vertices.collect()} == {1, 2, 3, 4, 5}
+
+
+def test_read_gformat_edgeless(spark, tmp_path):
+    p = str(tmp_path / "G14.txt")
+    _write_matrix_file(p, [[0] * 3 for _ in range(3)])
+    edges, vertices = read_gformat(spark, p, graph_id=14)
+    assert edges.count() == 0
+    assert vertices.count() == 3
+
+
+def test_matrix_roundtrip(spark, tmp_path):
+    edges, vertices = matrix_to_edges(spark, G1_MATRIX, graph_id=1)
+    out = str(tmp_path / "G1_out.txt")
+    write_gformat(edges, vertices, 1, out)
+    with open(out) as f:
+        lines = [l.strip() for l in f if l.strip()]
+    assert lines[0] == "5"
+    got = [[int(c) for c in l.split()] for l in lines[1:]]
+    assert got == G1_MATRIX
+
+
+def test_catalog_add_modify_isolation(spark, tmp_path):
+    """Reference ops 1/2: add = create, modify = full replace; writes to one
+    graph never disturb another (per-file writer locks -> partition-level
+    overwrite, SURVEY.md §2.1)."""
+    cat = GraphCatalog(spark, str(tmp_path / "catalog"))
+    e1, v1 = matrix_to_edges(spark, G1_MATRIX, graph_id=1)
+    cat.put(1, e1, v1)
+    star = [
+        [0, 1, 1, 1],
+        [1, 0, 0, 0],
+        [1, 0, 0, 0],
+        [1, 0, 0, 0],
+    ]
+    e2, v2 = matrix_to_edges(spark, star, graph_id=2)
+    cat.put(2, e2, v2)
+    assert cat.graph_ids() == [1, 2]
+    assert cat.edges(1).count() == 8
+    assert cat.edges(2).count() == 6
+
+    # op 2 "modify" = full replace of graph 1; graph 2 untouched.
+    tri = [
+        [0, 1, 1],
+        [1, 0, 1],
+        [1, 1, 0],
+    ]
+    e3, v3 = matrix_to_edges(spark, tri, graph_id=1)
+    cat.put(1, e3, v3)
+    assert cat.edges(1).count() == 6
+    assert cat.vertices(1).count() == 3
+    assert cat.edges(2).count() == 6  # isolation
+
+    # partition pruning visible in the physical plan for single-graph reads
+    plan = cat.edges(1)._jdf.queryExecution().executedPlan().toString()
+    assert "graph_id" in plan
+
+
+def test_catalog_drop(spark, tmp_path):
+    cat = GraphCatalog(spark, str(tmp_path / "catalog2"))
+    e, v = matrix_to_edges(spark, G1_MATRIX, graph_id=7)
+    cat.put(7, e, v)
+    assert cat.graph_ids() == [7]
+    cat.drop(7)
+    assert cat.graph_ids() == []

@@ -1,0 +1,122 @@
+"""Golden-fixture tests for BFS / DFS-leaf / DFS-preorder / CC
+(expectations hand-derived in FIXTURES.md §A)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from distributed_graph_db_c_spark.operators.traversal import (
+    bfs,
+    connected_components,
+    degrees,
+    dfs_leaves,
+    dfs_preorder,
+)
+from distributed_graph_db_c_spark.schemas import GRAPH_VERTICES_SCHEMA
+
+# graph_id -> start -> {id: level}
+BFS_EXPECTED = {
+    1: {1: {1: 0, 2: 1, 3: 2, 4: 3, 5: 3}},
+    4: {1: {1: 0}},
+    12: {1: {1: 0, 2: 1, 3: 1, 4: 1, 5: 1}},
+    13: {1: {1: 0, 2: 1, 3: 2, 4: 2, 5: 3, 7: 3, 6: 4}},
+    14: {1: {1: 0}, 2: {2: 0}},
+    15: {1: {1: 0}},
+    16: {1: {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5}},
+}
+
+# graph_id -> start -> expected leaf set (canonical op-3 semantics)
+DFS_LEAVES_EXPECTED = {
+    1: {1: {4, 5}},
+    4: {1: {1}},
+    12: {1: {2, 3, 4, 5}},
+    13: {1: {4, 6, 7}},
+    14: {1: {1}, 2: {2}},
+    15: {1: {1}},
+    16: {1: {6}},
+}
+
+
+def _starts(spark, pairs):
+    return spark.createDataFrame(pairs, GRAPH_VERTICES_SCHEMA)
+
+
+def test_bfs_all_fixtures_at_once(spark, fixture_graphs):
+    edges, _ = fixture_graphs
+    pairs = [(gid, start) for gid, d in BFS_EXPECTED.items() for start in d if start == 1]
+    result = bfs(edges, _starts(spark, pairs))
+    got = {}
+    for r in result.collect():
+        got.setdefault(r["graph_id"], {})[r["id"]] = r["level"]
+    for gid, d in BFS_EXPECTED.items():
+        assert got[gid] == d[1], f"graph {gid}"
+
+
+def test_bfs_nonunit_start(spark, fixture_graphs):
+    edges, _ = fixture_graphs
+    result = bfs(edges, _starts(spark, [(14, 2)]))
+    assert {(r["id"], r["level"]) for r in result.collect()} == {(2, 0)}
+    # start=3 in G1: levels 3:0, {2,4,5}:1, 1:2
+    result = bfs(edges, _starts(spark, [(1, 3)]))
+    got = {r["id"]: r["level"] for r in result.collect()}
+    assert got == {3: 0, 2: 1, 4: 1, 5: 1, 1: 2}
+
+
+def test_dfs_leaves_all_fixtures(spark, fixture_graphs):
+    edges, _ = fixture_graphs
+    pairs = [(gid, 1) for gid in DFS_LEAVES_EXPECTED]
+    result = dfs_leaves(edges, _starts(spark, pairs))
+    got = {}
+    for r in result.collect():
+        got.setdefault(r["graph_id"], set()).add(r["id"])
+    for gid, d in DFS_LEAVES_EXPECTED.items():
+        assert got.get(gid, set()) == d[1], f"graph {gid}"
+
+
+def test_dfs_leaves_isolated_vs_degree1_start(spark, fixture_graphs):
+    edges, _ = fixture_graphs
+    # G14 start 2 (isolated): start IS a leaf.
+    result = dfs_leaves(edges, _starts(spark, [(14, 2)]))
+    assert {r["id"] for r in result.collect()} == {2}
+    # G16 start 1 (degree 1, non-isolated): start NOT a leaf; only far end.
+    result = dfs_leaves(edges, _starts(spark, [(16, 1)]))
+    assert {r["id"] for r in result.collect()} == {6}
+
+
+def test_dfs_preorder_deterministic(spark, fixture_graphs):
+    edges, _ = fixture_graphs
+    result = dfs_preorder(edges, _starts(spark, [(1, 1)]))
+    order = [r["id"] for r in result.orderBy("pos").collect()]
+    # ascending-neighbour canonical preorder on G1 from 1: 1,2,3,4,5
+    assert order == [1, 2, 3, 4, 5]
+    result = dfs_preorder(edges, _starts(spark, [(13, 1)]))
+    order = [r["id"] for r in result.orderBy("pos").collect()]
+    # G13 edges: 1-2, 2-3, 2-4, 3-5, 3-7, 5-6; preorder: 1,2,3,5,6,7,4
+    assert order == [1, 2, 3, 5, 6, 7, 4]
+
+
+def test_dfs_preorder_isolated_start(spark, fixture_graphs):
+    edges, _ = fixture_graphs
+    result = dfs_preorder(edges, _starts(spark, [(14, 2)]))
+    assert [(r["id"], r["pos"]) for r in result.collect()] == [(2, 0)]
+
+
+def test_degrees(spark, fixture_graphs):
+    edges, _ = fixture_graphs
+    got = {
+        (r["graph_id"], r["id"]): r["degree"]
+        for r in degrees(edges).filter(F.col("graph_id") == 13).collect()
+    }
+    assert got == {(13, 1): 1, (13, 2): 3, (13, 3): 3, (13, 4): 1, (13, 5): 2, (13, 6): 1, (13, 7): 1}
+
+
+def test_connected_components(spark, fixture_graphs):
+    edges, vertices = fixture_graphs
+    labels = connected_components(edges, vertices)
+    # G14 (edgeless, 3 vertices) -> 3 components
+    g14 = {r["id"]: r["component"] for r in labels.filter(F.col("graph_id") == 14).collect()}
+    assert g14 == {1: 1, 2: 2, 3: 3}
+    # G1 connected -> all component 1
+    g1 = {r["component"] for r in labels.filter(F.col("graph_id") == 1).collect()}
+    assert g1 == {1}
