@@ -1,1 +1,856 @@
-"""Placeholder — populated in later milestone."""
+"""Relational query surface (SURVEY.md §7 M4) — the operator inventory the
+reference lacks entirely (§2.2 audit: no joins/aggs/windows/sorts exist
+there; its whole surface is 4 graph ops), expressed as named queries over
+the driver's TPC-H-ish tables, each with a DuckDB oracle.
+
+Determinism rules (must hold under any partitioning — SURVEY.md §5):
+- Money math in DECIMAL (exact, associative), cast to DOUBLE only at the
+  end; both sides use identical cast sequences so values are bit-equal.
+- AVG = CAST(decimal-sum AS DOUBLE) / COUNT — double division of identical
+  inputs, not decimal division (scale rules differ across engines).
+- Every top-k ORDER BY carries a unique-key tie-break.
+- Date/timestamp output columns serialize to strings ('yyyy-MM-dd').
+
+Scale notes: filters sit directly on the scans (predicate pushdown to
+parquet), nation/region are explicit ``broadcast()`` joins, everything else
+is plain equi-joins Catalyst/AQE plans (sort-merge at scale, broadcast when
+a side is small, skew-split via AQE).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..sources.tables import load_table
+
+# -- shared exact-arithmetic fragments -------------------------------------
+
+DEC = "decimal(18,4)"
+
+
+def d(col: str | F.Column) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(DEC)
+
+
+def _dsql(expr: str) -> str:
+    return f"CAST({expr} AS DECIMAL(18,4))"
+
+
+# Decimal-sum -> double normalization: cast the sum down to its TRUE scale
+# (the product of 2-decimal inputs has <= 4 or 6 decimals) so the unscaled
+# value fits in 2^53 and decimal->double is a single correctly-rounded step
+# in BOTH engines (DuckDB's int128/10^12 -> double path otherwise differs
+# from Java BigDecimal by 1 ulp).
+def dsum(expr: F.Column, scale: int = 4) -> F.Column:
+    return F.sum(expr).cast(f"decimal(38,{scale})").cast("double")
+
+
+def _dsum_sql(expr: str, scale: int = 4) -> str:
+    return f"CAST(CAST(SUM({expr}) AS DECIMAL(38,{scale})) AS DOUBLE)"
+
+
+# revenue = sum(extendedprice * (1 - discount)), exact then double.
+def revenue_expr() -> F.Column:
+    return dsum(d("l_extendedprice") * (F.lit(1) - d("l_discount")))
+
+
+REVENUE_SQL = _dsum_sql(f"{_dsql('l_extendedprice')} * (1 - {_dsql('l_discount')})")
+
+
+def _dt(col: str) -> F.Column:
+    """Date/timestamp column -> canonical 'yyyy-MM-dd' string."""
+    return F.date_format(col, "yyyy-MM-dd")
+
+
+_DT_SQL = "strftime({col}, '%Y-%m-%d')"
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary: full-scan aggregation, 4 sums / 3 avgs / count.
+# ---------------------------------------------------------------------------
+
+_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {_dsum_sql(_dsql('l_quantity'), 2)} AS sum_qty,
+       {_dsum_sql(_dsql('l_extendedprice'), 2)} AS sum_base_price,
+       {REVENUE_SQL} AS sum_disc_price,
+       {_dsum_sql(f"CAST({_dsql('l_extendedprice')} * (1 - {_dsql('l_discount')}) AS DECIMAL(24,8)) * CAST(1 + {_dsql('l_tax')} AS DECIMAL(6,4))", 6)} AS sum_charge,
+       {_dsum_sql(_dsql('l_quantity'), 2)} / COUNT(*) AS avg_qty,
+       {_dsum_sql(_dsql('l_extendedprice'), 2)} / COUNT(*) AS avg_price,
+       {_dsum_sql(_dsql('l_discount'), 2)} / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("rel_q1_pricing_summary", oracle=_Q1_SQL)
+def rel_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy grouped aggregation; partial (map-side)
+    aggregation + 2-phase hash agg come free from Catalyst."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp")
+    )
+    charge = (d("l_extendedprice") * (F.lit(1) - d("l_discount"))).cast(
+        "decimal(24,8)"
+    ) * (F.lit(1) + d("l_tax")).cast("decimal(6,4)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(d("l_quantity"), 2).alias("sum_qty"),
+        dsum(d("l_extendedprice"), 2).alias("sum_base_price"),
+        revenue_expr().alias("sum_disc_price"),
+        dsum(charge, 6).alias("sum_charge"),
+        (dsum(d("l_quantity"), 2) / F.count("*")).alias("avg_qty"),
+        (dsum(d("l_extendedprice"), 2) / F.count("*")).alias("avg_price"),
+        (dsum(d("l_discount"), 2) / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3-style shipping priority: 3-way join + group + top-k.
+# ---------------------------------------------------------------------------
+
+_Q3_SQL = f"""
+SELECT l_orderkey,
+       {REVENUE_SQL} AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("rel_q3_shipping_priority", oracle=_Q3_SQL)
+def rel_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue_expr().alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            _dt("o_orderdate").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5-style local supplier volume: 6-way join incl. broadcast dims.
+# ---------------------------------------------------------------------------
+
+_Q5_SQL = f"""
+SELECT n_name, {REVENUE_SQL} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@register("rel_q5_local_supplier_volume", oracle=_Q5_SQL)
+def rel_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation/region are broadcast explicitly — at 100 TB these dims are
+    still tiny; the fact joins stay shuffle-based and AQE-planned."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(revenue_expr().alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6-style forecast revenue: pure filter + single aggregate (pushdown test).
+# ---------------------------------------------------------------------------
+
+_Q6_SQL = f"""
+SELECT {_dsum_sql(f"{_dsql('l_extendedprice')} * {_dsql('l_discount')}")} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("rel_q6_forecast_revenue", oracle=_Q6_SQL)
+def rel_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(d("l_extendedprice") * d("l_discount")).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10-style returned items: join + group + top-k with tie-break.
+# ---------------------------------------------------------------------------
+
+_Q10_SQL = f"""
+SELECT c_custkey, c_name, {REVENUE_SQL} AS revenue, c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("rel_q10_returned_items", oracle=_Q10_SQL)
+def rel_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(revenue_expr().alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14-style promo revenue: conditional aggregation over a join.
+# ---------------------------------------------------------------------------
+
+_Q14_SQL = f"""
+SELECT 100.0 * {_dsum_sql(f"CASE WHEN p_type = 'PROMO' THEN {_dsql('l_extendedprice')} * (1 - {_dsql('l_discount')}) ELSE CAST(0 AS DECIMAL(18,4)) END")}
+             / {_dsum_sql(f"{_dsql('l_extendedprice')} * (1 - {_dsql('l_discount')})")}
+       AS promo_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+
+@register("rel_q14_promo_revenue", oracle=_Q14_SQL)
+def rel_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    disc_price = d("l_extendedprice") * (F.lit(1) - d("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * dsum(promo)
+                / dsum(disc_price)
+            ).alias("promo_pct")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18-style large-volume customers: agg-join-agg with HAVING.
+# ---------------------------------------------------------------------------
+
+_Q18_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_totalprice,
+       {_dsum_sql(_dsql('l_quantity'), 2)} AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+    HAVING SUM({_dsql('l_quantity')}) > 150
+)
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@register("rel_q18_large_volume_customer", oracle=_Q18_SQL)
+def rel_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agg -> semi-join -> agg: the inner HAVING aggregate is a left-semi
+    join against the fact table (no row duplication, early reduction)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(d("l_quantity")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(big, li.l_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(d("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            _dt("o_orderdate").alias("orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (absent in reference — §2.2; canonical orderings keyed on
+# unique columns so frame contents are deterministic).
+# ---------------------------------------------------------------------------
+
+_WIN_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DECIMAL(38,2)) AS DOUBLE) AS running_total
+FROM orders
+WHERE o_custkey < 100
+"""
+
+
+@register("rel_window_running_total", oracle=_WIN_RUNNING_SQL)
+def rel_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per customer — ROWS frame over a unique ordering; the
+    window shuffle partitions by o_custkey (same key a cluster would use)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+_WIN_RANK_SQL = """
+SELECT p_brand, p_partkey, p_retailprice, rnk
+FROM (
+    SELECT p_brand, p_partkey, p_retailprice,
+           DENSE_RANK() OVER (PARTITION BY p_brand
+                              ORDER BY p_retailprice DESC, p_partkey) AS rnk
+    FROM part
+) t
+WHERE rnk <= 3
+"""
+
+
+@register("rel_window_rank_top3_parts", oracle=_WIN_RANK_SQL)
+def rel_window_rank_top3_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via dense_rank — the scalable alternative to
+    per-group collect+sort."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.select("p_brand", "p_partkey", "p_retailprice", F.dense_rank().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+_WIN_LAG_SQL = """
+SELECT o_custkey, o_orderkey,
+       date_diff('day',
+                 CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey) AS DATE),
+                 CAST(o_orderdate AS DATE)) AS gap_days
+FROM orders
+WHERE o_custkey < 100
+"""
+
+
+@register("rel_window_order_gap_days", oracle=_WIN_LAG_SQL)
+def rel_window_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), prev.cast("date"))
+        .cast("long")
+        .alias("gap_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup / cube (absent in reference — §2.2).
+# ---------------------------------------------------------------------------
+
+_ROLLUP_SQL = """
+SELECT r_name, n_name,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@register("rel_rollup_revenue_region_nation", oracle=_ROLLUP_SQL)
+def rel_rollup_revenue_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("rel_cube_status_priority", oracle=_CUBE_SQL)
+def rel_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregation, semi/anti joins, set operations (§2.2 audit rows).
+# ---------------------------------------------------------------------------
+
+_CNTD_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("rel_count_distinct", oracle=_CNTD_SQL)
+def rel_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+_SEMI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+"""
+
+
+@register("rel_semi_join_open_orders", oracle=_SEMI_SQL)
+def rel_semi_join_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@register("rel_anti_join_customers_no_orders", oracle=_ANTI_SQL)
+def rel_anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+_EXCEPT_SQL = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+EXCEPT
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+"""
+
+
+@register("rel_except_nations", oracle=_EXCEPT_SQL)
+def rel_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("long").alias("nationkey")
+    )
+    return c.subtract(s)  # EXCEPT = set difference (distinct), not exceptAll
+
+
+_INTERSECT_SQL = """
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+INTERSECT
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+"""
+
+
+@register("rel_intersect_nations", oracle=_INTERSECT_SQL)
+def rel_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("long").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+_UNION_SQL = """
+SELECT nationkey, COUNT(*) AS n FROM (
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+    UNION ALL
+    SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+) t GROUP BY nationkey
+"""
+
+
+@register("rel_union_all_nation_counts", oracle=_UNION_SQL)
+def rel_union_all_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("long").alias("nationkey")
+    )
+    return c.unionAll(s).groupBy("nationkey").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions (string/date/math) — §2.2 "scalar functions: absent".
+# Chosen for bit-identical cross-engine semantics (no libm transcendentals).
+# ---------------------------------------------------------------------------
+
+_STR_FUNC_SQL = """
+SELECT p_partkey,
+       UPPER(p_name) AS name_upper,
+       SUBSTRING(p_name, 1, 5) AS name_pfx,
+       LENGTH(p_name) AS name_len,
+       p_brand || ':' || p_type AS brand_type,
+       STRPOS(p_name, 'a') AS a_pos
+FROM part
+"""
+
+
+@register("rel_scalar_string_funcs", oracle=_STR_FUNC_SQL)
+def rel_scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_pfx"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.instr("p_name", "a").cast("long").alias("a_pos"),
+    )
+
+
+_DATE_FUNC_SQL = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS BIGINT) AS y,
+       CAST(month(o_orderdate) AS BIGINT) AS m,
+       CAST(day(o_orderdate) AS BIGINT) AS dom,
+       CAST(quarter(o_orderdate) AS BIGINT) AS q,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+FROM orders WHERE o_orderkey < 1000
+"""
+
+
+@register("rel_scalar_date_funcs", oracle=_DATE_FUNC_SQL)
+def rel_scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dom"),
+        F.quarter("o_orderdate").cast("long").alias("q"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+    )
+
+
+_MATH_FUNC_SQL = """
+SELECT o_orderkey,
+       FLOOR(o_totalprice) AS price_floor,
+       CEIL(o_totalprice) AS price_ceil,
+       ABS(o_totalprice - 250000.0) AS dist_mid,
+       o_orderkey % 7 AS k_mod,
+       SQRT(o_totalprice) AS price_sqrt
+FROM orders WHERE o_orderkey < 1000
+"""
+
+
+@register("rel_scalar_math_funcs", oracle=_MATH_FUNC_SQL)
+def rel_scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.floor("o_totalprice").cast("double").alias("price_floor"),
+        F.ceil("o_totalprice").cast("double").alias("price_ceil"),
+        F.abs(F.col("o_totalprice") - 250000.0).alias("dist_mid"),
+        (F.col("o_orderkey") % 7).alias("k_mod"),
+        F.sqrt("o_totalprice").alias("price_sqrt"),
+    )
+
+
+_CASE_SQL = """
+SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+            WHEN c_acctbal < 2500 THEN 'low'
+            WHEN c_acctbal < 7500 THEN 'mid'
+            ELSE 'high' END AS bal_bucket,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_bal
+FROM customer
+GROUP BY 1
+"""
+
+
+@register("rel_case_bucketing", oracle=_CASE_SQL)
+def rel_case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 2500, "low")
+        .when(F.col("c_acctbal") < 7500, "mid")
+        .otherwise("high")
+    )
+    return c.groupBy(bucket.alias("bal_bucket")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("total_bal"),
+    )
+
+
+_PAGE_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_orderkey LIMIT 50 OFFSET 100
+"""
+
+
+@register("rel_order_pagination", oracle=_PAGE_SQL)
+def rel_order_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: sessionization, tumbling windows, JSON, pivot-style matrix.
+# The reference's message queue is a transport, not a stream model (§2.2);
+# these are the driver-mandated stream-table analytics, batch form.
+# ---------------------------------------------------------------------------
+
+_SESS_SQL = """
+WITH seq AS (
+    SELECT user_id, ts, value,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+flagged AS (
+    SELECT user_id, value,
+           CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_session
+    FROM seq
+)
+SELECT user_id,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM flagged GROUP BY user_id
+"""
+
+
+@register("rel_events_sessionization", oracle=_SESS_SQL)
+def rel_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag window — one
+    shuffle by user_id; the streaming twin is session_window in
+    streaming/requests.py."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull() | (F.col("ts") > prev_ts + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    return (
+        ev.select("user_id", new_session.alias("new_session"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+_TUMBLE_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("rel_events_tumbling_hour", oracle=_TUMBLE_SQL)
+def rel_events_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+_JSON_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       COUNT(*) AS n
+FROM events
+GROUP BY 1
+"""
+
+
+@register("rel_events_json_extract", oracle=_JSON_SQL)
+def rel_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy((k % 10).alias("k_bucket")).agg(F.count("*").alias("n"))
+
+
+_TYPE_MATRIX_SQL = """
+SELECT user_id,
+       SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
+       SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_view,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS n_signup,
+       SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+@register("rel_events_type_matrix", oracle=_TYPE_MATRIX_SQL)
+def rel_events_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot expressed as conditional aggregation (the scalable form —
+    explicit value list, no two-pass pivot discovery)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def cnt(t: str) -> F.Column:
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+
+    return ev.groupBy("user_id").agg(
+        cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"), cnt("error")
+    )
