@@ -1,0 +1,67 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (count() alone can let
+Catalyst prune the compute we mean to measure).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from distributed_graph_db_c_spark.registry import REGISTRY, _ensure_loaded
+from distributed_graph_db_c_spark.session import get_spark
+
+HEADLINE = [
+    "rel_q1_pricing_summary",
+    "rel_q3_shipping_priority",
+    "rel_q5_local_supplier_volume",
+    "rel_q18_large_volume_customer",
+    "rel_window_running_total",
+    "rel_events_sessionization",
+    "graph_bfs_order_chain",
+    "graph_connected_components_nations",
+    "text_quality_score",
+    "dedup_minhash_pairs",
+    "sim_topk_bruteforce",
+    "mm_binary_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    _ensure_loaded()
+    spark = get_spark("dgdb-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        spec.run(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

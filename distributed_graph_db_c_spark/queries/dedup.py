@@ -1,1 +1,95 @@
-"""Placeholder — populated in later milestone."""
+"""Dedup queries over ``documents`` (SURVEY.md §2.3).
+
+``dedup_exact`` and ``dedup_jaccard_pairs`` have full DuckDB oracles.
+The MinHash/SimHash paths use xxhash64 (not reproducible in DuckDB) so
+they register rows-only; their correctness gate is
+tests/test_dedup_similarity.py, which checks them against the exact-
+Jaccard oracle results.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    simhash64,
+)
+from ..registry import register
+from ..sources.tables import load_table
+from .text import _TOKS_SQL
+
+_EXACT_SQL = """
+SELECT md5(text) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+@register("dedup_exact", oracle=_EXACT_SQL)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content fingerprint, deterministic
+    min-id survivor.  One shuffle on the fingerprint."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("fp", F.md5("text"))
+    return exact_dedup(docs, ["fp"], "doc_id")
+
+
+_EXACT_KEYS_SQL = """
+SELECT lang, source, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY lang, source
+"""
+
+
+@register("dedup_exact_by_keys", oracle=_EXACT_KEYS_SQL)
+def dedup_exact_by_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, ["lang", "source"], "doc_id")
+
+
+_JACCARD_SQL = rf"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(t) >= 3
+                   THEN list_distinct(list_transform(generate_series(0, len(t)-3),
+                                                     i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                   ELSE [] END AS s
+       FROM toks),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+SELECT doc_a, doc_b,
+       CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8
+"""
+
+
+@register("dedup_jaccard_pairs", oracle=_JACCARD_SQL)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram Jaccard near-dup join at threshold 0.8 — the oracle
+    semantics; minhash_dedup_pairs is the 100 TB path for the same output."""
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, threshold=0.8)
+
+
+@register("dedup_minhash_pairs", oracle=None)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16x4) candidates verified by exact Jaccard >= 0.8.
+    Same output contract as dedup_jaccard_pairs; rows-only driver check
+    (xxhash64 not reproducible in DuckDB), equality-tested in pytest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, threshold=0.8)
+
+
+@register("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash sketch per document (rows-only check; Hamming-pair
+    behavior tested in pytest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash64(docs)

@@ -1,1 +1,76 @@
-"""Placeholder — populated in later milestone."""
+"""Similarity-search queries over ``embeddings`` (SURVEY.md §2.3)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.vectors import dot_sql, norm2_seq
+from ..operators.similarity import ann_topk, brute_force_topk, cosine_pairs
+from ..registry import register
+from ..sources.tables import load_table
+
+EMBED_DIM = 64
+
+# Same left-fold dot product as functions/vectors.py (list_reduce), so
+# values are bit-identical.
+_TOPK_SQL = f"""
+WITH agg AS (
+    SELECT e.vec_id,
+           {dot_sql('e.embedding', 'q.qe')} AS dot,
+           {dot_sql('e.embedding', 'e.embedding')} AS na,
+           {dot_sql('q.qe', 'q.qe')} AS nb
+    FROM embeddings e, (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+)
+SELECT vec_id, dot / (sqrt(na) * sqrt(nb)) AS cosine
+FROM agg ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+@register("sim_topk_bruteforce", oracle=_TOPK_SQL)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbours of vec 0 — the ANN baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, query_id=0, top_k=10)
+
+
+_NORMS_SQL = f"""
+SELECT vec_id, sqrt({dot_sql('embedding', 'embedding')}) AS norm
+FROM embeddings
+"""
+
+
+@register("sim_embedding_norms", oracle=_NORMS_SQL)
+def sim_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", norm2_seq(F.col("embedding")).alias("norm"))
+
+
+_PAIRS_SQL = f"""
+WITH agg AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {dot_sql('a.embedding', 'b.embedding')} AS dot,
+           {dot_sql('a.embedding', 'a.embedding')} AS na,
+           {dot_sql('b.embedding', 'b.embedding')} AS nb
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, dot / (sqrt(na) * sqrt(nb)) AS cosine
+FROM agg WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.45
+"""
+
+
+@register("sim_cosine_pairs", oracle=_PAIRS_SQL)
+def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.45), exact all-pairs scoring.
+    The oracle twin of the LSH-bucketed path; at 100 TB use ann/bucketing."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, threshold=0.45)
+
+
+@register("sim_ann_lsh_topk", oracle=None)
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 for vec 0 (rows-only check; recall
+    vs brute force measured in pytest)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk(emb, query_id=0, dim=EMBED_DIM, top_k=10)

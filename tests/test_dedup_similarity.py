@@ -1,0 +1,88 @@
+"""Correctness gates for the hash-based dedup/similarity paths that have
+no DuckDB oracle (xxhash64/LSH): they are checked against the exact
+operators on the same data."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from distributed_graph_db_c_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_candidate_pairs,
+    minhash_dedup_pairs,
+    simhash64,
+    simhash_candidate_pairs,
+)
+from distributed_graph_db_c_spark.operators.similarity import (
+    ann_topk,
+    brute_force_topk,
+)
+from distributed_graph_db_c_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+def test_minhash_matches_exact_jaccard(spark, docs):
+    """LSH(16x4)+verify must reproduce the exact-Jaccard pair set at 0.8:
+    verification makes precision exact, so only recall is at stake — and
+    at J>=0.8 the 16-band collision probability is 1-(1-0.8^4)^16 > 0.999."""
+    exact = {(r["doc_a"], r["doc_b"]) for r in jaccard_pairs(docs, 0.8).collect()}
+    mh = {(r["doc_a"], r["doc_b"]) for r in minhash_dedup_pairs(docs, 0.8).collect()}
+    assert exact, "fixture should contain planted near-dups"
+    assert mh == exact
+
+
+def test_minhash_candidates_superset_of_dupes(spark, docs):
+    exact = {(r["doc_a"], r["doc_b"]) for r in jaccard_pairs(docs, 0.8).collect()}
+    cand = {(r["doc_a"], r["doc_b"]) for r in minhash_candidate_pairs(docs).collect()}
+    assert exact <= cand
+
+
+def test_simhash_deterministic_and_discriminative(spark, docs):
+    """Same text -> same sketch (run twice, bit-equal); near-dup docs sit
+    at smaller Hamming distance than random pairs on average."""
+    h1 = {r["id"]: r["simhash"] for r in simhash64(docs).collect()}
+    h2 = {r["id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert h1 == h2
+    near = jaccard_pairs(docs, 0.8).collect()
+
+    def ham(a, b):
+        return bin((h1[a] ^ h1[b]) & (2**64 - 1)).count("1")
+
+    near_d = [ham(r["doc_a"], r["doc_b"]) for r in near]
+    ids = sorted(h1)[:40]
+    far_d = [ham(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+    assert sum(near_d) / len(near_d) < sum(far_d) / len(far_d) / 2
+
+
+def test_simhash_candidate_pairs_find_neardups(spark, docs):
+    """Every planted Jaccard>=0.95 near-dup pair should land within
+    Hamming<=6 of each other (high-similarity docs share almost all
+    tokens)."""
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+             simhash_candidate_pairs(docs, max_hamming=6).collect()}
+    strong = [(r["doc_a"], r["doc_b"]) for r in jaccard_pairs(docs, 0.95).collect()]
+    assert strong, "fixture should contain very-near dups"
+    found = sum(1 for p in strong if p in pairs)
+    assert found / len(strong) >= 0.8
+
+
+def test_ann_recall_vs_bruteforce(spark, embeddings):
+    """Multi-table LSH top-10 should recover >=50% of the exact top-10 on
+    this (unplanted, near-orthogonal) embedding set — the structural gate
+    is candidates flow through buckets and scoring is exact."""
+    exact = [r["vec_id"] for r in brute_force_topk(embeddings, 0, 10).collect()]
+    approx = [r["vec_id"] for r in ann_topk(embeddings, 0, 64, 10).collect()]
+    assert len(approx) == 10
+    assert len(set(exact) & set(approx)) >= 5
