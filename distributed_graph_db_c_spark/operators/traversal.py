@@ -51,7 +51,10 @@ def bfs(
     """
     # Rename edge endpoints so every superstep joins by name — avoids the
     # self-lineage column-ambiguity trap of iterative DataFrame loops.
-    adj = edges.select("graph_id", F.col("src").alias("id"), F.col("dst").alias("nb"))
+    # Persist: the adjacency (often itself a derived plan — window + union)
+    # is probed once per superstep; without caching each superstep re-runs
+    # its whole lineage from the scan.
+    adj = edges.select("graph_id", F.col("src").alias("id"), F.col("dst").alias("nb")).persist()
     visited = starts.select("graph_id", F.col("id").cast("long").alias("id")).withColumn(
         "level", F.lit(0)
     )
@@ -77,6 +80,8 @@ def bfs(
         visited = visited.union(frontier)
         if level % _CHECKPOINT_EVERY == 0:
             visited = visited.localCheckpoint(eager=True)
+    visited = visited.localCheckpoint(eager=True)  # result independent of adj cache
+    adj.unpersist()
     return visited
 
 
@@ -184,7 +189,7 @@ def connected_components(edges: DataFrame, vertices: DataFrame, max_iters: int =
     Returns (graph_id, id, component) with component = min vertex id in the
     component.
     """
-    adj = edges.select("graph_id", F.col("src").alias("id"), F.col("dst").alias("nb"))
+    adj = edges.select("graph_id", F.col("src").alias("id"), F.col("dst").alias("nb")).persist()
     labels = vertices.select("graph_id", "id", F.col("id").alias("component"))
     prev_sum = None
     for i in range(max_iters):
@@ -202,4 +207,54 @@ def connected_components(edges: DataFrame, vertices: DataFrame, max_iters: int =
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    labels = labels.localCheckpoint(eager=True)
+    adj.unpersist()
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    vertices: DataFrame,
+    iterations: int = 10,
+    scale: int = 10**12,
+) -> DataFrame:
+    """PageRank with damping 0.85, fixed iteration count, INTEGER
+    fixed-point arithmetic (ranks scaled by 10^12, floor division) — so
+    the result is bit-identical under any partitioning, any engine, any
+    summation order (integer addition is associative; no FP drift).
+
+    The classic Pregel formulation (GraphX paper): one join + groupBy-sum
+    per superstep; contributions r(u)//deg(u) flow along edges.  Vertices
+    with no in-edges settle at the teleport base.  Returns
+    (graph_id, id, rank_scaled) with rank ~ rank_scaled / 10^12.
+    """
+    adj = edges.select("graph_id", F.col("src").alias("id"), F.col("dst").alias("nb"))
+    deg = adj.groupBy("graph_id", "id").agg(F.count("*").alias("degree"))
+    adj_deg = adj.join(deg, on=["graph_id", "id"]).persist()
+    base = vertices.join(
+        vertices.groupBy("graph_id").agg(F.count("*").alias("n_g")), on="graph_id"
+    ).persist()
+
+    ranks = base.select(
+        "graph_id", "id", F.expr(f"CAST({scale} AS BIGINT) DIV n_g").alias("r")
+    )
+    for i in range(iterations):
+        contrib = ranks.join(adj_deg, on=["graph_id", "id"]).select(
+            "graph_id", F.col("nb").alias("id"), F.expr("r DIV degree").alias("c")
+        )
+        sums = contrib.groupBy("graph_id", "id").agg(F.sum("c").alias("s"))
+        ranks = base.join(sums, on=["graph_id", "id"], how="left").select(
+            "graph_id",
+            "id",
+            F.expr(
+                f"CAST({15 * scale} AS BIGINT) DIV (100 * n_g)"
+                " + (85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100"
+            ).alias("r"),
+        )
+        if i % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.select("graph_id", "id", F.col("r").alias("rank_scaled"))
+    ranks = ranks.localCheckpoint(eager=True)
+    adj_deg.unpersist()
+    base.unpersist()
+    return ranks

@@ -218,3 +218,50 @@ def graph_triangle_count_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.count("*") / 6).cast("long").alias("triangles"))
     )
     return tri
+
+
+def _pagerank_sql(iterations: int = 10, scale: int = 10**12) -> str:
+    """Unrolled fixed-point PageRank oracle: one CTE per iteration (DuckDB
+    recursive CTEs cannot aggregate in the recursive member, so unroll).
+    Same integer arithmetic as operators.traversal.pagerank: // is floor
+    division, identical to Spark's DIV on non-negative operands."""
+    ctes = [
+        """e AS (
+    SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+    FROM nation a JOIN nation b
+      ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+),
+deg AS (SELECT src AS id, COUNT(*) AS degree FROM e GROUP BY src),
+base AS (SELECT n_nationkey AS id, (SELECT COUNT(*) FROM nation) AS n_g FROM nation)""",
+        f"pr0 AS (SELECT id, CAST({scale} AS BIGINT) // n_g AS r FROM base)",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""pr{i + 1} AS (
+    SELECT base.id,
+           CAST({15 * scale} AS BIGINT) // (100 * base.n_g)
+           + (85 * coalesce(s.s, CAST(0 AS BIGINT))) // 100 AS r
+    FROM base LEFT JOIN (
+        SELECT e.dst AS id, SUM(p.r // deg.degree) AS s
+        FROM pr{i} p JOIN e ON e.src = p.id JOIN deg ON deg.id = p.id
+        GROUP BY e.dst
+    ) s ON s.id = base.id
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT id, r AS rank_scaled FROM pr{iterations}"
+    )
+
+
+@register("graph_pagerank_nations", oracle=_pagerank_sql())
+def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 10 iterations, integer fixed-point — see
+    operators.traversal.pagerank) over the same-region nation graph."""
+    from ..operators.traversal import pagerank
+
+    nation = load_table(spark, sf_dir, "nation")
+    vertices = nation.select(
+        F.lit(0).alias("graph_id"), F.col("n_nationkey").cast("long").alias("id")
+    )
+    edges = nation_edges(spark, sf_dir)
+    return pagerank(edges, vertices).select("id", "rank_scaled")

@@ -1,0 +1,81 @@
+"""Temporal join queries over the ``events`` stream table.
+
+The reference has no joins at all (SURVEY.md §2.2 — its nearest analogue is
+the frontier×adjacency lookup inside BFS, `secondary_server.c:504-537`);
+as-of and range joins are part of the extension surface a time-series /
+training-data pipeline needs.  Implementations live in
+``operators.joins`` — both are single-shuffle compositions of built-in
+DataFrame ops, not theta joins.
+
+Oracles are written as correlated subqueries / exact band predicates so the
+DuckDB side shares no code path with the Spark side (true differential
+testing).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.joins import asof_join, range_join
+from ..registry import register
+from ..sources.tables import load_table
+
+_ASOF_ORACLE = """
+WITH l AS (SELECT * FROM events WHERE event_type = 'purchase')
+SELECT r.event_id,
+       r.user_id,
+       (SELECT epoch_us(l.ts) FROM l
+         WHERE l.user_id = r.user_id
+           AND (l.ts < r.ts OR (l.ts = r.ts AND l.event_id < r.event_id))
+         ORDER BY l.ts DESC, l.event_id DESC LIMIT 1) AS ts_asof_us,
+       (SELECT l.value FROM l
+         WHERE l.user_id = r.user_id
+           AND (l.ts < r.ts OR (l.ts = r.ts AND l.event_id < r.event_id))
+         ORDER BY l.ts DESC, l.event_id DESC LIMIT 1) AS value_asof
+FROM events r
+WHERE r.event_type = 'error'
+"""
+
+
+@register("asof_join_events", oracle=_ASOF_ORACLE)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every 'error' event, the most recent strictly-prior 'purchase'
+    by the same user (its timestamp and value; nulls if none).  Spark side:
+    union-and-window as-of join — ONE shuffle on user_id."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    errors = events.filter(F.col("event_type") == "error")
+    out = asof_join(
+        purchases, errors, on="user_id", ts="ts", seq="event_id", value_cols=["value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts_asof").alias("ts_asof_us"),
+        F.col("value_asof"),
+    )
+
+
+_RANGE_ORACLE = """
+SELECT p.user_id,
+       p.event_id AS probe_id,
+       b.event_id AS build_id,
+       epoch_us(b.ts) - epoch_us(p.ts) AS dt_micros
+FROM events p JOIN events b
+  ON b.user_id = p.user_id AND b.event_id <> p.event_id
+ AND abs(epoch_us(b.ts) - epoch_us(p.ts)) <= 300000000
+WHERE p.event_type = 'error' AND b.event_type = 'purchase'
+"""
+
+
+@register("range_join_events", oracle=_RANGE_ORACLE)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All (error, purchase) event pairs from the same user within a 300 s
+    band.  Spark side: bucketized band join — equi-join on
+    (user_id, time-bucket) with 3x probe replication, O(n) fan-out instead
+    of an O(n^2)-per-key theta join."""
+    events = load_table(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    return range_join(errors, purchases, on="user_id", ts="ts", band_seconds=300)

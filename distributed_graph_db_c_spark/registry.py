@@ -60,6 +60,14 @@ def _ensure_loaded() -> None:
     global _loaded
     if _loaded:
         return
-    from .queries import graph, relational, text, dedup, similarity, multimodal  # noqa: F401
+    from .queries import (  # noqa: F401
+        dedup,
+        graph,
+        multimodal,
+        relational,
+        similarity,
+        temporal,
+        text,
+    )
 
     _loaded = True
