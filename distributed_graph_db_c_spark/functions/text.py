@@ -29,8 +29,16 @@ BPE_REGEX = r"\w+|[^\w\s]"
 
 
 def tokens(col: str = "text") -> F.Column:
-    """Lower-cased whitespace tokens, empties dropped."""
-    return F.filter(F.split(F.lower(F.col(col)), r"\s+"), lambda x: x != "")
+    """Lower-cased whitespace tokens, empties dropped.
+
+    trim-then-split instead of split-then-filter: splitting a trimmed
+    non-empty string on \\s+ can't produce empty tokens, and dropping the
+    higher-order ``filter`` lambda keeps the expression in whole-stage
+    codegen (HOF lambdas are interpreted per element)."""
+    trimmed = F.trim(F.lower(F.col(col)))
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
 
 
 def token_count(col: str = "text") -> F.Column:

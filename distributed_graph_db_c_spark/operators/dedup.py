@@ -75,17 +75,49 @@ def jaccard_pairs(
     )
 
 
-def minhash_signatures(
-    docs: DataFrame, num_perm: int = 64, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+def shingle_hash_sets(
+    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, sig array<long>): sig[i] = min over shingles of
-    xxhash64(i, shingle).  One explode + one groupBy — two shuffle-free
-    map stages and a single aggregation by doc."""
-    sh = shingle_table(docs, k, id_col, text_col)
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(num_perm)
-    ]
-    sig = sh.groupBy("id").agg(*aggs)
+    """(id, hs array<long>): the doc's distinct k-shingles, xxhash64'd —
+    computed entirely MAP-SIDE (``shingles`` is a per-row array expression;
+    no explode, no shuffle).  Docs with < k tokens get an empty set and are
+    dropped: they have no shingles, so their Jaccard to anything is 0.
+
+    If the source scan has fewer partitions than the cluster has slots
+    (small files), fan it out first — otherwise the hash-heavy map work
+    serializes on a handful of tasks.  On a real 100 TB corpus the scan
+    already has thousands of partitions and this is a no-op."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.transform(shingles(text_col, k), lambda s: F.xxhash64(s)).alias("hs"),
+    ).filter(F.size("hs") > 0)
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_perm: int = 64,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hs_df: DataFrame | None = None,
+) -> DataFrame:
+    """(id, sig array<long>): sig[i] = min over shingle hashes x of
+    xxhash64(i, x).  Pass ``hs_df`` (a ``shingle_hash_sets`` result, e.g.
+    persisted) to share the shingling pass with other consumers.
+
+    Shape: explode the hashed-shingle LONGS (strings are hashed exactly
+    once, map-side, in ``shingle_hash_sets``) and take ``num_perm``
+    codegen'd min-aggregates — whole-stage codegen beats per-row
+    higher-order-function lambdas for the 64-way hash fan-out, and the
+    shuffle moves only (id, long) pairs with map-side partial mins."""
+    if hs_df is None:
+        hs_df = shingle_hash_sets(docs, k, id_col, text_col)
+    exploded = hs_df.select("id", F.explode("hs").alias("h"))
+    aggs = [F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}") for i in range(num_perm)]
+    sig = exploded.groupBy("id").agg(*aggs)
     return sig.select("id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig"))
 
 
@@ -128,30 +160,40 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard — the scalable near-dup
     join: candidate generation O(docs x bands), verification only on
-    collisions."""
-    cand = minhash_candidate_pairs(docs, k=k, id_col=id_col, text_col=text_col)
-    sh = shingle_table(docs, k, id_col, text_col)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(a, on="doc_a")
-        .join(b, on=["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+    collisions.
+
+    Verification joins the candidate pairs (small) against the per-doc
+    shingle-hash sets and computes |A∩B| with ``array_intersect`` — a
+    per-pair array op instead of re-exploding the corpus into a
+    (pair, shingle) join.  Jaccard here is over hashed shingles; a 64-bit
+    collision between two distinct shingles of the same doc pair is the
+    only divergence from string-set Jaccard (probability ~n²/2⁶⁴ — nil)."""
+    # One pass computes the shingle-hash sets; persist shares it between
+    # signature building and both sides of the verification join (Catalyst
+    # does not dedupe repeated subtrees — without this the corpus is
+    # re-scanned and re-shingled three times).
+    hs_df = shingle_hash_sets(docs, k, id_col, text_col).persist()
+    sig = minhash_signatures(docs, k=k, id_col=id_col, text_col=text_col, hs_df=hs_df)
+    bk = minhash_band_buckets(sig)
+    ca = bk.select(F.col("id").alias("doc_a"), "band", "bucket")
+    cb = bk.select(F.col("id").alias("doc_b"), "band", "bucket")
+    cand = (
+        ca.join(cb, on=["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    na = sizes.select(F.col("id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("id").alias("doc_b"), F.col("n").alias("nb"))
+    a = hs_df.select(F.col("id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    b = hs_df.select(F.col("id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size("hs_a") + F.size("hs_b") - inter
     return (
-        inter.join(na, on="doc_a")
-        .join(nb, on="doc_b")
+        cand.join(a, on="doc_a")
+        .join(b, on="doc_b")
         .select(
             "doc_a",
             "doc_b",
-            (
-                F.col("inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
-            ).alias("jaccard"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

@@ -34,50 +34,93 @@ from pyspark.sql import DataFrame
 
 _CHECKPOINT_EVERY = 3
 
+# Target rows per cached adjacency partition (~50 MB of (long,long,long)
+# rows).  Iterative kernels probe the cached adjacency once per superstep,
+# so its partition count sets the per-superstep task floor: size it to the
+# data instead of inheriting spark.sql.shuffle.partitions — a 300k-edge
+# graph gets 1 partition (1 task/superstep), a 100 TB edge list gets
+# hundreds of thousands (capped), each a scannable chunk.
+_ADJ_ROWS_PER_PARTITION = 2_000_000
+_ADJ_MAX_PARTITIONS = 200_000
+
+
+def _partitioned_adj(edges: DataFrame) -> DataFrame:
+    """(graph_id, id, nb) hash-partitioned on the join key and persisted.
+
+    Partitioned-by-key persistence means every superstep's equi-join
+    satisfies its distribution requirement from the cache — the edge set is
+    shuffled exactly once for the whole iteration, never per superstep.
+    Costs one counting pass up front to size the partition count.
+    """
+    adj = edges.select("graph_id", F.col("src").alias("id"), F.col("dst").alias("nb"))
+    n_edges = adj.count()
+    n_part = min(n_edges // _ADJ_ROWS_PER_PARTITION + 1, _ADJ_MAX_PARTITIONS)
+    return adj.repartition(n_part, "graph_id", "id").persist()
+
 
 def bfs(
     edges: DataFrame,
     starts: DataFrame,
     max_level: int | None = None,
+    broadcast_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Multi-source, multi-graph BFS.
 
     Args:
       edges:  (graph_id, src, dst) with both directions materialized.
       starts: (graph_id, id) — one or many (graph, start-vertex) pairs.
+      broadcast_threshold: row count under which the frontier / visited
+        sides are broadcast-hinted instead of shuffled.
     Returns:
       (graph_id, id, level) — level 0 for the start vertex, each reachable
       vertex exactly once at its minimum hop distance.
+
+    Shuffle budget per superstep (the thing that matters at 100 TB):
+    - The adjacency is shuffled ONCE up front (repartition on the join key)
+      and persisted; every superstep's equi-join then satisfies its
+      distribution requirement from the cached partitioning — the edge set
+      is never re-shuffled, only probed.
+    - While the frontier / visited set are small (the common case: BFS from
+      a handful of sources), they ride in as broadcast hash joins — the
+      superstep moves only the frontier, O(frontier), not O(edges).
+    - When a frontier outgrows the threshold (a giant-component sweep on a
+      big graph), it falls back to shuffling just that frontier against the
+      pre-partitioned adjacency.
+    The frontier is materialized (localCheckpoint) every superstep: its
+    count doubles as the termination check, lineage stays O(1), and the
+    next superstep probes materialized rows instead of recomputing.
     """
     # Rename edge endpoints so every superstep joins by name — avoids the
     # self-lineage column-ambiguity trap of iterative DataFrame loops.
-    # Persist: the adjacency (often itself a derived plan — window + union)
-    # is probed once per superstep; without caching each superstep re-runs
-    # its whole lineage from the scan.
-    adj = edges.select("graph_id", F.col("src").alias("id"), F.col("dst").alias("nb")).persist()
+    adj = _partitioned_adj(edges)
     visited = starts.select("graph_id", F.col("id").cast("long").alias("id")).withColumn(
         "level", F.lit(0)
     )
-    frontier = visited
+    frontier = visited.localCheckpoint(eager=True)
+    f_cnt = frontier.count()
+    v_cnt = f_cnt
     level = 0
-    while True:
+    while f_cnt > 0:
         if max_level is not None and level >= max_level:
             break
         level += 1
+        f_side = F.broadcast(frontier) if f_cnt <= broadcast_threshold else frontier
         neighbours = (
-            frontier.join(adj, on=["graph_id", "id"])
+            f_side.select("graph_id", "id")
+            .join(adj, on=["graph_id", "id"])
             .select("graph_id", F.col("nb").alias("id"))
             .distinct()
         )
-        frontier = neighbours.join(visited, on=["graph_id", "id"], how="left_anti").withColumn(
+        v_side = F.broadcast(visited) if v_cnt <= broadcast_threshold else visited
+        frontier = neighbours.join(v_side, on=["graph_id", "id"], how="left_anti").withColumn(
             "level", F.lit(level)
         )
-        if level % _CHECKPOINT_EVERY == 0:
-            # Truncate lineage: without this the plan doubles per superstep.
-            frontier = frontier.localCheckpoint(eager=True)
-        if frontier.isEmpty():
+        frontier = frontier.localCheckpoint(eager=True)
+        f_cnt = frontier.count()
+        if f_cnt == 0:
             break
         visited = visited.union(frontier)
+        v_cnt += f_cnt
         if level % _CHECKPOINT_EVERY == 0:
             visited = visited.localCheckpoint(eager=True)
     visited = visited.localCheckpoint(eager=True)  # result independent of adj cache
@@ -189,7 +232,7 @@ def connected_components(edges: DataFrame, vertices: DataFrame, max_iters: int =
     Returns (graph_id, id, component) with component = min vertex id in the
     component.
     """
-    adj = edges.select("graph_id", F.col("src").alias("id"), F.col("dst").alias("nb")).persist()
+    adj = _partitioned_adj(edges)
     labels = vertices.select("graph_id", "id", F.col("id").alias("component"))
     prev_sum = None
     for i in range(max_iters):
@@ -201,8 +244,10 @@ def connected_components(edges: DataFrame, vertices: DataFrame, max_iters: int =
             .groupBy("graph_id", "id")
             .agg(F.min("component").alias("component"))
         )
-        if i % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
-            labels = labels.localCheckpoint(eager=True)
+        # Materialize every superstep: the convergence aggregate below would
+        # otherwise recompute the un-checkpointed lineage, and the next
+        # superstep would recompute it again.
+        labels = labels.localCheckpoint(eager=True)
         cur_sum = labels.agg(F.sum("component")).head()[0]
         if cur_sum == prev_sum:
             break
@@ -228,8 +273,10 @@ def pagerank(
     with no in-edges settle at the teleport base.  Returns
     (graph_id, id, rank_scaled) with rank ~ rank_scaled / 10^12.
     """
-    adj = edges.select("graph_id", F.col("src").alias("id"), F.col("dst").alias("nb"))
+    adj = _partitioned_adj(edges)
     deg = adj.groupBy("graph_id", "id").agg(F.count("*").alias("degree"))
+    # Key-partitioned like adj (join of two key-partitioned sides), so each
+    # superstep's contribution join shuffles only the ranks side.
     adj_deg = adj.join(deg, on=["graph_id", "id"]).persist()
     base = vertices.join(
         vertices.groupBy("graph_id").agg(F.count("*").alias("n_g")), on="graph_id"
@@ -256,5 +303,6 @@ def pagerank(
     ranks = ranks.select("graph_id", "id", F.col("r").alias("rank_scaled"))
     ranks = ranks.localCheckpoint(eager=True)
     adj_deg.unpersist()
+    adj.unpersist()
     base.unpersist()
     return ranks
