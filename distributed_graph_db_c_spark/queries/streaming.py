@@ -1,0 +1,212 @@
+"""Streaming-surface queries (SURVEY.md §7 M6) wired into the oracle gate.
+
+Two kinds:
+- Window builders (tumbling/sliding/session) run here in BATCH mode over
+  the events table — same code path the streaming tests run with a real
+  file stream, so the DuckDB hash-check covers the streaming semantics.
+- Two REAL streaming runs (stateful operator, request-loop dispatch):
+  the query stages micro-batch files, drains them with availableNow, and
+  returns the materialized sink — end-to-end streaming execution inside
+  the correctness gate, with ordinary SQL oracles because the final state
+  is deterministic by construction (integer accumulation; seq-ordered
+  writes).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import GraphCatalog
+from ..registry import register
+from ..sources.tables import load_table
+from ..streaming.requests import REQUEST_SCHEMA, RESULT_SCHEMA, request_dispatcher
+from ..streaming.sources import (
+    cleanup,
+    read_file_stream,
+    run_available_now,
+    scratch_dir,
+    stage_stream_dir,
+)
+from ..streaming.stateful import user_running_totals
+from ..streaming.windows import session_stats, sliding_counts, tumbling_counts
+
+# ---------------------------------------------------------------------------
+# window builders, batch mode (streaming twin: tests/test_streaming.py)
+# ---------------------------------------------------------------------------
+
+_TUMBLING_SQL = """
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+       event_type,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("stream_tumbling_hour", oracle=_TUMBLING_SQL)
+def stream_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation (streaming/windows.py),
+    batch mode = the oracle path."""
+    return tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+_SLIDING_SQL = """
+WITH wins AS (
+    SELECT event_type,
+           unnest([ (epoch_us(ts) // 900000000) * 900000000,
+                    ((epoch_us(ts) // 900000000) - 1) * 900000000 ]) AS window_start_us
+    FROM events
+)
+SELECT window_start_us, event_type, COUNT(*) AS n
+FROM wins GROUP BY 1, 2
+"""
+
+
+@register("stream_sliding_30m", oracle=_SLIDING_SQL)
+def stream_sliding_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (30 min / 15 min): every event lands in exactly 2
+    windows; the oracle unnests the same 2 window starts explicitly."""
+    return sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+# Island detection — a completely different formulation than Spark's
+# session_window operator.  NOTE >= on the gap boundary: session_window
+# merges only while the next event is strictly inside [ts, ts+gap).
+_SESSION_SQL = """
+WITH seq AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                     OR ts >= LAG(ts) OVER w + INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+isl AS (
+    SELECT user_id, ts,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM seq
+)
+SELECT user_id,
+       epoch_us(MIN(ts)) AS session_start_us,
+       epoch_us(MAX(ts)) AS session_end_us,
+       COUNT(*) AS n_events
+FROM isl GROUP BY user_id, sid
+"""
+
+
+@register("stream_session_window", oracle=_SESSION_SQL)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (dynamic gap-merged windows) per user; oracle
+    recomputes sessions via lag/cumsum island detection."""
+    return session_stats(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# real streaming runs
+# ---------------------------------------------------------------------------
+
+_STATEFUL_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+FROM events GROUP BY user_id
+"""
+
+
+@register("stream_stateful_user_totals", oracle=_STATEFUL_SQL)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState running totals across 3 real micro-batches
+    (file stream, availableNow).  Final per-user emission == batch
+    aggregate; integer cents make the accumulation order-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    scratch = scratch_dir("stateful")
+    try:
+        batches = [ev.filter(F.pmod("event_id", F.lit(3)) == i) for i in range(3)]
+        in_dir = stage_stream_dir(batches, f"{scratch}/in")
+        sev = read_file_stream(spark, in_dir, ev.schema)
+        name = f"st_{uuid.uuid4().hex[:8]}"
+        run_available_now(
+            user_running_totals(sev), f"{scratch}/ckpt", query_name=name
+        )
+        final = (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),  # monotone: max = final state
+                F.max("total_cents").alias("total_cents"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        cleanup(scratch)
+    return final
+
+
+_REQUESTS_SQL = """
+WITH r0 AS (
+    SELECT n_nationkey AS id,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_nationkey) - 1 AS BIGINT) AS lvl
+    FROM nation WHERE n_regionkey = 0
+)
+SELECT CAST(3 AS BIGINT) AS seq, CAST(4 AS INT) AS op, CAST(7 AS INT) AS graph_id,
+       CAST(id AS BIGINT) AS id, lvl AS level
+FROM r0
+UNION ALL
+SELECT CAST(4 AS BIGINT), CAST(3 AS INT), CAST(7 AS INT), CAST(id AS BIGINT),
+       CAST(NULL AS BIGINT)
+FROM r0 WHERE lvl = (SELECT MAX(lvl) FROM r0)
+"""
+
+
+@register("stream_requests_dispatch", oracle=_REQUESTS_SQL)
+def stream_requests_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end reference request loop over a real stream: op 1 adds
+    graph 7 (all-nation same-region cliques), op 2 MODIFIES it to a path
+    over region-0 nations (full replace, primary_server.c:65 "w+"
+    truncate), op 4 BFS + op 3 DFS-leaves from the path's first node.
+
+    BFS levels = path positions; DFS leaves = the far endpoint (the start
+    is non-isolated, so excluded) — both derivable in plain SQL from the
+    nation table, which is what the oracle does."""
+    nation = load_table(spark, sf_dir, "nation")
+    rows = nation.select("n_nationkey", "n_regionkey").collect()
+    all_ids = sorted(int(r["n_nationkey"]) for r in rows)
+    by_region: dict[int, list[int]] = {}
+    for r in rows:
+        by_region.setdefault(int(r["n_regionkey"]), []).append(int(r["n_nationkey"]))
+    clique_pairs = [
+        (a, b)
+        for ids in by_region.values()
+        for a in ids
+        for b in ids
+        if a < b
+    ]
+    r0 = sorted(by_region[0])
+    path_pairs = list(zip(r0, r0[1:]))
+
+    scratch = scratch_dir("requests")
+    try:
+        b0 = spark.createDataFrame([(1, 1, 7, all_ids, clique_pairs, None)], REQUEST_SCHEMA)
+        b1 = spark.createDataFrame([(2, 2, 7, r0, path_pairs, None)], REQUEST_SCHEMA)
+        b2 = spark.createDataFrame(
+            [(3, 4, 7, None, None, r0[0]), (4, 3, 7, None, None, r0[0])], REQUEST_SCHEMA
+        )
+        in_dir = stage_stream_dir([b0, b1, b2], f"{scratch}/in")
+        catalog = GraphCatalog(spark, f"{scratch}/catalog")
+        results = f"{scratch}/results"
+        stream = read_file_stream(spark, in_dir, REQUEST_SCHEMA)
+        run_available_now(
+            stream, f"{scratch}/ckpt", foreach_batch=request_dispatcher(catalog, results)
+        )
+        res = (
+            spark.read.schema(RESULT_SCHEMA)
+            .parquet(results)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        cleanup(scratch)
+    return res

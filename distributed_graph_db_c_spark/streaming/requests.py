@@ -1,0 +1,116 @@
+"""The reference's online request loop, Spark-first (SURVEY.md §3).
+
+Reference lifecycle: clients enqueue `struct message {seq, op, mtext}` on
+one SysV queue; the load balancer routes op 1/2 → primary (graph writes,
+`load_balancer.c:68-78`), op 3/4 → a secondary (`:79-92`); payloads cross
+in shared memory; replies come back tagged mtype=1000*seq
+(`primary_server.c:139`).
+
+Here the request channel is a streaming DataFrame and ``foreachBatch`` is
+the dispatcher: each micro-batch drains like the queue.  Semantics kept /
+dropped (SURVEY.md §2.1):
+
+- Writes apply in seq order; a later write to the same graph wins (the
+  per-file writer semaphore's serialization, `primary_server.c:60,150`).
+- Within a micro-batch, ALL writes apply before any read — reads see a
+  consistent post-write snapshot (the readers-writers guarantee; the
+  reference's actual interleaving is scheduler-dependent).
+- Replies: op 3/4 results append to a results table (seq, op, graph_id,
+  id, level) — unbounded, replacing the 200-char mtext truncation cap.
+- Routing/multiplexing (op+10*seq, mtype arithmetic): no equivalent
+  needed; Spark's scheduler owns placement.
+
+Payloads ride inside the request row (vertices + edge array), mirroring
+the SHM handoff for the reference's small graphs; bulk graph ingest is the
+G-format codec / catalog API instead (sources/gformat.py).
+
+Reads run FLEET-WIDE: every op-3/op-4 request in the batch becomes one
+instance key (its seq) in a single multi-graph traversal — one BFS job per
+batch regardless of how many requests it carries, the shape that scales.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..catalog import GraphCatalog
+from ..operators.traversal import bfs, dfs_leaves
+
+REQUEST_SCHEMA = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("op", IntegerType()),
+        StructField("graph_id", IntegerType()),
+        StructField("vertices", ArrayType(LongType())),
+        StructField(
+            "edges",
+            ArrayType(
+                StructType([StructField("src", LongType()), StructField("dst", LongType())])
+            ),
+        ),
+        StructField("start", LongType()),
+    ]
+)
+
+RESULT_SCHEMA = "seq long, op int, graph_id int, id long, level long"
+
+
+def dispatch_requests(catalog: GraphCatalog, batch_df: DataFrame, results_path: str) -> None:
+    """Process one drained micro-batch: writes (seq order), then reads."""
+    spark = catalog.spark
+
+    # -- write path (ops 1/2 — identical semantics: full replace) --------
+    writes = (
+        batch_df.filter(F.col("op").isin(1, 2)).orderBy("seq").collect()
+    )  # payloads to the driver: the SHM handoff equivalent; small by model
+    for row in writes:
+        pairs = [(int(e["src"]), int(e["dst"])) for e in (row["edges"] or [])]
+        sym = pairs + [(d, s) for s, d in pairs]
+        edges_df = spark.createDataFrame(sym or [], "src long, dst long")
+        verts_df = spark.createDataFrame(
+            [(int(v),) for v in (row["vertices"] or [])], "id long"
+        )
+        catalog.put(int(row["graph_id"]), edges_df, verts_df)
+
+    # -- read path (ops 3/4) — one fleet-wide traversal per op ------------
+    reads = batch_df.filter(F.col("op").isin(3, 4)).select("seq", "op", "graph_id", "start")
+    if reads.isEmpty():
+        return
+    all_edges = catalog.edges()
+    for op, kernel in ((4, bfs), (3, dfs_leaves)):
+        reqs = reads.filter(F.col("op") == op)
+        if reqs.isEmpty():
+            continue
+        # Each request = its own traversal instance keyed by seq, so two
+        # requests against the same graph (or different graphs) run in the
+        # same multi-graph kernel invocation without sharing visited sets.
+        inst_edges = all_edges.join(
+            reqs.select("seq", "graph_id"), on="graph_id"
+        ).select(F.col("seq").alias("graph_id"), "src", "dst")
+        starts = reqs.select(F.col("seq").alias("graph_id"), F.col("start").alias("id"))
+        res = kernel(inst_edges, starts)
+        if "level" not in res.columns:
+            res = res.withColumn("level", F.lit(None).cast("long"))
+        out = (
+            res.withColumnRenamed("graph_id", "seq")
+            .join(reqs.select("seq", "op", "graph_id"), on="seq")
+            .select("seq", "op", "graph_id", "id", F.col("level").cast("long"))
+        )
+        out.write.mode("append").parquet(results_path)
+
+
+def request_dispatcher(catalog: GraphCatalog, results_path: str):
+    """foreachBatch callback closing over the catalog and results sink."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        dispatch_requests(catalog, batch_df, results_path)
+
+    return handle

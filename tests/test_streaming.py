@@ -1,0 +1,90 @@
+"""Streaming tests: the window builders and the stateful operator run over
+a REAL file stream (2-3 micro-batches via maxFilesPerTrigger=1) and must
+produce exactly the batch-mode result — batch mode being the path the
+DuckDB oracle gate hash-checks (queries/streaming.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from distributed_graph_db_c_spark.sources.tables import load_table
+from distributed_graph_db_c_spark.streaming.sources import (
+    cleanup,
+    read_file_stream,
+    run_available_now,
+    scratch_dir,
+    stage_stream_dir,
+)
+from distributed_graph_db_c_spark.streaming.stateful import user_running_totals
+from distributed_graph_db_c_spark.streaming.windows import (
+    session_stats,
+    sliding_counts,
+    tumbling_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_table(spark, SF_DIR, "events")
+
+
+def _stream_result(spark, events, builder, label, n_batches=2, output_mode="complete"):
+    scratch = scratch_dir(f"test-{label}")
+    try:
+        batches = [
+            events.filter(F.pmod("event_id", F.lit(n_batches)) == i)
+            for i in range(n_batches)
+        ]
+        in_dir = stage_stream_dir(batches, f"{scratch}/in")
+        sev = read_file_stream(spark, in_dir, events.schema)
+        name = f"t_{label.replace('-', '_')}"
+        run_available_now(
+            builder(sev), f"{scratch}/ckpt", query_name=name, output_mode=output_mode
+        )
+        return spark.table(name).localCheckpoint(eager=True)
+    finally:
+        cleanup(scratch)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark, events):
+    got = _stream_result(spark, events, tumbling_counts, "tumble")
+    assert _rows(got) == _rows(tumbling_counts(events))
+
+
+def test_sliding_stream_equals_batch(spark, events):
+    got = _stream_result(spark, events, sliding_counts, "slide")
+    assert _rows(got) == _rows(sliding_counts(events))
+
+
+def test_session_stream_equals_batch(spark, events):
+    # Session windows must merge across micro-batches: split round-robin so
+    # nearly every session has events in both batches.
+    got = _stream_result(spark, events, session_stats, "session")
+    assert _rows(got) == _rows(session_stats(events))
+
+
+def test_stateful_totals_accumulate_across_batches(spark, events):
+    # Update-mode emissions accumulate; final (max) per user == batch agg.
+    upd = _stream_result(
+        spark, events, user_running_totals, "stateful", n_batches=3, output_mode="update"
+    )
+    final = upd.groupBy("user_id").agg(
+        F.max("n_events").alias("n"), F.max("total_cents").alias("cents")
+    )
+    expected = events.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    assert _rows(final) == _rows(expected)
+    # and updates genuinely spanned batches: some user must have emitted
+    # more than one cumulative row
+    multi = upd.groupBy("user_id").count().filter(F.col("count") > 1).count()
+    assert multi > 0
