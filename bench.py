@@ -42,6 +42,18 @@ def main() -> None:
     spark = get_spark("dgdb-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warmup (untimed): run every headline query once at the smallest SF.
+    # Whole-stage-codegen classes are cached by generated source, so this
+    # absorbs Janino compilation (~10 s for the 64-aggregate minhash plan),
+    # JVM JIT, and file-listing init; the timed runs below then measure
+    # steady-state execution, which is what a throughput comparison means.
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        try:
+            REGISTRY[name].run(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
