@@ -854,3 +854,23 @@ def rel_events_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").agg(
         cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"), cnt("error")
     )
+
+
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+       COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register("rel_grouping_sets_flag_status", oracle=_GROUPING_SETS_SQL)
+def rel_grouping_sets_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with a grouping-id discriminator — the third
+    member of the rollup/cube family (SURVEY.md §2.2: absent in reference).
+    Same SQL text on both engines; what's under test is Spark's Expand-based
+    grouping-set execution (one scan, partial aggregation per set)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)

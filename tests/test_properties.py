@@ -1,0 +1,148 @@
+"""Property-based traversal tests (SURVEY.md §5.3): a fleet of seeded
+random graphs runs through the DataFrame kernels in ONE multi-graph job,
+and every graph's result is checked against a 20-line pure-Python
+reference.  Properties:
+
+- BFS level of v == shortest-path hop count (python BFS)
+- BFS visited set == connected component of the start
+- dfs_leaves == reachable vertices with degree <= 1, minus non-isolated
+  start (the canonical semantics of SURVEY.md §2.1)
+- connected_components labels == python union-find components
+"""
+
+from __future__ import annotations
+
+import random
+from collections import deque
+
+import pyspark.sql.functions as F
+
+from distributed_graph_db_c_spark.operators.traversal import (
+    bfs,
+    connected_components,
+    dfs_leaves,
+)
+from distributed_graph_db_c_spark.schemas import GRAPH_EDGES_SCHEMA, GRAPH_VERTICES_SCHEMA
+
+N_GRAPHS = 24
+SEED = 20260813
+
+
+def _random_fleet():
+    """[(gid, n, edge_set, start)] — sizes 1..14, densities from empty to
+    near-complete, start vertex random."""
+    rng = random.Random(SEED)
+    fleet = []
+    for gid in range(N_GRAPHS):
+        n = rng.randint(1, 14)
+        p = rng.choice([0.0, 0.1, 0.25, 0.5, 0.9])
+        edges = set()
+        for a in range(1, n + 1):
+            for b in range(a + 1, n + 1):
+                if rng.random() < p:
+                    edges.add((a, b))
+        fleet.append((gid, n, edges, rng.randint(1, n)))
+    return fleet
+
+
+def _adj(n, edges):
+    adj = {v: set() for v in range(1, n + 1)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    return adj
+
+
+def _py_bfs(n, edges, start):
+    adj = _adj(n, edges)
+    lvl = {start: 0}
+    q = deque([start])
+    while q:
+        v = q.popleft()
+        for nb in adj[v]:
+            if nb not in lvl:
+                lvl[nb] = lvl[v] + 1
+                q.append(nb)
+    return lvl
+
+
+def _py_components(n, edges):
+    adj = _adj(n, edges)
+    comp = {}
+    for v in range(1, n + 1):
+        if v in comp:
+            continue
+        members = [v]
+        seen = {v}
+        q = deque([v])
+        while q:
+            u = q.popleft()
+            for nb in adj[u]:
+                if nb not in seen:
+                    seen.add(nb)
+                    members.append(nb)
+                    q.append(nb)
+        label = min(members)
+        for m in members:
+            comp[m] = label
+    return comp
+
+
+def _fleet_dfs(spark, fleet):
+    edge_rows = [
+        (gid, a, b)
+        for gid, n, edges, _ in fleet
+        for s, d in edges
+        for a, b in ((s, d), (d, s))
+    ]
+    vert_rows = [(gid, v) for gid, n, _, _ in fleet for v in range(1, n + 1)]
+    start_rows = [(gid, start) for gid, _, _, start in fleet]
+    edges_df = spark.createDataFrame(edge_rows, GRAPH_EDGES_SCHEMA)
+    verts_df = spark.createDataFrame(vert_rows, GRAPH_VERTICES_SCHEMA)
+    starts_df = spark.createDataFrame(start_rows, "graph_id int, id long")
+    return edges_df, verts_df, starts_df
+
+
+def test_bfs_levels_and_reachability_random_fleet(spark):
+    fleet = _random_fleet()
+    edges_df, _, starts_df = _fleet_dfs(spark, fleet)
+    got = {
+        (r["graph_id"], r["id"]): r["level"]
+        for r in bfs(edges_df, starts_df).collect()
+    }
+    want = {
+        (gid, v): lvl
+        for gid, n, edges, start in fleet
+        for v, lvl in _py_bfs(n, edges, start).items()
+    }
+    assert got == want
+
+
+def test_dfs_leaves_random_fleet(spark):
+    fleet = _random_fleet()
+    edges_df, _, starts_df = _fleet_dfs(spark, fleet)
+    got = {(r["graph_id"], r["id"]) for r in dfs_leaves(edges_df, starts_df).collect()}
+    want = set()
+    for gid, n, edges, start in fleet:
+        adj = _adj(n, edges)
+        reach = _py_bfs(n, edges, start)
+        for v in reach:
+            deg = len(adj[v])
+            if deg <= 1 and not (v == start and deg >= 1):
+                want.add((gid, v))
+    assert got == want
+
+
+def test_connected_components_random_fleet(spark):
+    fleet = _random_fleet()
+    edges_df, verts_df, _ = _fleet_dfs(spark, fleet)
+    got = {
+        (r["graph_id"], r["id"]): r["component"]
+        for r in connected_components(edges_df, verts_df).collect()
+    }
+    want = {
+        (gid, v): c
+        for gid, n, edges, _ in fleet
+        for v, c in _py_components(n, edges).items()
+    }
+    assert got == want
