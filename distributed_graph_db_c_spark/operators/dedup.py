@@ -78,22 +78,32 @@ def jaccard_pairs(
 def shingle_hash_sets(
     docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, hs array<long>): the doc's distinct k-shingles, xxhash64'd —
-    computed entirely MAP-SIDE (``shingles`` is a per-row array expression;
-    no explode, no shuffle).  Docs with < k tokens get an empty set and are
-    dropped: they have no shingles, so their Jaccard to anything is 0.
+    """(id, hs array<long>): the doc's distinct k-shingle hashes.  Docs
+    with < k tokens vanish: no shingles, Jaccard 0 to everything.
 
-    If the source scan has fewer partitions than the cluster has slots
-    (small files), fan it out first — otherwise the hash-heavy map work
-    serializes on a handful of tasks.  On a real 100 TB corpus the scan
-    already has thousands of partitions and this is a no-op."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
-    return docs.select(
-        F.col(id_col).alias("id"),
-        F.transform(shingles(text_col, k), lambda s: F.xxhash64(s)).alias("hs"),
-    ).filter(F.size("hs") > 0)
+    Shape chosen for codegen, not elegance: a per-doc higher-order
+    ``transform(shingles, xxhash64)`` is interpreted per ELEMENT (~10 µs
+    each — minutes per billion shingles), so instead the tokens are
+    posexploded (codegen generator), each k-gram is hashed as
+    ``xxhash64(tok, lead(tok,1), ..., lead(tok,k-1))`` (codegen window
+    functions over one shuffle by doc id), and ``collect_set`` reuses that
+    same hash partitioning — the whole pipeline is whole-stage-codegen'd
+    with exactly ONE shuffle of the token stream.  A shingle is hashed as
+    its token TUPLE, equivalent to hashing the joined string (tokens
+    contain no whitespace)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w) for j in range(1, k)]
+    sh = toks.select("id", "pos", F.xxhash64("tok", *leads).alias("h"), leads[-1].alias("_last"))
+    return (
+        sh.filter(F.col("_last").isNotNull())
+        .groupBy("id")
+        .agg(F.collect_set("h").alias("hs"))
+    )
 
 
 def minhash_signatures(
