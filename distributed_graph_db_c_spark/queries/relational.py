@@ -874,3 +874,66 @@ def rel_grouping_sets_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame
     grouping-set execution (one scan, partial aggregation per set)."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+_Q17_SQL = """
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) / 7.0
+       AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#2' AND p_size < 15
+  AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = part.p_partkey)
+"""
+
+
+@register("rel_q17_small_quantity_revenue", oracle=_Q17_SQL)
+def rel_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 — correlated scalar subquery (per-part average quantity)
+    decorrelated BY HAND into a pre-aggregated broadcast join: one scan of
+    lineitem computes per-part averages, the filtered part dim broadcasts,
+    and the probe side never shuffles.  The oracle keeps the correlated
+    form — two genuinely different plans, one result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#2") & (F.col("p_size") < 15)
+    )
+    avg_q = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(avg_q.join(F.broadcast(part), avg_q.l_partkey == part.p_partkey)
+                          .select(avg_q.l_partkey.alias("pk"), "avg_qty")),
+              li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("decimal(38,2)")
+                .cast("double")
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+_PCT_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       quantile_cont(l_quantity, 0.50) AS q50,
+       quantile_cont(l_quantity, 0.75) AS q75,
+       median(l_extendedprice) AS med_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("rel_percentiles_quantity", oracle=_PCT_SQL)
+def rel_percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (sort-based, linear interpolation) per group —
+    Spark `percentile` and DuckDB `quantile_cont` share the interpolation
+    definition, so values hash-match bit-for-bit on this data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("q25"),
+        F.percentile("l_quantity", F.lit(0.50)).alias("q50"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("q75"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("med_price"),
+    )
