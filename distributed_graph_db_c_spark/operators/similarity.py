@@ -150,3 +150,69 @@ def ann_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(top_k)
     )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, np.ndarray, list]:
+    """IVF coarse quantizer: returns (embeddings + ``cell`` column,
+    centroid matrix, centroid ids).
+
+    Centroids are a deterministic pseudo-random sample of the data itself
+    — the n_cells vectors with smallest md5(vec_id) — instead of k-means
+    (no RNG state, no training job; one Lloyd iteration could refine but
+    the sample quantizer already gives the inverted-list structure).
+    Assignment is one Arrow-batched numpy matmul per batch; at 100 TB the
+    index build is a single embarrassingly-parallel scan and each query
+    probes nprobe cells instead of the corpus."""
+    cents = (
+        embeddings.select(id_col, vec_col)
+        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h", id_col)
+        .limit(n_cells)
+        .collect()
+    )
+    cent_ids = [r[id_col] for r in cents]
+    cmat = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in cents])
+    cnorm = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("int")
+    def assign_udf(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
+        mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(mn @ cnorm.T, axis=1).astype("int32"))
+
+    return embeddings.withColumn("cell", assign_udf(F.col(vec_col))), cnorm, cent_ids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_id: int,
+    top_k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine over only the nprobe cells whose
+    centroids are nearest the query — the inverted-file ANN counterpart to
+    the LSH path (recall vs brute force measured in tests)."""
+    assigned, cnorm, _ = ivf_assign(embeddings, n_cells, id_col, vec_col)
+    qrow = embeddings.filter(F.col(id_col) == query_id).select(vec_col).head()
+    qv = np.asarray(qrow[0], dtype=np.float64)
+    qn = qv / max(np.linalg.norm(qv), 1e-12)
+    probe = np.argsort(-(cnorm @ qn))[:nprobe].tolist()
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    return (
+        assigned.filter(F.col("cell").isin([int(c) for c in probe]))
+        .filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(id_col, cosine_seq(F.col(vec_col), F.col("_qvec")).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(top_k)
+    )

@@ -74,3 +74,15 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs brute force measured in pytest)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_topk(emb, query_id=0, dim=EMBED_DIM, top_k=10)
+
+
+@register("sim_ann_ivf_topk", oracle=None)
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-10 for vec 0: deterministic
+    sample quantizer, Arrow-batched numpy cell assignment, nprobe=4 of 16
+    cells scored exactly.  Rows-only check; recall vs brute force measured
+    in pytest."""
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, query_id=0, top_k=10)
