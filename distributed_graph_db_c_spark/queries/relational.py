@@ -557,7 +557,7 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 def rel_anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+    return c.join(o.filter(F.col("o_totalprice") > 300000), c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
 _EXCEPT_SQL = """
@@ -936,4 +936,128 @@ def rel_percentiles_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_quantity", F.lit(0.50)).alias("q50"),
         F.percentile("l_quantity", F.lit(0.75)).alias("q75"),
         F.percentile("l_extendedprice", F.lit(0.5)).alias("med_price"),
+    )
+
+
+# --- TPC-H-shaped subquery/pushdown family, adapted to the driver's
+# column subset (no l_commitdate/l_shipmode/partsupp in TESTDATA.md). ---
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+@register("rel_q4_late_shipping", oracle=_Q4_SQL)
+def rel_q4_late_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with a non-equi condition,
+    expressed as a left-semi join with a compound predicate (the plan
+    Catalyst rewrites EXISTS into — here written directly)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sem = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+_Q19_SQL = """
+SELECT CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+       AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 15 AND 35)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 25 AND 50)
+"""
+
+
+@register("rel_q19_disjunctive_filter", oracle=_Q19_SQL)
+def rel_q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs spanning both join sides.  Catalyst
+    splits the disjunction into per-side implied filters (l_quantity <= 50,
+    p_size >= 1) that DO push to the scans, keeping the residual predicate
+    as a join filter — the pattern naive engines evaluate post-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(15, 35))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & F.col("l_quantity").between(25, 50))
+    )
+    return j.filter(cond).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"))
+        .cast("decimal(38,4)")
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+_Q20_SQL = """
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+    SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'red%'
+    GROUP BY l_suppkey
+    HAVING SUM(l_quantity) > 2100
+)
+"""
+
+
+@register("rel_q20_heavy_suppliers", oracle=_Q20_SQL)
+def rel_q20_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: IN over an aggregated-with-HAVING subquery —
+    nested aggregate feeding a semi join."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 2100)
+    )
+    return s.join(
+        heavy, s.s_suppkey == heavy.l_suppkey, "left_semi"
+    ).select("s_name", "s_acctbal")
+
+
+_Q22_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_rich_inactive,
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS balance
+FROM customer
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_totalprice > 300000)
+GROUP BY c_mktsegment
+"""
+
+
+@register("rel_q22_rich_inactive", oracle=_Q22_SQL)
+def rel_q22_rich_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated scalar subquery (global average) +
+    NOT EXISTS anti join (no order above 300k), grouped.  Spark side:
+    crossJoin the 1-row scalar (broadcast), anti-join the filtered orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("_avg"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(o.filter(F.col("o_totalprice") > 300000), c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_rich_inactive"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("balance"),
+        )
     )
