@@ -26,12 +26,17 @@ HEADLINE = [
     "rel_q18_large_volume_customer",
     "rel_window_running_total",
     "rel_events_sessionization",
+    "rel_q17_small_quantity_revenue",
     "graph_bfs_order_chain",
     "graph_connected_components_nations",
+    "graph_pagerank_nations",
     "text_quality_score",
     "dedup_minhash_pairs",
     "sim_topk_bruteforce",
     "mm_binary_features",
+    "asof_join_events",
+    "range_join_events",
+    "stream_tumbling_hour",
 ]
 
 

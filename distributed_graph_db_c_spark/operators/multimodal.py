@@ -97,3 +97,29 @@ def frame_sample(df: DataFrame, every: int = FRAME_STRIDE, id_col: str = "doc_id
     return df.select(id_col, blob_col).mapInPandas(
         sample, schema=f"{id_col} long, frame_idx long, frame_byte long"
     )
+
+
+def resize_blob(
+    df: DataFrame, target_len: int = 64, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """The 'resize' stage shape: every blob mapped to a FIXED-size output
+    (what image resize / audio resample does to tensors), here by
+    stride-sampling the bytes to ``target_len`` and zero-padding short
+    blobs.  Arrow batch in -> fixed-width binary batch out; a real
+    implementation swaps the body for PIL resize / librosa resample and
+    keeps this exact signature."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf[blob_col]:
+                if len(b) >= target_len:
+                    step = len(b) / target_len
+                    out.append(bytes(b[int(i * step)] for i in range(target_len)))
+                else:
+                    out.append(bytes(b) + b"\x00" * (target_len - len(b)))
+            yield pd.DataFrame({id_col: pdf[id_col], "resized": out})
+
+    return df.select(id_col, blob_col).mapInPandas(
+        resize, schema=f"{id_col} long, resized binary"
+    )

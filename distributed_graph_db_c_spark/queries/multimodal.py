@@ -48,3 +48,45 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ASCII corpus, so byte == codepoint and the oracle can use substr)."""
     docs = attach_binary(load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50))
     return frame_sample(docs)
+
+
+_RESIZE_SQL = """
+WITH b AS (SELECT doc_id, encode(text) AS blob FROM documents WHERE doc_id < 50),
+ser AS (SELECT doc_id, CAST(blob AS VARCHAR) AS bv, octet_length(blob) AS n,
+               unnest(generate_series(0, 63)) AS i
+        FROM b)
+SELECT doc_id,
+       CAST(64 AS BIGINT) AS resized_len,
+       SUM(CASE WHEN n >= 64 THEN ascii(substr(bv, CAST(FLOOR(i * (n / 64.0)) AS INT) + 1, 1))
+                WHEN i < n  THEN ascii(substr(bv, CAST(i AS INT) + 1, 1))
+                ELSE 0 END) AS resized_sum
+FROM ser GROUP BY doc_id
+"""
+
+
+@register("mm_resize_checksum", oracle=_RESIZE_SQL)
+def mm_resize_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two chained mapInPandas stages — resize to a fixed 64-byte 'tensor',
+    then featurize (len + byte-sum) — the decode->resize->featurize
+    pipeline shape.  The oracle recomputes the stride arithmetic in SQL
+    over the ASCII corpus."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import resize_blob
+
+    docs = attach_binary(load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50))
+    resized = resize_blob(docs, target_len=64)
+
+    def checksum(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "resized_len": pdf["resized"].map(len).astype("int64"),
+                    "resized_sum": pdf["resized"].map(sum).astype("int64"),
+                }
+            )
+
+    return resized.mapInPandas(checksum, schema="doc_id long, resized_len long, resized_sum long")

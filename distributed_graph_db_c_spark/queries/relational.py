@@ -549,12 +549,15 @@ def rel_semi_join_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ANTI_SQL = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
 """
 
 
 @register("rel_anti_join_customers_no_orders", oracle=_ANTI_SQL)
 def rel_anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no large (>300k) order — anti-join with a pushed-down
+    filter on the probe side (every customer has SOME order at sf>=0.01, so
+    the unfiltered variant is degenerate)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     return c.join(o.filter(F.col("o_totalprice") > 300000), c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
