@@ -1064,3 +1064,473 @@ def rel_q22_rich_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("balance"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q7-style volume shipping: the double-dimension join (nation aliased twice).
+# ---------------------------------------------------------------------------
+
+_Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+       {REVENUE_SQL} AS revenue
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("rel_q7_volume_shipping", oracle=_Q7_SQL)
+def rel_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the same dimension joined twice under two roles
+    (supplier's nation vs customer's nation) with a symmetric disjunctive
+    filter.  Both nation copies broadcast; the OR filter sits above the
+    joins exactly as in the spec so Catalyst pushes the per-copy IN
+    ('NATION_1','NATION_2') prefilter down each branch."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    nations = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(nations.select(F.col("n_nationkey").alias("_n1key"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(nations.select(F.col("n_nationkey").alias("_n2key"), F.col("n_name").alias("cust_nation")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, s.s_nationkey == F.col("_n1key"))
+        .join(n2, c.c_nationkey == F.col("_n2key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(revenue_expr().alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8-style market share: conditional-sum ratio over a 7-way join.
+# ---------------------------------------------------------------------------
+
+_VOL_SQL = f"CAST({_dsql('l_extendedprice')} * (1 - {_dsql('l_discount')}) AS DECIMAL(24,8))"
+
+_Q8_SQL = f"""
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       CAST(CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN {_VOL_SQL}
+                          ELSE CAST(0 AS DECIMAL(24,8)) END) AS DECIMAL(38,6)) AS DOUBLE)
+       / CAST(CAST(SUM({_VOL_SQL}) AS DECIMAL(38,6)) AS DOUBLE) AS mkt_share
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = c_nationkey
+JOIN region   ON r_regionkey = n1.n_regionkey
+JOIN nation n2 ON n2.n_nationkey = s_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_year
+"""
+
+
+@register("rel_q8_market_share", oracle=_Q8_SQL)
+def rel_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share = conditional decimal sum over
+    total decimal sum, per year, across the widest join in the suite (7
+    tables).  Numerator and denominator are each exact-decimal sums cast to
+    DOUBLE once; the final division is double/double on both engines so the
+    ratio is bit-identical regardless of partitioning."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    nations = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(nations.select(F.col("n_nationkey").alias("_n1key"), F.col("n_regionkey").alias("_n1region")))
+    n2 = F.broadcast(nations.select(F.col("n_nationkey").alias("_n2key"), F.col("n_name").alias("supp_nation")))
+    r = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    vol = (d("l_extendedprice") * (F.lit(1) - d("l_discount"))).cast("decimal(24,8)")
+    zero = F.lit(0).cast("decimal(24,8)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, c.c_nationkey == F.col("_n1key"))
+        .join(r, F.col("_n1region") == r.r_regionkey)
+        .join(n2, s.s_nationkey == F.col("_n2key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(zero))
+                .cast("decimal(38,6)")
+                .cast("double")
+                / F.sum(vol).cast("decimal(38,6)").cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9-style product-type profit (adapted: no partsupp table in the test
+# schema, so supply cost is proxied by 10% of retail price x quantity).
+# ---------------------------------------------------------------------------
+
+_AMOUNT_SQL = (
+    f"CAST({_dsql('l_extendedprice')} * (1 - {_dsql('l_discount')}) AS DECIMAL(24,8))"
+    f" - CAST({_dsql('p_retailprice')} * {_dsql('l_quantity')} * CAST(0.1 AS DECIMAL(4,2)) AS DECIMAL(24,8))"
+)
+
+_Q9_SQL = f"""
+SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       {_dsum_sql(_AMOUNT_SQL, 4)} AS sum_profit
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+"""
+
+
+@register("rel_q9_product_profit", oracle=_Q9_SQL)
+def rel_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier-nation per year with a LIKE
+    pattern filter on part name.  Adaptation (documented, schema has no
+    partsupp): ps_supplycost -> 0.1 * p_retailprice; the join/agg topology
+    and the substring filter are the load-bearing parts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    amount = (d("l_extendedprice") * (F.lit(1) - d("l_discount"))).cast("decimal(24,8)") - (
+        d("p_retailprice") * d("l_quantity") * F.lit("0.1").cast("decimal(4,2)")
+    ).cast("decimal(24,8)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(amount, 4).alias("sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11-style important stock (adapted: part value from lineitem revenue in
+# place of the absent partsupp cost*qty), global-threshold HAVING.
+# ---------------------------------------------------------------------------
+
+_Q11_SQL = f"""
+WITH pv AS (
+  SELECT l_partkey, CAST(SUM({_VOL_SQL}) AS DECIMAL(38,4)) AS value_dec
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_1'
+  GROUP BY l_partkey)
+SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+FROM pv
+WHERE value_dec > (SELECT SUM(value_dec) * CAST(0.001 AS DECIMAL(4,3)) FROM pv)
+"""
+
+
+@register("rel_q11_important_stock", oracle=_Q11_SQL)
+def rel_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: grouped value per part, kept only where it exceeds a
+    fraction of the GLOBAL total (uncorrelated scalar subquery over the same
+    aggregate).  The threshold compare runs entirely in exact decimals on
+    both engines, so the boundary is deterministic.  Spark: 1-row total
+    crossJoin-broadcast, the grouped DF computed once and reused."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1"))
+    vol = (d("l_extendedprice") * (F.lit(1) - d("l_discount"))).cast("decimal(24,8)")
+    pv = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(vol).cast("decimal(38,4)").alias("value_dec"))
+    )
+    thresh = pv.agg(
+        (F.sum("value_dec") * F.lit("0.001").cast("decimal(4,3)")).alias("_thresh")
+    )
+    return (
+        pv.crossJoin(F.broadcast(thresh))
+        .filter(F.col("value_dec") > F.col("_thresh"))
+        .select("l_partkey", F.col("value_dec").cast("double").alias("part_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12-style shipping modes (adapted: l_returnflag classes for the absent
+# l_shipmode; "late" = shipped >30 days after order date).
+# ---------------------------------------------------------------------------
+
+_Q12_SQL = """
+SELECT l_returnflag AS ship_class,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+@register("rel_q12_late_lines_by_class", oracle=_Q12_SQL)
+def rel_q12_late_lines_by_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + per-group conditional counts, with a
+    cross-column date predicate (ship > order + 30d) that must NOT block
+    pushdown of the absolute shipdate range to the lineitem scan."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13-style customer order-count distribution: outer join + two-level agg.
+# ---------------------------------------------------------------------------
+
+_Q13_SQL = """
+WITH c_orders AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+SELECT c_count, COUNT(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+"""
+
+
+@register("rel_q13_order_count_distribution", oracle=_Q13_SQL)
+def rel_q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join with an extra join-side predicate
+    (customers with zero qualifying orders must survive with count 0),
+    then a histogram of the counts — agg over an agg."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# Q15-style top supplier: aggregate view + exact-decimal max-equality join.
+# ---------------------------------------------------------------------------
+
+_Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, CAST(SUM({_VOL_SQL}) AS DECIMAL(38,4)) AS total_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, CAST(total_dec AS DOUBLE) AS total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_dec = (SELECT MAX(total_dec) FROM revenue)
+"""
+
+
+@register("rel_q15_top_supplier", oracle=_Q15_SQL)
+def rel_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue 'view' is aggregated once, its MAX is an
+    uncorrelated scalar, and the equality join back happens on the exact
+    DECIMAL total (never on a double) so ties and the boundary are
+    deterministic on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    vol = (d("l_extendedprice") * (F.lit(1) - d("l_discount"))).cast("decimal(24,8)")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(vol).cast("decimal(38,4)").alias("total_dec")
+    )
+    best = rev.agg(F.max("total_dec").alias("_best"))
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("total_dec") == F.col("_best"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("total_dec").cast("double").alias("total_revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2-style best supplier per part (adapted: the part-supplier relation is
+# the distinct (l_partkey, l_suppkey) pairs observed in lineitem; "best" =
+# max s_acctbal among the part's EUROPE suppliers, for absent supplycost).
+# ---------------------------------------------------------------------------
+
+_Q2_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+euro AS (
+  SELECT l_partkey, l_suppkey, s_acctbal, s_name, n_name
+  FROM ps
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  JOIN region   ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE')
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+FROM part
+JOIN euro ON p_partkey = l_partkey
+WHERE p_size < 10
+  AND s_acctbal = (SELECT MAX(e2.s_acctbal) FROM euro e2 WHERE e2.l_partkey = p_partkey)
+"""
+
+
+@register("rel_q2_best_supplier", oracle=_Q2_SQL)
+def rel_q2_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar-MAX subquery per part, hand-
+    decorrelated on the Spark side into a groupBy-max + equality join back
+    on (part, acctbal) — the classic rewrite Catalyst would produce.  The
+    oracle keeps the correlated form to prove equivalence."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"))
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 10)
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    euro = (
+        ps.join(s, ps.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select("l_partkey", "s_acctbal", "s_name", "n_name")
+    )
+    best = euro.groupBy(F.col("l_partkey").alias("_bk")).agg(F.max("s_acctbal").alias("_best"))
+    return (
+        euro.join(best, (euro.l_partkey == F.col("_bk")) & (euro.s_acctbal == F.col("_best")))
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16-style supplier counts per part group (adapted: lineitem pairs stand in
+# for partsupp; negative account balance stands in for complaint suppliers).
+# ---------------------------------------------------------------------------
+
+_Q16_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register("rel_q16_supplier_cnt_by_part", oracle=_Q16_SQL)
+def rel_q16_supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN exclusion subquery (anti join), <>/IN-list
+    filters, COUNT(DISTINCT) over a deduplicated relation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(bad, ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21-style suppliers who kept orders waiting (adapted: "late" = shipped
+# >60 days after order date, for the absent commit/receipt dates).
+# ---------------------------------------------------------------------------
+
+_Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders   ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE o_orderstatus = 'F'
+  AND n_name = 'NATION_1'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+"""
+
+
+@register("rel_q21_waiting_suppliers", oracle=_Q21_SQL)
+def rel_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS both correlated to the same
+    fact table.  Spark side decorrelates to ONE per-order aggregate —
+    (distinct suppliers, distinct LATE suppliers) — then keeps late rows in
+    multi-supplier orders where l1's supplier is the only late one; the
+    double self-join becomes a single extra shuffle on l_orderkey.  The
+    oracle keeps the correlated form to prove equivalence."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1"))
+    li = load_table(spark, sf_dir, "lineitem")
+    flagged = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "_late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    per_order = flagged.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.countDistinct("l_suppkey").alias("_n_supps"),
+        F.countDistinct(F.when(F.col("_late"), F.col("l_suppkey"))).alias("_n_late"),
+    )
+    return (
+        flagged.filter(F.col("_late"))
+        .join(per_order, F.col("l_orderkey") == F.col("_ok"))
+        .filter((F.col("_n_supps") > 1) & (F.col("_n_late") == 1))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
