@@ -76,6 +76,53 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         ("equi not theta", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True),
         ("no nested loop", r"BroadcastNestedLoopJoin|CartesianProduct", False),
     ],
+    "rel_q7_volume_shipping": [
+        # nation joined twice under two roles: BOTH copies broadcast
+        ("broadcast dims", r"BroadcastHashJoin", True),
+        ("pushdown shipdate", r"PushedFilters: \[[^\]]*l_shipdate", True),
+        ("no cartesian", r"CartesianProduct", False),
+    ],
+    "rel_q8_market_share": [
+        ("pushdown p_type", r"PushedFilters: \[[^\]]*EqualTo\(p_type", True),
+        ("pushdown orderdate", r"PushedFilters: \[[^\]]*o_orderdate", True),
+        ("broadcast dims", r"BroadcastHashJoin", True),
+    ],
+    "rel_q9_product_profit": [
+        # LIKE '%red%' pushes to parquet as StringContains
+        ("pushdown contains", r"PushedFilters: \[[^\]]*StringContains\(p_name,red\)", True),
+        ("partial agg", r"partial_", True),
+    ],
+    "rel_q12_late_lines_by_class": [
+        # absolute shipdate range must reach the scan even though the
+        # ship>order+30d predicate is cross-column (post-join only)
+        ("pushdown shipdate range", r"PushedFilters: \[[^\]]*l_shipdate", True),
+        ("partial agg", r"partial_", True),
+    ],
+    "rel_q13_order_count_distribution": [
+        # outer join must not degrade; both agg levels partial+final
+        ("no cartesian", r"CartesianProduct", False),
+        ("partial agg", r"partial_count", True),
+    ],
+    "rel_q15_top_supplier": [
+        # the scalar MAX joins back via a broadcast, never a shuffle
+        ("scalar broadcast", r"BroadcastHashJoin|BroadcastNestedLoopJoin", True),
+        ("pushdown shipdate", r"PushedFilters: \[[^\]]*l_shipdate", True),
+    ],
+    "rel_q16_supplier_cnt_by_part": [
+        # NOT IN compiles to a broadcast anti join on the tiny bad-supplier set
+        ("broadcast anti", r"BroadcastHashJoin[^\n]*LeftAnti", True),
+        ("pushdown size list", r"PushedFilters: \[[^\]]*In\(p_size", True),
+    ],
+    "rel_q21_waiting_suppliers": [
+        # decorrelated EXISTS/NOT EXISTS: no nested-loop artifacts
+        ("no cartesian", r"CartesianProduct|BroadcastNestedLoopJoin", False),
+        ("pushdown status", r"PushedFilters: \[[^\]]*EqualTo\(o_orderstatus", True),
+        ("partial agg", r"partial_", True),
+    ],
+    "rel_q2_best_supplier": [
+        ("no cartesian", r"CartesianProduct", False),
+        ("pushdown p_size", r"PushedFilters: \[[^\]]*LessThan\(p_size", True),
+    ],
 }
 
 
