@@ -1,0 +1,70 @@
+"""Bucketed (pre-shuffled) storage for co-located fact-fact joins.
+
+The scale problem this solves: at 100 TB the lineitem<->orders join
+shuffles BOTH facts on every query.  Bucketing pays that shuffle once at
+write time — both tables hash-partitioned into the same number of buckets
+on the join key, bucket files sorted — and every subsequent equi-join on
+that key compiles to a zero-Exchange sort-merge join (Spark's bucketed
+scan reports the hash distribution, so Catalyst drops both Exchange nodes
+and, with sorted buckets, both Sorts).
+
+The reference has no analogue (its whole storage layer is one adjacency
+matrix per file, SURVEY.md §1.1); this is part of the §2.3 scale surface.
+
+Verified in tests/test_bucketing.py: identical results to the plain join,
+and the physical plan contains no Exchange.
+"""
+
+from __future__ import annotations
+
+import shutil
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str | list[str],
+    n_buckets: int = 32,
+    sorted_buckets: bool = True,
+) -> None:
+    """Persist ``df`` as a bucketed parquet table (Spark bucketing metadata
+    lives in the session catalog, so this goes through ``saveAsTable``).
+
+    The ``repartition`` on the bucket key before the write makes each task
+    own whole buckets — one file per bucket instead of one file per
+    (task, bucket) pair, which at 1000 executors is the difference between
+    32 files and 32,000."""
+    keys = [key] if isinstance(key, str) else key
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a dead session leaves the managed location behind with no catalog
+    # entry (in-memory catalog, file warehouse); clear it or CREATE fails
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    if warehouse.scheme in ("", "file"):
+        shutil.rmtree(f"{warehouse.path}/{table.split('.')[-1]}", ignore_errors=True)
+    writer = (
+        df.repartition(n_buckets, *keys)
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *keys)
+    )
+    if sorted_buckets:
+        writer = writer.sortBy(*keys)
+    writer.saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: str | list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join two tables previously written by :func:`write_bucketed`
+    with the SAME key and bucket count.  Plain ``join`` — the zero-shuffle
+    plan is Catalyst's doing once the bucketed scans report their
+    distribution; this wrapper only documents the contract."""
+    return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
