@@ -1,0 +1,75 @@
+"""Sketch aggregates — the sublinear-memory path for 100 TB cardinality
+and quantile questions (SURVEY.md §2.3 scale surface; the reference has no
+aggregation surface at all, §2.2).
+
+Why sketches are the scale answer: COUNT(DISTINCT) shuffles every distinct
+key; percentile_exact shuffles every value.  A sketch is a few KB per
+group, merges associatively in the map-side partial aggregate, and the
+shuffle carries only the sketch bytes.  Spark's hll_sketch_agg is the
+Apache DataSketches HLL; estimates are deterministic for a given input
+multiset (no RNG at query time) but implementation-specific, so these
+register rows-only (no DuckDB hash-match; DuckDB's approx_distinct is a
+different sketch).  Accuracy and mergeability are pinned by
+tests/test_sketches.py instead.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..sources.tables import load_table
+
+
+@register("sketch_hll_distinct_parts")
+def sketch_hll_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct parts per return flag via DataSketches HLL: the partial
+    aggregate ships a ~KB sketch per (partition, group) instead of the
+    distinct key set — the COUNT(DISTINCT) replacement at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("approx_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register("sketch_hll_mergeable_union")
+def sketch_hll_mergeable_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregation WITHOUT rescanning: per-group sketches from the query
+    above union into the global sketch (hll_union_agg over sketch binaries)
+    — the rollup pattern where tier-2 aggregates consume tier-1 sketch
+    columns, never raw data.  (Union keeps the HLL error bound but is not
+    bit-identical to a single-pass sketch — mode transitions differ.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_group = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sketch")
+    )
+    return per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_parts_global")
+    )
+
+
+@register("sketch_quantiles_totalprice")
+def sketch_quantiles_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-price quantiles per priority via percentile_approx (Greenwald-
+    Khanna sketch): rank-error bounded by 1/accuracy, memory O(accuracy),
+    vs an exact percentile's full sort+shuffle of every value."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75, 0.95], 10000).alias(
+            "price_quantiles"
+        ),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register("sketch_approx_count_distinct")
+def sketch_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++, rsd=0.02) beside the group
+    row count — the one-expression form of the HLL pattern."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+        F.count("*").alias("n_orders"),
+    )

@@ -173,3 +173,67 @@ FROM toks
 def text_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", F.size(shingles()).cast("long").alias("n_shingles"))
+
+
+def _pipeline_sql() -> str:
+    """quality-filter -> exact-dedup (keep lowest doc_id per fingerprint)
+    -> per-language corpus stats, as one DuckDB CTE chain."""
+    sw = _marker_sql(EN_STOPWORDS)
+    return rf"""
+WITH toks AS (SELECT doc_id, lang, text, {_TOKS_SQL} AS t FROM documents),
+m AS (
+    SELECT doc_id, lang, text,
+           CAST(len(t) AS BIGINT) AS n_tok_i,
+           CAST(len(t) AS DOUBLE) AS n_tok,
+           CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) AS n_punct,
+           CAST(length(text) AS DOUBLE) AS n_chars,
+           CAST(list_aggregate(list_transform(t, x -> CAST(length(x) AS BIGINT)), 'sum') AS DOUBLE) AS tok_chars,
+           CAST({sw} AS DOUBLE) AS n_sw
+    FROM toks),
+q AS (
+    SELECT doc_id, lang, text, n_tok_i,
+           0.3 * least(n_tok / 20.0, 1.0)
+         + 0.2 * (1.0 - least((n_punct / nullif(n_chars, 0.0)) * 4.0, 1.0))
+         + 0.25 * (1.0 - abs(coalesce(n_sw / nullif(n_tok, 0.0), 0.0) - 0.4))
+         + 0.25 * (1.0 - least(abs(coalesce(tok_chars / nullif(n_tok, 0.0), 0.0) - 5.0) / 5.0, 1.0))
+           AS quality
+    FROM m),
+kept AS (SELECT * FROM q WHERE quality > 0.89),
+first AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+ded AS (SELECT k.* FROM kept k JOIN first f ON k.doc_id = f.doc_id)
+SELECT lang, COUNT(*) AS n_docs, SUM(n_tok_i) AS n_tokens,
+       MIN(quality) AS min_quality, MAX(quality) AS max_quality
+FROM ded GROUP BY lang
+"""
+
+
+@register("pipeline_training_prep", oracle=_pipeline_sql())
+def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-preparation pipeline, composed from this
+    module's stages: quality-score filter (> 0.89,
+    the corpus median — half the docs drop) -> exact dedup on the md5
+    fingerprint keeping the lowest doc_id (this corpus has no exact dups —
+    near-dup removal is dedup_minhash_pairs' job — so the stage is
+    verified as a pass-through here) -> per-language doc/token
+    stats.  One declarative plan: Catalyst fuses the scoring expressions
+    into the scan stage, the dedup is one shuffle on the fingerprint, the
+    final rollup one more — at 100 TB this is scan + 2 exchanges total,
+    no materialization between 'stages'.  min/max (not avg) of quality
+    keep the doubles order-independent for the oracle hash-match."""
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        quality_score().alias("quality"),
+        token_count().alias("n_tok_i"),
+    )
+    kept = enriched.filter(F.col("quality") > 0.89)
+    first = kept.groupBy(F.md5("text").alias("fp")).agg(F.min("doc_id").alias("doc_id"))
+    ded = kept.join(first.select("doc_id"), "doc_id", "left_semi")
+    return ded.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok_i").alias("n_tokens"),
+        F.min("quality").alias("min_quality"),
+        F.max("quality").alias("max_quality"),
+    )

@@ -66,6 +66,7 @@ def _ensure_loaded() -> None:
         multimodal,
         relational,
         similarity,
+        sketches,
         streaming,
         temporal,
         text,

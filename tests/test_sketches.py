@@ -1,0 +1,77 @@
+"""Sketch aggregates: no DuckDB hash-oracle exists (engine-specific
+estimates), so accuracy and mergeability are pinned here instead
+(SURVEY.md §5: every rows-only gate entry gets a property test)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from distributed_graph_db_c_spark.registry import REGISTRY, _ensure_loaded
+from distributed_graph_db_c_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _run(spark, name):
+    _ensure_loaded()
+    return REGISTRY[name].run(spark, SF_DIR)
+
+
+def test_hll_estimate_within_error_bound(spark):
+    got = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in _run(spark, "sketch_hll_distinct_parts").collect()
+    }
+    li = load_table(spark, SF_DIR, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["exact"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("exact"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for flag, e in exact.items():
+        assert abs(got[flag] - e) / e < 0.05, (flag, got[flag], e)
+
+
+def test_hll_union_of_group_sketches_stays_in_error_bound(spark):
+    # mergeability IS the scale property: tier-2 rollups consume tier-1
+    # sketches without rescanning.  Union is not bit-identical to a
+    # single-pass sketch (sparse->dense mode transitions differ), so the
+    # contract is: the merged estimate keeps the HLL error bound vs exact.
+    merged = _run(spark, "sketch_hll_mergeable_union").collect()[0]["approx_parts_global"]
+    li = load_table(spark, SF_DIR, "lineitem")
+    exact = li.agg(F.countDistinct("l_partkey").alias("e")).collect()[0]["e"]
+    assert abs(merged - exact) / exact < 0.05, (merged, exact)
+
+
+def test_percentile_approx_within_rank_error(spark):
+    rows = _run(spark, "sketch_quantiles_totalprice").collect()
+    o = load_table(spark, SF_DIR, "orders")
+    for row in rows:
+        prio = row["o_orderpriority"]
+        vals = sorted(
+            r["o_totalprice"]
+            for r in o.filter(F.col("o_orderpriority") == prio).collect()
+        )
+        n = len(vals)
+        for q, got in zip([0.25, 0.5, 0.75, 0.95], row["price_quantiles"]):
+            # GK sketch: result's rank within n/accuracy of target rank
+            import bisect
+
+            rank = bisect.bisect_left(vals, got)
+            assert abs(rank - q * n) <= n / 10000 + 2, (prio, q, rank, n)
+
+
+def test_approx_count_distinct_rsd(spark):
+    rows = _run(spark, "sketch_approx_count_distinct").collect()
+    o = load_table(spark, SF_DIR, "orders")
+    exact = {
+        r["o_orderstatus"]: r["e"]
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("e"))
+        .collect()
+    }
+    for row in rows:
+        e = exact[row["o_orderstatus"]]
+        assert abs(row["approx_customers"] - e) / e < 0.06
