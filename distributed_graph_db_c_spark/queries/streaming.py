@@ -210,3 +210,52 @@ def stream_requests_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         cleanup(scratch)
     return res
+
+
+_STREAM_DEDUP_SQL = """
+SELECT event_type, COUNT(*) AS n, SUM(event_id) AS id_checksum
+FROM events GROUP BY event_type
+"""
+
+
+@register("stream_dedup_exact", oracle=_STREAM_DEDUP_SQL)
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup over an at-least-once replay: 3 micro-batches
+    where every batch RE-SENDS a tenth of the previous one (the retry
+    pattern), drained through dropDuplicatesWithinWatermark.  The surviving
+    row set must equal the original table exactly — per-type count and
+    event_id checksum prove it against the batch oracle."""
+    from ..streaming.dedup import exact_dedup_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    scratch = scratch_dir("sdedup")
+    try:
+        thirds = [ev.filter(F.pmod("event_id", F.lit(3)) == i) for i in range(3)]
+        batches = [
+            thirds[0],
+            # replayed duplicates ride along with each later batch
+            thirds[1].unionByName(thirds[0].filter(F.pmod("event_id", F.lit(10)) == 0)),
+            thirds[2].unionByName(thirds[1].filter(F.pmod("event_id", F.lit(10)) == 1)),
+        ]
+        in_dir = stage_stream_dir(batches, f"{scratch}/in")
+        sev = read_file_stream(spark, in_dir, ev.schema)
+        name = f"sd_{uuid.uuid4().hex[:8]}"
+        # batches here are id-partitioned, not time-ordered, so the
+        # watermark must cover the table's whole 30-day span or rows from
+        # earlier event-time get dropped as late (that drop IS the
+        # bounded-state feature in production; the test wants none of it)
+        run_available_now(
+            exact_dedup_stream(sev, watermark="45 days"),
+            f"{scratch}/ckpt",
+            query_name=name,
+            output_mode="append",
+        )
+        final = (
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.sum("event_id").alias("id_checksum"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        cleanup(scratch)
+    return final

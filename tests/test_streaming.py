@@ -88,3 +88,36 @@ def test_stateful_totals_accumulate_across_batches(spark, events):
     # more than one cumulative row
     multi = upd.groupBy("user_id").count().filter(F.col("count") > 1).count()
     assert multi > 0
+
+
+def test_stream_dedup_late_replay_stays_exactly_once(spark, events):
+    """dropDuplicatesWithinWatermark's two drop reasons compose to
+    exactly-once: a replay INSIDE the watermark is dropped as a duplicate;
+    a replay arriving AFTER the watermark passed its event time is dropped
+    as late (state already reclaimed) — never re-emitted."""
+    from datetime import datetime
+
+    from distributed_graph_db_c_spark.streaming.dedup import exact_dedup_stream
+
+    schema = "event_id long, ts timestamp, k string"
+    day = lambda n: datetime(2024, 1, 1 + n)
+    b0 = spark.createDataFrame([(1, day(0), "A"), (2, day(0), "B")], schema)
+    b1 = spark.createDataFrame([(2, day(0), "B-replay"), (3, day(10), "C")], schema)
+    b2 = spark.createDataFrame([(1, day(0), "A-late-replay"), (4, day(10), "D")], schema)
+    scratch = scratch_dir("test-sdedup-late")
+    try:
+        in_dir = stage_stream_dir([b0, b1, b2], f"{scratch}/in")
+        sev = read_file_stream(spark, in_dir, b0.schema)
+        run_available_now(
+            exact_dedup_stream(sev, watermark="1 day"),
+            f"{scratch}/ckpt",
+            query_name="t_sdedup_late",
+            output_mode="append",
+        )
+        got = sorted(
+            (r["event_id"], r["k"]) for r in spark.table("t_sdedup_late").collect()
+        )
+    finally:
+        cleanup(scratch)
+    # each event_id exactly once, always the FIRST arrival's payload
+    assert got == [(1, "A"), (2, "B"), (3, "C"), (4, "D")]
