@@ -1,0 +1,72 @@
+"""CSV / JSON-lines source codecs with enforced schemas (SURVEY.md §2.2
+scans row: the reference reads ONLY its adjacency-matrix text format —
+secondary_server.c:283-292 — so these delimited codecs are part of the
+engine's beyond-parity source surface).
+
+Scale rules baked in:
+- Schema is REQUIRED, never inferred: inference reads the whole input once
+  before the real scan — a 2x pass at 100 TB — and can silently flip types
+  between runs.  Callers pass the StructType (or DDL string); the codec
+  sets FAILFAST so a malformed row fails the job instead of nulling out.
+- Both formats are splittable as plain text (uncompressed / bzip2), so a
+  large file parallelizes across tasks; no codec-side repartition needed.
+- `permissive()` variants keep a `_corrupt` column for quarantine flows
+  (the dirty-ingest pattern: route bad rows to a dead-letter sink, never
+  drop silently).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StringType, StructField, StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """Strict CSV scan: explicit schema, FAILFAST on malformed rows."""
+    return (
+        spark.read.schema(schema)
+        .option("header", header)
+        .option("sep", delimiter)
+        .option("mode", "FAILFAST")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+        .csv(path)
+    )
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: StructType | str) -> DataFrame:
+    """Strict JSON-lines scan: explicit schema, FAILFAST on malformed rows."""
+    return (
+        spark.read.schema(schema)
+        .option("mode", "FAILFAST")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]")
+        .json(path)
+    )
+
+
+def _with_corrupt(schema: StructType | str, spark: SparkSession) -> StructType:
+    st = (
+        spark.createDataFrame([], schema).schema
+        if isinstance(schema, str)
+        else schema
+    )
+    return StructType(list(st.fields) + [StructField("_corrupt", StringType(), True)])
+
+
+def read_jsonl_permissive(
+    spark: SparkSession, path: str, schema: StructType | str
+) -> DataFrame:
+    """Quarantine scan: well-formed rows parse into the schema, malformed
+    rows land whole in `_corrupt` (NULL elsewhere) for a dead-letter sink.
+    Filter `_corrupt IS NULL` for the clean stream."""
+    return (
+        spark.read.schema(_with_corrupt(schema, spark))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(path)
+    )
