@@ -27,6 +27,8 @@ HEADLINE = [
     "rel_window_running_total",
     "rel_events_sessionization",
     "rel_q17_small_quantity_revenue",
+    "rel_q8_market_share",
+    "rel_q13_order_count_distribution",
     "graph_bfs_order_chain",
     "graph_connected_components_nations",
     "graph_pagerank_nations",
@@ -37,6 +39,8 @@ HEADLINE = [
     "asof_join_events",
     "range_join_events",
     "stream_tumbling_hour",
+    "sketch_hll_distinct_parts",
+    "pipeline_training_prep",
 ]
 
 

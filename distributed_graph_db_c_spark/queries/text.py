@@ -229,8 +229,18 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count().alias("n_tok_i"),
     )
     kept = enriched.filter(F.col("quality") > 0.89)
-    first = kept.groupBy(F.md5("text").alias("fp")).agg(F.min("doc_id").alias("doc_id"))
-    ded = kept.join(first.select("doc_id"), "doc_id", "left_semi")
+    # keep-first dedup as ONE window pass (rank over fingerprint, ordered
+    # by doc_id) — a groupBy-min + semi-join back would re-evaluate the
+    # expensive scoring expressions for the probe side; this shape scans
+    # once and shuffles once (on the fingerprint)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    ded = (
+        kept.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     return ded.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tok_i").alias("n_tokens"),
