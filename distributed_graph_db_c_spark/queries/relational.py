@@ -1534,3 +1534,36 @@ def rel_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted join in the correctness gate: result must equal the plain
+# join bit-for-bit, so the oracle is simply the unsalted SQL.
+# ---------------------------------------------------------------------------
+
+_SALTED_SQL = f"""
+SELECT c_mktsegment, COUNT(*) AS n_lines, {REVENUE_SQL} AS revenue
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("skew_salted_join_revenue", oracle=_SALTED_SQL)
+def skew_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/skew.salted_join in the oracle gate: the lineitem->orders
+    leg runs salted 8 ways (the hot-key decomposition for when one key
+    exceeds a task even after AQE splitting); salting must be invisible in
+    the result, so the oracle is the PLAIN join SQL."""
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+    c = load_table(spark, sf_dir, "customer")
+    joined = salted_join(li, o, on="l_orderkey", n_salts=8, fact_unique_col="l_linenumber")
+    return (
+        joined.join(c, joined.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_lines"), revenue_expr().alias("revenue"))
+    )
