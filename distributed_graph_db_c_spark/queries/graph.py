@@ -265,3 +265,48 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = nation_edges(spark, sf_dir)
     return pagerank(edges, vertices).select("id", "rank_scaled")
+
+
+# ---------------------------------------------------------------------------
+# Fleet BFS (cogrouped-pandas kernel): 5 per-region nation chains traversed
+# simultaneously, one graph per Arrow cogroup.
+# ---------------------------------------------------------------------------
+
+_FLEET_SQL = """
+SELECT CAST(n_regionkey AS INT) AS graph_id,
+       CAST(n_nationkey AS BIGINT) AS id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) - 1
+            AS BIGINT) AS level
+FROM nation
+"""
+
+
+@register("graph_bfs_fleet_regions", oracle=_FLEET_SQL)
+def graph_bfs_fleet_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bfs_fleet (cogrouped-pandas) over a fleet of 5 chain graphs — one
+    per region, nations chained in key order, start = each region's lowest
+    nation.  On a chain from the minimum, BFS level == rank-1, which gives
+    the oracle WITHOUT recursion.  This is the reference's many-tiny-graphs
+    regime (catalog of <=30-node graphs, client.c:15): whole-graph
+    traversal in one task beats superstep joins by orders of magnitude at
+    that size."""
+    from ..operators.traversal import bfs_fleet
+
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    chain = (
+        nation.select(
+            F.col("n_regionkey").cast("int").alias("graph_id"),
+            F.lag("n_nationkey").over(w).alias("src"),
+            F.col("n_nationkey").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull())
+    )
+    edges = chain.unionByName(
+        chain.select("graph_id", F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).select("graph_id", F.col("src").cast("long"), F.col("dst").cast("long"))
+    starts = (
+        nation.groupBy(F.col("n_regionkey").cast("int").alias("graph_id"))
+        .agg(F.min("n_nationkey").cast("long").alias("id"))
+    )
+    return bfs_fleet(edges, starts)

@@ -146,3 +146,21 @@ def test_connected_components_random_fleet(spark):
         for v, c in _py_components(n, edges).items()
     }
     assert got == want
+
+def test_bfs_fleet_kernel_agrees_with_iterative_kernel(spark):
+    """The cogrouped-pandas fleet kernel and the iterative-join kernel are
+    two physical strategies for ONE semantics — identical (graph, vertex,
+    level) sets on a random fleet."""
+    from distributed_graph_db_c_spark.operators.traversal import bfs_fleet
+
+    fleet = _random_fleet()
+    edges_df, _, starts_df = _fleet_dfs(spark, fleet)
+    got_fleet = {
+        (r["graph_id"], r["id"]): r["level"]
+        for r in bfs_fleet(edges_df, starts_df).collect()
+    }
+    got_iter = {
+        (r["graph_id"], r["id"]): r["level"]
+        for r in bfs(edges_df, starts_df).collect()
+    }
+    assert got_fleet == got_iter
