@@ -20,7 +20,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..operators.traversal import bfs, connected_components, degrees, dfs_leaves
+from ..operators.traversal import bfs, bfs_auto, connected_components, degrees, dfs_leaves
 from ..registry import register
 from ..sources.tables import load_table
 
@@ -101,7 +101,11 @@ def graph_bfs_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit(0).alias("graph_id"), "id")
     )
     edges = order_chain_edges(spark, sf_dir)
-    return bfs(edges, start).select(F.col("id"), F.col("level").cast("long").alias("level"))
+    # bfs_auto: the chain graph is small at every test SF, so dispatch
+    # picks the cogrouped fleet kernel; at 100 TB the same call routes a
+    # giant graph to the iterative-join kernel (kernel-agreement pinned in
+    # tests/test_properties.py)
+    return bfs_auto(edges, start).select(F.col("id"), F.col("level").cast("long").alias("level"))
 
 
 _DFS_LEAVES_SQL = f"""
