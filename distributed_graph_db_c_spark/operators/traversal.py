@@ -381,3 +381,64 @@ def bfs_auto(edges: DataFrame, starts: DataFrame) -> DataFrame:
     if biggest is None or biggest <= _FLEET_MAX_EDGES:
         return bfs_fleet(edges, starts)
     return bfs(edges, starts)
+
+
+def pagerank_fleet(
+    edges: DataFrame,
+    vertices: DataFrame,
+    iterations: int = 10,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Fleet-mode PageRank: the cogrouped in-task twin of :func:`pagerank`
+    for many small graphs (same regime argument as :func:`bfs_fleet`).
+    The integer fixed-point recurrence is replayed verbatim with Python
+    ints (arbitrary precision, same floor division), so results are
+    BIT-IDENTICAL to the iterative-join kernel — pinned by the
+    kernel-agreement property test."""
+
+    def run_pr(edges_pdf: pd.DataFrame, verts_pdf: pd.DataFrame) -> pd.DataFrame:
+        if verts_pdf.empty:
+            return pd.DataFrame({"graph_id": [], "id": [], "rank_scaled": []})
+        gid = int(verts_pdf["graph_id"].iloc[0])
+        verts = [int(v) for v in verts_pdf["id"]]
+        pairs = [(int(s), int(d)) for s, d in zip(edges_pdf["src"], edges_pdf["dst"])]
+        deg: dict[int, int] = {}
+        for s, _ in pairs:
+            deg[s] = deg.get(s, 0) + 1
+        n_g = len(verts)
+        r = {v: scale // n_g for v in verts}
+        for _ in range(iterations):
+            sums: dict[int, int] = {}
+            for s, d in pairs:
+                if s in r:
+                    sums[d] = sums.get(d, 0) + r[s] // deg[s]
+            r = {
+                v: (15 * scale) // (100 * n_g) + (85 * sums.get(v, 0)) // 100
+                for v in verts
+            }
+        return pd.DataFrame(
+            {"graph_id": gid, "id": list(r), "rank_scaled": list(r.values())}
+        )
+
+    return (
+        edges.groupBy("graph_id")
+        .cogroup(vertices.groupBy("graph_id"))
+        .applyInPandas(run_pr, schema="graph_id int, id long, rank_scaled long")
+    )
+
+
+def pagerank_auto(
+    edges: DataFrame,
+    vertices: DataFrame,
+    iterations: int = 10,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Kernel dispatch for PageRank, same decision rule as :func:`bfs_auto`:
+    all graphs small -> cogrouped in-task kernel; any giant graph -> the
+    iterative-join BSP kernel."""
+    biggest = (
+        edges.groupBy("graph_id").count().agg(F.max("count").alias("m")).collect()[0]["m"]
+    )
+    if biggest is None or biggest <= _FLEET_MAX_EDGES:
+        return pagerank_fleet(edges, vertices, iterations, scale)
+    return pagerank(edges, vertices, iterations, scale)

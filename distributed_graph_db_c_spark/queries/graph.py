@@ -261,14 +261,16 @@ base AS (SELECT n_nationkey AS id, (SELECT COUNT(*) FROM nation) AS n_g FROM nat
 def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (damping 0.85, 10 iterations, integer fixed-point — see
     operators.traversal.pagerank) over the same-region nation graph."""
-    from ..operators.traversal import pagerank
+    from ..operators.traversal import pagerank_auto
 
     nation = load_table(spark, sf_dir, "nation")
     vertices = nation.select(
         F.lit(0).alias("graph_id"), F.col("n_nationkey").cast("long").alias("id")
     )
     edges = nation_edges(spark, sf_dir)
-    return pagerank(edges, vertices).select("id", "rank_scaled")
+    # auto dispatch: the nation graph is tiny, so the cogrouped in-task
+    # kernel runs; a 100 TB edge list routes to the iterative BSP kernel
+    return pagerank_auto(edges, vertices).select("id", "rank_scaled")
 
 
 # ---------------------------------------------------------------------------

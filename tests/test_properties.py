@@ -164,3 +164,21 @@ def test_bfs_fleet_kernel_agrees_with_iterative_kernel(spark):
         for r in bfs(edges_df, starts_df).collect()
     }
     assert got_fleet == got_iter
+
+
+def test_pagerank_fleet_kernel_bit_identical_to_iterative(spark):
+    """Integer fixed-point makes the two PageRank kernels comparable with
+    == (no FP tolerance): same scaled ranks on a random fleet."""
+    from distributed_graph_db_c_spark.operators.traversal import pagerank, pagerank_fleet
+
+    fleet = _random_fleet()
+    edges_df, verts_df, _ = _fleet_dfs(spark, fleet)
+    got_fleet = {
+        (r["graph_id"], r["id"]): r["rank_scaled"]
+        for r in pagerank_fleet(edges_df, verts_df).collect()
+    }
+    got_iter = {
+        (r["graph_id"], r["id"]): r["rank_scaled"]
+        for r in pagerank(edges_df, verts_df).collect()
+    }
+    assert got_fleet == got_iter
