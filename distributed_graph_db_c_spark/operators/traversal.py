@@ -442,3 +442,55 @@ def pagerank_auto(
     if biggest is None or biggest <= _FLEET_MAX_EDGES:
         return pagerank_fleet(edges, vertices, iterations, scale)
     return pagerank(edges, vertices, iterations, scale)
+
+
+def connected_components_fleet(edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Fleet-mode connected components: in-task union-find per graph
+    (cogrouped Arrow batches), labels = min vertex id per component —
+    identical semantics to the min-label-propagation kernel."""
+
+    def run_cc(edges_pdf: pd.DataFrame, verts_pdf: pd.DataFrame) -> pd.DataFrame:
+        if verts_pdf.empty:
+            return pd.DataFrame({"graph_id": [], "id": [], "component": []})
+        gid = int(verts_pdf["graph_id"].iloc[0])
+        parent: dict[int, int] = {int(v): int(v) for v in verts_pdf["id"]}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for s, d in zip(edges_pdf["src"], edges_pdf["dst"]):
+            s, d = int(s), int(d)
+            if s not in parent:
+                parent[s] = s
+            if d not in parent:
+                parent[d] = d
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                # union by MIN root so the label is the component minimum
+                lo, hi = (rs, rd) if rs < rd else (rd, rs)
+                parent[hi] = lo
+        ids = list(parent)
+        return pd.DataFrame(
+            {"graph_id": gid, "id": ids, "component": [find(v) for v in ids]}
+        )
+
+    return (
+        edges.groupBy("graph_id")
+        .cogroup(vertices.groupBy("graph_id"))
+        .applyInPandas(run_cc, schema="graph_id int, id long, component long")
+    )
+
+
+def connected_components_auto(
+    edges: DataFrame, vertices: DataFrame, max_iters: int = 50
+) -> DataFrame:
+    """Kernel dispatch for CC, same rule as :func:`bfs_auto`."""
+    biggest = (
+        edges.groupBy("graph_id").count().agg(F.max("count").alias("m")).collect()[0]["m"]
+    )
+    if biggest is None or biggest <= _FLEET_MAX_EDGES:
+        return connected_components_fleet(edges, vertices)
+    return connected_components(edges, vertices, max_iters)

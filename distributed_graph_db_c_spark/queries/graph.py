@@ -20,7 +20,14 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from ..operators.traversal import bfs, bfs_auto, connected_components, degrees, dfs_leaves
+from ..operators.traversal import (
+    bfs,
+    bfs_auto,
+    connected_components,
+    connected_components_auto,
+    degrees,
+    dfs_leaves,
+)
 from ..registry import register
 from ..sources.tables import load_table
 
@@ -169,7 +176,8 @@ def graph_connected_components_nations(spark: SparkSession, sf_dir: str) -> Data
         F.lit(0).alias("graph_id"), F.col("n_nationkey").cast("long").alias("id")
     )
     edges = nation_edges(spark, sf_dir)
-    return connected_components(edges, vertices).select(
+    # auto dispatch (see bfs_auto): tiny graph -> in-task union-find
+    return connected_components_auto(edges, vertices).select(
         F.col("id"), F.col("component").cast("long").alias("component")
     )
 

@@ -182,3 +182,22 @@ def test_pagerank_fleet_kernel_bit_identical_to_iterative(spark):
         for r in pagerank(edges_df, verts_df).collect()
     }
     assert got_fleet == got_iter
+
+
+def test_cc_fleet_kernel_agrees_with_iterative(spark):
+    from distributed_graph_db_c_spark.operators.traversal import (
+        connected_components,
+        connected_components_fleet,
+    )
+
+    fleet = _random_fleet()
+    edges_df, verts_df, _ = _fleet_dfs(spark, fleet)
+    got_fleet = {
+        (r["graph_id"], r["id"]): r["component"]
+        for r in connected_components_fleet(edges_df, verts_df).collect()
+    }
+    got_iter = {
+        (r["graph_id"], r["id"]): r["component"]
+        for r in connected_components(edges_df, verts_df).collect()
+    }
+    assert got_fleet == got_iter
