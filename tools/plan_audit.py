@@ -123,6 +123,18 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         ("no cartesian", r"CartesianProduct", False),
         ("pushdown p_size", r"PushedFilters: \[[^\]]*LessThan\(p_size", True),
     ],
+    "pipeline_training_prep": [
+        # quality scoring + token stats fuse into the scan stage; dedup is
+        # one window shuffle; no Python anywhere
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("window dedup", r"RunningWindowFunction|Window", True),
+        ("partial agg", r"partial_", True),
+    ],
+    "skew_salted_join_revenue": [
+        # the salt explode must NOT degrade the dim join to nested-loop
+        ("no nested loop", r"BroadcastNestedLoopJoin|CartesianProduct", False),
+        ("generator for salts", r"Generate explode", True),
+    ],
 }
 
 
