@@ -93,3 +93,30 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     behavior tested in pytest)."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash64(docs)
+
+
+_SPLIT_SQL = """
+WITH b AS (SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bk
+           FROM documents)
+SELECT CASE WHEN bk < 'cc' THEN 'train' WHEN bk < 'e6' THEN 'val' ELSE 'test' END AS split,
+       lang, COUNT(*) AS n_docs, SUM(doc_id) AS id_checksum
+FROM b GROUP BY 1, 2
+"""
+
+
+@register("sample_deterministic_split", oracle=_SPLIT_SQL)
+def sample_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~80/10/10 train/val/test split by content-hash bucket
+    (operators/sampling.py): membership is a pure function of doc_id —
+    stable under repartitioning, engines, and incremental loads, unlike
+    seeded RNG sampling.  The oracle recomputes the identical md5-prefix
+    assignment; the id checksum proves the exact row sets, not just
+    counts."""
+    from ..operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("doc_id").alias("id_checksum"))
+    )

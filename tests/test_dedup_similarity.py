@@ -100,3 +100,20 @@ def test_ivf_topk_recall(spark):
     ivf = {r["vec_id"] for r in ivf_topk(emb, query_id=0, top_k=10).collect()}
     bf = {r["vec_id"] for r in brute_force_topk(emb, query_id=0, top_k=10).collect()}
     assert len(ivf & bf) / 10 >= 0.5
+
+
+def test_hash_sample_stable_under_repartitioning(spark, docs):
+    """Membership is a function of the key alone: same sample under any
+    partitioning (the property seeded RNG sampling does NOT have)."""
+    from distributed_graph_db_c_spark.operators.sampling import hash_sample, hash_split
+
+    a = {r["doc_id"] for r in hash_sample(docs, "doc_id", "1a").collect()}
+    b = {
+        r["doc_id"]
+        for r in hash_sample(docs.repartition(17, "lang"), "doc_id", "1a").collect()
+    }
+    assert a == b and 0 < len(a) < docs.count()
+    # splits partition the corpus: every doc in exactly one split
+    sp = hash_split(docs, "doc_id").groupBy("split").count().collect()
+    assert sum(r["count"] for r in sp) == docs.count()
+    assert {r["split"] for r in sp} == {"train", "val", "test"}
