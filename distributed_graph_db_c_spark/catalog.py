@@ -42,6 +42,13 @@ class GraphCatalog:
         becomes partition-granularity isolation)."""
         spark = self.spark
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Dynamic overwrite only replaces partitions PRESENT in the incoming
+        # data: replacing a graph with an edgeless version (fixture G14
+        # shape) writes no edges partition, which would leave the old edges
+        # visible.  Detect the empty input (one limit-1 job) and drop the
+        # stale partition explicitly.
+        if not edges.limit(1).take(1):
+            self._drop_partition(self._edges_path, graph_id)
         (
             edges.select(
                 F.lit(graph_id).cast("int").alias("graph_id"),
@@ -62,16 +69,52 @@ class GraphCatalog:
             .parquet(self._vertices_path)
         )
 
+    def put_all(self, edges: DataFrame, vertices: DataFrame) -> None:
+        """Bulk create-or-overwrite of every graph_id present in the input
+        (the op-1 counterpart of ``sources.gformat.read_gformat_dir``).
+        One dynamic-partition-overwrite job per dataset: only the graph_id
+        partitions present in the input are replaced, untouched graphs keep
+        their files — same isolation contract as ``put``, without a
+        driver-side loop over graphs.
+
+        Contract: a graph whose REPLACEMENT has zero edges writes no edges
+        partition here (dynamic overwrite can't express an empty
+        partition); call ``put(gid, empty_edges, vertices)`` or ``drop``
+        for that case."""
+        spark = self.spark
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (
+            edges.select(
+                F.col("graph_id").cast("int"),
+                F.col("src").cast("long"),
+                F.col("dst").cast("long"),
+            )
+            .write.partitionBy("graph_id")
+            .mode("overwrite")
+            .parquet(self._edges_path)
+        )
+        (
+            vertices.select(F.col("graph_id").cast("int"), F.col("id").cast("long"))
+            .write.partitionBy("graph_id")
+            .mode("overwrite")
+            .parquet(self._vertices_path)
+        )
+
+    @staticmethod
+    def _drop_partition(base: str, graph_id: int) -> None:
+        import os
+        import shutil
+
+        part = f"{base}/graph_id={graph_id}"
+        if os.path.exists(part):
+            shutil.rmtree(part)
+
     def drop(self, graph_id: int) -> None:
         """Remove one graph by overwriting its partition with zero rows is
         not expressible via dynamic overwrite; use an explicit partition
         path delete (same effect as the reference never having the file)."""
-        import shutil, os
-
         for base in (self._edges_path, self._vertices_path):
-            part = f"{base}/graph_id={graph_id}"
-            if os.path.exists(part):
-                shutil.rmtree(part)
+            self._drop_partition(base, graph_id)
 
     # -- read path --
 

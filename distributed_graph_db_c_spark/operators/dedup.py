@@ -197,7 +197,7 @@ def minhash_dedup_pairs(
     b = hs_df.select(F.col("id").alias("doc_b"), F.col("hs").alias("hs_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     union = F.size("hs_a") + F.size("hs_b") - inter
-    return (
+    result = (
         cand.join(a, on="doc_a")
         .join(b, on="doc_b")
         .select(
@@ -207,6 +207,12 @@ def minhash_dedup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    # Materialize the (small) surviving-pair set, then release the cached
+    # shingle sets — otherwise every invocation leaks persisted partitions
+    # for the session lifetime (bench loops this query).
+    result = result.localCheckpoint(eager=True)
+    hs_df.unpersist(blocking=False)
+    return result
 
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

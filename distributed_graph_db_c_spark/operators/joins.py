@@ -32,7 +32,9 @@ def asof_join(
     suffix: str = "_asof",
 ) -> DataFrame:
     """For each right row, attach the most recent left row (same ``on``
-    key) with (ts, seq) strictly before the right row's (ts, seq).
+    key) with (ts, seq) at-or-before the right row's (ts, seq): a left row
+    whose (ts, seq) EXACTLY equals the right row's counts as prior (the
+    window sorts left rows before right rows on ties, deterministically).
 
     Returns the right rows plus ``<ts><suffix>`` (and value columns
     suffixed) from the matched left row; nulls when no prior left row.
@@ -51,8 +53,11 @@ def asof_join(
     merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
     w = (
         Window.partitionBy(on)
-        .orderBy(ts, seq)
-        .rowsBetween(Window.unboundedPreceding, -1)  # strictly prior rows
+        # _is_left DESC breaks (ts, seq) ties: the left row sorts first, so
+        # an exactly-tying left row is inside the prior-rows frame (without
+        # this the tie order — and the output — depends on shuffle order).
+        .orderBy(F.col(ts), F.col(seq), F.col("_is_left").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)  # prior rows only
     )
     carried = [
         F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")

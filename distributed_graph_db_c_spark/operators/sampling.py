@@ -45,7 +45,10 @@ def hash_split(
     bounds = boundaries or {"train": "cc", "val": "e6", "test": "zz"}
     b = _bucket(key_col)
     expr = None
-    for label, hi in bounds.items():
+    # First matching when-clause wins, so evaluate bounds in ascending hex
+    # order regardless of the dict's iteration order — an unordered caller
+    # dict must not silently reassign rows to the widest bound.
+    for label, hi in sorted(bounds.items(), key=lambda kv: kv[1]):
         cond = b < F.lit(hi)
         expr = F.when(cond, label) if expr is None else expr.when(cond, label)
     return df.withColumn(split_col, expr)

@@ -1,10 +1,10 @@
 """Dedup queries over ``documents`` (SURVEY.md §2.3).
 
-``dedup_exact`` and ``dedup_jaccard_pairs`` have full DuckDB oracles.
-The MinHash/SimHash paths use xxhash64 (not reproducible in DuckDB) so
-they register rows-only; their correctness gate is
-tests/test_dedup_similarity.py, which checks them against the exact-
-Jaccard oracle results.
+``dedup_exact``, ``dedup_jaccard_pairs`` and ``dedup_minhash_pairs`` have
+full DuckDB oracles (minhash's is the exact-Jaccard SQL — same output
+contract, pytest-pinned total recall on the gate corpus).  SimHash uses
+xxhash64 (not reproducible in DuckDB) so it registers rows-only; its
+correctness gate is tests/test_dedup_similarity.py.
 """
 
 from __future__ import annotations
@@ -78,11 +78,14 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, threshold=0.8)
 
 
-@register("dedup_minhash_pairs", oracle=None)
+@register("dedup_minhash_pairs", oracle=_JACCARD_SQL)
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16x4) candidates verified by exact Jaccard >= 0.8.
-    Same output contract as dedup_jaccard_pairs; rows-only driver check
-    (xxhash64 not reproducible in DuckDB), equality-tested in pytest."""
+    Same output contract as dedup_jaccard_pairs, so the exact-Jaccard SQL
+    is its oracle too: LSH candidate recall at >= 0.8 is total on this
+    corpus (pytest-pinned) and the verification jaccard is computed over
+    hashed shingle sets whose sizes equal the string-shingle sets absent a
+    64-bit collision — the outputs are bit-identical, fully hash-checked."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_dedup_pairs(docs, threshold=0.8)
 
@@ -99,7 +102,7 @@ _SPLIT_SQL = """
 WITH b AS (SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bk
            FROM documents)
 SELECT CASE WHEN bk < 'cc' THEN 'train' WHEN bk < 'e6' THEN 'val' ELSE 'test' END AS split,
-       lang, COUNT(*) AS n_docs, SUM(doc_id) AS id_checksum
+       lang, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
 FROM b GROUP BY 1, 2
 """
 

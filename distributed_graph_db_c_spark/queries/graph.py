@@ -27,6 +27,7 @@ from ..operators.traversal import (
     connected_components_auto,
     degrees,
     dfs_leaves,
+    dfs_preorder,
 )
 from ..registry import register
 from ..sources.tables import load_table
@@ -92,7 +93,7 @@ walk(id, level) AS (
     FROM walk w JOIN edges e ON e.src = w.id
     WHERE w.level < 100
 )
-SELECT id, MIN(level) AS level FROM walk GROUP BY id
+SELECT id, CAST(MIN(level) AS BIGINT) AS level FROM walk GROUP BY id
 """
 
 
@@ -149,6 +150,54 @@ def graph_dfs_leaves_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dfs_leaves(edges, start).select("id")
 
 
+# Customer 1's chain is a path, but the start (MIN o_orderkey) can sit
+# MID-chain (the chain is date-ordered).  DFS with sorted-neighbour
+# tie-break then walks the smaller level-1 neighbour's branch to its end
+# first, then the other branch: pos = hop distance on the first branch,
+# hop distance + |first branch| on the second.  The oracle recovers both
+# facts from a recursive walk that carries the first step taken.
+_DFS_PREORDER_SQL = f"""
+WITH RECURSIVE
+{_ORDER_CHAIN_SQL},
+walk(id, first, level) AS (
+    SELECT s, CAST(NULL AS BIGINT), 0 FROM start
+    UNION
+    SELECT e.dst, COALESCE(w.first, CAST(e.dst AS BIGINT)), w.level + 1
+    FROM walk w JOIN edges e ON e.src = w.id
+    WHERE w.level < 100
+),
+r AS (SELECT id, arg_min(first, level) AS first, MIN(level) AS level
+      FROM walk GROUP BY id),
+side_a AS (SELECT MIN(first) AS fst FROM r WHERE level = 1),
+-- level > 0 guard: the start's arg_min(first, ...) ignores its NULL-first
+-- level-0 row and tie-breaks arbitrarily between bounce paths — the start
+-- must never count toward a branch length
+a_len AS (SELECT COUNT(*) AS n FROM r JOIN side_a ON r.first = side_a.fst
+          WHERE r.level > 0)
+SELECT CAST(id AS BIGINT) AS id,
+       CAST(CASE WHEN level = 0 THEN 0
+                 WHEN first = (SELECT fst FROM side_a) THEN level
+                 ELSE level + (SELECT n FROM a_len) END AS BIGINT) AS pos
+FROM r
+"""
+
+
+@register("graph_dfs_preorder", oracle=_DFS_PREORDER_SQL)
+def graph_dfs_preorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full DFS preorder (reference op 3's traversal order made
+    deterministic, secondary_server.c:183-200: thread spawn order replaced
+    by ascending-id neighbour order) on customer 1's order chain — the
+    applyInPandas per-graph kernel's driver gate."""
+    orders = load_table(spark, sf_dir, "orders")
+    start = (
+        orders.filter(F.col("o_custkey") == 1)
+        .agg(F.min("o_orderkey").alias("id"))
+        .select(F.lit(0).alias("graph_id"), "id")
+    )
+    edges = order_chain_edges(spark, sf_dir)
+    return dfs_preorder(edges, start).select(F.col("id"), F.col("pos"))
+
+
 # Unbounded UNION recursion terminates here because the state is (id, comp)
 # pairs within a component — finite, no level column.
 _CC_SQL = """
@@ -163,7 +212,8 @@ r(id, comp) AS (
     UNION
     SELECT e.dst, r.comp FROM r JOIN e ON e.src = r.id
 )
-SELECT id, MIN(comp) AS component FROM r GROUP BY id
+SELECT CAST(id AS BIGINT) AS id, CAST(MIN(comp) AS BIGINT) AS component
+FROM r GROUP BY id
 """
 
 
@@ -254,14 +304,16 @@ base AS (SELECT n_nationkey AS id, (SELECT COUNT(*) FROM nation) AS n_g FROM nat
            CAST({15 * scale} AS BIGINT) // (100 * base.n_g)
            + (85 * coalesce(s.s, CAST(0 AS BIGINT))) // 100 AS r
     FROM base LEFT JOIN (
-        SELECT e.dst AS id, SUM(p.r // deg.degree) AS s
+        SELECT e.dst AS id, CAST(SUM(p.r // deg.degree) AS BIGINT) AS s
         FROM pr{i} p JOIN e ON e.src = p.id JOIN deg ON deg.id = p.id
         GROUP BY e.dst
     ) s ON s.id = base.id
 )"""
         )
     return (
-        "WITH " + ",\n".join(ctes) + f"\nSELECT id, r AS rank_scaled FROM pr{iterations}"
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT CAST(id AS BIGINT) AS id, r AS rank_scaled FROM pr{iterations}"
     )
 
 

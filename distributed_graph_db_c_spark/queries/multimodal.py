@@ -57,9 +57,9 @@ ser AS (SELECT doc_id, CAST(blob AS VARCHAR) AS bv, octet_length(blob) AS n,
         FROM b)
 SELECT doc_id,
        CAST(64 AS BIGINT) AS resized_len,
-       SUM(CASE WHEN n >= 64 THEN ascii(substr(bv, CAST(FLOOR(i * (n / 64.0)) AS INT) + 1, 1))
+       CAST(SUM(CASE WHEN n >= 64 THEN ascii(substr(bv, CAST(FLOOR(i * (n / 64.0)) AS INT) + 1, 1))
                 WHEN i < n  THEN ascii(substr(bv, CAST(i AS INT) + 1, 1))
-                ELSE 0 END) AS resized_sum
+                ELSE 0 END) AS BIGINT) AS resized_sum
 FROM ser GROUP BY doc_id
 """
 

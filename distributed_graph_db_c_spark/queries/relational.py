@@ -421,7 +421,12 @@ def rel_window_rank_top3_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
     return (
-        p.select("p_brand", "p_partkey", "p_retailprice", F.dense_rank().over(w).alias("rnk"))
+        p.select(
+            "p_brand",
+            "p_partkey",
+            "p_retailprice",
+            F.dense_rank().over(w).cast("long").alias("rnk"),
+        )
         .filter(F.col("rnk") <= 3)
     )
 
@@ -836,11 +841,11 @@ def rel_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TYPE_MATRIX_SQL = """
 SELECT user_id,
-       SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
-       SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_view,
-       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-       SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS n_signup,
-       SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS n_error
+       CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error
 FROM events GROUP BY user_id
 """
 
@@ -861,7 +866,7 @@ def rel_events_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GROUPING_SETS_SQL = """
 SELECT l_returnflag, l_linestatus,
-       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
        COUNT(*) AS n,
        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS qty
 FROM lineitem
@@ -1290,8 +1295,8 @@ def rel_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q12_SQL = """
 SELECT l_returnflag AS ship_class,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders
 JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY

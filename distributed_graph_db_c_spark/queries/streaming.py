@@ -112,7 +112,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STATEFUL_SQL = """
 SELECT user_id,
        COUNT(*) AS n_events,
-       SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
 FROM events GROUP BY user_id
 """
 
@@ -213,7 +213,7 @@ def stream_requests_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STREAM_DEDUP_SQL = """
-SELECT event_type, COUNT(*) AS n, SUM(event_id) AS id_checksum
+SELECT event_type, COUNT(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_checksum
 FROM events GROUP BY event_type
 """
 

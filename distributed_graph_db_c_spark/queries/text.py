@@ -201,7 +201,7 @@ q AS (
 kept AS (SELECT * FROM q WHERE quality > 0.89),
 first AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
 ded AS (SELECT k.* FROM kept k JOIN first f ON k.doc_id = f.doc_id)
-SELECT lang, COUNT(*) AS n_docs, SUM(n_tok_i) AS n_tokens,
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tok_i) AS BIGINT) AS n_tokens,
        MIN(quality) AS min_quality, MAX(quality) AS max_quality
 FROM ded GROUP BY lang
 """

@@ -9,6 +9,7 @@ from distributed_graph_db_c_spark.catalog import GraphCatalog
 from distributed_graph_db_c_spark.sources.gformat import (
     matrix_to_edges,
     read_gformat,
+    read_gformat_dir,
     write_gformat,
 )
 
@@ -63,6 +64,66 @@ def test_matrix_roundtrip(spark, tmp_path):
     assert lines[0] == "5"
     got = [[int(c) for c in l.split()] for l in lines[1:]]
     assert got == G1_MATRIX
+
+
+def test_read_gformat_dir_bulk_ingest(spark, tmp_path):
+    """The reference's database bootstrap: a directory of G<i>.txt files
+    (primary_server.c:49-59 naming) ingested in ONE call, graph identity
+    from the filename; traversal results identical to per-file ingest."""
+    from distributed_graph_db_c_spark.operators.traversal import bfs, dfs_leaves
+
+    gdir = tmp_path / "db"
+    gdir.mkdir()
+    _write_matrix_file(str(gdir / "G1.txt"), G1_MATRIX)
+    _write_matrix_file(str(gdir / "G14.txt"), [[0] * 3 for _ in range(3)])  # edgeless
+    chain4 = [
+        [0, 1, 0, 0],
+        [1, 0, 1, 0],
+        [0, 1, 0, 1],
+        [0, 0, 1, 0],
+    ]
+    _write_matrix_file(str(gdir / "G16.txt"), chain4)
+    (gdir / "notes.md").write_text("not a graph")  # must be ignored by the glob
+
+    edges, vertices = read_gformat_dir(spark, str(gdir))
+    cat = GraphCatalog(spark, str(tmp_path / "catalog_dir"))
+    cat.put_all(edges, vertices)
+
+    assert cat.graph_ids() == [1, 14, 16]
+    assert cat.edges(14).count() == 0
+    assert cat.vertices(14).count() == 3
+    # per-file reader agreement on every graph
+    for gid, fname in [(1, "G1.txt"), (14, "G14.txt"), (16, "G16.txt")]:
+        e_one, v_one = read_gformat(spark, str(gdir / fname), graph_id=gid)
+        assert {(r["src"], r["dst"]) for r in cat.edges(gid).collect()} == {
+            (r["src"], r["dst"]) for r in e_one.collect()
+        }
+        assert {r["id"] for r in cat.vertices(gid).collect()} == {
+            r["id"] for r in v_one.collect()
+        }
+
+    # golden traversals on the bulk-ingested catalog (FIXTURES.md §A):
+    # G1 BFS from 1: levels 1:0, 2:1, 3:2, 4:3, 5:3
+    start = spark.createDataFrame([(1, 1)], "graph_id int, id long")
+    levels = {r["id"]: r["level"] for r in bfs(cat.edges(1), start).collect()}
+    assert levels == {1: 0, 2: 1, 3: 2, 4: 3, 5: 3}
+    # G1 DFS leaves from 1: degree<=1 reachable, non-isolated start excluded
+    leaves = {r["id"] for r in dfs_leaves(cat.edges(1), start).collect()}
+    assert leaves == {4, 5}
+
+
+def test_put_all_edgeless_replacement(spark, tmp_path):
+    """put() replacing a graph with an edgeless version must not leave the
+    old edges partition behind (dynamic overwrite writes no partition for
+    empty input)."""
+    cat = GraphCatalog(spark, str(tmp_path / "catalog_empty"))
+    e1, v1 = matrix_to_edges(spark, G1_MATRIX, graph_id=1)
+    cat.put(1, e1, v1)
+    assert cat.edges(1).count() == 8
+    empty_e, v_small = matrix_to_edges(spark, [[0] * 3 for _ in range(3)], graph_id=1)
+    cat.put(1, empty_e, v_small)
+    assert cat.edges(1).count() == 0
+    assert cat.vertices(1).count() == 3
 
 
 def test_catalog_add_modify_isolation(spark, tmp_path):

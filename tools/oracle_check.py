@@ -2,8 +2,14 @@
 on Spark AND its DuckDB oracle at sf0.01, compare row count, column names,
 and exact values (order-insensitive).
 
+Default is STRICT (driver-faithful): pandas dtypes must match and floats
+compare bit-exact — a DuckDB HUGEINT coming back as float64/object where
+Spark returns int64 is a FAIL here exactly as it hash-fails in the driver.
+``--tolerant`` restores the forgiving numeric compare (useful to tell a
+representation mismatch from a genuinely wrong answer).
+
 Usage:
-    python tools/oracle_check.py [query_name ...]
+    python tools/oracle_check.py [--tolerant] [query_name ...]
 """
 
 from __future__ import annotations
@@ -37,7 +43,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.loc[order].reset_index(drop=True)
 
 
-def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+def compare(
+    name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, strict: bool = True
+) -> list[str]:
     problems = []
     if len(spark_pdf) != len(duck_pdf):
         problems.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
@@ -50,16 +58,24 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     s, d = normalize(spark_pdf), normalize(duck_pdf)
     for col in s.columns:
         sv, dv = s[col], d[col]
-        if sv.dtype.kind == "f" or dv.dtype.kind == "f":
+        if strict and sv.dtype != dv.dtype:
+            problems.append(
+                f"col {col}: dtype mismatch spark={sv.dtype} duck={dv.dtype}"
+                " (representation drift -> driver hash fail)"
+            )
+            continue
+        if not strict and (sv.dtype.kind == "f" or dv.dtype.kind == "f"):
             svf = pd.to_numeric(sv, errors="coerce")
             dvf = pd.to_numeric(dv, errors="coerce")
             if not ((svf == dvf) | (svf.isna() & dvf.isna())).all():
                 diff = (svf - dvf).abs().max()
                 problems.append(f"col {col}: float mismatch, max abs diff {diff}")
         else:
-            eq = (sv.astype(str) == dv.astype(str)).all()
-            if not eq:
-                bad = (sv.astype(str) != dv.astype(str)).idxmax()
+            # bit-exact via repr: floats must match to the last digit, the
+            # same bar the driver's value hash sets
+            eq_mask = (sv.astype(str) == dv.astype(str)) | (sv.isna() & dv.isna())
+            if not eq_mask.all():
+                bad = (~eq_mask).idxmax()
                 problems.append(
                     f"col {col}: value mismatch at sorted row {bad}: spark={sv[bad]!r} duck={dv[bad]!r}"
                 )
@@ -68,7 +84,10 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 def main() -> int:
     _ensure_loaded()
-    names = sys.argv[1:] or list(REGISTRY)
+    argv = sys.argv[1:]
+    strict = "--tolerant" not in argv
+    argv = [a for a in argv if a != "--tolerant"]
+    names = argv or list(REGISTRY)
     spark = get_spark("oracle-check")
     con = duck_connect(SF_DIR)
     failures = 0
@@ -89,7 +108,7 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb raised {type(e).__name__}: {e}")
             failures += 1
             continue
-        problems = compare(name, spark_pdf, duck_pdf)
+        problems = compare(name, spark_pdf, duck_pdf, strict=strict)
         if problems:
             failures += 1
             print(f"FAIL  {name}: " + "; ".join(problems))
