@@ -360,7 +360,16 @@ def bfs_fleet(edges: DataFrame, starts: DataFrame) -> DataFrame:
 _FLEET_MAX_EDGES = 5_000_000
 
 
-def bfs_auto(edges: DataFrame, starts: DataFrame) -> DataFrame:
+def max_graph_edges(edges: DataFrame) -> int:
+    """Max per-graph edge count — the ONE scalar the auto-dispatchers need.
+    One aggregate job; callers running several traversals over the same
+    catalog snapshot should compute it once and pass it to each ``*_auto``
+    via ``max_edges`` instead of paying the job per dispatch."""
+    row = edges.groupBy("graph_id").count().agg(F.max("count").alias("m")).collect()[0]
+    return 0 if row["m"] is None else int(row["m"])
+
+
+def bfs_auto(edges: DataFrame, starts: DataFrame, max_edges: int | None = None) -> DataFrame:
     """Kernel dispatch: ONE aggregate decides the physical strategy.
 
     - every graph small (max per-graph edge count <= _FLEET_MAX_EDGES):
@@ -375,10 +384,8 @@ def bfs_auto(edges: DataFrame, starts: DataFrame) -> DataFrame:
     pins them); dispatch changes only the physical plan, exactly like
     Catalyst choosing broadcast vs sort-merge.
     """
-    biggest = (
-        edges.groupBy("graph_id").count().agg(F.max("count").alias("m")).collect()[0]["m"]
-    )
-    if biggest is None or biggest <= _FLEET_MAX_EDGES:
+    biggest = max_graph_edges(edges) if max_edges is None else max_edges
+    if biggest <= _FLEET_MAX_EDGES:
         return bfs_fleet(edges, starts)
     return bfs(edges, starts)
 
@@ -432,14 +439,13 @@ def pagerank_auto(
     vertices: DataFrame,
     iterations: int = 10,
     scale: int = 10**12,
+    max_edges: int | None = None,
 ) -> DataFrame:
     """Kernel dispatch for PageRank, same decision rule as :func:`bfs_auto`:
     all graphs small -> cogrouped in-task kernel; any giant graph -> the
     iterative-join BSP kernel."""
-    biggest = (
-        edges.groupBy("graph_id").count().agg(F.max("count").alias("m")).collect()[0]["m"]
-    )
-    if biggest is None or biggest <= _FLEET_MAX_EDGES:
+    biggest = max_graph_edges(edges) if max_edges is None else max_edges
+    if biggest <= _FLEET_MAX_EDGES:
         return pagerank_fleet(edges, vertices, iterations, scale)
     return pagerank(edges, vertices, iterations, scale)
 
@@ -485,12 +491,13 @@ def connected_components_fleet(edges: DataFrame, vertices: DataFrame) -> DataFra
 
 
 def connected_components_auto(
-    edges: DataFrame, vertices: DataFrame, max_iters: int = 50
+    edges: DataFrame,
+    vertices: DataFrame,
+    max_iters: int = 50,
+    max_edges: int | None = None,
 ) -> DataFrame:
     """Kernel dispatch for CC, same rule as :func:`bfs_auto`."""
-    biggest = (
-        edges.groupBy("graph_id").count().agg(F.max("count").alias("m")).collect()[0]["m"]
-    )
-    if biggest is None or biggest <= _FLEET_MAX_EDGES:
+    biggest = max_graph_edges(edges) if max_edges is None else max_edges
+    if biggest <= _FLEET_MAX_EDGES:
         return connected_components_fleet(edges, vertices)
     return connected_components(edges, vertices, max_iters)

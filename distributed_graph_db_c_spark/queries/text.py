@@ -221,10 +221,15 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     no materialization between 'stages'.  min/max (not avg) of quality
     keep the doubles order-independent for the oracle hash-match."""
     docs = load_table(spark, sf_dir, "documents")
+    # fingerprint computed BEFORE the shuffle and text dropped: the dedup
+    # window only needs (fp, doc_id, lang, quality, n_tok_i), so the
+    # shuffle carries ~50 bytes/row instead of the document body — at
+    # 100 TB that's the difference between shuffling kilobytes and the
+    # whole corpus
     enriched = docs.select(
         "doc_id",
         "lang",
-        "text",
+        F.md5("text").alias("_fp"),
         quality_score().alias("quality"),
         token_count().alias("n_tok_i"),
     )
@@ -235,11 +240,11 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once and shuffles once (on the fingerprint)
     from pyspark.sql import Window
 
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    w = Window.partitionBy("_fp").orderBy("doc_id")
     ded = (
         kept.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .drop("_rn", "_fp")
     )
     return ded.groupBy("lang").agg(
         F.count("*").alias("n_docs"),

@@ -114,3 +114,98 @@ def request_dispatcher(catalog: GraphCatalog, results_path: str):
         dispatch_requests(catalog, batch_df, results_path)
 
     return handle
+
+
+class RequestServer:
+    """The reference's INTERACTIVE server shape, long-running: where the
+    batch gate (`stream_requests_dispatch`) drains a staged backlog with
+    availableNow and stops, this keeps the streaming query up on a
+    ``processingTime`` trigger — the `msgrcv` blocking loop
+    (`secondary_server.c:636`, `primary_server.c:193`) — while clients
+    ``submit()`` request batches (the `msgsnd` enqueue, `client.c:131-155`)
+    and read replies correlated by ``seq`` (the mtype=1000*seq reply
+    tagging, `primary_server.c:139`).
+
+    Requests submitted in one call land in one micro-batch, so a write
+    (op 1/2) and a read (op 3/4) of the same graph in a single submit see
+    the batch's write-before-read guarantee; across submits, file order is
+    arrival order.
+    """
+
+    def __init__(
+        self,
+        spark,
+        catalog: GraphCatalog,
+        root: str,
+        poll: str = "500 milliseconds",
+    ):
+        import os
+
+        self.spark = spark
+        self.catalog = catalog
+        self.in_dir = os.path.join(root, "in")
+        self.results_path = os.path.join(root, "results")
+        os.makedirs(self.in_dir, exist_ok=True)
+        stream = (
+            spark.readStream.schema(REQUEST_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(self.in_dir)
+        )
+        self.query = (
+            stream.writeStream.option(
+                "checkpointLocation", os.path.join(root, "ckpt")
+            )
+            .foreachBatch(request_dispatcher(catalog, self.results_path))
+            .trigger(processingTime=poll)
+            .start()
+        )
+        self._n = 0
+
+    def submit(self, rows: list) -> None:
+        """Enqueue one request batch (list of REQUEST_SCHEMA-shaped rows)
+        as a single file — one micro-batch on the server side."""
+        import os
+        import shutil
+
+        df = self.spark.createDataFrame(rows, REQUEST_SCHEMA)
+        tmp = os.path.join(self.in_dir, f"_stage{self._n}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.move(
+            os.path.join(tmp, part),
+            os.path.join(self.in_dir, f"req{self._n:06d}.parquet"),
+        )
+        shutil.rmtree(tmp)
+        self._n += 1
+
+    def replies(self, seq: int | None = None) -> DataFrame:
+        """Reply view, correlated by seq — a plain DataFrame over the
+        results sink (empty until the first read op completes)."""
+        import os
+
+        if not os.path.isdir(self.results_path) or not any(
+            f.endswith(".parquet") for f in os.listdir(self.results_path)
+        ):
+            df = self.spark.createDataFrame([], RESULT_SCHEMA)
+        else:
+            df = self.spark.read.schema(RESULT_SCHEMA).parquet(self.results_path)
+        return df.filter(F.col("seq") == seq) if seq is not None else df
+
+    def await_reply(self, seq: int, timeout_sec: float = 60.0) -> DataFrame:
+        """Block until reply rows for ``seq`` exist (the client's blocking
+        ``msgrcv`` on its mtype, `client.c:155`); raises on timeout."""
+        import time
+
+        deadline = time.monotonic() + timeout_sec
+        while time.monotonic() < deadline:
+            if self.query.exception() is not None:
+                raise RuntimeError(f"server query failed: {self.query.exception()}")
+            got = self.replies(seq)
+            if got.limit(1).take(1):
+                return got
+            time.sleep(0.25)
+        raise TimeoutError(f"no reply for seq={seq} within {timeout_sec}s")
+
+    def stop(self) -> None:
+        self.query.stop()
+        self.query.awaitTermination()

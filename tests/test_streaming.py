@@ -121,3 +121,52 @@ def test_stream_dedup_late_replay_stays_exactly_once(spark, events):
         cleanup(scratch)
     # each event_id exactly once, always the FIRST arrival's payload
     assert got == [(1, "A"), (2, "B"), (3, "C"), (4, "D")]
+
+
+def test_request_server_online_loop(spark):
+    """The long-running interactive server (processingTime trigger): submit
+    op-1 add + op-4 BFS while the query stays up, read the reply by seq
+    (mtype=1000*seq correlation), then op-2 modify + op-4 again — the
+    second reply must reflect the replaced graph."""
+    from distributed_graph_db_c_spark.catalog import GraphCatalog
+    from distributed_graph_db_c_spark.streaming.requests import RequestServer
+
+    scratch = scratch_dir("test-reqserver")
+    server = None
+    try:
+        cat = GraphCatalog(spark, f"{scratch}/catalog")
+        server = RequestServer(spark, cat, f"{scratch}/server")
+
+        # chain 1-2-3 (edges stored one direction; dispatcher symmetrizes)
+        server.submit(
+            [
+                (1, 1, 5, [1, 2, 3], [(1, 2), (2, 3)], None),
+                (2, 4, 5, None, None, 1),  # BFS from 1
+            ]
+        )
+        r1 = {
+            row["id"]: row["level"]
+            for row in server.await_reply(2).collect()
+        }
+        assert r1 == {1: 0, 2: 1, 3: 2}
+        assert server.query.isActive  # still serving
+
+        # op 2: full replace with star 1-2, 1-3, 1-4; BFS again
+        server.submit(
+            [
+                (3, 2, 5, [1, 2, 3, 4], [(1, 2), (1, 3), (1, 4)], None),
+                (4, 4, 5, None, None, 1),
+            ]
+        )
+        r2 = {
+            row["id"]: row["level"]
+            for row in server.await_reply(4).collect()
+        }
+        assert r2 == {1: 0, 2: 1, 3: 1, 4: 1}
+        assert server.query.isActive
+        # first reply still addressable after the second completed
+        assert len(server.await_reply(2).collect()) == 3
+    finally:
+        if server is not None:
+            server.stop()
+        cleanup(scratch)

@@ -129,11 +129,30 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
         ("window dedup", r"RunningWindowFunction|Window", True),
         ("partial agg", r"partial_", True),
+        # fingerprint computed pre-shuffle; the document body never rides
+        # the dedup exchange
+        ("no shuffle of text", r"Exchange hashpartitioning\(text", False),
     ],
     "skew_salted_join_revenue": [
         # the salt explode must NOT degrade the dim join to nested-loop
         ("no nested loop", r"BroadcastNestedLoopJoin|CartesianProduct", False),
         ("generator for salts", r"Generate explode", True),
+    ],
+    "graph_dfs_preorder": [
+        # the sequential per-graph kernel is ONE grouped-map pandas stage
+        # (parallelism axis = fleet of graphs), never a join blow-up
+        ("grouped-map pandas kernel", r"FlatMapGroupsInPandas", True),
+        ("no cartesian", r"CartesianProduct", False),
+    ],
+    "sample_deterministic_split": [
+        # hash-bucket split is pure codegen expressions + one partial agg
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("partial agg", r"partial_", True),
+    ],
+    "rel_events_type_matrix": [
+        # pivot-as-conditional-agg: one scan, one agg, no per-value passes
+        ("partial agg", r"partial_sum", True),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
     ],
 }
 
