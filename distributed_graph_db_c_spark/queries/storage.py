@@ -1,0 +1,145 @@
+"""Storage & IO round-trip gate queries (SURVEY.md §2.2 scans/sinks,
+§2.3 scale surface).
+
+Each query drives a write-then-read round trip through one storage layer
+— bucketed tables, the layout-aware partitioned sink, the strict JSONL
+codec — and aggregates the result; the oracle recomputes the same
+aggregate directly on the parquet tables, proving the storage path
+changes the PLAN (or the on-disk layout) and not the ANSWER.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.bucketing import bucketed_join, write_bucketed
+from ..registry import register
+from ..sources.tables import load_table
+from .relational import _dsql, _dsum_sql, d, dsum
+
+_BUCKETED_SQL = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       {_dsum_sql(f"{_dsql('l_extendedprice')} * (1 - {_dsql('l_discount')})")} AS revenue
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@register("storage_bucketed_join_revenue", oracle=_BUCKETED_SQL)
+def storage_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by order priority through BUCKETED tables: orders and
+    lineitem are first persisted bucketed on the join key (the write-once
+    shuffle), then joined via the session catalog — the join itself is
+    Exchange-free.  Unique table names + drop keep the gate re-runnable."""
+    tag = uuid.uuid4().hex[:8]
+    t_orders, t_lineitem = f"b_orders_{tag}", f"b_lineitem_{tag}"
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        t_orders,
+        "o_orderkey",
+        n_buckets=8,
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice", "l_discount"
+    )
+    write_bucketed(li, t_lineitem, "o_orderkey", n_buckets=8)
+    result = (
+        bucketed_join(spark, t_orders, t_lineitem, on="o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(d("l_extendedprice") * (F.lit(1) - d("l_discount"))).alias("revenue"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+    spark.sql(f"DROP TABLE IF EXISTS {t_lineitem}")
+    return result
+
+
+_SINK_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+FROM orders GROUP BY o_orderpriority, o_orderstatus
+"""
+
+
+@register("sink_partitioned_roundtrip", oracle=_SINK_SQL)
+def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-aware sink round trip: orders written partition-dirs by
+    priority with date-sorted files (sinks.write_partitioned — the layout
+    that buys partition pruning + tight row-group stats at scale), read
+    back, aggregated.  The key checksum proves the exact row set survived
+    the layout."""
+    from ..sinks import write_partitioned
+    from ..streaming.sources import cleanup, scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    scratch = scratch_dir("sinkgate")
+    try:
+        write_partitioned(
+            orders,
+            f"{scratch}/orders",
+            ["o_orderpriority"],
+            sort_cols=["o_orderdate"],
+        )
+        back = spark.read.parquet(f"{scratch}/orders")
+        result = (
+            back.groupBy("o_orderpriority", "o_orderstatus")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("o_orderkey").alias("key_checksum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        cleanup(scratch)
+    return result
+
+
+_JSONL_SQL = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       COUNT(DISTINCT md5(text)) AS n_distinct_fp
+FROM documents GROUP BY lang
+"""
+
+
+@register("source_jsonl_roundtrip", oracle=_JSONL_SQL)
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict JSONL codec round trip: documents exported to JSON lines,
+    re-read with the enforced schema + FAILFAST (sources/text_formats.py
+    — never inferred), aggregated.  The distinct-fingerprint count proves
+    the text bodies survived encoding byte-for-byte."""
+    from ..sources.text_formats import read_jsonl
+    from ..streaming.sources import cleanup, scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    scratch = scratch_dir("jsonlgate")
+    try:
+        docs.write.mode("overwrite").json(f"{scratch}/docs")
+        back = read_jsonl(
+            spark,
+            f"{scratch}/docs",
+            "doc_id long, lang string, source string, text string",
+        )
+        result = (
+            back.groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("doc_id").alias("id_checksum"),
+                F.countDistinct(F.md5("text")).alias("n_distinct_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        cleanup(scratch)
+    return result

@@ -139,6 +139,7 @@ def _ensure_loaded() -> None:
         relational,
         similarity,
         sketches,
+        storage,
         streaming,
         temporal,
         text,

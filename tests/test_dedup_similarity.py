@@ -117,3 +117,18 @@ def test_hash_sample_stable_under_repartitioning(spark, docs):
     sp = hash_split(docs, "doc_id").groupBy("split").count().collect()
     assert sum(r["count"] for r in sp) == docs.count()
     assert {r["split"] for r in sp} == {"train", "val", "test"}
+
+
+def test_hash_split_unordered_boundaries(spark):
+    """Boundary dicts are evaluated in ascending hex order regardless of
+    dict insertion order — an unordered caller dict must produce the same
+    assignment as the canonically-ordered one."""
+    from distributed_graph_db_c_spark.operators.sampling import hash_split
+
+    docs = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    ordered = {"train": "cc", "val": "e6", "test": "zz"}
+    shuffled = {"test": "zz", "val": "e6", "train": "cc"}
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", ordered).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", shuffled).collect()}
+    assert a == b
+    assert set(a.values()) == {"train", "val", "test"}

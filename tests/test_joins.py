@@ -83,3 +83,21 @@ def test_range_join_no_duplicate_pairs(spark):
     )
     out = range_join(probe, build, on="user_id", band_seconds=300)
     assert out.count() == 1
+
+
+def test_asof_join_exact_tie_left_counts_as_prior(spark):
+    # A left row whose (ts, seq) EXACTLY equals the right row's is matched
+    # deterministically (the window sorts left before right on full ties) —
+    # previously this depended on shuffle order.
+    left = spark.createDataFrame(
+        [(1, _ts(10), 500, 7.0)], "user_id int, ts timestamp, event_id int, value double"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), 500)], "user_id int, ts timestamp, event_id int"
+    )
+    for _ in range(3):  # repeated runs: same answer every time
+        got = {
+            r["event_id"]: r["value_asof"]
+            for r in asof_join(left, right, on="user_id", value_cols=["value"]).collect()
+        }
+        assert got == {500: 7.0}
