@@ -143,3 +143,59 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         cleanup(scratch)
     return result
+
+
+_N_CORRUPT = 7
+
+_QUARANTINE_SQL = f"""
+SELECT COUNT(*) AS n_clean,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST({_N_CORRUPT} AS BIGINT) AS n_corrupt
+FROM documents
+"""
+
+
+@register("source_jsonl_quarantine", oracle=_QUARANTINE_SQL)
+def source_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter quarantine flow: the documents JSONL export plus a file
+    of deliberately malformed lines, read PERMISSIVE with a `_corrupt`
+    column (sources/text_formats.read_jsonl_permissive).  Every clean row
+    must survive untouched (count + id checksum against the table) and
+    every malformed line must land in quarantine — never silently dropped,
+    never nulled into the clean stream."""
+    import os
+
+    from ..sources.text_formats import read_jsonl_permissive
+    from ..streaming.sources import cleanup, scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    scratch = scratch_dir("quarantinegate")
+    try:
+        out = f"{scratch}/docs"
+        docs.write.mode("overwrite").json(out)
+        bad_lines = "\n".join(
+            f'{{"doc_id": "not_a_number_{i}", "lang": [broken' for i in range(_N_CORRUPT)
+        )
+        with open(os.path.join(out, "zz_corrupt.json"), "w") as f:
+            f.write(bad_lines + "\n")
+        back = read_jsonl_permissive(
+            spark, out, "doc_id long, lang string, source string, text string"
+        ).cache()  # Spark forbids querying ONLY _corrupt from a raw scan
+        clean = back.filter(F.col("_corrupt").isNull())
+        result = (
+            clean.agg(
+                F.count("*").alias("n_clean"),
+                F.sum("doc_id").alias("id_checksum"),
+            )
+            .crossJoin(
+                back.filter(F.col("_corrupt").isNotNull())
+                .agg(F.count("*").alias("n_corrupt"))
+            )
+            .localCheckpoint(eager=True)
+        )
+        back.unpersist(blocking=False)
+    finally:
+        cleanup(scratch)
+    return result

@@ -84,19 +84,12 @@ _PRIORITY = [
     "mm_binary_features",
     "asof_join_events",
     "range_join_events",
-    "stream_tumbling_hour",
     "sketch_hll_distinct_parts",
     "pipeline_training_prep",
     # round-1 hash-fails, fixed in round 2 — need green rows
     "sample_deterministic_split",
     "mm_resize_checksum",
     "rel_events_type_matrix",
-    # streaming family (absent from CORRECTNESS_r01 entirely)
-    "stream_sliding_30m",
-    "stream_session_window",
-    "stream_stateful_user_totals",
-    "stream_requests_dispatch",
-    "stream_dedup_exact",
     # similarity family (absent from r01)
     "sim_embedding_norms",
     "sim_ann_lsh_topk",
@@ -123,6 +116,17 @@ _PRIORITY = [
     "dedup_jaccard_pairs",
     "graph_dfs_leaves_order_chain",
     "graph_dfs_preorder",  # new in round 2 (pandas-UDF preorder kernel)
+    # streaming family LAST inside the window (absent from CORRECTNESS_r01
+    # entirely): each entry runs a real micro-batch stream and is the
+    # slowest class of gate query — if the driver's cutoff turns out to be
+    # time-based rather than the observed 50-entry cap, everything cheaper
+    # is already checked before these start
+    "stream_tumbling_hour",
+    "stream_sliding_30m",
+    "stream_session_window",
+    "stream_stateful_user_totals",
+    "stream_requests_dispatch",
+    "stream_dedup_exact",
 ]
 
 
