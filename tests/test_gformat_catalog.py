@@ -169,3 +169,48 @@ def test_catalog_drop(spark, tmp_path):
     assert cat.graph_ids() == [7]
     cat.drop(7)
     assert cat.graph_ids() == []
+
+
+def test_read_gformat_dir_random_fleet_property(spark, tmp_path):
+    """Seeded random fleet: N matrices of mixed sizes/densities written as
+    G<i>.txt; the single-call directory read must reproduce every matrix's
+    edge set and vertex range exactly (including edgeless and 1-node
+    graphs)."""
+    import random
+
+    rng = random.Random(20260813)
+    gdir = tmp_path / "fleetdb"
+    gdir.mkdir()
+    expected = {}
+    for gid in [1, 3, 7, 12, 14, 20]:
+        n = rng.randint(1, 12)
+        p = rng.choice([0.0, 0.2, 0.6])
+        m = [[0] * n for _ in range(n)]
+        for a in range(n):
+            for b in range(a + 1, n):
+                if rng.random() < p:
+                    m[a][b] = m[b][a] = 1
+        _write_matrix_file(str(gdir / f"G{gid}.txt"), m)
+        expected[gid] = (
+            n,
+            {
+                (i + 1, j + 1)
+                for i in range(n)
+                for j in range(n)
+                if m[i][j] == 1
+            },
+        )
+
+    edges, vertices = read_gformat_dir(spark, str(gdir))
+    edge_rows = edges.collect()
+    vert_rows = vertices.collect()
+    got_edges = {}
+    for r in edge_rows:
+        got_edges.setdefault(r["graph_id"], set()).add((r["src"], r["dst"]))
+    got_verts = {}
+    for r in vert_rows:
+        got_verts.setdefault(r["graph_id"], set()).add(r["id"])
+    assert set(got_verts) == set(expected)
+    for gid, (n, eset) in expected.items():
+        assert got_verts[gid] == set(range(1, n + 1)), f"G{gid} vertices"
+        assert got_edges.get(gid, set()) == eset, f"G{gid} edges"
