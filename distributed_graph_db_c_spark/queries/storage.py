@@ -145,6 +145,50 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+_CSV_SQL = """
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total
+FROM documents GROUP BY lang, source
+"""
+
+
+@register("source_csv_roundtrip", oracle=_CSV_SQL)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict CSV codec round trip over the scalar columns (document
+    bodies belong in JSONL/parquet — embedded newlines would force
+    non-splittable multiLine CSV, the wrong trade at scale).  Explicit
+    schema + FAILFAST on the way back in; checksums prove the exact row
+    set survived."""
+    from ..sources.text_formats import read_csv
+    from ..streaming.sources import cleanup, scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    scratch = scratch_dir("csvgate")
+    try:
+        docs.write.mode("overwrite").option("header", True).csv(f"{scratch}/docs")
+        back = read_csv(
+            spark,
+            f"{scratch}/docs",
+            "doc_id long, lang string, source string, n_chars long",
+        )
+        result = (
+            back.groupBy("lang", "source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("doc_id").alias("id_checksum"),
+                F.sum("n_chars").alias("chars_total"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        cleanup(scratch)
+    return result
+
+
 _N_CORRUPT = 7
 
 _QUARANTINE_SQL = f"""
