@@ -128,6 +128,28 @@ def matrix_to_edges(
     return edges, vertices
 
 
+def write_gformat_dir(edges: DataFrame, vertices: DataFrame, dir_path: str) -> list[int]:
+    """Export every graph present in ``vertices`` to ``<dir>/G<i>.txt`` —
+    the inverse of :func:`read_gformat_dir`, completing codec round-trip
+    parity with the reference's on-disk database.
+
+    Driver-side loop over graphs by design, like :func:`write_gformat`:
+    the dense-matrix text codec is only meaningful for graphs that fit on
+    one machine (reference cap 30 nodes, client.c:15); a big catalog
+    exports as parquet.  Returns the exported graph ids.
+    """
+    import os
+
+    os.makedirs(dir_path, exist_ok=True)
+    gids = [
+        r["graph_id"]
+        for r in vertices.select("graph_id").distinct().orderBy("graph_id").collect()
+    ]
+    for gid in gids:
+        write_gformat(edges, vertices, gid, os.path.join(dir_path, f"G{gid}.txt"))
+    return gids
+
+
 def write_gformat(edges: DataFrame, vertices: DataFrame, graph_id: int, path: str) -> None:
     """Export one graph back to the reference text codec (round-trip parity).
 

@@ -214,3 +214,34 @@ def test_read_gformat_dir_random_fleet_property(spark, tmp_path):
     for gid, (n, eset) in expected.items():
         assert got_verts[gid] == set(range(1, n + 1)), f"G{gid} vertices"
         assert got_edges.get(gid, set()) == eset, f"G{gid} edges"
+
+
+def test_write_gformat_dir_roundtrip(spark, tmp_path):
+    """Catalog -> directory export -> directory re-ingest reproduces every
+    graph exactly (the full codec round trip over multiple graphs)."""
+    from distributed_graph_db_c_spark.sources.gformat import write_gformat_dir
+
+    cat = GraphCatalog(spark, str(tmp_path / "cat_export"))
+    star = [
+        [0, 1, 1, 1],
+        [1, 0, 0, 0],
+        [1, 0, 0, 0],
+        [1, 0, 0, 0],
+    ]
+    for gid, m in [(1, G1_MATRIX), (2, star), (14, [[0] * 3 for _ in range(3)])]:
+        e, v = matrix_to_edges(spark, m, graph_id=gid)
+        cat.put(gid, e, v)
+
+    out = tmp_path / "export"
+    gids = write_gformat_dir(cat.edges(), cat.vertices(), str(out))
+    assert gids == [1, 2, 14]
+    assert sorted(p.name for p in out.iterdir()) == ["G1.txt", "G14.txt", "G2.txt"]
+
+    edges2, verts2 = read_gformat_dir(spark, str(out))
+    for gid in gids:
+        assert {
+            (r["src"], r["dst"]) for r in edges2.filter(F.col("graph_id") == gid).collect()
+        } == {(r["src"], r["dst"]) for r in cat.edges(gid).collect()}, f"G{gid}"
+        assert {
+            r["id"] for r in verts2.filter(F.col("graph_id") == gid).collect()
+        } == {r["id"] for r in cat.vertices(gid).collect()}, f"G{gid}"

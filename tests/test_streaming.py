@@ -166,6 +166,12 @@ def test_request_server_online_loop(spark):
         assert server.query.isActive
         # first reply still addressable after the second completed
         assert len(server.await_reply(2).collect()) == 3
+
+        # op 3 (DFS leaf report) against the live star graph: leaves are
+        # the spokes, the non-isolated start excluded
+        server.submit([(5, 3, 5, None, None, 1)])
+        r3 = {row["id"] for row in server.await_reply(5).collect()}
+        assert r3 == {2, 3, 4}
     finally:
         if server is not None:
             server.stop()
