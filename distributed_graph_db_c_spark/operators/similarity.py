@@ -128,14 +128,34 @@ def ann_topk(
     top_k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: score only vectors colliding with the query in
     >= 1 of the LSH tables.  Trades recall for a bucket-pruned scan;
-    recall vs brute force measured in tests/test_dedup_similarity.py."""
+    recall vs brute force measured in tests/test_dedup_similarity.py.
+
+    ``multiprobe`` > 0 additionally probes, per table, the buckets at
+    Hamming distance 1 obtained by flipping each of the first
+    ``multiprobe`` sign bits (``multiprobe = n_planes`` probes ALL
+    Hamming-1 neighbours; a margin-ranked variant would flip the nearest
+    hyperplanes first) — the standard way to buy recall WITHOUT more
+    tables: the index stays the same size, only the broadcast query
+    bucket list grows (n_tables x (1 + multiprobe) rows)."""
     bt = lsh_bucket_table(embeddings, dim, id_col=id_col, vec_col=vec_col)
     q = bt.filter(F.col("id") == query_id).select(
         F.col("vec").alias("_qvec"), "table", "bucket"
     )
+    if multiprobe > 0:
+        flips = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << b))
+                for b in range(min(multiprobe, N_PLANES))
+            ],
+        )
+        q = q.select(
+            "_qvec", "table", F.explode(flips).alias("bucket")
+        )
     candidates = (
         bt.join(F.broadcast(q), on=["table", "bucket"])
         .filter(F.col("id") != query_id)

@@ -76,6 +76,20 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(emb, query_id=0, dim=EMBED_DIM, top_k=10)
 
 
+@register("sim_ann_multiprobe_topk", oracle=_TOPK_SQL)
+def sim_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-1 multiprobe LSH top-10 for vec 0, fully hash-checked
+    against the exact brute-force oracle: multiprobe recall is total on
+    the gate corpus (pytest-pinned) and candidate scoring reuses the same
+    left-fold cosine as the brute-force path, so the approximate plan
+    (bucket-equijoin probe, NOT a corpus scan) produces the bit-identical
+    top-k.  Planes are md5-derived — deterministic on every executor."""
+    from ..operators.similarity import N_PLANES
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk(emb, query_id=0, dim=EMBED_DIM, top_k=10, multiprobe=N_PLANES)
+
+
 @register("sim_ann_ivf_topk", oracle=None)
 def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate top-10 for vec 0: deterministic

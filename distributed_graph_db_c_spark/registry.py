@@ -90,9 +90,11 @@ _PRIORITY = [
     "sample_deterministic_split",
     "mm_resize_checksum",
     "rel_events_type_matrix",
-    # similarity family (absent from r01)
+    # similarity family (absent from r01); multiprobe ANN is the
+    # hash-checked approximate path (total recall on the gate corpus),
+    # the plain-LSH and IVF rows-only variants sit outside the window
     "sim_embedding_norms",
-    "sim_ann_lsh_topk",
+    "sim_ann_multiprobe_topk",
     "sim_ann_ivf_topk",
     "sim_cosine_pairs",
     # sketches (absent from r01)

@@ -132,3 +132,19 @@ def test_hash_split_unordered_boundaries(spark):
     b = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", shuffled).collect()}
     assert a == b
     assert set(a.values()) == {"train", "val", "test"}
+
+
+def test_ann_multiprobe_improves_or_matches_recall(spark, embeddings):
+    """Hamming-1 multiprobe strictly widens the candidate set per table, so
+    recall vs brute force can only improve (same index, bigger broadcast
+    probe list); top-k output length stays k."""
+    from distributed_graph_db_c_spark.operators.similarity import N_PLANES
+
+    exact = {r["vec_id"] for r in brute_force_topk(embeddings, 0, 10).collect()}
+    base = {r["vec_id"] for r in ann_topk(embeddings, 0, 64, 10).collect()}
+    multi = [
+        r["vec_id"]
+        for r in ann_topk(embeddings, 0, 64, 10, multiprobe=N_PLANES).collect()
+    ]
+    assert len(multi) == 10
+    assert len(exact & set(multi)) >= len(exact & base)
