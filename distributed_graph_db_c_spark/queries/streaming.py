@@ -259,3 +259,42 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         cleanup(scratch)
     return final
+
+
+_STATIC_JOIN_SQL = """
+SELECT n.n_name,
+       COUNT(*) AS n_events,
+       CAST(SUM(e.event_id) AS BIGINT) AS id_checksum
+FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@register("stream_static_join_enrich", oracle=_STATIC_JOIN_SQL)
+def stream_static_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join — the dimension-lookup pattern every
+    streaming pipeline needs: a REAL file stream of events (2 micro-batches)
+    joins the static nation dim per micro-batch (broadcast by size), results
+    drain through availableNow into a memory sink.  Keys are synthetic
+    (user_id mod 25 -> nationkey) since events carries no FK; the oracle is
+    the identical batch join-aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    scratch = scratch_dir("sjoin")
+    try:
+        batches = [ev.filter(F.pmod("event_id", F.lit(2)) == i) for i in range(2)]
+        in_dir = stage_stream_dir(batches, f"{scratch}/in")
+        sev = read_file_stream(spark, in_dir, ev.schema)
+        enriched = sev.join(
+            F.broadcast(nation), F.pmod("user_id", F.lit(25)) == F.col("n_nationkey")
+        )
+        agg = enriched.groupBy("n_name").agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_id").alias("id_checksum"),
+        )
+        name = f"sj_{uuid.uuid4().hex[:8]}"
+        run_available_now(agg, f"{scratch}/ckpt", query_name=name, output_mode="complete")
+        result = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        cleanup(scratch)
+    return result
