@@ -138,6 +138,55 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         ("no nested loop", r"BroadcastNestedLoopJoin|CartesianProduct", False),
         ("generator for salts", r"Generate explode", True),
     ],
+    "rel_q4_late_shipping": [
+        ("pushdown orderdate", r"PushedFilters: \[[^\]]*o_orderdate", True),
+        ("semi not inner", r"LeftSemi", True),
+        ("no cartesian", r"CartesianProduct", False),
+    ],
+    "rel_q10_returned_items": [
+        ("pushdown returnflag", r"PushedFilters: \[[^\]]*EqualTo\(l_returnflag", True),
+        ("broadcast nation", r"BroadcastHashJoin", True),
+        ("top-k as TakeOrdered", r"TakeOrderedAndProject", True),
+    ],
+    "rel_q14_promo_revenue": [
+        ("pushdown shipdate", r"PushedFilters: \[[^\]]*l_shipdate", True),
+        ("partial agg", r"partial_", True),
+        ("no cartesian", r"CartesianProduct", False),
+    ],
+    "rel_q19_disjunctive_filter": [
+        # OR-of-ANDs predicate: each disjunct's common conjuncts still
+        # reach the scans; the join itself stays hash-based
+        ("hash join", r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", True),
+        ("no cartesian", r"CartesianProduct", False),
+    ],
+    "rel_q20_heavy_suppliers": [
+        ("semi join", r"LeftSemi", True),
+        ("no cartesian", r"CartesianProduct", False),
+    ],
+    "rel_q22_rich_inactive": [
+        ("anti join", r"LeftAnti", True),
+        ("partial agg", r"partial_", True),
+    ],
+    "rel_rollup_revenue_region_nation": [
+        # rollup compiles to ONE scan + Expand, not one pass per level
+        ("expand", r"Expand", True),
+        ("partial agg", r"partial_", True),
+    ],
+    "rel_cube_status_priority": [
+        ("expand", r"Expand", True),
+        ("partial agg", r"partial_", True),
+    ],
+    "rel_order_pagination": [
+        ("global sort bounded", r"TakeOrderedAndProject|GlobalLimit", True),
+    ],
+    "rel_semi_join_open_orders": [
+        ("semi join", r"LeftSemi", True),
+        ("no cartesian", r"CartesianProduct", False),
+    ],
+    "rel_anti_join_customers_no_orders": [
+        ("anti join", r"LeftAnti", True),
+        ("no cartesian", r"CartesianProduct", False),
+    ],
     "graph_dfs_preorder": [
         # the sequential per-graph kernel is ONE grouped-map pandas stage
         # (parallelism axis = fleet of graphs), never a join blow-up
