@@ -187,6 +187,28 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         ("anti join", r"LeftAnti", True),
         ("no cartesian", r"CartesianProduct", False),
     ],
+    "rel_window_running_total": [
+        # one exchange on the partition key feeding the window sort
+        ("window op", r"RunningWindowFunction|Window", True),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+    ],
+    "rel_window_order_gap_days": [
+        ("window op", r"RunningWindowFunction|Window", True),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+    ],
+    "rel_scalar_string_funcs": [
+        # scalar surface is pure codegen projection — no shuffle at all
+        ("no exchange", r"Exchange", False),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+    ],
+    "rel_events_sessionization": [
+        ("window op", r"RunningWindowFunction|Window", True),
+        ("partial agg", r"partial_", True),
+    ],
+    "text_token_stats": [
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("no exchange", r"Exchange", False),  # per-row stats: pure projection
+    ],
     "graph_dfs_preorder": [
         # the sequential per-graph kernel is ONE grouped-map pandas stage
         # (parallelism axis = fleet of graphs), never a join blow-up
