@@ -85,7 +85,12 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is its oracle too: LSH candidate recall at >= 0.8 is total on this
     corpus (pytest-pinned) and the verification jaccard is computed over
     hashed shingle sets whose sizes equal the string-shingle sets absent a
-    64-bit collision — the outputs are bit-identical, fully hash-checked."""
+    64-bit collision — the outputs are bit-identical, fully hash-checked.
+
+    CORPUS-CONTINGENT ORACLE: valid only while LSH recall at J>=0.8 is 1.0
+    on this corpus (pinned by test_minhash_matches_exact_jaccard); a
+    corpus/seed/scale change that turns this gate red is LSH recall loss,
+    not an oracle bug — diagnose with the pytest pin."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_dedup_pairs(docs, threshold=0.8)
 

@@ -83,20 +83,36 @@ def sim_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gate corpus (pytest-pinned) and candidate scoring reuses the same
     left-fold cosine as the brute-force path, so the approximate plan
     (bucket-equijoin probe, NOT a corpus scan) produces the bit-identical
-    top-k.  Planes are md5-derived — deterministic on every executor."""
+    top-k.  Planes are md5-derived — deterministic on every executor.
+
+    CORPUS-CONTINGENT ORACLE: the exact oracle is valid only because
+    multiprobe recall is empirically 1.0 on this gate corpus (pinned by
+    test_ann_multiprobe_total_recall_at_gate_scale); a corpus, seed, or
+    scale change that turns this gate red is a recall regression, not an
+    oracle bug."""
     from ..operators.similarity import N_PLANES
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_topk(emb, query_id=0, dim=EMBED_DIM, top_k=10, multiprobe=N_PLANES)
 
 
-@register("sim_ann_ivf_topk", oracle=None)
+@register("sim_ann_ivf_topk", oracle=_TOPK_SQL)
 def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) approximate top-10 for vec 0: deterministic
-    sample quantizer, Arrow-batched numpy cell assignment, nprobe=4 of 16
-    cells scored exactly.  Rows-only check; recall vs brute force measured
-    in pytest."""
+    """IVF (inverted-file) approximate top-10 for vec 0, fully hash-checked
+    against the exact brute-force oracle: at (n_cells=24, nprobe=16) IVF
+    recall is total on the gate corpus (pytest-pinned in
+    tests/test_dedup_similarity.py) and candidate scoring reuses the same
+    left-fold cosine as the brute-force path, so the cell-pruned plan
+    produces the bit-identical top-k.
+
+    CORPUS-CONTINGENT ORACLE: the exact oracle holds because recall is
+    empirically 1.0 on /root/testdata's near-orthogonal sf0.01 embeddings
+    at this (n_cells, nprobe) — a corpus/seed/scale change that flips this
+    gate red means IVF recall dropped below 1.0 there (diagnose with the
+    pytest recall pin, not the oracle).  The high probe fraction (16/24)
+    is what total recall costs on unclustered random vectors; clustered
+    real-world embeddings keep recall with nprobe << n_cells."""
     from ..operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, query_id=0, top_k=10)
+    return ivf_topk(emb, query_id=0, top_k=10, n_cells=24, nprobe=16)

@@ -54,13 +54,25 @@ def sketch_hll_mergeable_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sketch_quantiles_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-price quantiles per priority via percentile_approx (Greenwald-
     Khanna sketch): rank-error bounded by 1/accuracy, memory O(accuracy),
-    vs an exact percentile's full sort+shuffle of every value."""
+    vs an exact percentile's full sort+shuffle of every value.
+
+    The sketch evaluates all four ranks in ONE pass (a single array-typed
+    percentile_approx), then the array is flattened to scalar columns so
+    the result is canonicalizable by hash/sort drivers — array-typed
+    result columns are not (pandas ``sort_values`` cannot factorize
+    lists)."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75, 0.95], 10000).alias(
-            "price_quantiles"
-        ),
+    q = o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75, 0.95], 10000).alias("qs"),
         F.count("*").alias("n_orders"),
+    )
+    return q.select(
+        "o_orderpriority",
+        F.element_at("qs", 1).alias("p25"),
+        F.element_at("qs", 2).alias("p50"),
+        F.element_at("qs", 3).alias("p75"),
+        F.element_at("qs", 4).alias("p95"),
+        "n_orders",
     )
 
 

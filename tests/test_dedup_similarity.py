@@ -134,6 +134,37 @@ def test_hash_split_unordered_boundaries(spark):
     assert set(a.values()) == {"train", "val", "test"}
 
 
+def test_ann_multiprobe_total_recall_at_gate_scale(spark, embeddings):
+    """The exact _TOPK_SQL oracle on sim_ann_multiprobe_topk is valid ONLY
+    while multiprobe recall is 1.0 on this corpus (the oracle is
+    corpus-contingent).  Pin total recall here so a future corpus/seed/
+    scale change is diagnosed as recall loss, not an oracle bug."""
+    from distributed_graph_db_c_spark.operators.similarity import N_PLANES
+
+    exact = [r["vec_id"] for r in brute_force_topk(embeddings, 0, 10).collect()]
+    multi = [
+        r["vec_id"]
+        for r in ann_topk(embeddings, 0, 64, 10, multiprobe=N_PLANES).collect()
+    ]
+    assert multi == exact, "multiprobe recall < 1.0: fix recall or drop the exact oracle"
+
+
+def test_ivf_total_recall_at_gate_params(spark, embeddings):
+    """The exact _TOPK_SQL oracle on sim_ann_ivf_topk is valid ONLY while
+    IVF at (n_cells=24, nprobe=16) has recall 1.0 on this corpus (the
+    oracle is corpus-contingent; the near-orthogonal synthetic embeddings
+    are IVF's worst case, hence the high probe fraction).  Exact-order
+    equality doubles as the tie-order check."""
+    from distributed_graph_db_c_spark.operators.similarity import ivf_topk
+
+    exact = [r["vec_id"] for r in brute_force_topk(embeddings, 0, 10).collect()]
+    ivf = [
+        r["vec_id"]
+        for r in ivf_topk(embeddings, query_id=0, top_k=10, n_cells=24, nprobe=16).collect()
+    ]
+    assert ivf == exact, "IVF recall < 1.0: retune (n_cells, nprobe) or drop the exact oracle"
+
+
 def test_ann_multiprobe_improves_or_matches_recall(spark, embeddings):
     """Hamming-1 multiprobe strictly widens the candidate set per table, so
     recall vs brute force can only improve (same index, bigger broadcast

@@ -55,7 +55,7 @@ def test_percentile_approx_within_rank_error(spark):
             for r in o.filter(F.col("o_orderpriority") == prio).collect()
         )
         n = len(vals)
-        for q, got in zip([0.25, 0.5, 0.75, 0.95], row["price_quantiles"]):
+        for q, got in zip([0.25, 0.5, 0.75, 0.95], [row["p25"], row["p50"], row["p75"], row["p95"]]):
             # GK sketch: result's rank within n/accuracy of target rank
             import bisect
 
