@@ -41,6 +41,7 @@ class GraphCatalog:
         never rewritten (the per-file writer lock of primary_server.c:60
         becomes partition-granularity isolation)."""
         spark = self.spark
+        self._invalidate_stats()
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # Dynamic overwrite only replaces partitions PRESENT in the incoming
         # data: replacing a graph with an edgeless version (fixture G14
@@ -82,6 +83,7 @@ class GraphCatalog:
         partition); call ``put(gid, empty_edges, vertices)`` or ``drop``
         for that case."""
         spark = self.spark
+        self._invalidate_stats()
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
             edges.select(
@@ -113,8 +115,18 @@ class GraphCatalog:
         """Remove one graph by overwriting its partition with zero rows is
         not expressible via dynamic overwrite; use an explicit partition
         path delete (same effect as the reference never having the file)."""
+        self._invalidate_stats()
         for base in (self._edges_path, self._vertices_path):
             self._drop_partition(base, graph_id)
+
+    @staticmethod
+    def _invalidate_stats() -> None:
+        # Catalog mutations reuse the same scan path, so the traversal
+        # auto-dispatchers' memoized edge-count stat (keyed on the analyzed
+        # plan) would go stale without an explicit invalidation.
+        from .operators.traversal import clear_graph_stats_cache
+
+        clear_graph_stats_cache()
 
     # -- read path --
 

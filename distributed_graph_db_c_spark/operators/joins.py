@@ -30,11 +30,17 @@ def asof_join(
     seq: str = "event_id",
     value_cols: list[str] | None = None,
     suffix: str = "_asof",
+    strict: bool = False,
 ) -> DataFrame:
     """For each right row, attach the most recent left row (same ``on``
-    key) with (ts, seq) at-or-before the right row's (ts, seq): a left row
-    whose (ts, seq) EXACTLY equals the right row's counts as prior (the
-    window sorts left rows before right rows on ties, deterministically).
+    key) with (ts, seq) at-or-before the right row's (ts, seq).
+
+    Tie semantics are explicit: with ``strict=False`` (default, kdb-style
+    at-or-before) a left row whose (ts, seq) EXACTLY equals the right
+    row's counts as prior; with ``strict=True`` (strictly-before) it does
+    not.  Either way the tie order is pinned deterministically by the
+    ``_is_left`` sort key — without it, output on full (ts, seq) ties
+    would depend on shuffle order.
 
     Returns the right rows plus ``<ts><suffix>`` (and value columns
     suffixed) from the matched left row; nulls when no prior left row.
@@ -51,12 +57,12 @@ def asof_join(
     )
     r_tag = right.withColumn("_is_left", F.lit(0))
     merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    # at-or-before: left sorts FIRST on a full tie -> inside the prior
+    # frame; strictly-before: left sorts LAST -> outside it
+    tie_break = F.col("_is_left").asc() if strict else F.col("_is_left").desc()
     w = (
         Window.partitionBy(on)
-        # _is_left DESC breaks (ts, seq) ties: the left row sorts first, so
-        # an exactly-tying left row is inside the prior-rows frame (without
-        # this the tie order — and the output — depends on shuffle order).
-        .orderBy(F.col(ts), F.col(seq), F.col("_is_left").desc())
+        .orderBy(F.col(ts), F.col(seq), tie_break)
         .rowsBetween(Window.unboundedPreceding, -1)  # prior rows only
     )
     carried = [

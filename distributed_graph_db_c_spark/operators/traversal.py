@@ -360,13 +360,42 @@ def bfs_fleet(edges: DataFrame, starts: DataFrame) -> DataFrame:
 _FLEET_MAX_EDGES = 5_000_000
 
 
-def max_graph_edges(edges: DataFrame) -> int:
+# Dispatch-stat memo: (applicationId, semanticHash of the analyzed edge
+# plan) -> max per-graph edge count.  BFS/PageRank/CC auto-dispatchers all
+# consult the same scalar over the same catalog snapshot; without the memo
+# every dispatch pays a counting job (3+ per suite run, one per traversal
+# at a 100x catalog).  Semantic hashing keys on the PLAN, so a different
+# sf_dir (different scan path) misses correctly; catalog MUTATIONS reuse
+# the same path, so GraphCatalog.put/put_all/drop invalidate explicitly.
+_EDGE_STAT_CACHE: dict[tuple[str, int], int] = {}
+
+
+def clear_graph_stats_cache() -> None:
+    """Invalidate memoized dispatch stats (called by catalog mutators)."""
+    _EDGE_STAT_CACHE.clear()
+
+
+def max_graph_edges(edges: DataFrame, use_cache: bool = True) -> int:
     """Max per-graph edge count — the ONE scalar the auto-dispatchers need.
-    One aggregate job; callers running several traversals over the same
-    catalog snapshot should compute it once and pass it to each ``*_auto``
-    via ``max_edges`` instead of paying the job per dispatch."""
+    Memoized per (session, analyzed plan): repeated traversals over the
+    same catalog snapshot pay the aggregate job once.  Callers can still
+    pass ``max_edges`` to ``*_auto`` to skip the job entirely, or
+    ``use_cache=False`` to force a recount."""
+    key: tuple[str, int] | None
+    try:
+        key = (
+            edges.sparkSession.sparkContext.applicationId,
+            edges._jdf.queryExecution().analyzed().semanticHash(),
+        )
+    except Exception:  # Connect or API drift: fall back to uncached
+        key = None
+    if use_cache and key is not None and key in _EDGE_STAT_CACHE:
+        return _EDGE_STAT_CACHE[key]
     row = edges.groupBy("graph_id").count().agg(F.max("count").alias("m")).collect()[0]
-    return 0 if row["m"] is None else int(row["m"])
+    val = 0 if row["m"] is None else int(row["m"])
+    if key is not None:
+        _EDGE_STAT_CACHE[key] = val
+    return val
 
 
 def bfs_auto(edges: DataFrame, starts: DataFrame, max_edges: int | None = None) -> DataFrame:

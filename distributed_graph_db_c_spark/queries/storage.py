@@ -37,27 +37,31 @@ def storage_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     Exchange-free.  Unique table names + drop keep the gate re-runnable."""
     tag = uuid.uuid4().hex[:8]
     t_orders, t_lineitem = f"b_orders_{tag}", f"b_lineitem_{tag}"
-    write_bucketed(
-        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
-        t_orders,
-        "o_orderkey",
-        n_buckets=8,
-    )
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice", "l_discount"
-    )
-    write_bucketed(li, t_lineitem, "o_orderkey", n_buckets=8)
-    result = (
-        bucketed_join(spark, t_orders, t_lineitem, on="o_orderkey")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count("*").alias("n_lines"),
-            dsum(d("l_extendedprice") * (F.lit(1) - d("l_discount"))).alias("revenue"),
+    try:
+        write_bucketed(
+            load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+            t_orders,
+            "o_orderkey",
+            n_buckets=8,
         )
-        .localCheckpoint(eager=True)
-    )
-    spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
-    spark.sql(f"DROP TABLE IF EXISTS {t_lineitem}")
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice", "l_discount"
+        )
+        write_bucketed(li, t_lineitem, "o_orderkey", n_buckets=8)
+        result = (
+            bucketed_join(spark, t_orders, t_lineitem, on="o_orderkey")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_lines"),
+                dsum(d("l_extendedprice") * (F.lit(1) - d("l_discount"))).alias("revenue"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        # drop on failure too, or reruns leak uuid-named tables + warehouse
+        # files (the scratch-dir gates' try/finally pattern)
+        spark.sql(f"DROP TABLE IF EXISTS {t_orders}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_lineitem}")
     return result
 
 

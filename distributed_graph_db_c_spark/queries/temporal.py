@@ -42,12 +42,26 @@ WHERE r.event_type = 'error'
 def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For every 'error' event, the most recent strictly-prior 'purchase'
     by the same user (its timestamp and value; nulls if none).  Spark side:
-    union-and-window as-of join — ONE shuffle on user_id."""
+    union-and-window as-of join — ONE shuffle on user_id.
+
+    ``strict=True`` matches the oracle's strictly-before predicate
+    (``l.ts < r.ts OR (l.ts = r.ts AND l.event_id < r.event_id)``) exactly.
+    On THIS gate the two tie semantics are unobservable (left/right come
+    from disjoint event_id sets of the same table, so full (ts, seq) ties
+    cannot occur), but the operator and oracle must still state the same
+    contract — tests/test_joins.py pins both semantics on a constructed
+    tie."""
     events = load_table(spark, sf_dir, "events")
     purchases = events.filter(F.col("event_type") == "purchase")
     errors = events.filter(F.col("event_type") == "error")
     out = asof_join(
-        purchases, errors, on="user_id", ts="ts", seq="event_id", value_cols=["value"]
+        purchases,
+        errors,
+        on="user_id",
+        ts="ts",
+        seq="event_id",
+        value_cols=["value"],
+        strict=True,
     )
     return out.select(
         "event_id",

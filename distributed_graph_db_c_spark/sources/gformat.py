@@ -7,18 +7,39 @@ whitespace-separated 0/1 ints; undirected, 1-based external node ids.
 The dense matrix is an *ingest codec only* — the reference itself converts
 to an adjacency list before any traversal (secondary_server.c:306-326), so
 our processing representation is the edge list.  The parse is expressed as
-DataFrame ops (``split`` + ``posexplode``) so cell explosion runs JVM-side;
-a single matrix file is inherently one ordered text blob (row order is
-positional), so line numbering uses a window over the file — fine for the
-reference's <=30-node graphs, while big graphs enter as edge lists/parquet.
+DataFrame ops (``split`` + ``posexplode``) so cell explosion runs JVM-side.
+
+Row order is positional in this format, so order recovery must not depend
+on HOW Spark splits the input: the readers use the text source's
+``wholetext`` mode (one row per file, never split) and number lines with
+``posexplode`` over an in-row split — correct for any file the codec can
+represent (a file must fit one row, the same one-machine bound the dense
+matrix already implies; the reference caps graphs at 30 nodes,
+client.c:15).  Big graphs enter as edge lists/parquet.  A plain ``text``
+read with ``monotonically_increasing_id`` would misnumber rows silently
+the moment a file spans two input splits (> maxPartitionBytes).
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from ..schemas import GRAPH_EDGES_SCHEMA, GRAPH_VERTICES_SCHEMA
+
+
+def _numbered_lines(spark: SparkSession, path_glob: str) -> DataFrame:
+    """(file, row_idx, value) with row_idx = position IN the file, derived
+    from a wholetext read so numbering is split-independent."""
+    return (
+        spark.read.text(path_glob, wholetext=True)
+        .select(
+            F.input_file_name().alias("_file"),
+            F.posexplode(F.split("value", r"\r?\n")).alias("row_idx", "line"),
+        )
+        .filter(F.trim("line") != "")  # trailing newline yields one empty tail element
+        .withColumnRenamed("line", "value")
+    )
 
 
 def read_gformat(spark: SparkSession, path: str, graph_id: int) -> tuple[DataFrame, DataFrame]:
@@ -28,11 +49,7 @@ def read_gformat(spark: SparkSession, path: str, graph_id: int) -> tuple[DataFra
     graphs, SURVEY.md §1.2) so every traversal step is a plain equi-join.
     Vertices cover 1..n so isolated nodes survive (fixture G14: no edges).
     """
-    lines = (
-        spark.read.text(path)
-        .select(F.monotonically_increasing_id().alias("_file_order"), "value")
-        .withColumn("row_idx", F.row_number().over(Window.orderBy("_file_order")) - 1)
-    )
+    lines = _numbered_lines(spark, path)
     n = lines.filter(F.col("row_idx") == 0).select(F.trim("value").cast("long")).head()[0]
 
     edges = (
@@ -59,32 +76,21 @@ def read_gformat_dir(
 ) -> tuple[DataFrame, DataFrame]:
     """Bulk-ingest a catalog directory of ``G<i>.txt`` files — the
     reference's actual database bootstrap (primary_server.c:49-59: graph
-    identity IS the filename, G1..G20).  One distributed text read covers
-    every file; graph_id comes from ``regexp_extract`` on the filename, so
-    a directory of 100k graph files is still a single job with no
-    driver-side loop.
+    identity IS the filename, G1..G20).  One distributed wholetext read
+    covers every file; graph_id comes from ``regexp_extract`` on the
+    filename, so a directory of 100k graph files is still a single job
+    with no driver-side loop.
 
-    Per-file line order: ``monotonically_increasing_id`` is ordered within
-    a split and each G file is one split (the codec's domain is dense text
-    matrices — the reference caps graphs at 30 nodes, client.c:15; big
-    graphs enter as edge lists/parquet), so a window partitioned by file
-    recovers row numbers with one shuffle keyed by filename.
+    Per-file line order comes from ``posexplode`` over the in-row line
+    split (see module docstring): split-independent, and zero shuffles —
+    the old window-per-file approach both shuffled on filename AND
+    silently misnumbered rows for any file spanning two input splits.
 
     Returns (edges, vertices) spanning every matched file, symmetrized the
     same as :func:`read_gformat`.
     """
-    lines = (
-        spark.read.text(f"{dir_path.rstrip('/')}/G*.txt")
-        .select(
-            F.input_file_name().alias("_file"),
-            F.monotonically_increasing_id().alias("_order"),
-            "value",
-        )
-        .withColumn("graph_id", F.regexp_extract("_file", pattern, 1).cast("int"))
-        .withColumn(
-            "row_idx",
-            F.row_number().over(Window.partitionBy("_file").orderBy("_order")) - 1,
-        )
+    lines = _numbered_lines(spark, f"{dir_path.rstrip('/')}/G*.txt").withColumn(
+        "graph_id", F.regexp_extract("_file", pattern, 1).cast("int")
     )
     edges = (
         lines.filter(F.col("row_idx") > 0)

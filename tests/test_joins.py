@@ -101,3 +101,23 @@ def test_asof_join_exact_tie_left_counts_as_prior(spark):
             for r in asof_join(left, right, on="user_id", value_cols=["value"]).collect()
         }
         assert got == {500: 7.0}
+
+
+def test_asof_join_strict_excludes_exact_tie(spark):
+    # strict=True is strictly-before: the exactly-tying left row is NOT a
+    # match (the tie semantics the asof_join_events oracle states); an
+    # earlier left row still is.
+    left = spark.createDataFrame(
+        [(1, _ts(9), 400, 5.0), (1, _ts(10), 500, 7.0)],
+        "user_id int, ts timestamp, event_id int, value double",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(10), 500)], "user_id int, ts timestamp, event_id int"
+    )
+    got = {
+        r["event_id"]: r["value_asof"]
+        for r in asof_join(
+            left, right, on="user_id", value_cols=["value"], strict=True
+        ).collect()
+    }
+    assert got == {500: 5.0}

@@ -120,3 +120,34 @@ def test_connected_components(spark, fixture_graphs):
     # G1 connected -> all component 1
     g1 = {r["component"] for r in labels.filter(F.col("graph_id") == 1).collect()}
     assert g1 == {1}
+
+
+def test_max_graph_edges_memo_and_catalog_invalidation(spark, tmp_path):
+    """The dispatch stat is memoized per (session, analyzed plan): a second
+    call over an equivalent plan must hit the cache; a catalog mutation
+    (same scan path, new data) must invalidate it, not serve stale counts."""
+    from distributed_graph_db_c_spark.catalog import GraphCatalog
+    from distributed_graph_db_c_spark.operators.traversal import (
+        _EDGE_STAT_CACHE,
+        clear_graph_stats_cache,
+        max_graph_edges,
+    )
+
+    clear_graph_stats_cache()
+    cat = GraphCatalog(spark, str(tmp_path / "memo_cat"))
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    v = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    cat.put(1, e, v)
+    assert len(_EDGE_STAT_CACHE) == 0  # put() invalidates, never populates
+
+    assert max_graph_edges(cat.edges()) == 2
+    assert len(_EDGE_STAT_CACHE) == 1
+    assert max_graph_edges(cat.edges()) == 2  # equivalent plan -> memo hit
+    assert len(_EDGE_STAT_CACHE) == 1
+
+    e2 = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    v2 = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")
+    cat.put(1, e2, v2)  # same path, new data -> cache cleared
+    assert len(_EDGE_STAT_CACHE) == 0
+    assert max_graph_edges(cat.edges()) == 3
+    clear_graph_stats_cache()
