@@ -129,33 +129,65 @@ def ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe: int = 0,
+    margin_ranked: bool = False,
 ) -> DataFrame:
     """Approximate top-k: score only vectors colliding with the query in
     >= 1 of the LSH tables.  Trades recall for a bucket-pruned scan;
     recall vs brute force measured in tests/test_dedup_similarity.py.
 
-    ``multiprobe`` > 0 additionally probes, per table, the buckets at
-    Hamming distance 1 obtained by flipping each of the first
-    ``multiprobe`` sign bits (``multiprobe = n_planes`` probes ALL
-    Hamming-1 neighbours; a margin-ranked variant would flip the nearest
-    hyperplanes first) — the standard way to buy recall WITHOUT more
-    tables: the index stays the same size, only the broadcast query
-    bucket list grows (n_tables x (1 + multiprobe) rows)."""
+    ``multiprobe`` > 0 additionally probes, per table, ``multiprobe``
+    buckets at Hamming distance 1 from the query's bucket — the standard
+    way to buy recall WITHOUT more tables: the index stays the same size,
+    only the broadcast query bucket list grows
+    (n_tables x (1 + multiprobe) rows).  Which bits get flipped:
+
+    - default: the first ``multiprobe`` sign bits (position order) —
+      zero extra work, all plan-side.
+    - ``margin_ranked=True``: the ``multiprobe`` bits whose hyperplanes
+      the query is CLOSEST to (smallest |projection|) — those are the
+      bits most likely to differ for a true near neighbour, so each
+      probe buys more recall (classic multi-probe LSH ordering).  Costs
+      one bounded driver-side fetch of the query vector (1 row, same as
+      the IVF probe-selection pattern) to rank the margins."""
     bt = lsh_bucket_table(embeddings, dim, id_col=id_col, vec_col=vec_col)
-    q = bt.filter(F.col("id") == query_id).select(
-        F.col("vec").alias("_qvec"), "table", "bucket"
-    )
-    if multiprobe > 0:
-        flips = F.array(
-            F.col("bucket"),
-            *[
-                F.col("bucket").bitwiseXOR(F.lit(1 << b))
-                for b in range(min(multiprobe, N_PLANES))
-            ],
+    if multiprobe > 0 and margin_ranked:
+        spark = embeddings.sparkSession
+        qrow = embeddings.filter(F.col(id_col) == query_id).select(vec_col).head()
+        qv = np.asarray(qrow[0], dtype=np.float64)
+        planes = _planes(dim)
+        proj = planes @ qv  # (n_tables * n_planes,)
+        probe_rows = []
+        for t in range(N_TABLES):
+            margins = proj[t * N_PLANES : (t + 1) * N_PLANES]
+            # identical sign convention to the bucketing UDF: bit b set iff
+            # projection > 0
+            base = int(sum(1 << b for b in range(N_PLANES) if margins[b] > 0))
+            probe_rows.append((t, base))
+            for b in np.argsort(np.abs(margins))[: min(multiprobe, N_PLANES)]:
+                probe_rows.append((t, base ^ (1 << int(b))))
+        qvec = embeddings.filter(F.col(id_col) == query_id).select(
+            F.col(vec_col).alias("_qvec")
         )
-        q = q.select(
-            "_qvec", "table", F.explode(flips).alias("bucket")
+        q = (
+            spark.createDataFrame(probe_rows, "table int, bucket long")
+            .crossJoin(F.broadcast(qvec))
+            .select("_qvec", "table", "bucket")
         )
+    else:
+        q = bt.filter(F.col("id") == query_id).select(
+            F.col("vec").alias("_qvec"), "table", "bucket"
+        )
+        if multiprobe > 0:
+            flips = F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << b))
+                    for b in range(min(multiprobe, N_PLANES))
+                ],
+            )
+            q = q.select(
+                "_qvec", "table", F.explode(flips).alias("bucket")
+            )
     candidates = (
         bt.join(F.broadcast(q), on=["table", "bucket"])
         .filter(F.col("id") != query_id)

@@ -179,3 +179,42 @@ def test_ann_multiprobe_improves_or_matches_recall(spark, embeddings):
     ]
     assert len(multi) == 10
     assert len(exact & set(multi)) >= len(exact & base)
+
+
+def test_ann_margin_ranked_multiprobe_beats_position_order(spark, embeddings):
+    """Margin-ranked probing (flip the bits whose hyperplanes the query is
+    closest to) reaches TOTAL recall at multiprobe=2 on the gate corpus,
+    where position-order flipping needs multiprobe=4 — each probe buys
+    more recall when ranked by |margin|.  Exact-order equality vs brute
+    force pins it (everything is deterministic)."""
+    exact = [r["vec_id"] for r in brute_force_topk(embeddings, 0, 10).collect()]
+    marg = [
+        r["vec_id"]
+        for r in ann_topk(
+            embeddings, 0, 64, 10, multiprobe=2, margin_ranked=True
+        ).collect()
+    ]
+    assert marg == exact
+
+
+def test_simhash_banding_exact_within_pigeonhole_bound(spark, docs):
+    """The 4x16-bit banding is EXACT for Hamming <= 3 (pigeonhole: 3
+    differing bits cannot touch all 4 quarters, so one quarter matches and
+    the pair surfaces as a candidate).  Verify against brute-force Hamming
+    over all sketch pairs at gate scale — recall must be 1.0, not
+    approximate."""
+    from distributed_graph_db_c_spark.operators.dedup import simhash64, simhash_candidate_pairs
+
+    sketches = {r["id"]: r["simhash"] for r in simhash64(docs).collect()}
+    ids = sorted(sketches)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sketches[a] ^ sketches[b]) & (2**64 - 1)).count("1") <= 3
+    }
+    banded = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_candidate_pairs(docs, max_hamming=3).collect()
+    }
+    assert banded == brute
