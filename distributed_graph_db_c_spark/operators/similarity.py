@@ -204,6 +204,63 @@ def ann_topk(
     )
 
 
+def cosine_lsh_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: int = 0,
+) -> DataFrame:
+    """All pairs with cosine >= threshold via LSH bucketing — the scale
+    twin of :func:`cosine_pairs` for the embedding NEAR-DUP problem (the
+    pairs analogue of :func:`ann_topk`).
+
+    Candidates = pairs sharing a bucket in >= 1 LSH table (a bucket
+    self-equijoin, never an all-pairs cross join); ``multiprobe`` > 0
+    additionally matches pairs whose buckets differ by one of the first
+    ``multiprobe`` sign bits (one side's bucket list explodes
+    x(1+multiprobe), the standard probe-side widening).  Each candidate
+    pair is then scored with the same left-fold cosine as the exact path,
+    so precision is exact by construction and only candidate recall is
+    approximate.
+
+    At a 100 TB corpus the self-equijoin shuffles on (table, bucket) and
+    each bucket holds a tiny fraction of the corpus; the gate corpus
+    (near-orthogonal random vectors, threshold near the random-cosine
+    regime) is the worst case — real clustered embeddings at dedup-grade
+    thresholds (>= 0.8) collide within far fewer, smaller buckets."""
+    bt = lsh_bucket_table(embeddings, dim, id_col=id_col, vec_col=vec_col)
+    a = bt.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("va"), "table", "bucket"
+    )
+    if multiprobe > 0:
+        a = a.select(
+            "id_a",
+            "va",
+            "table",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << b))
+                        for b in range(min(multiprobe, N_PLANES))
+                    ],
+                )
+            ).alias("bucket"),
+        )
+    b = bt.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vb"), "table", "bucket"
+    )
+    return (
+        a.join(b, on=["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", cosine_seq(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_cells: int = 16,

@@ -20,6 +20,7 @@ from ..operators.dedup import (
 )
 from ..registry import register
 from ..sources.tables import load_table
+from .similarity import _PAIRS_SQL as _EMBED_PAIRS_SQL
 from .text import _TOKS_SQL
 
 _EXACT_SQL = """
@@ -128,3 +129,27 @@ def sample_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(F.count("*").alias("n_docs"), F.sum("doc_id").alias("id_checksum"))
     )
+
+
+@register("dedup_embedding_cosine_pairs", oracle=_EMBED_PAIRS_SQL)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine >= 0.45) through the
+    LSH-bucketed pairs path — the scale twin of ``sim_cosine_pairs``
+    (which stays the all-pairs oracle form), completing the dedup-mode
+    set: exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+
+    Bucket self-equijoin with Hamming-1 multiprobe widening generates
+    candidates; each candidate is scored with the same left-fold cosine
+    as the exact path, so precision is exact and the output contract is
+    identical.
+
+    CORPUS-CONTINGENT ORACLE: the exact all-pairs oracle is valid only
+    while multiprobe candidate recall at 0.45 is 1.0 on this corpus
+    (pinned by test_cosine_lsh_pairs_total_recall); near-orthogonal
+    random vectors at a threshold near the random-cosine regime are
+    LSH's worst case — a corpus/threshold change that flips this gate
+    red is candidate-recall loss, not an oracle bug."""
+    from ..operators.similarity import N_PLANES, cosine_lsh_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_lsh_pairs(emb, threshold=0.45, dim=64, multiprobe=N_PLANES)

@@ -132,7 +132,7 @@ _PRIORITY = [
     "rel_events_type_matrix",
     "sim_ann_multiprobe_topk",
     "graph_dfs_preorder",
-    "graph_dfs_leaves_order_chain",
+    "dedup_embedding_cosine_pairs",  # new in round 3 (LSH pairs dedup)
     "dedup_exact",
     "skew_salted_join_revenue",
     # --- streaming LAST inside the window: each entry runs a real

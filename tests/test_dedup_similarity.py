@@ -218,3 +218,30 @@ def test_simhash_banding_exact_within_pigeonhole_bound(spark, docs):
         for r in simhash_candidate_pairs(docs, max_hamming=3).collect()
     }
     assert banded == brute
+
+
+def test_cosine_lsh_pairs_total_recall(spark, embeddings):
+    """The exact all-pairs oracle on dedup_embedding_cosine_pairs is valid
+    ONLY while the multiprobe bucket self-join's candidate recall at 0.45
+    is 1.0 on this corpus (corpus-contingent; this near-orthogonal corpus
+    at a threshold near the random-cosine regime is LSH's worst case).
+    Set equality vs the exact O(n^2) path pins it; precision is exact by
+    construction (candidates are re-scored with the same fold)."""
+    from distributed_graph_db_c_spark.operators.similarity import (
+        N_PLANES,
+        cosine_lsh_pairs,
+        cosine_pairs,
+    )
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_pairs(embeddings, 0.45).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in cosine_lsh_pairs(
+            embeddings, 0.45, dim=64, multiprobe=N_PLANES
+        ).collect()
+    }
+    assert exact, "gate corpus should contain near-dup embedding pairs"
+    assert lsh == exact
