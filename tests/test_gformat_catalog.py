@@ -245,3 +245,22 @@ def test_write_gformat_dir_roundtrip(spark, tmp_path):
         assert {
             r["id"] for r in verts2.filter(F.col("graph_id") == gid).collect()
         } == {r["id"] for r in cat.vertices(gid).collect()}, f"G{gid}"
+
+
+def test_gformat_dir_ingest_plan_is_shuffle_free(spark, tmp_path):
+    """The wholetext + posexplode line numbering removed the per-file
+    window shuffle: the bulk-ingest edge plan must contain NO Exchange
+    (one embarrassingly-parallel scan, exactly what a 100k-file catalog
+    bootstrap wants)."""
+    from distributed_graph_db_c_spark.sources.gformat import read_gformat_dir
+
+    d = tmp_path / "gdir_plan"
+    d.mkdir()
+    (d / "G1.txt").write_text("2\n0 1\n1 0\n")
+    (d / "G2.txt").write_text("1\n0\n")
+    edges, vertices = read_gformat_dir(spark, str(d))
+    for df in (edges, vertices):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    got = {(r["graph_id"], r["src"], r["dst"]) for r in edges.collect()}
+    assert got == {(1, 1, 2), (1, 2, 1)}

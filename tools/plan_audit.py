@@ -225,6 +225,20 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         ("partial agg", r"partial_sum", True),
         ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
     ],
+    "dedup_embedding_cosine_pairs": [
+        # LSH pairs dedup: candidates via bucket self-EQUIJOIN, never an
+        # all-pairs cross join (the O(n^2) twin is sim_cosine_pairs)
+        ("equi not theta", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True),
+        ("no nested loop", r"BroadcastNestedLoopJoin|CartesianProduct", False),
+        # scoring is the codegen left-fold, not a Python UDF
+        ("no python udf", r"BatchEvalPython", False),
+    ],
+    "sketch_quantiles_totalprice": [
+        # GK sketch merges map-side: the shuffle carries sketch bytes,
+        # not the value stream
+        ("partial agg", r"partial_", True),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+    ],
 }
 
 
