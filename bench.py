@@ -41,6 +41,9 @@ HEADLINE = [
     "stream_tumbling_hour",
     "sketch_hll_distinct_parts",
     "pipeline_training_prep",
+    # round 3: the two new scale-path similarity/dedup operators
+    "dedup_embedding_cosine_pairs",
+    "sim_ann_batch_topk",
 ]
 
 

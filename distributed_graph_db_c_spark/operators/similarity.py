@@ -204,6 +204,60 @@ def ann_topk(
     )
 
 
+def ann_batch_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    top_k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: int = 0,
+) -> DataFrame:
+    """Top-k neighbours for EVERY query vector in one plan — the
+    production shape of ANN (a query batch amortizes the index build;
+    :func:`ann_topk` is its single-query special case).
+
+    ``queries`` is a (qid, qvec) DataFrame (typically a selection of the
+    corpus or a broadcast-sized probe set).  Both sides are bucketed with
+    the same deterministic planes; candidates come from the
+    (table, bucket) equijoin — each query scores only its colliding
+    vectors, never the corpus — and a per-qid window takes the top k
+    (rank by cosine desc, id asc, same tie order as the exact path).
+    ``multiprobe`` widens the query side's bucket list by the first
+    ``multiprobe`` Hamming-1 flips per table, exactly as in
+    :func:`ann_topk`."""
+    bt = lsh_bucket_table(embeddings, dim, id_col=id_col, vec_col=vec_col)
+    qt = lsh_bucket_table(queries, dim, id_col="qid", vec_col="qvec")
+    q = qt.select(F.col("id").alias("qid"), F.col("vec").alias("_qvec"), "table", "bucket")
+    if multiprobe > 0:
+        q = q.select(
+            "qid",
+            "_qvec",
+            "table",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << b))
+                        for b in range(min(multiprobe, N_PLANES))
+                    ],
+                )
+            ).alias("bucket"),
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        bt.join(F.broadcast(q), on=["table", "bucket"])
+        .filter(F.col("id") != F.col("qid"))
+        .dropDuplicates(["qid", "id"])
+        .select("qid", "id", cosine_seq(F.col("vec"), F.col("_qvec")).alias("cosine"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_k)
+        .select("qid", F.col("id").alias(id_col), "cosine")
+    )
+
+
 def cosine_lsh_pairs(
     embeddings: DataFrame,
     threshold: float,

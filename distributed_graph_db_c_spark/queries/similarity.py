@@ -96,6 +96,48 @@ def sim_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(emb, query_id=0, dim=EMBED_DIM, top_k=10, multiprobe=N_PLANES)
 
 
+_BATCH_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+agg AS (
+    SELECT q.qid, e.vec_id,
+           {dot_sql('e.embedding', 'q.qe')} AS dot,
+           {dot_sql('e.embedding', 'e.embedding')} AS na,
+           {dot_sql('q.qe', 'q.qe')} AS nb
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.qid
+),
+scored AS (SELECT qid, vec_id, dot / (sqrt(na) * sqrt(nb)) AS cosine FROM agg),
+ranked AS (
+    SELECT qid, vec_id, cosine,
+           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+    FROM scored
+)
+SELECT qid, vec_id, cosine FROM ranked WHERE rn <= 3
+"""
+
+
+@register("sim_ann_batch_topk", oracle=_BATCH_TOPK_SQL)
+def sim_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN: top-3 neighbours for query vectors 0-4 in ONE plan —
+    bucket-equijoin candidates per query, per-qid window rank.  Fully
+    hash-checked against the exact per-query brute-force oracle: with
+    full Hamming-1 multiprobe, candidate recall covers every query's
+    exact top-3 on the gate corpus (pytest-pinned in
+    tests/test_dedup_similarity.py), and scoring reuses the same
+    left-fold cosine, so the batch plan's output is bit-identical.
+
+    CORPUS-CONTINGENT ORACLE, same contract as the other ANN gates: a
+    corpus/seed/scale change that flips this red is recall loss on some
+    query — diagnose with the pytest pin."""
+    from ..operators.similarity import N_PLANES, ann_batch_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ann_batch_topk(emb, queries, dim=EMBED_DIM, top_k=3, multiprobe=N_PLANES)
+
+
 @register("sim_ann_ivf_topk", oracle=_TOPK_SQL)
 def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate top-10 for vec 0, fully hash-checked

@@ -133,7 +133,7 @@ _PRIORITY = [
     "sim_ann_multiprobe_topk",
     "graph_dfs_preorder",
     "dedup_embedding_cosine_pairs",  # new in round 3 (LSH pairs dedup)
-    "dedup_exact",
+    "sim_ann_batch_topk",  # new in round 3 (batch ANN, hash-exact)
     "skew_salted_join_revenue",
     # --- streaming LAST inside the window: each entry runs a real
     # micro-batch stream and is the slowest class of gate query — if the

@@ -245,3 +245,26 @@ def test_cosine_lsh_pairs_total_recall(spark, embeddings):
     }
     assert exact, "gate corpus should contain near-dup embedding pairs"
     assert lsh == exact
+
+
+def test_ann_batch_topk_matches_bruteforce_per_query(spark, embeddings):
+    """The exact oracle on sim_ann_batch_topk is valid ONLY while the
+    multiprobe candidate sets cover every query's exact top-3 on this
+    corpus (corpus-contingent, same contract as the other ANN gates).
+    Pin per-query exact-order equality vs the brute-force path."""
+    from distributed_graph_db_c_spark.operators.similarity import (
+        N_PLANES,
+        ann_batch_topk,
+    )
+
+    queries = embeddings.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = {}
+    for r in ann_batch_topk(
+        embeddings, queries, dim=64, top_k=3, multiprobe=N_PLANES
+    ).collect():
+        got.setdefault(r["qid"], []).append(r["vec_id"])
+    for q in range(5):
+        exact = [r["vec_id"] for r in brute_force_topk(embeddings, q, 3).collect()]
+        assert got.get(q) == exact, (q, got.get(q), exact)

@@ -233,6 +233,13 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         # scoring is the codegen left-fold, not a Python UDF
         ("no python udf", r"BatchEvalPython", False),
     ],
+    "sim_ann_batch_topk": [
+        # query batch broadcast to the bucketed index; per-qid rank is a
+        # window, candidates never a cross join
+        ("broadcast probe", r"BroadcastHashJoin", True),
+        ("no nested loop", r"BroadcastNestedLoopJoin|CartesianProduct", False),
+        ("per-query rank window", r"RunningWindowFunction|Window", True),
+    ],
     "sketch_quantiles_totalprice": [
         # GK sketch merges map-side: the shuffle carries sketch bytes,
         # not the value stream
