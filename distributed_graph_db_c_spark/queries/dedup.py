@@ -153,3 +153,64 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_lsh_pairs(emb, threshold=0.45, dim=64, multiprobe=N_PLANES)
+
+
+_GROUPS_SQL = rf"""
+WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(t) >= 3
+                   THEN list_distinct(list_transform(generate_series(0, len(t)-3),
+                                                     i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                   ELSE [] END AS s
+       FROM toks),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+ipairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+           FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+jpairs AS (SELECT doc_a, doc_b
+           FROM ipairs
+           JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+           WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+          UNION ALL SELECT doc_b, doc_a FROM jpairs),
+reach(doc, lab) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.a, r.lab FROM reach r JOIN edges e ON e.b = r.doc
+)
+SELECT doc AS doc_id, MIN(lab) AS canonical_id FROM reach GROUP BY doc
+"""
+
+
+@register("dedup_minhash_groups", oracle=_GROUPS_SQL)
+def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup SURVIVORSHIP: every document mapped to the canonical (min
+    doc_id) member of its near-dup cluster — the step a corpus dedup
+    actually ships (pairs -> transitive clusters -> one survivor each;
+    singletons map to themselves).
+
+    Spark side composes two scale paths already gated separately: the
+    MinHash+LSH near-dup pair join (one slim shuffle, bucketed candidates)
+    feeds min-label connected components over the pair graph (the
+    cogrouped union-find kernel via auto dispatch — near-dup clusters are
+    tiny by construction even when the corpus is not).  The oracle
+    recomputes the same fixpoint as a recursive CTE over the exact-Jaccard
+    pair graph; both reduce to min-reachable-id, so the mapping is
+    hash-exact while LSH recall stays total (see dedup_minhash_pairs'
+    corpus-contingency note — same contract)."""
+    from ..operators.traversal import connected_components_auto
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, threshold=0.8)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .select(F.lit(0).alias("graph_id"), F.col("src").cast("long"), F.col("dst").cast("long"))
+    )
+    vertices = docs.select(F.lit(0).alias("graph_id"), F.col("doc_id").cast("long").alias("id"))
+    cc = connected_components_auto(edges, vertices)
+    return cc.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("canonical_id")
+    )
