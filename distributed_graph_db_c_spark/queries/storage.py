@@ -247,3 +247,43 @@ def source_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         cleanup(scratch)
     return result
+
+
+_ZORDER_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+       CAST(SUM(o_custkey) AS BIGINT) AS cust_checksum
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@register("storage_zorder_roundtrip", oracle=_ZORDER_SQL)
+def storage_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout round trip: orders rewritten clustered by the Morton
+    code of (o_custkey, o_orderdate) — the two-dimensional data-skipping
+    layout (operators/zorder.py): per-file footer stats stay tight on BOTH
+    columns, so range filters on either prune files, where a plain sort
+    serves only its leading column.  The checksums prove the exact row set
+    survived the rewrite; the skipping property itself is pinned by
+    tests/test_zorder.py against real parquet footer metadata."""
+    from ..operators.zorder import write_zordered
+    from ..streaming.sources import cleanup, scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    scratch = scratch_dir("zordergate")
+    try:
+        write_zordered(orders, f"{scratch}/orders", "o_custkey", "o_orderdate")
+        back = spark.read.parquet(f"{scratch}/orders")
+        result = (
+            back.groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("o_orderkey").alias("key_checksum"),
+                F.sum("o_custkey").alias("cust_checksum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        cleanup(scratch)
+    return result

@@ -130,7 +130,7 @@ _PRIORITY = [
     "sample_deterministic_split",
     "mm_resize_checksum",
     "rel_events_type_matrix",
-    "sim_ann_multiprobe_topk",
+    "storage_zorder_roundtrip",  # new in round 3 (Morton layout)
     "dedup_minhash_groups",  # new in round 3 (near-dup survivorship)
     "dedup_embedding_cosine_pairs",  # new in round 3 (LSH pairs dedup)
     "sim_ann_batch_topk",  # new in round 3 (batch ANN, hash-exact)
