@@ -32,6 +32,7 @@ from ..streaming.sources import (
 )
 from ..streaming.stateful import user_running_totals
 from ..streaming.windows import session_stats, sliding_counts, tumbling_counts
+from .dedup import _JACCARD_SQL as _MINHASH_STREAM_SQL
 
 # ---------------------------------------------------------------------------
 # window builders, batch mode (streaming twin: tests/test_streaming.py)
@@ -259,6 +260,46 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         cleanup(scratch)
     return final
+
+
+@register("stream_dedup_minhash_incremental", oracle=_MINHASH_STREAM_SQL)
+def stream_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental streaming near-dup detection: documents arrive in 3
+    real micro-batches; a foreachBatch handler keeps an accumulating LSH
+    band-bucket index and each batch shingles ONLY its own documents,
+    joining against the index for cross-batch collisions
+    (streaming/dedup.py:incremental_minhash_dedup).  The final pair set
+    is arrival-order-invariant (each pair is found when its later member
+    arrives), so it must equal the batch operator's output — the same
+    exact-Jaccard SQL gates a genuinely streaming execution.
+
+    CORPUS-CONTINGENT ORACLE: same contract as dedup_minhash_pairs —
+    valid while LSH recall at J>=0.8 is total on this corpus (the
+    pytest pin covers both paths, which share every hash)."""
+    from ..streaming.dedup import PAIRS_DDL, incremental_minhash_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    scratch = scratch_dir("sminhash")
+    try:
+        batches = [docs.filter(F.pmod("doc_id", F.lit(3)) == i) for i in range(3)]
+        in_dir = stage_stream_dir(batches, f"{scratch}/in")
+        sdocs = read_file_stream(spark, in_dir, docs.schema)
+        run_available_now(
+            sdocs,
+            f"{scratch}/ckpt",
+            foreach_batch=incremental_minhash_dedup(
+                f"{scratch}/index", f"{scratch}/pairs"
+            ),
+        )
+        pairs = (
+            spark.read.schema(PAIRS_DDL)
+            .parquet(f"{scratch}/pairs")
+            .distinct()  # at-least-once sink: replayed batches append exact duplicates
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        cleanup(scratch)
+    return pairs
 
 
 _STATIC_JOIN_SQL = """

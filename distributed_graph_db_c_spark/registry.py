@@ -142,7 +142,7 @@ _PRIORITY = [
     "stream_tumbling_hour",
     "stream_static_join_enrich",  # never driver-checked
     "stream_requests_dispatch",
-    "stream_dedup_exact",
+    "stream_dedup_minhash_incremental",  # new in round 3 (incremental LSH index)
 ]
 
 

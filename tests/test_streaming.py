@@ -176,3 +176,47 @@ def test_request_server_online_loop(spark):
         if server is not None:
             server.stop()
         cleanup(scratch)
+
+
+def test_incremental_minhash_equals_batch(spark):
+    """The streaming LSH index must find EXACTLY the batch operator's
+    pairs regardless of batch boundaries, and a replayed (duplicate)
+    micro-batch must not change the distinct pair set (at-least-once
+    sink + deterministic values)."""
+    from distributed_graph_db_c_spark.operators.dedup import minhash_dedup_pairs
+    from distributed_graph_db_c_spark.streaming.dedup import (
+        PAIRS_DDL,
+        incremental_minhash_dedup,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    expected = _rows(minhash_dedup_pairs(docs, threshold=0.8))
+    assert expected, "gate corpus must contain near-dup pairs"
+
+    scratch = scratch_dir("test-sminhash")
+    try:
+        batches = [docs.filter(F.pmod("doc_id", F.lit(3)) == i) for i in range(3)]
+        in_dir = stage_stream_dir(batches, f"{scratch}/in")
+        sdocs = read_file_stream(spark, in_dir, docs.schema)
+        run_available_now(
+            sdocs,
+            f"{scratch}/ckpt",
+            foreach_batch=incremental_minhash_dedup(
+                f"{scratch}/index", f"{scratch}/pairs"
+            ),
+        )
+        got = _rows(
+            spark.read.schema(PAIRS_DDL).parquet(f"{scratch}/pairs").distinct()
+        )
+        assert got == expected
+
+        # replay batch 1 by hand (the retry scenario): appended rows are
+        # exact duplicates, so the distinct set is unchanged
+        handler = incremental_minhash_dedup(f"{scratch}/index", f"{scratch}/pairs")
+        handler(batches[1], 99)
+        replayed = _rows(
+            spark.read.schema(PAIRS_DDL).parquet(f"{scratch}/pairs").distinct()
+        )
+        assert replayed == expected
+    finally:
+        cleanup(scratch)
