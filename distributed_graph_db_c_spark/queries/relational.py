@@ -1572,3 +1572,40 @@ def skew_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_lines"), revenue_expr().alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-pruned shuffle join: the explicit runtime-filter. Like salting,
+# the bloom must be result-invisible, so the oracle is the plain join.
+# ---------------------------------------------------------------------------
+
+_BLOOM_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n_lines, {REVENUE_SQL} AS revenue
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+WHERE o_totalprice > 400000
+GROUP BY o_orderpriority
+"""
+
+
+@register("rel_bloom_pruned_join", oracle=_BLOOM_SQL)
+def rel_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/bloom.bloom_pruned_join in the oracle gate: lineitem joins
+    only the rare high-value orders (selective dim), and a bloom bitmap
+    built FROM the dim keys filters lineitem map-side before the join's
+    Exchange — ~80% of fact rows never enter the shuffle (the runtime-
+    filter pattern for dims too big or too late-bound to broadcast
+    exactly).  No false negatives, and the equi-join still verifies every
+    survivor, so the oracle is the PLAIN join SQL."""
+    from ..operators.bloom import bloom_pruned_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    joined = bloom_pruned_join(li, dim, "l_orderkey", "o_orderkey", fpp=0.01)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"), revenue_expr().alias("revenue")
+    )

@@ -128,7 +128,7 @@ _PRIORITY = [
     # --- regression-prone proven entries (round-1 fails, pandas-UDF
     # kernels, hash-exact ANN, skew/salting) ---
     "sample_deterministic_split",
-    "mm_resize_checksum",
+    "rel_bloom_pruned_join",  # new in round 3 (runtime-filter join pruning)
     "rel_events_type_matrix",
     "storage_zorder_roundtrip",  # new in round 3 (Morton layout)
     "dedup_minhash_groups",  # new in round 3 (near-dup survivorship)
