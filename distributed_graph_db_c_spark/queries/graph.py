@@ -376,3 +376,65 @@ def graph_bfs_fleet_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("n_nationkey").cast("long").alias("id"))
     )
     return bfs_fleet(edges, starts)
+
+
+# ---------------------------------------------------------------------------
+# Weighted SSSP on customer 1's order chain.  The chain is a PATH ordered
+# by (o_orderdate, o_orderkey) with edge weight = day gap between
+# consecutive orders, so min-cost distance from the start is |cumulative
+# gap difference| — window functions express the oracle, no recursion.
+# ---------------------------------------------------------------------------
+
+_SSSP_SQL = """
+WITH c1 AS (SELECT o_orderkey, o_orderdate FROM orders WHERE o_custkey = 1),
+g AS (SELECT o_orderkey, o_orderdate,
+             COALESCE(date_diff('day',
+                                CAST(LAG(o_orderdate) OVER (ORDER BY o_orderdate, o_orderkey) AS DATE),
+                                CAST(o_orderdate AS DATE)), 0) AS gap
+      FROM c1),
+cum AS (SELECT o_orderkey,
+               SUM(gap) OVER (ORDER BY o_orderdate, o_orderkey
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM g),
+s AS (SELECT cum AS scum FROM cum
+      WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM c1))
+SELECT CAST(o_orderkey AS BIGINT) AS id,
+       CAST(ABS(cum - (SELECT scum FROM s)) AS BIGINT) AS dist
+FROM cum
+"""
+
+
+@register("graph_sssp_order_chain", oracle=_SSSP_SQL)
+def graph_sssp_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (operators/traversal.sssp):
+    BFS generalized to non-negative integer weights — here the day gaps
+    between a customer's consecutive orders.  The start (customer 1's
+    MIN o_orderkey) can sit MID-chain, so the traversal genuinely relaxes
+    in both directions; on a path graph the true distance is the
+    |cumulative-gap difference|, which is what the window-sum oracle
+    computes.  auto dispatch: tiny chain -> in-task Dijkstra; a 100 TB
+    edge list -> the frontier-relaxation BSP kernel (kernel agreement
+    property-pinned)."""
+    from ..operators.traversal import sssp_auto
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chain = (
+        orders.select(
+            F.lag("o_orderkey").over(w).alias("src"),
+            F.col("o_orderkey").alias("dst"),
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+            .cast("long")
+            .alias("w"),
+        )
+        .filter(F.col("src").isNotNull())
+    )
+    edges = chain.unionByName(
+        chain.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).select(F.lit(0).alias("graph_id"), F.col("src").cast("long"), F.col("dst").cast("long"), "w")
+    start = (
+        orders.filter(F.col("o_custkey") == 1)
+        .agg(F.min("o_orderkey").alias("id"))
+        .select(F.lit(0).alias("graph_id"), "id")
+    )
+    return sssp_auto(edges, start).select("id", "dist")

@@ -139,9 +139,9 @@ _PRIORITY = [
     # micro-batch stream and is the slowest class of gate query — if the
     # driver's cutoff turns out to be time-based rather than the observed
     # 50-entry cap, everything cheaper is already checked before these ---
+    "graph_sssp_order_chain",  # new in round 3 (weighted SSSP, twin kernels)
     "stream_tumbling_hour",
     "stream_static_join_enrich",  # never driver-checked
-    "stream_requests_dispatch",
     "stream_dedup_minhash_incremental",  # new in round 3 (incremental LSH index)
 ]
 

@@ -201,3 +201,84 @@ def test_cc_fleet_kernel_agrees_with_iterative(spark):
         for r in connected_components(edges_df, verts_df).collect()
     }
     assert got_fleet == got_iter
+
+
+def _random_weighted_fleet():
+    """Same fleet shapes, plus a non-negative integer weight per edge
+    (same weight both directions)."""
+    rng = random.Random(SEED + 1)
+    fleet = []
+    for gid, n, edges, start in _random_fleet():
+        wedges = {(a, b): rng.randint(0, 9) for a, b in edges}
+        fleet.append((gid, n, wedges, start))
+    return fleet
+
+
+def _py_dijkstra(n, wedges, start):
+    import heapq
+
+    adj = {v: [] for v in range(1, n + 1)}
+    for (a, b), w in wedges.items():
+        adj[a].append((b, w))
+        adj[b].append((a, w))
+    dist = {}
+    heap = [(0, start)]
+    while heap:
+        d, v = heapq.heappop(heap)
+        if v in dist:
+            continue
+        dist[v] = d
+        for nb, w in adj[v]:
+            if nb not in dist:
+                heapq.heappush(heap, (d + w, nb))
+    return dist
+
+
+def _weighted_fleet_dfs(spark, fleet):
+    edge_rows = [
+        (gid, a, b, w)
+        for gid, n, wedges, _ in fleet
+        for (s, d), w in wedges.items()
+        for a, b in ((s, d), (d, s))
+    ]
+    start_rows = [(gid, start) for gid, _, _, start in fleet]
+    edges_df = spark.createDataFrame(
+        edge_rows, "graph_id int, src long, dst long, w long"
+    )
+    starts_df = spark.createDataFrame(start_rows, "graph_id int, id long")
+    return edges_df, starts_df
+
+
+def test_sssp_random_weighted_fleet(spark):
+    """sssp distances == python Dijkstra on every graph of a random
+    weighted fleet (zero-weight edges included — min, not hop count)."""
+    from distributed_graph_db_c_spark.operators.traversal import sssp
+
+    fleet = _random_weighted_fleet()
+    edges_df, starts_df = _weighted_fleet_dfs(spark, fleet)
+    got = {
+        (r["graph_id"], r["id"]): r["dist"]
+        for r in sssp(edges_df, starts_df).collect()
+    }
+    want = {
+        (gid, v): d
+        for gid, n, wedges, start in fleet
+        for v, d in _py_dijkstra(n, wedges, start).items()
+    }
+    assert got == want
+
+
+def test_sssp_fleet_kernel_agrees_with_iterative(spark):
+    from distributed_graph_db_c_spark.operators.traversal import sssp, sssp_fleet
+
+    fleet = _random_weighted_fleet()
+    edges_df, starts_df = _weighted_fleet_dfs(spark, fleet)
+    got_fleet = {
+        (r["graph_id"], r["id"]): r["dist"]
+        for r in sssp_fleet(edges_df, starts_df).collect()
+    }
+    got_iter = {
+        (r["graph_id"], r["id"]): r["dist"]
+        for r in sssp(edges_df, starts_df).collect()
+    }
+    assert got_fleet == got_iter
