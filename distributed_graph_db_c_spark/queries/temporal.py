@@ -93,3 +93,36 @@ def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     errors = events.filter(F.col("event_type") == "error")
     purchases = events.filter(F.col("event_type") == "purchase")
     return range_join(errors, purchases, on="user_id", ts="ts", band_seconds=300)
+
+
+_RESAMPLE_SQL = """
+WITH obs AS (
+    SELECT user_id AS key, epoch_us(ts) // 14400000000 AS bucket,
+           MAX(value) AS v, COUNT(*) AS n_obs
+    FROM events GROUP BY 1, 2
+),
+b AS (SELECT key, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM obs GROUP BY key),
+grid AS (SELECT key, unnest(generate_series(b0, b1)) AS bucket FROM b),
+j AS (SELECT g.key, g.bucket, o.v, COALESCE(o.n_obs, 0) AS n_obs
+      FROM grid g LEFT JOIN obs o USING (key, bucket))
+SELECT key, bucket,
+       last_value(v IGNORE NULLS) OVER (PARTITION BY key ORDER BY bucket
+                                        ROWS UNBOUNDED PRECEDING) AS value,
+       n_obs
+FROM j
+"""
+
+
+@register("ts_resample_ffill_4h", oracle=_RESAMPLE_SQL)
+def ts_resample_ffill_4h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (operators/timeseries.resample_ffill):
+    every user's event stream resampled onto a dense 4-hour grid from
+    first to last observation — MAX per bucket, gaps forward-filled,
+    n_obs = 0 marking filled rows.  The grid generates distributed
+    (sequence+explode per key); the oracle rebuilds it with
+    generate_series + IGNORE NULLS last_value.  MAX (not last) per
+    bucket keeps the downsample tie-free, so values hash bit-exact."""
+    from ..operators.timeseries import resample_ffill
+
+    ev = load_table(spark, sf_dir, "events")
+    return resample_ffill(ev, "user_id", "ts", "value", 14_400_000_000)

@@ -129,7 +129,7 @@ _PRIORITY = [
     # kernels, hash-exact ANN, skew/salting) ---
     "sample_deterministic_split",
     "rel_bloom_pruned_join",  # new in round 3 (runtime-filter join pruning)
-    "rel_events_type_matrix",
+    "ts_resample_ffill_4h",  # new in round 3 (grid resample + gap-fill)
     "storage_zorder_roundtrip",  # new in round 3 (Morton layout)
     "dedup_minhash_groups",  # new in round 3 (near-dup survivorship)
     "dedup_embedding_cosine_pairs",  # new in round 3 (LSH pairs dedup)

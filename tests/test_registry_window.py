@@ -63,13 +63,13 @@ def test_cumulative_driver_evidence_covers_all_oracle_backed():
 
 
 def test_round1_hash_fails_inside_window():
-    # mm_resize_checksum left this set in round 3: its round-2 driver row
-    # is green, and its slot went to the new rel_bloom_pruned_join gate
+    # mm_resize_checksum and rel_events_type_matrix left this set in
+    # round 3: their round-2 driver rows are green, and their slots went
+    # to new round-3 gates (bloom join pruning, resample gap-fill)
     fixed = {
         "pipeline_training_prep",
         "sample_deterministic_split",
         "graph_pagerank_nations",
-        "rel_events_type_matrix",
     }
     assert fixed <= set(window())
 
