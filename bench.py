@@ -72,18 +72,29 @@ def main() -> None:
     # passes, so a load spike hits one pass, not one query) and report the
     # per-query MIN — the best observed run is the least-noise estimator
     # of the plan's actual cost; medians ride along for dispersion.
+    # Failure isolation (round-3 post-mortem): one broken query must not
+    # zero the whole suite's evidence — r03 died at query 6 of 23 with
+    # rc=1 and produced NO timings.  Catch per query, record the error,
+    # skip it on later passes, and ALWAYS emit the suite JSON.
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    errors: dict[str, str] = {}
     for _ in range(n_passes):
         for name in HEADLINE:
+            if name in errors:
+                continue
             spec = REGISTRY[name]
             t0 = time.perf_counter()
-            spec.run(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            try:
+                spec.run(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001 — report, don't die
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                continue
             runs[name].append(time.perf_counter() - t0)
 
-    timings = {name: round(min(ts), 3) for name, ts in runs.items()}
+    timings = {name: round(min(ts), 3) for name, ts in runs.items() if ts}
     medians = {
-        name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in runs.items()
+        name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in runs.items() if ts
     }
     total = round(sum(timings.values()), 3)
     print(
@@ -94,6 +105,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_median": medians,
+                "errors": errors,
                 "bench_runs": n_passes,
                 "note": "per-query min over full-suite passes; single runs vary +/-40% with machine load",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

