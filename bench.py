@@ -44,6 +44,13 @@ HEADLINE = [
     # round 3: the two new scale-path similarity/dedup operators
     "dedup_embedding_cosine_pairs",
     "sim_ann_batch_topk",
+    # round 4: time the remaining round-3 operators that never had a
+    # bench row (VERDICT r03 item 7)
+    "ts_resample_ffill_4h",
+    "graph_sssp_order_chain",
+    "rel_bloom_pruned_join",
+    "dedup_minhash_groups",
+    "skew_salted_join_revenue",
 ]
 
 

@@ -8,9 +8,34 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.multimodal import FRAME_STRIDE, attach_binary, fake_features, frame_sample
+from ..operators.multimodal import (
+    FRAME_STRIDE,
+    attach_binary,
+    audio_decode_features,
+    fake_features,
+    frame_sample,
+    image_decode_stats,
+    synth_bmp,
+    synth_wav,
+)
 from ..registry import register
 from ..sources.tables import load_table
+
+
+def _with_synth_blob(docs: DataFrame, synth) -> DataFrame:
+    """Attach a deterministic synthesized media blob per doc_id via one
+    Arrow-batched stage (the shape of reading a real blob column)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "blob": [synth(int(i)) for i in pdf["doc_id"]]}
+            )
+
+    return docs.select("doc_id").mapInPandas(gen, schema="doc_id long, blob binary")
 
 _FEATURES_SQL = f"""
 SELECT doc_id,
@@ -90,3 +115,70 @@ def mm_resize_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return resized.mapInPandas(checksum, schema="doc_id long, resized_len long, resized_sum long")
+
+
+_WAV_SQL = """
+SELECT doc_id,
+       CAST(200 + doc_id % 64 AS BIGINT) AS n_samples,
+       CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+       CAST(100 + doc_id % 900 AS BIGINT) AS peak,
+       CAST((100 + doc_id % 900) * (100 + doc_id % 900) AS BIGINT) AS rms_sq,
+       CAST(CASE WHEN (200 + doc_id % 64) % 2 = 0
+                 THEN -(100 + doc_id % 900) * ((200 + doc_id % 64) // 2)
+                 ELSE  (100 + doc_id % 900) * ((200 + doc_id % 64 + 1) // 2)
+            END AS BIGINT) AS wsum
+FROM documents WHERE doc_id < 300
+"""
+
+
+@register("mm_wav_decode_features", oracle=_WAV_SQL)
+def mm_wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode gate: per doc, a 16-bit PCM WAV blob is
+    synthesized by a hand-rolled RIFF writer (square wave with amplitude/
+    length/rate derived from doc_id), then parsed back by the stdlib
+    ``wave`` reader in operators.multimodal.decode_audio and reduced to
+    features with numpy.  The oracle is ANALYTIC — DuckDB recomputes every
+    feature from doc_id arithmetic, sharing zero code with either the
+    writer or the reader — so a mis-parsed fmt chunk, byte order, or
+    sample-order bug flips the hash red.  wsum = sum(s_i*(i+1)) pins
+    order and signedness; rms_sq is exactly amplitude^2 for a square
+    wave.  Compressed audio stays NotImplementedError (no codec libs in
+    the container)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return audio_decode_features(_with_synth_blob(docs, synth_wav))
+
+
+_BMP_SQL = """
+WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h
+           FROM documents WHERE doc_id < 300),
+px AS (
+  SELECT d.doc_id, d.w, d.h, xs.x, ys.y,
+         (xs.x * 7 + ys.y * 13 + d.doc_id) % 256 AS r,
+         (xs.x * 11 + ys.y * 3 + 2 * d.doc_id) % 256 AS g,
+         (xs.x * 5 + ys.y * 17 + 3 * d.doc_id) % 256 AS b
+  FROM d
+  JOIN (SELECT unnest(generate_series(0, 16)) AS x) xs ON xs.x < d.w
+  JOIN (SELECT unnest(generate_series(0, 14)) AS y) ys ON ys.y < d.h
+)
+SELECT doc_id,
+       CAST(MAX(w) AS BIGINT) AS width,
+       CAST(MAX(h) AS BIGINT) AS height,
+       CAST(SUM(r + g + b) AS BIGINT) AS px_sum,
+       CAST(SUM((x + 1) * (y + 1) * (r + 2 * g + 3 * b)) AS BIGINT) AS wsum
+FROM px GROUP BY doc_id
+"""
+
+
+@register("mm_bmp_decode_stats", oracle=_BMP_SQL)
+def mm_bmp_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode gate: per doc, a 24-bit uncompressed BMP is
+    synthesized by a hand-rolled writer (bottom-up rows, BGR, 4-byte row
+    padding — per spec), parsed back by the struct+numpy reader in
+    operators.multimodal.decode_image, and reduced to stats.  The oracle
+    recomputes width/height/px_sum/wsum analytically from doc_id in
+    DuckDB; the position-weighted wsum pins row order, channel swap, and
+    padding handling (a plain px_sum is permutation-invariant and would
+    let symmetric writer/reader bugs cancel).  JPEG/PNG stay
+    NotImplementedError (no codec libs in the container)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return image_decode_stats(_with_synth_blob(docs, synth_bmp))

@@ -114,7 +114,10 @@ _WINDOW_HEAD = [
 # New operators registered this round — each needs its FIRST driver row.
 # Appended here as they land; they displace _FILLER entries (below), never
 # the streaming tail.
-_ROUND4_NEW: list[str] = []
+_ROUND4_NEW: list[str] = [
+    "mm_wav_decode_features",  # real RIFF/PCM WAV parse vs analytic oracle
+    "mm_bmp_decode_stats",  # real 24-bit BMP parse vs analytic oracle
+]
 
 # Regression-prone proven entries (pandas-UDF kernels, hash-exact ANN,
 # skew/salting, storage round-trips).

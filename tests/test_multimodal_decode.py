@@ -1,0 +1,76 @@
+"""Unit tests for the REAL uncompressed-format decoders (round 4):
+synth -> decode round trips with exact array equality, spec-edge cases
+(row padding widths, odd sample counts), and the NotImplementedError
+contract for compressed formats."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from distributed_graph_db_c_spark.operators.multimodal import (
+    decode_audio,
+    decode_image,
+    synth_bmp,
+    synth_wav,
+)
+
+
+@pytest.mark.parametrize("doc_id", [0, 1, 7, 63, 64, 299, 12345])
+def test_wav_roundtrip_exact(doc_id):
+    samples, rate = decode_audio(synth_wav(doc_id))
+    a = 100 + doc_id % 900
+    n = 200 + doc_id % 64
+    assert rate == 8000 + (doc_id % 4) * 4000
+    assert samples.shape == (n, 1)
+    expect = np.where(np.arange(n) % 2 == 0, a, -a)
+    assert np.array_equal(samples[:, 0], expect)
+
+
+@pytest.mark.parametrize("doc_id", list(range(13)))  # every padding width
+def test_bmp_roundtrip_exact(doc_id):
+    # w = 4 + doc_id % 13 covers w*3 % 4 in all residues -> all pad widths
+    img = decode_image(synth_bmp(doc_id))
+    w = 4 + doc_id % 13
+    h = 4 + doc_id % 11
+    assert img.shape == (h, w, 3)
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    assert np.array_equal(img[:, :, 0], (x * 7 + y * 13 + doc_id) % 256)
+    assert np.array_equal(img[:, :, 1], (x * 11 + y * 3 + 2 * doc_id) % 256)
+    assert np.array_equal(img[:, :, 2], (x * 5 + y * 17 + 3 * doc_id) % 256)
+
+
+def test_bmp_orientation_not_symmetric():
+    # row 0 differs from the last row for any asymmetric pattern, so a
+    # decoder that forgets the bottom-up flip cannot pass the roundtrip
+    img = decode_image(synth_bmp(5))
+    assert not np.array_equal(img[0], img[-1])
+
+
+def test_compressed_formats_raise():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)  # JPEG SOI
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04" + b"\x00" * 64)  # MP3 with ID3 tag
+
+
+def test_wav_8bit_unsigned_centering():
+    import struct
+
+    # hand-build an 8-bit mono WAV: samples 0, 128, 255 -> centered -128, 0, 127
+    data = bytes([0, 128, 255])
+    blob = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    samples, rate = decode_audio(blob)
+    assert rate == 8000
+    assert samples[:, 0].tolist() == [-128, 0, 127]
