@@ -101,12 +101,26 @@ def bloom_pruned_join(
     dim_key: str,
     n_keys_hint: int | None = None,
     fpp: float = 0.01,
+    keys_unique: bool = False,
 ) -> DataFrame:
     """Inner equi-join ``fact.fact_key == dim.dim_key`` with a bloom
     pre-filter on the fact side: build from the (already filtered) dim
     keys, probe map-side before the join's Exchange.  Result set is
-    EXACTLY the plain join's."""
-    n = n_keys_hint if n_keys_hint is not None else dim.select(dim_key).distinct().count()
+    EXACTLY the plain join's.
+
+    The dim is materialized once (localCheckpoint) before its three uses
+    — key count, bitmap build, and the verifying join — otherwise each
+    is a separate job re-running the dim's scan+filter from source
+    (measured 2x the whole operator's cost at sf0.1)."""
+    dim = dim.localCheckpoint(eager=True)
+    if n_keys_hint is not None:
+        n = n_keys_hint
+    elif keys_unique:
+        # caller vouches dim_key is unique (e.g. a primary key): a plain
+        # count on the checkpointed dim skips the distinct's shuffle
+        n = dim.count()
+    else:
+        n = dim.select(dim_key).distinct().count()
     m_bits, n_hashes = bloom_params(n, fpp)
     bitmap = bloom_build(dim.select(dim_key), dim_key, m_bits, n_hashes)
     pruned = fact.filter(

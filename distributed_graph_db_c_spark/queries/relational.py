@@ -1583,7 +1583,7 @@ _BLOOM_SQL = f"""
 SELECT o_orderpriority, COUNT(*) AS n_lines, {REVENUE_SQL} AS revenue
 FROM lineitem
 JOIN orders ON o_orderkey = l_orderkey
-WHERE o_totalprice > 400000
+WHERE o_totalprice > 480000
 GROUP BY o_orderpriority
 """
 
@@ -1591,21 +1591,24 @@ GROUP BY o_orderpriority
 @register("rel_bloom_pruned_join", oracle=_BLOOM_SQL)
 def rel_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """operators/bloom.bloom_pruned_join in the oracle gate: lineitem joins
-    only the rare high-value orders (selective dim), and a bloom bitmap
-    built FROM the dim keys filters lineitem map-side before the join's
-    Exchange — ~80% of fact rows never enter the shuffle (the runtime-
-    filter pattern for dims too big or too late-bound to broadcast
-    exactly).  No false negatives, and the equi-join still verifies every
-    survivor, so the oracle is the PLAIN join SQL."""
+    only the rare high-value orders (~4%-selective dim — runtime filters
+    only pay off when the dim IS selective; at the earlier 20% threshold
+    the bitmap was 4.5k literal words and the probe cost more than it
+    saved), and a bloom bitmap built FROM the dim keys filters lineitem
+    map-side before the join's Exchange — ~96% of fact rows never enter
+    the shuffle (the runtime-filter pattern for dims too big or too
+    late-bound to broadcast exactly).  No false negatives, and the
+    equi-join still verifies every survivor, so the oracle is the PLAIN
+    join SQL.  keys_unique: o_orderkey is the orders primary key."""
     from ..operators.bloom import bloom_pruned_join
 
     li = load_table(spark, sf_dir, "lineitem")
     dim = (
         load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_totalprice") > 400000)
+        .filter(F.col("o_totalprice") > 480000)
         .select("o_orderkey", "o_orderpriority")
     )
-    joined = bloom_pruned_join(li, dim, "l_orderkey", "o_orderkey", fpp=0.01)
+    joined = bloom_pruned_join(li, dim, "l_orderkey", "o_orderkey", fpp=0.01, keys_unique=True)
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_lines"), revenue_expr().alias("revenue")
     )
