@@ -287,3 +287,48 @@ def storage_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         cleanup(scratch)
     return result
+
+
+_ORC_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+       CAST(MIN(o_orderdate) AS VARCHAR) AS first_date,
+       CAST(MAX(o_orderdate) AS VARCHAR) AS last_date
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+"""
+
+
+@register("source_orc_roundtrip", oracle=_ORC_SQL)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC codec round trip (round 4 — the remaining built-in columnar
+    format next to parquet): orders written to ORC with zlib compression,
+    read back, aggregated; checksums + date extrema prove the exact row
+    set and the date/decimal type round trips survived.  Like parquet,
+    ORC scans get predicate pushdown and column pruning from Catalyst,
+    so either format serves the 100 TB scan path; the gate pins that the
+    codec seam doesn't bend values."""
+    from ..streaming.sources import cleanup, scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_orderdate"
+    )
+    scratch = scratch_dir("orcgate")
+    try:
+        orders.write.mode("overwrite").option("compression", "zlib").orc(
+            f"{scratch}/orders"
+        )
+        back = spark.read.orc(f"{scratch}/orders")
+        result = (
+            back.groupBy("o_orderstatus", "o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("o_orderkey").alias("key_checksum"),
+                F.min("o_orderdate").cast("string").alias("first_date"),
+                F.max("o_orderdate").cast("string").alias("last_date"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        cleanup(scratch)
+    return result

@@ -252,3 +252,269 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("quality").alias("min_quality"),
         F.max("quality").alias("max_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: the remaining corpus-hygiene stages of an LLM training pipeline —
+# repetition/boilerplate stats (C4/Gopher-style rules), PII scrubbing, and
+# benchmark decontamination.  All three stay in pure codegen expressions /
+# one bounded broadcast; oracles re-express identical semantics in DuckDB.
+# ---------------------------------------------------------------------------
+
+_REP_SQL = rf"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+g AS (SELECT doc_id, t,
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(generate_series(0, len(t)-3),
+                                      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+                  ELSE [] END AS g3
+      FROM toks),
+m AS (SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(len(g3) AS BIGINT) AS n_3grams,
+             CAST(len(list_distinct(g3)) AS BIGINT) AS n_distinct_3grams,
+             CAST(CASE WHEN len(t) > 0
+                  THEN list_max(list_transform(list_distinct(t),
+                                               w -> len(list_filter(t, x -> x = w))))
+                  ELSE 0 END AS BIGINT) AS max_tf
+      FROM g)
+SELECT doc_id, n_tokens, n_3grams, n_distinct_3grams,
+       CAST(CASE WHEN n_3grams > 0
+            THEN (1000 * (n_3grams - n_distinct_3grams)) // n_3grams ELSE 0 END AS BIGINT)
+         AS dup_3gram_milli,
+       CAST(CASE WHEN n_tokens > 0 THEN (1000 * max_tf) // n_tokens ELSE 0 END AS BIGINT)
+         AS top_term_milli
+FROM m
+"""
+
+
+@register("text_repetition_stats", oracle=_REP_SQL)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition/boilerplate quality rules (the C4 / Gopher-rules family):
+    duplicate-3-gram ratio and top-term dominance per document, as integer
+    permille so the gate hashes exactly.  Everything is per-row
+    higher-order-function arithmetic — NO shuffle at all (contrast with
+    the explode+groupBy formulation, which shuffles every 3-gram); at
+    100 TB this runs scan-speed as a pure map."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens()
+    n = F.size(t)
+    idx = F.sequence(F.lit(0), n - F.lit(3))
+    g3 = F.when(n >= 3, F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i + 1), F.element_at(t, i + 2), F.element_at(t, i + 3)
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    max_tf = F.when(n > 0, F.array_max(
+        F.transform(F.array_distinct(t), lambda w: F.size(F.filter(t, lambda x: x == w)))
+    )).otherwise(F.lit(0))
+    m = docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.size(g3).cast("long").alias("n_3grams"),
+        F.size(F.array_distinct(g3)).cast("long").alias("n_distinct_3grams"),
+        max_tf.cast("long").alias("max_tf"),
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "n_3grams",
+        "n_distinct_3grams",
+        F.expr(
+            "CAST(CASE WHEN n_3grams > 0 THEN (1000 * (n_3grams - n_distinct_3grams)) DIV n_3grams ELSE 0 END AS BIGINT)"
+        ).alias("dup_3gram_milli"),
+        F.expr(
+            "CAST(CASE WHEN n_tokens > 0 THEN (1000 * max_tf) DIV n_tokens ELSE 0 END AS BIGINT)"
+        ).alias("top_term_milli"),
+    )
+
+
+# PII synthesis + scrub.  The corpus is synthetic word salad with no real
+# PII, so the gate INJECTS deterministic PII derived from doc_id (the same
+# trick as the multimodal decode gates), then scrubs it back out; counts
+# and the scrubbed fingerprint are hash-compared.  Patterns are kept in
+# the RE2/Java-regex common subset so both engines compile them alike.
+_PII_EMAIL = r"[a-z0-9]+@[a-z]+\.[a-z]+"
+_PII_PHONE = r"555-[0-9]{4}-[0-9]{4}"
+_PII_SSN = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+_PII_SQL = rf"""
+WITH inj AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                                          || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-6789' ELSE '' END AS s
+  FROM documents),
+scrub AS (
+  SELECT doc_id, s,
+         regexp_replace(regexp_replace(regexp_replace(s,
+             '{_PII_EMAIL}', '[EMAIL]', 'g'),
+             '{_PII_PHONE}', '[PHONE]', 'g'),
+             '{_PII_SSN}', '[SSN]', 'g') AS clean
+  FROM inj)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(s, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(s, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(s, '{_PII_SSN}')) AS BIGINT) AS n_ssns,
+       CAST(length(clean) AS BIGINT) AS clean_len,
+       md5(clean) AS clean_fp
+FROM scrub
+"""
+
+
+@register("text_pii_scrub", oracle=_PII_SQL)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (emails, phone numbers, SSN-shaped ids):
+    counts per class and the md5 of the scrubbed text, so the gate proves
+    the redaction REMOVED the patterns (fingerprint match requires every
+    byte of every replacement to agree).  Pure regexp codegen — the scrub
+    runs map-side at scan speed on any corpus size; the deterministic
+    injection stage stands in for real PII in this synthetic corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    s = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+                F.lit("-"),
+                F.lpad(((did * 7) % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(s, _PII_EMAIL, "[EMAIL]"), _PII_PHONE, "[PHONE]"
+        ),
+        _PII_SSN,
+        "[SSN]",
+    )
+    count = lambda pat: F.size(F.regexp_extract_all(s, F.lit(pat), F.lit(0))).cast("long")  # noqa: E731
+    return docs.select(
+        "doc_id",
+        count(_PII_EMAIL).alias("n_emails"),
+        count(_PII_PHONE).alias("n_phones"),
+        count(_PII_SSN).alias("n_ssns"),
+        F.length(clean).cast("long").alias("clean_len"),
+        F.md5(clean).alias("clean_fp"),
+    )
+
+
+_DECON_SQL = rf"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+g AS (SELECT doc_id,
+             CASE WHEN len(t) >= 5
+                  THEN list_distinct(list_transform(generate_series(0, len(t)-5),
+                       i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5]))
+                  ELSE [] END AS g5
+      FROM toks),
+bench AS (SELECT DISTINCT unnest(g5) AS bg FROM g WHERE doc_id < 20),
+hits AS (SELECT c.doc_id, COUNT(DISTINCT u.gram) AS n_hits
+         FROM g c, unnest(c.g5) AS u(gram)
+         JOIN bench ON u.gram = bench.bg
+         WHERE c.doc_id >= 20
+         GROUP BY c.doc_id)
+SELECT g.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN COALESCE(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
+WHERE g.doc_id >= 20
+"""
+
+
+@register("text_decontaminate_overlap", oracle=_DECON_SQL)
+def text_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    5-gram with the held-out eval set (docs 0..19 stand in for the
+    benchmark).  The eval side's distinct 5-grams BROADCAST (eval sets
+    are tiny next to a training corpus); the corpus side explodes its
+    distinct 5-grams and hash-joins map-side, so at 100 TB the only
+    shuffle is the per-doc hit count — the standard n-gram-overlap
+    decontamination used for LLM training data."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens()
+    n = F.size(t)
+    g5 = F.when(n >= 5, F.array_distinct(F.transform(
+        F.sequence(F.lit(0), n - F.lit(5)),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(t, i + 1),
+            F.element_at(t, i + 2),
+            F.element_at(t, i + 3),
+            F.element_at(t, i + 4),
+            F.element_at(t, i + 5),
+        ),
+    ))).otherwise(F.array().cast("array<string>"))
+    with_g = docs.select("doc_id", g5.alias("g5"))
+    bench = (
+        with_g.filter(F.col("doc_id") < 20)
+        .select(F.explode("g5").alias("bg"))
+        .distinct()
+    )
+    corpus = with_g.filter(F.col("doc_id") >= 20)
+    hits = (
+        corpus.select("doc_id", F.explode("g5").alias("gram"))
+        .join(F.broadcast(bench), F.col("gram") == F.col("bg"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("_n"))
+    )
+    return (
+        corpus.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_hits"),
+            F.when(F.coalesce(F.col("_n"), F.lit(0)) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("contaminated"),
+        )
+    )
+
+
+_FUZZY_SQL = rf"""
+WITH toks AS (SELECT {_TOKS_SQL} AS t FROM documents),
+terms AS (SELECT DISTINCT unnest(t) AS term FROM toks),
+q AS (SELECT DISTINCT substr(term, 1, 1) || substr(term, 3) AS qterm
+      FROM terms WHERE length(term) >= 4)
+SELECT q.qterm, d.term AS dict_term,
+       CAST(levenshtein(q.qterm, d.term) AS BIGINT) AS dist
+FROM q JOIN terms d ON levenshtein(q.qterm, d.term) <= 1
+"""
+
+
+@register("text_fuzzy_join_edit1", oracle=_FUZZY_SQL)
+def text_fuzzy_join_edit1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dictionary matching within edit distance 1 via the
+    deletion-neighborhood EQUIJOIN (operators/fuzzy.py): the query side is
+    the corpus vocabulary deterministically corrupted (2nd char deleted),
+    the dictionary side is the vocabulary itself.  The oracle is the
+    naive cross join + exact levenshtein in DuckDB — the differential
+    proves the variant decomposition finds EXACTLY the <=1 pairs (FastSS
+    completeness), while the Spark plan does it with one hash equijoin
+    instead of |Q|x|D| distance evaluations."""
+    from ..operators.fuzzy import fuzzy_join_edit1
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(F.explode(tokens()).alias("term")).distinct()
+    q = (
+        terms.filter(F.length("term") >= 4)
+        .select(
+            F.concat(
+                F.substring("term", 1, 1), F.expr("substring(term, 3)")
+            ).alias("qterm")
+        )
+        .distinct()
+    )
+    return fuzzy_join_edit1(q, terms.withColumnRenamed("term", "dict_term"), "qterm", "dict_term").select(
+        "qterm", F.col("dict_term"), "dist"
+    )

@@ -117,6 +117,11 @@ _WINDOW_HEAD = [
 _ROUND4_NEW: list[str] = [
     "mm_wav_decode_features",  # real RIFF/PCM WAV parse vs analytic oracle
     "mm_bmp_decode_stats",  # real 24-bit BMP parse vs analytic oracle
+    "text_repetition_stats",  # C4/Gopher repetition rules, shuffle-free
+    "text_pii_scrub",  # regex PII redaction, fingerprint-verified
+    "text_decontaminate_overlap",  # benchmark 5-gram decontamination
+    "text_fuzzy_join_edit1",  # deletion-neighborhood fuzzy equijoin
+    "source_orc_roundtrip",  # ORC codec round trip
 ]
 
 # Regression-prone proven entries (pandas-UDF kernels, hash-exact ANN,
