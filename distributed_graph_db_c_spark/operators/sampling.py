@@ -57,3 +57,23 @@ def hash_split(
 def bucket_sql(key_col: str) -> str:
     """DuckDB fragment computing the identical bucket (oracle side)."""
     return f"substr(md5(CAST({key_col} AS VARCHAR)), 1, 2)"
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    thresholds: dict[str, str],
+    default_hex: str = "00",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: each group keeps rows whose
+    md5 bucket falls under ITS OWN hex threshold — the domain-mixing /
+    rebalancing step of corpus preparation (e.g. keep 80%% of en, 20%%
+    of fr), with the same partitioning-stable hash-membership guarantee
+    as :func:`hash_sample`.  Groups not in ``thresholds`` keep
+    ``default_hex`` (none by default)."""
+    b = _bucket(key_col)
+    expr = F.lit(default_hex)
+    for grp, hi in sorted(thresholds.items()):
+        expr = F.when(F.col(group_col) == grp, F.lit(hi)).otherwise(expr)
+    return df.filter(b < expr)

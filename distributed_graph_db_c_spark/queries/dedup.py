@@ -214,3 +214,38 @@ def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(
         F.col("id").alias("doc_id"), F.col("component").alias("canonical_id")
     )
+
+
+_STRAT_SQL = """
+WITH b AS (SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bk
+           FROM documents),
+kept AS (SELECT * FROM b
+         WHERE bk < CASE lang WHEN 'en' THEN 'cc' WHEN 'de' THEN '80'
+                              WHEN 'fr' THEN '80' WHEN 'es' THEN '40'
+                              WHEN 'zh' THEN '40' ELSE '00' END)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM kept GROUP BY lang
+"""
+
+
+@register("sample_stratified_mix", oracle=_STRAT_SQL)
+def sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing / rebalancing sample (round 4): each language keeps a
+    DIFFERENT deterministic fraction (en ~80%, de/fr ~50%, es/zh ~25%) via
+    per-stratum md5-bucket thresholds — the upsampling/downsampling step
+    that sets a training mix, with hash-membership stability under
+    repartitioning and incremental loads.  Pure map-side filter (the
+    threshold CASE folds into the scan); id checksums pin exact row
+    sets per stratum."""
+    from ..operators.sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_hash_sample(
+        docs,
+        "doc_id",
+        "lang",
+        {"en": "cc", "de": "80", "fr": "80", "es": "40", "zh": "40"},
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("doc_id").alias("id_checksum")
+    )

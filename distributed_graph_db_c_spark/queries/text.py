@@ -518,3 +518,56 @@ def text_fuzzy_join_edit1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_join_edit1(q, terms.withColumnRenamed("term", "dict_term"), "qterm", "dict_term").select(
         "qterm", F.col("dict_term"), "dist"
     )
+
+
+_TFIDF_TERMS = ["spark", "join", "window", "stream"]
+
+_TFIDF_SQL = rf"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf
+       FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+       WHERE term IN ('spark', 'join', 'window', 'stream')
+       GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+scored AS (SELECT tf.doc_id,
+                  SUM(tf.tf * ((1000 * n.n_docs) // dfreq.df)) AS score
+           FROM tf JOIN dfreq USING (term) CROSS JOIN n
+           GROUP BY tf.doc_id)
+SELECT doc_id, CAST(score AS BIGINT) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 15
+"""
+
+
+@register("text_tfidf_topk", oracle=_TFIDF_SQL)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF retrieval: top-15 documents for a multi-term query, scored
+    sum(tf x idf) per doc.  IDF uses the RATIONAL surrogate
+    (1000*N) DIV df instead of ln(N/df) — integer arithmetic keeps the
+    differential bit-exact (ln's last-ulp behavior differs between
+    libm and the JVM), and any monotone transform of N/df preserves the
+    ranking the operator exists to produce.  Plan: tokens explode and
+    filter to the query terms BEFORE the tf groupBy (the shuffle carries
+    only query-term hits), document frequencies are a tiny aggregate
+    joined back broadcast, and the top-k compiles to
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    terms_arr = [F.lit(t) for t in _TFIDF_TERMS]
+    tf = (
+        docs.select("doc_id", F.explode(tokens()).alias("term"))
+        .filter(F.col("term").isin(_TFIDF_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = dfreq.select(
+        "term", F.expr(f"CAST((1000 * {n_docs}) DIV df AS BIGINT)").alias("idf_milli")
+    )
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("idf_milli")).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(15)
+    )

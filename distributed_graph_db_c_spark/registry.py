@@ -122,6 +122,8 @@ _ROUND4_NEW: list[str] = [
     "text_decontaminate_overlap",  # benchmark 5-gram decontamination
     "text_fuzzy_join_edit1",  # deletion-neighborhood fuzzy equijoin
     "source_orc_roundtrip",  # ORC codec round trip
+    "text_tfidf_topk",  # TF-IDF retrieval, rational IDF, TakeOrdered
+    "sample_stratified_mix",  # per-stratum hash-fraction domain mixing
 ]
 
 # Regression-prone proven entries (pandas-UDF kernels, hash-exact ANN,
