@@ -246,6 +246,55 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         ("partial agg", r"partial_", True),
         ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
     ],
+    # --- round 4 ---
+    "text_repetition_stats": [
+        # per-row HOF arithmetic: a pure map over the scan, NO exchange
+        ("no shuffle", r"Exchange", False),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("column pruning", r"ReadSchema: [^\n]*text", True),
+    ],
+    "text_pii_scrub": [
+        # regex scrub is map-side codegen: no exchange, no UDF
+        ("no shuffle", r"Exchange", False),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+    ],
+    "text_decontaminate_overlap": [
+        # eval-set grams broadcast; the corpus side never shuffles its
+        # exploded grams except for the per-doc count
+        ("broadcast eval grams", r"BroadcastHashJoin", True),
+        ("no nested loop", r"BroadcastNestedLoopJoin|CartesianProduct", False),
+        ("partial count", r"partial_", True),
+    ],
+    "text_fuzzy_join_edit1": [
+        # deletion-neighborhood is an EQUIJOIN: no cartesian anywhere
+        ("equi not theta", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True),
+        ("no nested loop", r"BroadcastNestedLoopJoin|CartesianProduct", False),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+    ],
+    "text_tfidf_topk": [
+        # idf joined back broadcast; top-k compiles to TakeOrdered
+        ("broadcast idf", r"BroadcastHashJoin", True),
+        ("top-k as TakeOrdered", r"TakeOrderedAndProject", True),
+        ("partial agg", r"partial_", True),
+    ],
+    "sample_stratified_mix": [
+        # per-stratum threshold folds into the scan stage: one exchange
+        # (the final rollup), no UDF
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("partial agg", r"partial_", True),
+    ],
+    "rel_bloom_pruned_join": [
+        # bloom probe is codegen bit tests BEFORE the join's exchange
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("no nested loop", r"BroadcastNestedLoopJoin|CartesianProduct", False),
+        ("partial agg", r"partial_", True),
+    ],
+    "mm_wav_decode_features": [
+        # decode runs as Arrow-batched mapInPandas (the one sanctioned
+        # Python seam), never row-at-a-time Python eval
+        ("arrow batched", r"MapInPandas|ArrowEvalPython", True),
+        ("no row-python udf", r"BatchEvalPython", False),
+    ],
 }
 
 
