@@ -332,3 +332,49 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         cleanup(scratch)
     return result
+
+
+_COMPACT_SQL = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(64 AS BIGINT) AS n_files_before,
+       CAST(1 AS BIGINT) AS n_files_after
+FROM documents
+"""
+
+
+@register("storage_compact_roundtrip", oracle=_COMPACT_SQL)
+def storage_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction round trip (operators/compaction.py): the
+    documents table is first written as 64 deliberately-tiny files (the
+    streaming-micro-batch pathology), then compacted into
+    ceil(total/target) range-partitioned files sorted on doc_id.  The
+    gate pins exact row preservation (count + id checksum) plus the
+    before/after file counts; the bin-packing arithmetic and the
+    tight-footer-stats property are pytest-pinned
+    (tests/test_compaction.py).  At 100 TB the inventory comes from the
+    _metadata column (no driver filesystem walk) and the rewrite is one
+    range-shuffle."""
+    from ..operators.compaction import compact_small_files
+    from ..streaming.sources import cleanup, scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents")
+    scratch = scratch_dir("compactgate")
+    try:
+        docs.repartition(64).write.mode("overwrite").parquet(f"{scratch}/small")
+        # target far above the corpus size -> exactly one output file,
+        # making n_files_after deterministic for the oracle
+        n_before, n_after = compact_small_files(
+            spark, f"{scratch}/small", f"{scratch}/compacted", "doc_id",
+            target_file_bytes=1 << 30,
+        )
+        back = spark.read.parquet(f"{scratch}/compacted")
+        result = back.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.lit(n_before).cast("long").alias("n_files_before"),
+            F.lit(n_after).cast("long").alias("n_files_after"),
+        ).localCheckpoint(eager=True)
+    finally:
+        cleanup(scratch)
+    return result

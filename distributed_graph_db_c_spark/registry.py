@@ -124,6 +124,7 @@ _ROUND4_NEW: list[str] = [
     "source_orc_roundtrip",  # ORC codec round trip
     "text_tfidf_topk",  # TF-IDF retrieval, rational IDF, TakeOrdered
     "sample_stratified_mix",  # per-stratum hash-fraction domain mixing
+    "storage_compact_roundtrip",  # small-files compaction round trip
 ]
 
 # Regression-prone proven entries (pandas-UDF kernels, hash-exact ANN,
@@ -137,12 +138,12 @@ _REGRESSION = [
     "graph_sssp_order_chain",
     "sim_ann_ivf_topk",
     "storage_bucketed_join_revenue",
-    "rel_percentiles_quantity",
 ]
 
 # Rotation filler: proven oracle-backed queries cycling for cumulative
 # re-evidence; trimmed first when _ROUND4_NEW grows.
 _FILLER = [
+    "rel_percentiles_quantity",
     "rel_q2_best_supplier",
     "rel_q4_late_shipping",
     "rel_q7_volume_shipping",
