@@ -339,3 +339,82 @@ def stream_static_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         cleanup(scratch)
     return result
+
+
+_LATE_SQL = """
+WITH bounds AS (SELECT min(ts) AS t0, max(ts) AS tmax FROM events),
+l AS (SELECT event_id FROM events, bounds
+      WHERE ts < t0 + INTERVAL 5 DAY AND event_id % 7 = 0),
+kept AS (SELECT e.* FROM events e
+         WHERE e.event_id NOT IN (SELECT event_id FROM l)),
+agg AS (SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS window_start_us,
+               COUNT(*) AS n,
+               CAST(SUM(event_id) AS BIGINT) AS id_checksum
+        FROM kept GROUP BY 1)
+SELECT window_start_us, n, id_checksum
+FROM agg, bounds
+WHERE window_start_us + 86400000000 <= epoch_us(tmax) - 172800000000
+"""
+
+
+@register("stream_watermark_late_drop", oracle=_LATE_SQL)
+def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics, end to end on a real stream: daily
+    tumbling counts with a 2-day watermark over three ordered micro-batches
+    where a slice of the oldest events (first 5 days, event_id % 7 == 0) is
+    HELD BACK and delivered in batch 3 — by then the committed watermark
+    (max event time of batch 2 minus 2 days, ~day 18) has passed their
+    windows (ends <= day 6), so structured streaming must DROP every one
+    of them.  Append mode additionally withholds windows the final
+    watermark (max ts - 2 days) hasn't passed.
+
+    Empirically pinned subtlety (this Spark version): late-row filtering
+    uses the watermark COMMITTED AS OF THE PREVIOUS batch — one batch of
+    lag — so a row delivered in the batch right after its window was
+    passed still lands (and resurrects evicted state!).  Delivering the
+    late slice two batches on puts it firmly behind the lagged filter;
+    the gate's droppedByWatermark therefore covers exactly the held-back
+    slice.
+
+    The oracle reproduces the whole contract analytically: counts over
+    events MINUS the held-back slice, restricted to windows whose end is
+    at or before the final watermark.  Every boundary sits days away from
+    the nearest midnight window edge, so no comparison is within tie
+    range — the gate is exact, and a regression in late-row dropping,
+    watermark advancement, or append emission flips the hash."""
+    import datetime as _dt
+
+    ev = load_table(spark, sf_dir, "events")
+    t0, tmax = ev.agg(F.min("ts"), F.max("ts")).collect()[0]  # bounded: 1 row
+    d5 = t0 + _dt.timedelta(days=5)
+    d10 = t0 + _dt.timedelta(days=10)
+    d20 = t0 + _dt.timedelta(days=20)
+    is_late_slice = (F.col("ts") < F.lit(d5)) & (F.col("event_id") % 7 == 0)
+    b1 = ev.filter((F.col("ts") < F.lit(d10)) & ~is_late_slice)
+    b2 = ev.filter((F.col("ts") >= F.lit(d10)) & (F.col("ts") < F.lit(d20)))
+    b3 = ev.filter((F.col("ts") >= F.lit(d20)) | is_late_slice)
+    scratch = scratch_dir("wmlate")
+    try:
+        in_dir = stage_stream_dir([b1, b2, b3], f"{scratch}/in")
+        sev = read_file_stream(spark, in_dir, ev.schema)
+        agg = (
+            sev.withWatermark("ts", "2 days")
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count("*").alias("n"), F.sum("event_id").alias("id_checksum"))
+        )
+        name = f"wm_{uuid.uuid4().hex[:8]}"
+        run_available_now(
+            agg, f"{scratch}/ckpt", query_name=name, output_mode="append"
+        )
+        final = (
+            spark.table(name)
+            .select(
+                F.unix_micros(F.col("w.start")).alias("window_start_us"),
+                "n",
+                "id_checksum",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        cleanup(scratch)
+    return final

@@ -137,12 +137,12 @@ _REGRESSION = [
     "skew_salted_join_revenue",
     "graph_sssp_order_chain",
     "sim_ann_ivf_topk",
-    "storage_bucketed_join_revenue",
 ]
 
 # Rotation filler: proven oracle-backed queries cycling for cumulative
 # re-evidence; trimmed first when _ROUND4_NEW grows.
 _FILLER = [
+    "storage_bucketed_join_revenue",
     "rel_percentiles_quantity",
     "rel_q2_best_supplier",
     "rel_q4_late_shipping",
@@ -166,6 +166,7 @@ _WINDOW_TAIL_STREAMING = [
     "stream_session_window",
     "stream_stateful_user_totals",
     "stream_dedup_exact",
+    "stream_watermark_late_drop",  # round 4: late-data drop semantics
     "stream_dedup_minhash_incremental",
 ]
 
