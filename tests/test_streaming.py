@@ -220,3 +220,59 @@ def test_incremental_minhash_equals_batch(spark):
         assert replayed == expected
     finally:
         cleanup(scratch)
+
+
+def test_watermark_late_filter_lags_one_batch(spark, tmp_path):
+    """Pins the empirical late-data contract stream_watermark_late_drop
+    depends on: the late filter uses the watermark committed as of the
+    PREVIOUS batch, so a late row one batch after its window was passed
+    still lands (resurrecting evicted state), while a late row TWO
+    batches on is dropped.  If a Spark upgrade tightens this to same-
+    batch filtering, this test fails and the gate's batch layout (late
+    slice in batch 3) still holds — but the docstring should be updated."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+
+    from distributed_graph_db_c_spark.streaming.sources import (
+        cleanup,
+        run_available_now,
+        scratch_dir,
+        stage_stream_dir,
+    )
+
+    schema = StructType(
+        [StructField("ts", TimestampType()), StructField("v", LongType())]
+    )
+    T = dt.datetime(2024, 1, 1)
+    m = lambda mins: T + dt.timedelta(minutes=mins)  # noqa: E731
+    mk = lambda rows: spark.createDataFrame(rows, schema)  # noqa: E731
+    scratch = scratch_dir("wmlag")
+    try:
+        batches = [
+            mk([(m(100), 1), (m(101), 2)]),
+            mk([(m(102), 3)]),
+            mk([(T, 10), (m(200), 4)]),  # T's window passed 2 batches ago
+        ]
+        in_dir = stage_stream_dir(batches, f"{scratch}/in")
+        sev = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        agg = (
+            sev.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("w"))
+            .agg(F.sum("v").alias("s"))
+        )
+        run_available_now(
+            agg, f"{scratch}/ckpt", query_name="wmlag", output_mode="append"
+        )
+        rows = {r["w"]["start"]: r["s"] for r in spark.table("wmlag").collect()}
+        # the late row at T was dropped: its window never appears
+        assert T not in rows, rows
+        # the on-time rows all aggregated into the 01:40 window
+        assert rows[m(100)] == 1 + 2 + 3
+    finally:
+        cleanup(scratch)
