@@ -51,6 +51,19 @@ HEADLINE = [
     "rel_bloom_pruned_join",
     "dedup_minhash_groups",
     "skew_salted_join_revenue",
+    # round 4 operators: corpus hygiene, real decode, maintenance,
+    # streaming late-data
+    "text_repetition_stats",
+    "text_pii_scrub",
+    "text_decontaminate_overlap",
+    "text_fuzzy_join_edit1",
+    "text_tfidf_topk",
+    "sample_stratified_mix",
+    "mm_wav_decode_features",
+    "mm_bmp_decode_stats",
+    "source_orc_roundtrip",
+    "storage_compact_roundtrip",
+    "stream_watermark_late_drop",
 ]
 
 

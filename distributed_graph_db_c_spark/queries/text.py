@@ -292,29 +292,44 @@ FROM m
 def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition/boilerplate quality rules (the C4 / Gopher-rules family):
     duplicate-3-gram ratio and top-term dominance per document, as integer
-    permille so the gate hashes exactly.  Everything is per-row
-    higher-order-function arithmetic — NO shuffle at all (contrast with
-    the explode+groupBy formulation, which shuffles every 3-gram); at
-    100 TB this runs scan-speed as a pure map."""
+    permille so the gate hashes exactly.
+
+    Round-4 rewrite after the bench caught the first formulation at 23 s
+    for sf0.1 (4% of the corpus): building grams with a per-index
+    ``transform`` + ``element_at`` lambda is INTERPRETED per element
+    (~13 µs each) and the expression was evaluated twice.  Now the gram
+    array is three codegen ``slice`` views aligned by ``arrays_zip``
+    (the minhash shingler's pattern — zero lambdas), distinctness is one
+    native ``array_distinct`` over the struct array, and top-term
+    frequency is the explode + two-level groupBy — every stage
+    whole-stage codegen, shuffles carrying only (doc_id, term) pairs
+    with map-side partial counts.  23 s -> ~1 s at sf0.1."""
     docs = load_table(spark, sf_dir, "documents")
     t = tokens()
     n = F.size(t)
-    idx = F.sequence(F.lit(0), n - F.lit(3))
-    g3 = F.when(n >= 3, F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", F.element_at(t, i + 1), F.element_at(t, i + 2), F.element_at(t, i + 3)
-        ),
-    )).otherwise(F.array().cast("array<string>"))
-    max_tf = F.when(n > 0, F.array_max(
-        F.transform(F.array_distinct(t), lambda w: F.size(F.filter(t, lambda x: x == w)))
-    )).otherwise(F.lit(0))
-    m = docs.select(
+    ns = F.greatest(n - F.lit(2), F.lit(0))
+    zipped = F.arrays_zip(
+        F.slice(t, 1, ns), F.slice(t, 2, ns), F.slice(t, 3, ns)
+    )
+    base = docs.select(
         "doc_id",
         n.cast("long").alias("n_tokens"),
-        F.size(g3).cast("long").alias("n_3grams"),
-        F.size(F.array_distinct(g3)).cast("long").alias("n_distinct_3grams"),
-        max_tf.cast("long").alias("max_tf"),
+        F.size(zipped).cast("long").alias("n_3grams"),
+        F.size(F.array_distinct(zipped)).cast("long").alias("n_distinct_3grams"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode(t).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .groupBy("doc_id")
+        .agg(F.max("tf").alias("max_tf"))
+    )
+    m = base.join(tf, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_3grams",
+        "n_distinct_3grams",
+        F.coalesce(F.col("max_tf"), F.lit(0)).cast("long").alias("max_tf"),
     )
     return m.select(
         "doc_id",
@@ -438,38 +453,35 @@ def text_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-gram with the held-out eval set (docs 0..19 stand in for the
     benchmark).  The eval side's distinct 5-grams BROADCAST (eval sets
     are tiny next to a training corpus); the corpus side explodes its
-    distinct 5-grams and hash-joins map-side, so at 100 TB the only
-    shuffle is the per-doc hit count — the standard n-gram-overlap
-    decontamination used for LLM training data."""
+    5-grams and hash-joins map-side, so at 100 TB the only shuffle is
+    the per-doc hit count — the standard n-gram-overlap decontamination
+    used for LLM training data.
+
+    Round-4 rewrite (bench caught 49 s at sf0.1): grams build as five
+    codegen ``slice`` views aligned by ``arrays_zip`` and explode as
+    STRUCTS — no per-element ``transform`` lambda, no string
+    concatenation; the join key is the 5-token struct itself (tokens
+    contain no whitespace, so struct equality == joined-string equality,
+    the same equivalence the minhash shingler documents).  49 s ->
+    ~0.5 s at sf0.1."""
     docs = load_table(spark, sf_dir, "documents")
     t = tokens()
     n = F.size(t)
-    g5 = F.when(n >= 5, F.array_distinct(F.transform(
-        F.sequence(F.lit(0), n - F.lit(5)),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(t, i + 1),
-            F.element_at(t, i + 2),
-            F.element_at(t, i + 3),
-            F.element_at(t, i + 4),
-            F.element_at(t, i + 5),
-        ),
-    ))).otherwise(F.array().cast("array<string>"))
-    with_g = docs.select("doc_id", g5.alias("g5"))
+    ns = F.greatest(n - F.lit(4), F.lit(0))
+    zipped = F.arrays_zip(*[F.slice(t, j + 1, ns) for j in range(5)])
+    grams = docs.select("doc_id", F.explode(zipped).alias("g"))
     bench = (
-        with_g.filter(F.col("doc_id") < 20)
-        .select(F.explode("g5").alias("bg"))
-        .distinct()
+        grams.filter(F.col("doc_id") < 20).select(F.col("g").alias("bg")).distinct()
     )
-    corpus = with_g.filter(F.col("doc_id") >= 20)
+    corpus_ids = docs.filter(F.col("doc_id") >= 20).select("doc_id")
     hits = (
-        corpus.select("doc_id", F.explode("g5").alias("gram"))
-        .join(F.broadcast(bench), F.col("gram") == F.col("bg"))
+        grams.filter(F.col("doc_id") >= 20)
+        .join(F.broadcast(bench), F.col("g") == F.col("bg"))
         .groupBy("doc_id")
-        .agg(F.countDistinct("gram").alias("_n"))
+        .agg(F.countDistinct("g").alias("_n"))
     )
     return (
-        corpus.join(hits, "doc_id", "left")
+        corpus_ids.join(hits, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_hits"),

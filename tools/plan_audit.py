@@ -248,9 +248,13 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
     ],
     # --- round 4 ---
     "text_repetition_stats": [
-        # per-row HOF arithmetic: a pure map over the scan, NO exchange
-        ("no shuffle", r"Exchange", False),
+        # round-4 rewrite: gram counts are codegen slice+zip per row; the
+        # top-term frequency is explode + partial-agg groupBy (the bench
+        # killed the "shuffle-free" HOF version: interpreted lambdas cost
+        # 23 s at sf0.1) — pin codegen + partial agg + no lambdas
         ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("partial agg", r"partial_", True),
+        ("no interpreted lambda", r"LambdaFunction|transform\(", False),
         ("column pruning", r"ReadSchema: [^\n]*text", True),
     ],
     "text_pii_scrub": [
