@@ -64,6 +64,7 @@ HEADLINE = [
     "source_orc_roundtrip",
     "storage_compact_roundtrip",
     "stream_watermark_late_drop",
+    "stream_stream_interval_join",
 ]
 
 

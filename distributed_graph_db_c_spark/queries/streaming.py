@@ -418,3 +418,87 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         cleanup(scratch)
     return final
+
+
+_SS_JOIN_SQL = """
+SELECT e.user_id,
+       e.event_id AS error_id,
+       p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(e.ts) AS dt_us
+FROM events e JOIN events p
+  ON p.user_id = e.user_id
+ AND p.ts BETWEEN e.ts AND e.ts + INTERVAL 1 HOUR
+WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+"""
+
+
+@register("stream_stream_interval_join", oracle=_SS_JOIN_SQL)
+def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join (the last join mode on the streaming
+    checklist: batch/broadcast/stream-static are gated elsewhere): errors
+    joined to purchases by the same user within the following hour, both
+    sides REAL file streams drained with availableNow.  Each side is
+    staged in two time-ordered batches, so matches span micro-batch
+    boundaries and the join's state store does real cross-batch work.
+
+    Watermarks bound the state (purchases held 1h + delay past the error
+    watermark), chosen WIDER than any batch skew here (2 days) so no
+    match is ever evicted early — the inner-join output is then exactly
+    the batch interval join, which is the oracle.  At scale the same
+    query with a tight watermark trades completeness for bounded state —
+    that policy knob, not the join machinery, is the only difference."""
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(F.percentile_approx("ts", 0.5, 1000)).collect()[0][0]  # 1 row
+    errors = ev.filter(F.col("event_type") == "error")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    scratch = scratch_dir("ssjoin")
+    try:
+        e_dir = stage_stream_dir(
+            [errors.filter(F.col("ts") < F.lit(mid)), errors.filter(F.col("ts") >= F.lit(mid))],
+            f"{scratch}/err",
+        )
+        p_dir = stage_stream_dir(
+            [purchases.filter(F.col("ts") < F.lit(mid)), purchases.filter(F.col("ts") >= F.lit(mid))],
+            f"{scratch}/pur",
+        )
+        se = (
+            read_file_stream(spark, e_dir, ev.schema)
+            .withWatermark("ts", "2 days")
+            .select(
+                F.col("user_id").alias("e_user"),
+                F.col("event_id").alias("error_id"),
+                F.col("ts").alias("e_ts"),
+            )
+        )
+        sp = (
+            read_file_stream(spark, p_dir, ev.schema)
+            .withWatermark("ts", "2 days")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+            )
+        )
+        joined = se.join(
+            sp,
+            (F.col("p_user") == F.col("e_user"))
+            & (F.col("p_ts") >= F.col("e_ts"))
+            & (F.col("p_ts") <= F.col("e_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        name = f"ss_{uuid.uuid4().hex[:8]}"
+        run_available_now(
+            joined, f"{scratch}/ckpt", query_name=name, output_mode="append"
+        )
+        final = (
+            spark.table(name)
+            .select(
+                F.col("e_user").alias("user_id"),
+                "error_id",
+                "purchase_id",
+                (F.unix_micros("p_ts") - F.unix_micros("e_ts")).alias("dt_us"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        cleanup(scratch)
+    return final

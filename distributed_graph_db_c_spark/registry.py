@@ -136,12 +136,12 @@ _REGRESSION = [
     "dedup_minhash_groups",
     "skew_salted_join_revenue",
     "graph_sssp_order_chain",
-    "sim_ann_ivf_topk",
 ]
 
 # Rotation filler: proven oracle-backed queries cycling for cumulative
 # re-evidence; trimmed first when _ROUND4_NEW grows.
 _FILLER = [
+    "sim_ann_ivf_topk",
     "storage_bucketed_join_revenue",
     "rel_percentiles_quantity",
     "rel_q2_best_supplier",
@@ -167,6 +167,7 @@ _WINDOW_TAIL_STREAMING = [
     "stream_stateful_user_totals",
     "stream_dedup_exact",
     "stream_watermark_late_drop",  # round 4: late-data drop semantics
+    "stream_stream_interval_join",  # round 4: stream-stream join mode
     "stream_dedup_minhash_incremental",
 ]
 
