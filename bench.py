@@ -63,6 +63,8 @@ HEADLINE = [
     "mm_bmp_decode_stats",
     "source_orc_roundtrip",
     "storage_compact_roundtrip",
+    "storage_incremental_rollup",
+    "storage_upsert_partitioned",
     "stream_watermark_late_drop",
     "stream_stream_interval_join",
 ]

@@ -378,3 +378,151 @@ def storage_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         cleanup(scratch)
     return result
+
+
+_IVM_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)
+         AS total_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("storage_incremental_rollup", oracle=_IVM_SQL)
+def storage_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for an algebraic rollup: the per-
+    priority aggregate is materialized over 80% of orders, then REFRESHED
+    by merging the partial aggregate of the remaining 20% delta — a
+    groupBy over (|keys| x 2) partial rows, never a rescan of the base.
+    The oracle is the full recompute, so the gate proves merge(partial_a,
+    partial_b) == agg(a ∪ b) bit-exactly — for doubles that holds only
+    because the money sum rides DECIMAL until the final cast (the same
+    decimal-ladder rule every gate uses; plain double partials would
+    diverge by association order).  At 100 TB this is the nightly-delta
+    pattern: refresh cost scales with the delta, not the table."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.pmod("o_orderkey", F.lit(5)) != 0)
+    delta = orders.filter(F.pmod("o_orderkey", F.lit(5)) == 0)
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").alias("key_checksum"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_price_dec"),
+        )
+
+    materialized = partial(base).localCheckpoint(eager=True)  # the stored MV
+    refreshed = (
+        materialized.unionByName(partial(delta))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("key_checksum").alias("key_checksum"),
+            F.sum("_price_dec").alias("_price_dec"),
+        )
+    )
+    return refreshed.select(
+        "o_orderpriority",
+        "n_orders",
+        "key_checksum",
+        F.col("_price_dec").cast("decimal(38,2)").cast("double").alias("total_price"),
+    )
+
+
+_UPSERT_SQL = """
+WITH upd AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2) AS DOUBLE)
+           AS o_totalprice
+  FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND o_orderkey % 10 = 0),
+ins AS (
+  SELECT o_orderkey + 100000000 AS o_orderkey,
+         '1-URGENT' AS o_orderpriority,
+         CAST(o_orderkey % 1000 AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderpriority = '2-HIGH' AND o_orderkey % 100 = 0),
+merged AS (
+  SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+  UNION ALL SELECT * FROM upd
+  UNION ALL SELECT * FROM ins)
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)
+         AS total_price
+FROM merged GROUP BY o_orderpriority
+"""
+
+
+@register("storage_upsert_partitioned", oracle=_UPSERT_SQL)
+def storage_upsert_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (upsert) into a partitioned parquet table via DYNAMIC
+    partition overwrite — the lake-table update pattern when there is no
+    transactional format: updates (10% price bump on a slice of two
+    priorities) and inserts (synthetic new urgent orders) touch only 2 of
+    5 o_orderpriority partitions; the rewrite anti-joins the affected
+    partitions' rows against the update keys, unions updates+inserts, and
+    overwrites ONLY those partition directories
+    (partitionOverwriteMode=dynamic, set in session.py — untouched
+    partitions keep their files byte-identical, the readers-writers
+    isolation the catalog relies on).  The oracle computes full MERGE
+    semantics in SQL; the gate aggregates the re-read table, proving the
+    upsert changed exactly the intended rows and nothing else."""
+    from ..streaming.sources import cleanup, scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+    scratch = scratch_dir("upsertgate")
+    try:
+        orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
+            f"{scratch}/t"
+        )
+        upd = orders.filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & (F.pmod("o_orderkey", F.lit(10)) == 0)
+        ).select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.col("o_totalprice").cast("decimal(18,2)") * 1.1, 2)
+            .cast("double")
+            .alias("o_totalprice"),
+        )
+        ins = orders.filter(
+            (F.col("o_orderpriority") == "2-HIGH") & (F.pmod("o_orderkey", F.lit(100)) == 0)
+        ).select(
+            (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+            F.lit("1-URGENT").alias("o_orderpriority"),
+            F.pmod("o_orderkey", F.lit(1000)).cast("double").alias("o_totalprice"),
+        )
+        changes = upd.unionByName(ins)
+        affected = [
+            r["o_orderpriority"]
+            for r in changes.select("o_orderpriority").distinct().collect()  # bounded: partitions
+        ]
+        table = spark.read.parquet(f"{scratch}/t")
+        kept = table.filter(F.col("o_orderpriority").isin(affected)).join(
+            changes.select("o_orderkey"), "o_orderkey", "left_anti"
+        )
+        # dynamic mode: writing only affected-partition rows overwrites
+        # exactly those partition dirs, leaving the other three untouched
+        kept.unionByName(changes).select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ).write.mode("overwrite").partitionBy("o_orderpriority").parquet(f"{scratch}/t")
+        back = spark.read.parquet(f"{scratch}/t")
+        result = (
+            back.groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("o_orderkey").alias("key_checksum"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("decimal(38,2)")
+                .cast("double")
+                .alias("total_price"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        cleanup(scratch)
+    return result

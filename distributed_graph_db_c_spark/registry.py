@@ -125,14 +125,14 @@ _ROUND4_NEW: list[str] = [
     "text_tfidf_topk",  # TF-IDF retrieval, rational IDF, TakeOrdered
     "sample_stratified_mix",  # per-stratum hash-fraction domain mixing
     "storage_compact_roundtrip",  # small-files compaction round trip
+    "storage_incremental_rollup",  # algebraic MV refresh from a delta
+    "storage_upsert_partitioned",  # MERGE via dynamic partition overwrite
 ]
 
 # Regression-prone proven entries (pandas-UDF kernels, hash-exact ANN,
 # skew/salting, storage round-trips).
 _REGRESSION = [
-    "sample_deterministic_split",
     "rel_bloom_pruned_join",
-    "storage_zorder_roundtrip",
     "dedup_minhash_groups",
     "skew_salted_join_revenue",
     "graph_sssp_order_chain",
@@ -141,6 +141,8 @@ _REGRESSION = [
 # Rotation filler: proven oracle-backed queries cycling for cumulative
 # re-evidence; trimmed first when _ROUND4_NEW grows.
 _FILLER = [
+    "sample_deterministic_split",
+    "storage_zorder_roundtrip",
     "sim_ann_ivf_topk",
     "storage_bucketed_join_revenue",
     "rel_percentiles_quantity",
