@@ -65,3 +65,25 @@ def compact_small_files(
         .parquet(dst_path)
     )
     return n_before, n_out
+
+
+def compact_in_place(
+    spark: SparkSession,
+    path: str,
+    sort_key: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> tuple[int, int]:
+    """Compact ``path`` onto itself through ``sinks.replace_table`` —
+    the staged write scans the old files, the swap is two renames, and a
+    racing reader sees the old file set or the new one, never a mix.
+    Returns (n_files_before, n_output_files planned)."""
+    from ..sinks import replace_table
+
+    n_before, _total, n_out = plan_compaction(spark, path, target_file_bytes)
+    compacted = (
+        spark.read.parquet(path)
+        .repartitionByRange(n_out, F.col(sort_key))
+        .sortWithinPartitions(sort_key)
+    )
+    replace_table(compacted, path)
+    return n_before, n_out

@@ -352,10 +352,12 @@ def storage_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate pins exact row preservation (count + id checksum) plus the
     before/after file counts; the bin-packing arithmetic and the
     tight-footer-stats property are pytest-pinned
-    (tests/test_compaction.py).  At 100 TB the inventory comes from the
-    _metadata column (no driver filesystem walk) and the rewrite is one
-    range-shuffle."""
-    from ..operators.compaction import compact_small_files
+    (tests/test_compaction.py).  Round 5: the compaction is IN PLACE via
+    ``sinks.replace_table`` (write-new-then-swap), so the gate also
+    drives the shared rewrite-commit helper the upsert gate uses.  At
+    100 TB the inventory comes from the _metadata column (no driver
+    filesystem walk) and the rewrite is one range-shuffle."""
+    from ..operators.compaction import compact_in_place
     from ..streaming.sources import cleanup, scratch_dir
 
     docs = load_table(spark, sf_dir, "documents")
@@ -364,11 +366,10 @@ def storage_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.repartition(64).write.mode("overwrite").parquet(f"{scratch}/small")
         # target far above the corpus size -> exactly one output file,
         # making n_files_after deterministic for the oracle
-        n_before, n_after = compact_small_files(
-            spark, f"{scratch}/small", f"{scratch}/compacted", "doc_id",
-            target_file_bytes=1 << 30,
+        n_before, n_after = compact_in_place(
+            spark, f"{scratch}/small", "doc_id", target_file_bytes=1 << 30
         )
-        back = spark.read.parquet(f"{scratch}/compacted")
+        back = spark.read.parquet(f"{scratch}/small")
         result = back.agg(
             F.count("*").alias("n_rows"),
             F.sum("doc_id").alias("id_checksum"),
@@ -457,18 +458,22 @@ FROM merged GROUP BY o_orderpriority
 
 @register("storage_upsert_partitioned", oracle=_UPSERT_SQL)
 def storage_upsert_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MERGE (upsert) into a partitioned parquet table via DYNAMIC
-    partition overwrite — the lake-table update pattern when there is no
-    transactional format: updates (10% price bump on a slice of two
-    priorities) and inserts (synthetic new urgent orders) touch only 2 of
-    5 o_orderpriority partitions; the rewrite anti-joins the affected
-    partitions' rows against the update keys, unions updates+inserts, and
-    overwrites ONLY those partition directories
-    (partitionOverwriteMode=dynamic, set in session.py — untouched
-    partitions keep their files byte-identical, the readers-writers
-    isolation the catalog relies on).  The oracle computes full MERGE
-    semantics in SQL; the gate aggregates the re-read table, proving the
-    upsert changed exactly the intended rows and nothing else."""
+    """MERGE (upsert) into a partitioned parquet table — the lake-table
+    update pattern when there is no transactional format: updates (10%
+    price bump on a slice of two priorities) and inserts (synthetic new
+    urgent orders) touch only 2 of 5 o_orderpriority partitions; the
+    rewrite anti-joins the affected partitions' rows against the update
+    keys, unions updates+inserts, and commits via
+    ``sinks.replace_partitions`` — the write-new-then-swap helper stages
+    the rewrite beside the table (the staging scan reads the OLD files,
+    so reading-while-rewriting cannot race the way an in-place dynamic
+    overwrite did in round 4) and swaps ONLY the affected partition
+    directories; untouched partitions keep their files byte-identical,
+    the readers-writers isolation the catalog relies on.  The oracle
+    computes full MERGE semantics in SQL; the gate aggregates the re-read
+    table, proving the upsert changed exactly the intended rows and
+    nothing else."""
+    from ..sinks import replace_partitions
     from ..streaming.sources import cleanup, scratch_dir
 
     orders = load_table(spark, sf_dir, "orders").select(
@@ -505,11 +510,13 @@ def storage_upsert_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept = table.filter(F.col("o_orderpriority").isin(affected)).join(
             changes.select("o_orderkey"), "o_orderkey", "left_anti"
         )
-        # dynamic mode: writing only affected-partition rows overwrites
-        # exactly those partition dirs, leaving the other three untouched
-        kept.unionByName(changes).select(
-            "o_orderkey", "o_totalprice", "o_orderpriority"
-        ).write.mode("overwrite").partitionBy("o_orderpriority").parquet(f"{scratch}/t")
+        replace_partitions(
+            kept.unionByName(changes).select(
+                "o_orderkey", "o_totalprice", "o_orderpriority"
+            ),
+            f"{scratch}/t",
+            ["o_orderpriority"],
+        )
         back = spark.read.parquet(f"{scratch}/t")
         result = (
             back.groupBy("o_orderpriority")

@@ -13,7 +13,7 @@ one unsplittable giant.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 
 def write_partitioned(
@@ -41,3 +41,96 @@ def write_partitioned(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Write-new-then-swap: the one audited rewrite-commit pattern
+# ---------------------------------------------------------------------------
+#
+# Overwriting a parquet path with a plan that READS the same path races:
+# the write job's scan tasks read source files that the overwrite commit
+# is concurrently deleting (observed as a task-level FileFormatWriter
+# failure).  Every in-place rewrite therefore stages to a sibling
+# directory first — the staging write scans the OLD files, which nothing
+# deletes — and only then swaps directories with filesystem renames.
+# Rename is a metadata op on HDFS-compatible stores (and object-store
+# committers map it to a copy+delete), so the swap window is rename-sized
+# regardless of table size; a reader that races the swap sees the old
+# table or the new one, never a mixture of files from both.  True
+# multi-reader ACID needs a table format (Delta/Iceberg) — this is the
+# strongest guarantee raw parquet directories admit, and it is the same
+# one the reference's whole-file truncate-and-rewrite gives
+# (primary_server.c:65 "w+").
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path-class) for ``path`` via the JVM Hadoop API —
+    works on any Hadoop-compatible store, no driver-side os.* walking."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jvm.org.apache.hadoop.fs.Path
+
+
+def _swap_dir(fs, jpath_cls, staging: str, final: str) -> None:
+    """Replace directory ``final`` with ``staging``: old → trash-suffix,
+    staging → final, delete old.  Each step is one rename/delete."""
+    old = final.rstrip("/") + "__old__"
+    fs.delete(jpath_cls(old), True)
+    if fs.exists(jpath_cls(final)):
+        if not fs.rename(jpath_cls(final), jpath_cls(old)):
+            raise IOError(f"rename {final} -> {old} failed")
+    if not fs.rename(jpath_cls(staging), jpath_cls(final)):
+        raise IOError(f"rename {staging} -> {final} failed")
+    fs.delete(jpath_cls(old), True)
+
+
+def replace_table(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+) -> None:
+    """Full-table rewrite of the parquet table at ``path`` with ``df``,
+    safe even when ``df``'s plan reads ``path`` itself (the
+    compaction / CTAS-replace pattern)."""
+    spark = df.sparkSession
+    staging = path.rstrip("/") + "__staging__"
+    fs, jpath = _hadoop_fs(spark, path)
+    fs.delete(jpath(staging), True)
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(staging)
+    _swap_dir(fs, jpath, staging, path)
+
+
+def replace_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Partition-level rewrite (the MERGE/upsert commit): stage ``df``
+    partitioned by ``partition_cols``, then swap ONLY the partition
+    directories present in the staging output — untouched partitions of
+    ``path`` keep their files byte-identical (the readers-writers
+    isolation the catalog relies on), and cost scales with the affected
+    partitions, not the table.  Safe when ``df`` reads ``path``."""
+    spark = df.sparkSession
+    staging = path.rstrip("/") + "__staging__"
+    fs, jpath = _hadoop_fs(spark, path)
+    fs.delete(jpath(staging), True)
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(staging)
+
+    # Enumerate staged leaf partition dirs level by level (k=v names);
+    # listing is bounded by the affected-partition count.
+    rels = [""]
+    for _ in partition_cols:
+        nxt = []
+        for rel in rels:
+            base = staging if not rel else f"{staging}/{rel}"
+            for st in fs.listStatus(jpath(base)):
+                name = st.getPath().getName()
+                if st.isDirectory() and "=" in name:
+                    nxt.append(name if not rel else f"{rel}/{name}")
+        rels = nxt
+    for rel in rels:
+        parent = jpath(f"{path}/{rel}").getParent()
+        fs.mkdirs(parent)
+        _swap_dir(fs, jpath, f"{staging}/{rel}", f"{path}/{rel}")
+    fs.delete(jpath(staging), True)
