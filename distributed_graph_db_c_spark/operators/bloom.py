@@ -108,21 +108,30 @@ def bloom_pruned_join(
     keys, probe map-side before the join's Exchange.  Result set is
     EXACTLY the plain join's.
 
-    The dim is materialized once (localCheckpoint) before its three uses
-    — key count, bitmap build, and the verifying join — otherwise each
-    is a separate job re-running the dim's scan+filter from source
-    (measured 2x the whole operator's cost at sf0.1)."""
-    dim = dim.localCheckpoint(eager=True)
-    if n_keys_hint is not None:
-        n = n_keys_hint
-    elif keys_unique:
-        # caller vouches dim_key is unique (e.g. a primary key): a plain
-        # count on the checkpointed dim skips the distinct's shuffle
-        n = dim.count()
-    else:
-        n = dim.select(dim_key).distinct().count()
-    m_bits, n_hashes = bloom_params(n, fpp)
-    bitmap = bloom_build(dim.select(dim_key), dim_key, m_bits, n_hashes)
+    The dim is materialized once (localCheckpoint) for the two EAGER
+    uses inside this function — key count and bitmap build — and
+    unpersisted before returning (checkpoint blocks would otherwise
+    accumulate in the block manager across repeated calls in one
+    session, and a local checkpoint forfeits fault tolerance for as
+    long as it lives).  The returned lazy join re-derives the dim from
+    its source lineage: 2 dim evaluations total instead of the 3
+    separate scan+filter jobs the naive form pays (measured 2x the
+    whole operator's cost at sf0.1)."""
+    ckpt = dim.localCheckpoint(eager=True)
+    try:
+        if n_keys_hint is not None:
+            n = n_keys_hint
+        elif keys_unique:
+            # caller vouches dim_key is unique (e.g. a primary key): a
+            # plain count on the checkpointed dim skips the distinct's
+            # shuffle
+            n = ckpt.count()
+        else:
+            n = ckpt.select(dim_key).distinct().count()
+        m_bits, n_hashes = bloom_params(n, fpp)
+        bitmap = bloom_build(ckpt.select(dim_key), dim_key, m_bits, n_hashes)
+    finally:
+        ckpt.unpersist()
     pruned = fact.filter(
         bloom_might_contain(F.col(fact_key), bitmap, m_bits, n_hashes)
     )

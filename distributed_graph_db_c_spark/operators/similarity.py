@@ -302,7 +302,13 @@ def cosine_lsh_pairs(
     to :func:`cosine_seq`'s sequential fold (same float->double casts,
     same association order, 0.0 + x0 == x0) but inside whole-stage
     codegen instead of the interpreted higher-order ``aggregate``,
-    which allocates per-row array objects.  ~3x on the scoring stage."""
+    which allocates per-row array objects.  ~3x on the scoring stage.
+
+    Vector width is VALIDATED: the unpacked scoring indexes
+    ``vec[0..dim)``, and a shorter vector would yield null products, a
+    null cosine, and a silently dropped pair — so the norm expression
+    raises loudly on any row whose array length != ``dim`` (embedded in
+    a column the output needs, where pruning can't remove it)."""
     bkt = with_lsh_buckets(embeddings, dim, id_col=id_col, vec_col=vec_col)
     bt = bkt.select(
         F.col(id_col).alias("id"), F.posexplode("buckets").alias("table", "bucket")
@@ -329,14 +335,24 @@ def cosine_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    checked_norm = F.when(
+        F.size(F.col(vec_col)) == dim, norm2_seq(F.col(vec_col))
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"cosine_lsh_pairs: {vec_col} width != {dim} for id "),
+                F.col(id_col).cast("string"),
+            )
+        )
+    )
     wa = embeddings.select(
         F.col(id_col).alias("id_a"),
-        norm2_seq(F.col(vec_col)).alias("_na"),
+        checked_norm.alias("_na"),
         *[F.col(vec_col)[i].alias(f"_a{i}") for i in range(dim)],
     )
     wb = embeddings.select(
         F.col(id_col).alias("id_b"),
-        norm2_seq(F.col(vec_col)).alias("_nb"),
+        checked_norm.alias("_nb"),
         *[F.col(vec_col)[i].alias(f"_b{i}") for i in range(dim)],
     )
     dot = functools.reduce(

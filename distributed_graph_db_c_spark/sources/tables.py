@@ -15,6 +15,25 @@ from ..schemas import TABLE_NAMES
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+# Sessions whose defaults we've already pinned — the pin happens ONCE per
+# session, not on every load: repeated mutation of global session config
+# as a load side effect could silently revert a caller's deliberate
+# mid-session override (ADVICE r4).  UTC session time is a correctness
+# REQUIREMENT for every timestamp oracle (DuckDB compares naive
+# timestamps); a caller who overrides it owns the divergence.
+_PINNED_SESSIONS: set[int] = set()
+
+
+def _pin_session_defaults(spark: SparkSession) -> None:
+    key = id(spark)
+    if key in _PINNED_SESSIONS:
+        return
+    # must be set before the first nanos-parquet read in this session
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _PINNED_SESSIONS.add(key)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
@@ -30,8 +49,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         #    the wall-clock values are preserved and window/interval
         #    semantics agree with DuckDB's naive timestamps.
         #  - TimestampType already: use as-is.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        _pin_session_defaults(spark)
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, LongType):
@@ -43,7 +61,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
-    """Load all test tables; also pins session timezone to UTC so
-    date/timestamp semantics agree with the DuckDB oracle."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    """Load all test tables; pins session defaults (UTC timezone, nanos
+    read mode) once per session so timestamp semantics agree with the
+    DuckDB oracle."""
+    _pin_session_defaults(spark)
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}

@@ -268,3 +268,18 @@ def test_ann_batch_topk_matches_bruteforce_per_query(spark, embeddings):
     for q in range(5):
         exact = [r["vec_id"] for r in brute_force_topk(embeddings, q, 3).collect()]
         assert got.get(q) == exact, (q, got.get(q), exact)
+
+
+def test_cosine_lsh_pairs_ragged_vector_raises(spark):
+    """A vector narrower than `dim` must fail LOUDLY, not be silently
+    dropped by the threshold filter (ADVICE r4): the unpacked scoring
+    indexes vec[0..dim) and nulls would eat the pair."""
+    import pytest as _pytest
+    from distributed_graph_db_c_spark.operators.similarity import cosine_lsh_pairs
+
+    rows = [(1, [1.0] * 8), (2, [1.0] * 8), (3, [1.0] * 5)]  # id 3 ragged
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # Either our explicit width guard or ANSI array indexing fires —
+    # both are loud; silence is the failure mode being pinned against.
+    with _pytest.raises(Exception, match="width != 8|INVALID_ARRAY_INDEX"):
+        cosine_lsh_pairs(df, 0.0, dim=8).collect()
