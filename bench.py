@@ -120,17 +120,28 @@ def main() -> None:
         name: round(sorted(ts)[len(ts) // 2], 3) for name, ts in runs.items() if ts
     }
     total = round(sum(timings.values()), 3)
+    # Batch vs streaming split (VERDICT r04 item 3): streaming gates spend
+    # their wall time on micro-batch trigger cadence + checkpoint I/O, not
+    # plan cost, and more land every round — kept out of the batch total
+    # so that number stays comparable round-over-round.
+    is_stream = lambda n: n.startswith("stream_")  # noqa: E731
+    batch = {n: t for n, t in timings.items() if not is_stream(n)}
+    streaming = {n: t for n, t in timings.items() if is_stream(n)}
     print(
         json.dumps(
             {
                 "metric": "headline_suite_total_sec",
                 "value": total,
                 "unit": "sec",
+                "value_batch_sec": round(sum(batch.values()), 3),
+                "value_streaming_sec": round(sum(streaming.values()), 3),
                 "queries": timings,
+                "queries_batch": batch,
+                "queries_streaming": streaming,
                 "queries_median": medians,
                 "errors": errors,
                 "bench_runs": n_passes,
-                "note": "per-query min over full-suite passes; single runs vary +/-40% with machine load",
+                "note": "per-query min over full-suite passes; single runs vary +/-40% with machine load; batch total is the round-over-round comparable",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
