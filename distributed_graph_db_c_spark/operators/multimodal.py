@@ -22,6 +22,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -47,15 +48,89 @@ def attach_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_decode(blob_bytes: bytes) -> np.ndarray:
+    """REAL PNG decode with the stdlib only: chunk walk, zlib inflate of
+    the concatenated IDAT stream, and per-row unfiltering (all 5 filter
+    types: None/Sub/Up/Average/Paeth).  Scope: 8-bit depth, color type 2
+    (truecolor RGB), non-interlaced — the common case; anything else
+    raises NotImplementedError rather than mis-decoding."""
+    pos = len(_PNG_MAGIC)
+    idat = b""
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(blob_bytes):
+        (clen,), ctag = struct.unpack_from(">I", blob_bytes, pos), blob_bytes[pos + 4 : pos + 8]
+        body = blob_bytes[pos + 8 : pos + 8 + clen]
+        pos += 12 + clen  # len + tag + body + crc
+        if ctag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", body)
+        elif ctag == b"IDAT":
+            idat += body
+        elif ctag == b"IEND":
+            break
+    if w is None:
+        raise NotImplementedError("PNG missing IHDR")
+    if depth != 8 or ctype != 2 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={ctype} interlace={interlace} unsupported "
+            "(8-bit truecolor non-interlaced only)"
+        )
+    raw = zlib.decompress(idat)
+    bpp, stride = 3, w * 3
+    img = np.empty((h, w, 3), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        ftype = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).astype(np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:  # Sub: per-channel running sum mod 256
+            cur = line.reshape(w, bpp).cumsum(axis=0).astype(np.int32).reshape(stride) % 256
+        elif ftype == 2:  # Up
+            cur = (line + prev) % 256
+        elif ftype in (3, 4):  # Average / Paeth: sequential in x
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                if ftype == 3:
+                    cur[i] = (line[i] + (a + b) // 2) % 256
+                else:
+                    c = prev[i - bpp] if i >= bpp else 0
+                    cur[i] = (line[i] + _paeth(int(a), int(b), int(c))) % 256
+        else:
+            raise NotImplementedError(f"PNG filter type {ftype}")
+        img[r] = cur.astype(np.uint8).reshape(w, 3)
+        prev = cur
+    return img
+
+
 def decode_image(blob_bytes: bytes) -> np.ndarray:
     """Image decode -> HxWx3 uint8 RGB array.
 
     REAL for uncompressed 24-bit BMP (``BM`` magic: BITMAPFILEHEADER +
     BITMAPINFOHEADER parsed with struct; rows stored bottom-up, each
-    padded to a 4-byte boundary, pixels BGR).  Compressed formats
-    (JPEG/PNG/...) require codec libs absent from this container and
-    raise NotImplementedError — plug PIL/turbojpeg into this function on
-    a cluster that has them; every caller goes through this one seam."""
+    padded to a 4-byte boundary, pixels BGR) and for 8-bit truecolor PNG
+    (stdlib zlib inflate + per-row unfilter — a genuinely COMPRESSED
+    format, no codec libs needed).  Other formats (JPEG/WebP/...)
+    capability-probe PIL: on a cluster with Pillow installed they decode
+    through it; in this container the probe fails and the documented
+    NotImplementedError remains.  Every caller goes through this one
+    seam."""
+    if blob_bytes[: len(_PNG_MAGIC)] == _PNG_MAGIC:
+        return _png_decode(blob_bytes)
     if blob_bytes[:2] == b"BM":
         off, = struct.unpack_from("<I", blob_bytes, 10)
         hdr_size, w, h = struct.unpack_from("<Iii", blob_bytes, 14)
@@ -72,9 +147,18 @@ def decode_image(blob_bytes: bytes) -> np.ndarray:
             dst = (h - 1 - r) if bottom_up else r
             img[dst] = row.reshape(w, 3)[:, ::-1]  # BGR -> RGB
         return img
+    # Capability probe: decode anything else through Pillow when the
+    # environment provides it (differential-gated the same way — the
+    # analytic oracle doesn't care which decoder produced the pixels).
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return np.asarray(Image.open(io.BytesIO(blob_bytes)).convert("RGB"))
+    except ImportError:
+        pass
     raise NotImplementedError(
-        "only uncompressed 24-bit BMP decodes in this container; "
-        "JPEG/PNG need codec libs (PIL/turbojpeg) — plug them in here"
+        "BMP and 8-bit RGB PNG decode natively; JPEG/WebP need Pillow, "
+        "which this container lacks — the import probe above is the seam"
     )
 
 
@@ -95,9 +179,18 @@ def decode_audio(blob_bytes: bytes) -> tuple[np.ndarray, int]:
         if width == 1:  # 8-bit WAV is unsigned, center it
             samples = samples - 128
         return samples, rate
+    # Capability probe: decode compressed audio through soundfile when
+    # the environment provides it.
+    try:
+        import soundfile as sf  # noqa: PLC0415
+
+        data, rate = sf.read(io.BytesIO(blob_bytes), dtype="int32", always_2d=True)
+        return data.astype(np.int64), int(rate)
+    except ImportError:
+        pass
     raise NotImplementedError(
-        "only RIFF/PCM WAV decodes in this container; "
-        "MP3/AAC need codec libs (soundfile/librosa) — plug them in here"
+        "RIFF/PCM WAV decodes natively; MP3/AAC/OGG need soundfile, "
+        "which this container lacks — the import probe above is the seam"
     )
 
 
@@ -149,6 +242,67 @@ def synth_bmp(doc_id: int) -> bytes:
         + struct.pack("<IHHI", off + len(body), 0, 0, off)
         + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
         + body
+    )
+
+
+def synth_png(doc_id: int) -> bytes:
+    """Deterministic 8-bit RGB PNG for gate synthesis: dims and per-pixel
+    RGB derived from (x, y, doc_id), written by a hand-rolled encoder —
+    chunk framing + CRCs by hand, per-row filter type cycling
+    ``(doc_id + row) % 5`` so every unfilter path (None/Sub/Up/Average/
+    Paeth) in :func:`_png_decode` is exercised, then one zlib deflate.
+    The filtering arithmetic here is the forward transform; the decoder
+    implements the inverse independently, and the analytic oracle checks
+    the round trip from doc_id arithmetic alone."""
+    w = 4 + doc_id % 12
+    h = 5 + doc_id % 9  # >= 5 rows: every filter type appears
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    r = (x * 3 + y * 19 + doc_id) % 256
+    g = (x * 13 + y * 7 + 5 * doc_id) % 256
+    b = (x * 17 + y * 11 + 7 * doc_id) % 256
+    rgb = np.stack(np.broadcast_arrays(r, g, b), axis=-1).astype(np.int32)
+    bpp, stride = 3, w * 3
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for row in range(h):
+        cur = rgb[row].reshape(stride)
+        ftype = (doc_id + row) % 5
+        if ftype == 0:
+            filt = cur % 256
+        elif ftype == 1:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+            filt = (cur - left) % 256
+        elif ftype == 2:
+            filt = (cur - prev) % 256
+        elif ftype == 3:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+            filt = (cur - (left + prev) // 2) % 256
+        else:
+            filt = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                bb = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                filt[i] = (cur[i] - _paeth(int(a), int(bb), int(c))) % 256
+        raw.append(ftype)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
     )
 
 

@@ -74,3 +74,63 @@ def test_wav_8bit_unsigned_centering():
     samples, rate = decode_audio(blob)
     assert rate == 8000
     assert samples[:, 0].tolist() == [-128, 0, 127]
+
+
+def test_png_roundtrip_all_filter_types():
+    """Encoder filters forward, decoder inverts — every PNG filter type
+    (None/Sub/Up/Average/Paeth) appears across these doc_ids, and every
+    pixel must survive the compress->inflate->unfilter round trip."""
+    import numpy as np
+
+    from distributed_graph_db_c_spark.operators.multimodal import (
+        decode_image,
+        synth_png,
+    )
+
+    for doc_id in [0, 1, 2, 3, 4, 17, 59, 123, 255]:
+        img = decode_image(synth_png(doc_id))
+        w, h = 4 + doc_id % 12, 5 + doc_id % 9
+        assert img.shape == (h, w, 3)
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        exp = np.stack(
+            np.broadcast_arrays(
+                (x * 3 + y * 19 + doc_id) % 256,
+                (x * 13 + y * 7 + 5 * doc_id) % 256,
+                (x * 17 + y * 11 + 7 * doc_id) % 256,
+            ),
+            axis=-1,
+        ).astype(np.uint8)
+        assert (img == exp).all()
+
+
+def test_unsupported_image_formats_raise():
+    import pytest as _pytest
+
+    from distributed_graph_db_c_spark.operators.multimodal import decode_image
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # JPEG magic, no PIL here
+
+
+def test_png_unsupported_color_type_raises():
+    """Grayscale / palette / 16-bit PNGs must refuse loudly, not
+    mis-decode."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from distributed_graph_db_c_spark.operators.multimodal import decode_image
+
+    def chunk(tag, body):
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", zlib.crc32(tag + body) & 0xFFFFFFFF
+        )
+
+    magic = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # grayscale
+    raw = zlib.compress(bytes([0, 1, 2, 0, 3, 4]))
+    blob = magic + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw) + chunk(b"IEND", b"")
+    with _pytest.raises(NotImplementedError, match="color_type"):
+        decode_image(blob)
