@@ -1612,3 +1612,102 @@ def rel_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_lines"), revenue_expr().alias("revenue")
     )
+
+
+_MEDIAN_SQL = """
+WITH r AS (
+  SELECT l_returnflag, l_quantity,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS cnt
+  FROM lineitem)
+SELECT l_returnflag,
+       CAST(MAX(cnt) AS BIGINT) AS n_rows,
+       SUM(l_quantity) / COUNT(*) AS median_qty
+FROM r
+WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+GROUP BY l_returnflag
+"""
+
+
+@register("rel_median_per_group", oracle=_MEDIAN_SQL)
+def rel_median_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group median (round 5) — by explicit rank selection
+    (row_number + count, average of the one or two middle values), not an
+    engine-specific percentile builtin whose interpolation semantics
+    differ between Spark and DuckDB.  The middle VALUES are well-defined
+    under ties even though row_number isn't, so the result is
+    deterministic.  The averaged pair are small integral doubles —
+    exactly representable, so no decimal ladder is needed.  Scale: one
+    shuffle on the group key; for high-cardinality keys the same shape
+    holds (rank selection inside each partition)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    wc = Window.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("cnt"),
+    )
+    mid = r.filter(
+        (F.col("rn") == F.floor((F.col("cnt") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("cnt") + 2) / 2))
+    )
+    return mid.groupBy("l_returnflag").agg(
+        F.max("cnt").alias("n_rows"),
+        (F.sum("l_quantity") / F.count("*")).alias("median_qty"),
+    )
+
+
+_FUNNEL_SQL = """
+WITH s AS (SELECT user_id, MIN(ts) AS t_s FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+v AS (SELECT e.user_id, MIN(e.ts) AS t_v FROM events e
+      JOIN s ON s.user_id = e.user_id AND e.ts > s.t_s
+      WHERE e.event_type = 'view' GROUP BY 1),
+p AS (SELECT e.user_id, MIN(e.ts) AS t_p FROM events e
+      JOIN v ON v.user_id = e.user_id AND e.ts > v.t_v
+      WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+       (SELECT COUNT(*) FROM v) AS n_view_after_signup,
+       (SELECT COUNT(*) FROM p) AS n_purchase_after_view
+"""
+
+
+@register("rel_events_funnel", oracle=_FUNNEL_SQL)
+def rel_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (round 5): users who signed up, then
+    VIEWED strictly after their first signup, then PURCHASED strictly
+    after that first qualifying view — the event-sequence pattern behind
+    conversion dashboards.  Each stage is a groupBy-min plus an equijoin
+    on user_id carrying the preceding stage's anchor time; with all
+    stages keyed on user_id the three shuffles share one partitioning,
+    and stage frames shrink monotonically.  The final counts cross-join
+    three 1-row aggregates (broadcast, no data movement)."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_s"))
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t_s"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_v"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_v"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_p"))
+    )
+    return (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(v.agg(F.count("*").alias("n_view_after_signup")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after_view")))
+    )

@@ -158,3 +158,48 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, query_id=0, top_k=10, n_cells=24, nprobe=16)
+
+
+_CENTROID_SQL = """
+WITH px AS (
+  SELECT e.label, i.i AS dim_pos, e.embedding[i.i + 1] AS v
+  FROM embeddings e
+  JOIN (SELECT unnest(generate_series(0, 255)) AS i) i ON i.i < len(e.embedding))
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(dim_pos AS BIGINT) AS dim_pos,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 8) AS centroid
+FROM px GROUP BY 1, 2
+"""
+
+
+@register("sim_centroid_by_label", oracle=_CENTROID_SQL)
+def sim_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (round 5) — the vector-averaging
+    primitive under IVF training, class prototypes, and embedding-drift
+    monitoring.  posexplode unpacks (label, dim_pos, component); the sum
+    per (label, dim_pos) rides DECIMAL(20,10) — float32 components are
+    exact at 10 fractional digits' rounding on both engines, and decimal
+    addition is associative, so the sums are partitioning-invariant; the
+    centroid is rounded to 8 decimals on both sides because a double on
+    a decimal-quantum tie rounds differently per engine (observed: 1 of
+    163k elements).  Output is long-form (label, dim_pos, centroid)
+    rather than an array column: array-typed results break the driver's
+    sort/hash canonicalizers, and long form feeds groupBy consumers
+    directly.  Scale: one partial-agg shuffle of labels x dims rows —
+    independent of the corpus row count."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    px = emb.select("label", F.posexplode("embedding").alias("dim_pos", "v"))
+    return (
+        px.groupBy("label", "dim_pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("v").cast("double").cast("decimal(20,10)")).alias("s"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("dim_pos").cast("long").alias("dim_pos"),
+            "n",
+            F.round(F.col("s").cast("double") / F.col("n"), 8).alias("centroid"),
+        )
+    )

@@ -533,3 +533,81 @@ def storage_upsert_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         cleanup(scratch)
     return result
+
+
+_SCD_LATEST_SQL = """
+WITH r AS (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, event_type, event_id, ts_us, value
+FROM r WHERE rn = 1
+"""
+
+
+@register("storage_scd_latest_version", oracle=_SCD_LATEST_SQL)
+def storage_scd_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction / latest-version-per-key (round 5): collapse an
+    append-only change stream to the newest row per (user_id,
+    event_type), ordered by (ts, event_id) with the id as a total
+    tiebreaker — the read-side half of every MERGE-based lake pipeline
+    (upsert writes are gated by storage_upsert_partitioned; this is the
+    dedup a reader applies when upstream appends instead).  One shuffle
+    on the key; at 100 TB the same window runs per partition after a
+    partition-pruned scan of only the affected day/hour dirs."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+        )
+    )
+
+
+_SCD2_SQL = """
+SELECT user_id, event_id,
+       epoch_us(ts) AS valid_from_us,
+       epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id)) AS valid_to_us,
+       CAST(CASE WHEN LEAD(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+            THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM events
+WHERE event_type = 'purchase' AND user_id < 30
+"""
+
+
+@register("storage_scd2_history", oracle=_SCD2_SQL)
+def storage_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build (round 5): each change row becomes a
+    validity interval [ts, next-change ts) via LEAD over (user, time),
+    the open-ended current row flagged — how a warehouse dimension tracks
+    history without updates-in-place.  The (ts, event_id) compound order
+    makes the intervals deterministic under timestamp ties.  One shuffle
+    on the entity key, window local to each partition — at 100 TB this
+    is the standard snapshot-to-history transform, cost linear in the
+    change volume."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rows = ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 30))
+    nxt = F.lead("ts").over(w)
+    return rows.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(nxt).alias("valid_to_us"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).cast("long").alias("is_current"),
+    )

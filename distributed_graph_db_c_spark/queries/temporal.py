@@ -126,3 +126,101 @@ def ts_resample_ffill_4h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return resample_ffill(ev, "user_id", "ts", "value", 14_400_000_000)
+
+
+_ROLLING_SQL = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+         COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(CAST(rev AS DECIMAL(38,2)) AS DOUBLE) AS revenue_day,
+       CAST(CAST(SUM(rev) OVER (ORDER BY day
+                                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS DECIMAL(38,2)) AS DOUBLE) AS revenue_7d
+FROM daily
+"""
+
+
+@register("ts_rolling_7d_revenue", oracle=_ROLLING_SQL)
+def ts_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed rolling aggregate (round 5): daily order revenue with
+    a trailing-7-calendar-day rolling sum.  The frame is VALUE-based
+    (rangeBetween on epoch-day), not row-based — calendar gaps contribute
+    nothing, which a ROWS frame would get wrong.  Revenue rides the
+    decimal ladder to the final cast so the rolling sums hash bit-exact.
+
+    Scale shape: the raw table first collapses to one row per day
+    (map-side partial agg), so the unpartitioned window orders only
+    ~years x 365 rows — bounded by the calendar, not the data; the same
+    plan at 100 TB still windows thousands of rows, never billions.  A
+    per-entity rolling window would partition by the entity key instead
+    (the ts_resample_ffill_4h shape)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).cast("long").alias("day")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+    )
+    w = Window.orderBy("day").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        "n_orders",
+        F.col("rev").cast("decimal(38,2)").cast("double").alias("revenue_day"),
+        F.sum("rev").over(w).cast("decimal(38,2)").cast("double").alias("revenue_7d"),
+    )
+
+
+_ZSCORE_SQL = """
+WITH st AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS s,
+         SUM(CAST(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+             AS DECIMAL(38,12))) AS q
+  FROM events GROUP BY 1)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - CAST(st.s AS DOUBLE) / st.n)
+         / sqrt(CAST(st.q AS DOUBLE) / st.n
+                - (CAST(st.s AS DOUBLE) / st.n) * (CAST(st.s AS DOUBLE) / st.n)), 6)
+         AS z
+FROM events e JOIN st USING (event_type)
+WHERE abs((e.value - CAST(st.s AS DOUBLE) / st.n)
+          / sqrt(CAST(st.q AS DOUBLE) / st.n
+                 - (CAST(st.s AS DOUBLE) / st.n) * (CAST(st.s AS DOUBLE) / st.n)))
+      > 2.5
+"""
+
+
+@register("ts_zscore_outliers", oracle=_ZSCORE_SQL)
+def ts_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection (round 5): events whose value is more
+    than 2.5 population standard deviations from their event_type's mean.
+    The moments (n, sum, sum-of-squares) ride the decimal ladder — exact
+    regardless of partitioning; the z itself is double math whose last
+    bit is engine-dependent (observed 1-ulp drift vs DuckDB), so the
+    OUTPUT z is rounded to 6 decimals on both sides while the 2.5-sigma
+    filter uses the raw value.  Spark side: one map-side partial agg to
+    5 moment rows, broadcast back over the stream — no second shuffle of
+    the events."""
+    ev = load_table(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(18,6)")
+    st = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(vdec).alias("s"),
+        F.sum((vdec * vdec).cast("decimal(38,12)")).alias("q"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    z = (F.col("value") - mean) / F.sqrt(
+        F.col("q").cast("double") / F.col("n") - mean * mean
+    )
+    return (
+        ev.join(F.broadcast(st), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
+    )

@@ -583,3 +583,58 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(15)
     )
+
+
+_PACK_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok
+  FROM documents),
+packed AS (
+  SELECT lang, doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) // 2048 AS bin
+  FROM tok)
+SELECT lang, CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS token_sum,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM packed GROUP BY 1, 2
+"""
+
+
+@register("pipeline_sequence_packing", oracle=_PACK_SQL)
+def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM pretraining (round 5): documents are
+    concatenated per language in deterministic doc_id order and cut into
+    2048-token context bins — each doc's bin is the running token count
+    BEFORE it, integer-divided by the context length (the
+    concat-and-chunk assignment every pretraining data loader performs,
+    made engine-side and deterministic: no RNG, no packing heuristic
+    whose output depends on partitioning).  Token counts reuse the
+    whitespace tokenizer the token-stats gate pins.  Scale: one window
+    shuffle per language partition; the bin assignment is a running sum
+    — at 100 TB the same plan packs each language shard independently."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", token_count("text").alias("n_tok"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = tok.select(
+        "lang",
+        "doc_id",
+        "n_tok",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / 2048).alias("bin"),
+    )
+    return packed.groupBy("lang", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("token_sum"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
