@@ -67,6 +67,16 @@ HEADLINE = [
     "storage_upsert_partitioned",
     "stream_watermark_late_drop",
     "stream_stream_interval_join",
+    # round 5 operators
+    "mm_png_decode_stats",
+    "ts_rolling_7d_revenue",
+    "ts_zscore_outliers",
+    "sim_centroid_by_label",
+    "rel_median_per_group",
+    "rel_events_funnel",
+    "storage_scd_latest_version",
+    "storage_scd2_history",
+    "pipeline_sequence_packing",
 ]
 
 

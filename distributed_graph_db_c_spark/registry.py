@@ -67,22 +67,26 @@ _loaded = False
 # driver rows each round, so that cumulatively every oracle-backed query
 # has independent driver evidence.
 #
-# Round-4 rotation: the round-3 events-loader regression (sources/
-# tables.py vs regenerated timestamp[us] testdata) broke all 13
-# events-reading queries at the driver, so this window LEADS with the
-# full events family — the seven batch consumers first, the six
-# streaming consumers at the tail (streaming entries each run a real
-# micro-batch stream and are the slowest gate class; if the driver's
-# cutoff were time-based, everything cheaper is checked before them).
-# In between: every bench.py headline timing backed by a fresh row, the
-# round-4 additions, and the most regression-prone proven entries.
+# Round-5 rotation policy: (a) every query whose CODE PATH changed this
+# round gets a fresh driver row — the events family (sources/tables.py
+# config-pin rework), all streaming gates (run_available_now state-store
+# sizing), bloom (checkpoint lifetime), embedding-cosine (ragged-vector
+# guard), compaction (now in-place via sinks.replace_table), and the
+# round-4 red storage_upsert_partitioned (race fixed via
+# sinks.replace_partitions — its green row is THE deliverable);
+# (b) the 9 round-5 additions get their first rows; (c) the filler
+# entries that sat out r04 entirely (r04 had zero free slots) rotate
+# back in so no oracle-backed query's driver evidence goes >2 rounds
+# stale.  Entries green in r04 with unchanged code rest this round —
+# ORACLE_LOCAL.md still strict-checks all of them locally.
 # No-oracle entries stay OUT of the window (r02+r03 both proved the
 # driver reports them as err=no_oracle — a wasted slot; their accuracy
 # is pytest-pinned and they keep rows-only evidence from r01/r02).
 DRIVER_WINDOW = 50
 
-# Window head: the 7 batch events consumers, then every bench.py
-# headline query that is oracle-backed.
+# Window head: the 7 batch events consumers (loader code changed), the
+# two drift-watched TPC-H shapes + two more headliners, and the proven
+# entries whose operator code changed this round.
 _WINDOW_HEAD = [
     "asof_join_events",
     "range_join_events",
@@ -92,69 +96,58 @@ _WINDOW_HEAD = [
     "rel_events_json_extract",
     "rel_events_type_matrix",
     "rel_q1_pricing_summary",
-    "rel_q3_shipping_priority",
     "rel_q5_local_supplier_volume",
+    "rel_q3_shipping_priority",
     "rel_q18_large_volume_customer",
-    "rel_window_running_total",
-    "rel_q17_small_quantity_revenue",
-    "rel_q8_market_share",
-    "rel_q13_order_count_distribution",
     "graph_bfs_order_chain",
-    "graph_connected_components_nations",
-    "graph_pagerank_nations",
     "text_quality_score",
     "dedup_minhash_pairs",
-    "sim_topk_bruteforce",
-    "mm_binary_features",
-    "pipeline_training_prep",
-    "dedup_embedding_cosine_pairs",
+    "dedup_embedding_cosine_pairs",  # ragged-vector guard added r5
     "sim_ann_batch_topk",
+    "rel_bloom_pruned_join",  # checkpoint lifetime rework r5
+    "storage_compact_roundtrip",  # now in-place via replace_table r5
+    "storage_upsert_partitioned",  # r4 red; race fixed r5 — must re-green
+    "storage_incremental_rollup",
 ]
 
 # New operators registered this round — each needs its FIRST driver row.
-# Appended here as they land; they displace _FILLER entries (below), never
-# the streaming tail.
-_ROUND4_NEW: list[str] = [
-    "mm_wav_decode_features",  # real RIFF/PCM WAV parse vs analytic oracle
-    "mm_bmp_decode_stats",  # real 24-bit BMP parse vs analytic oracle
-    "text_repetition_stats",  # C4/Gopher repetition rules, shuffle-free
-    "text_pii_scrub",  # regex PII redaction, fingerprint-verified
-    "text_decontaminate_overlap",  # benchmark 5-gram decontamination
-    "text_fuzzy_join_edit1",  # deletion-neighborhood fuzzy equijoin
-    "source_orc_roundtrip",  # ORC codec round trip
-    "text_tfidf_topk",  # TF-IDF retrieval, rational IDF, TakeOrdered
-    "sample_stratified_mix",  # per-stratum hash-fraction domain mixing
-    "storage_compact_roundtrip",  # small-files compaction round trip
-    "storage_incremental_rollup",  # algebraic MV refresh from a delta
-    "storage_upsert_partitioned",  # MERGE via dynamic partition overwrite
+_ROUND5_NEW: list[str] = [
+    "mm_png_decode_stats",  # real compressed PNG decode vs analytic oracle
+    "ts_rolling_7d_revenue",  # value-based RANGE rolling window
+    "ts_zscore_outliers",  # decimal-moment z-score anomaly gate
+    "sim_centroid_by_label",  # per-label embedding centroids
+    "rel_median_per_group",  # exact rank-selection median
+    "rel_events_funnel",  # ordered signup->view->purchase funnel
+    "storage_scd_latest_version",  # CDC latest-per-key compaction
+    "storage_scd2_history",  # LEAD-based type-2 validity intervals
+    "pipeline_sequence_packing",  # 2048-token concat-and-chunk bins
 ]
 
-# Regression-prone proven entries (pandas-UDF kernels, hash-exact ANN,
-# skew/salting, storage round-trips).
+# Regression-prone proven entries (pandas-UDF kernels, skew/salting).
 _REGRESSION = [
-    "rel_bloom_pruned_join",
     "dedup_minhash_groups",
     "skew_salted_join_revenue",
     "graph_sssp_order_chain",
 ]
 
-# Rotation filler: proven oracle-backed queries cycling for cumulative
-# re-evidence; trimmed first when _ROUND4_NEW grows.
+# Rotation filler: oracle-backed queries whose last driver row is >=2
+# rounds old (r04's window had zero free slots, so all of these sat
+# out); they fill remaining slots this round.
 _FILLER = [
-    "sample_deterministic_split",
     "storage_zorder_roundtrip",
     "sim_ann_ivf_topk",
     "storage_bucketed_join_revenue",
+    "sink_partitioned_roundtrip",
+    "source_csv_roundtrip",
+    "source_jsonl_roundtrip",
+    "source_jsonl_quarantine",
+    "sample_deterministic_split",
     "rel_percentiles_quantity",
     "rel_q2_best_supplier",
     "rel_q4_late_shipping",
     "rel_q7_volume_shipping",
     "rel_q9_product_profit",
     "rel_q19_disjunctive_filter",
-    "sink_partitioned_roundtrip",
-    "source_csv_roundtrip",
-    "source_jsonl_roundtrip",
-    "source_jsonl_quarantine",
 ]
 
 # Streaming events consumers LAST inside the window: each runs a real
@@ -176,14 +169,14 @@ _WINDOW_TAIL_STREAMING = [
 
 def _window_order() -> list[str]:
     """The first DRIVER_WINDOW names the driver will check, composed so
-    every slot is oracle-backed and round-4 additions displace filler
+    every slot is oracle-backed and round-5 additions displace filler
     rotation entries rather than the streaming tail."""
-    fixed = len(_WINDOW_HEAD) + len(_ROUND4_NEW) + len(_REGRESSION) + len(
+    fixed = len(_WINDOW_HEAD) + len(_ROUND5_NEW) + len(_REGRESSION) + len(
         _WINDOW_TAIL_STREAMING
     )
     filler = _FILLER[: max(0, DRIVER_WINDOW - fixed)]
     return (
-        _WINDOW_HEAD + _ROUND4_NEW + _REGRESSION + filler + _WINDOW_TAIL_STREAMING
+        _WINDOW_HEAD + _ROUND5_NEW + _REGRESSION + filler + _WINDOW_TAIL_STREAMING
     )
 
 

