@@ -77,6 +77,15 @@ HEADLINE = [
     "storage_scd_latest_version",
     "storage_scd2_history",
     "pipeline_sequence_packing",
+    # round 5 second wave
+    "rel_pivot_monthly_revenue",
+    "rel_ntile_deciles",
+    "ts_interpolate_linear",
+    "storage_snapshot_diff",
+    "graph_toposort_levels",
+    "text_char_ngram_entropy",
+    "dedup_containment_pairs",
+    "stream_foreachbatch_upsert",
 ]
 
 

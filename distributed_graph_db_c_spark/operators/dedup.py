@@ -273,3 +273,45 @@ def simhash_candidate_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def containment_pairs(
+    docs: DataFrame, threshold: float, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """EXACT n-gram CONTAINMENT join: (doc_a, doc_b, containment) with
+    |shingles(a) ∩ shingles(b)| / min(|a|, |b|) >= threshold, doc_a <
+    doc_b.  Containment catches doc-IN-doc duplication (a quote, a
+    boilerplate wrapper, a page embedding another) that Jaccard misses:
+    a small doc fully contained in a large one has high containment but
+    low Jaccard because the union is dominated by the large doc.
+
+    Same plan as :func:`jaccard_pairs` — shingle-equijoin candidate
+    generation, never all-pairs; only the final score differs.  At scale
+    the MinHash/LSH path bounds candidates the same way (containment
+    >= t implies Jaccard >= t * min/(min+max-t*min), so LSH at the
+    implied Jaccard threshold keeps recall)."""
+    sh = shingle_table(docs, k, id_col, text_col)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, on="doc_a")
+        .join(nb, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / F.least("na", "nb").cast("double")
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

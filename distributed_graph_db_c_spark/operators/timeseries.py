@@ -68,3 +68,61 @@ def resample_ffill(
         F.last("v", ignorenulls=True).over(w).alias("value"),
         F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
     )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_us: int,
+) -> DataFrame:
+    """Like :func:`resample_ffill` but gaps are LINEARLY interpolated
+    between the surrounding observed buckets instead of carried forward —
+    the regularization a model wants for continuous signals (sensor
+    readings, prices), where ffill's step function biases the sequence.
+
+    (key, bucket, value, n_obs): value = MAX within an observed bucket;
+    for an empty bucket, prev + (next-prev) * (bucket-prev_b)/(next_b-prev_b)
+    over the nearest observed buckets either side.  The grid spans each
+    key's first..last observation, so every gap is interior and both
+    neighbors always exist.  The interpolation is three IEEE double ops on
+    identical inputs in any engine — bit-exact, no rounding needed.
+
+    Same shuffle budget as ffill (bucket agg + per-key window); the
+    backward-looking and forward-looking fills are two frames over ONE
+    sort — Catalyst runs both in a single Window exchange."""
+    obs = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.expr(f"unix_micros({ts_col}) DIV {bucket_us}").alias("bucket"),
+            F.col(value_col).alias("v"),
+        )
+        .groupBy("key", "bucket")
+        .agg(F.max("v").alias("v"), F.count("*").alias("n_obs"))
+    )
+    bounds = obs.groupBy("key").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    grid = bounds.select("key", F.explode(F.sequence("b0", "b1")).alias("bucket"))
+    joined = grid.join(obs, on=["key", "bucket"], how="left")
+    wb = Window.partitionBy("key").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wf = Window.partitionBy("key").orderBy("bucket").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    obs_bucket = F.when(F.col("v").isNotNull(), F.col("bucket"))
+    prev_v = F.last("v", ignorenulls=True).over(wb)
+    prev_b = F.last(obs_bucket, ignorenulls=True).over(wb)
+    next_v = F.first("v", ignorenulls=True).over(wf)
+    next_b = F.first(obs_bucket, ignorenulls=True).over(wf)
+    frac = (F.col("bucket") - prev_b).cast("double") / (next_b - prev_b).cast("double")
+    return joined.select(
+        "key",
+        "bucket",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+        .alias("value"),
+        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+    )

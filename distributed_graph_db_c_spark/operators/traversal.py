@@ -653,3 +653,74 @@ def sssp_auto(
     if biggest <= _FLEET_MAX_EDGES:
         return sssp_fleet(edges, starts)
     return sssp(edges, starts)
+
+
+def toposort_levels(
+    edges: DataFrame,
+    max_iter: int = 1000,
+    broadcast_threshold: int = 1_000_000,
+) -> DataFrame:
+    """Topological levels of a DAG: (graph_id, id, level) where level(v) =
+    the LONGEST path from any root (a vertex with no incoming edge) — the
+    dependency-scheduling order (every vertex's level exceeds all its
+    predecessors'), which plain BFS level (shortest path) does not give on
+    DAGs with reconverging paths.
+
+    Edges are DIRECTED (src -> dst) and must form a DAG; ``max_iter``
+    bounds the supersteps so an accidental cycle raises instead of
+    spinning (a cycle keeps a frontier alive forever).
+
+    Kernel: frontier relaxation — frontier_k = vertices at the end of some
+    k-edge path from a root; a vertex's final level is the max k that
+    reaches it, folded with a groupBy-max at the end.  Same shuffle
+    discipline as :func:`bfs`: the adjacency is shuffled once into
+    persisted key partitioning, each superstep moves only the frontier
+    (broadcast while small), localCheckpoint per superstep keeps lineage
+    O(1).  Supersteps = longest path length; cost O(depth x edges) worst
+    case, O(edges) total on path-shaped graphs where each vertex is
+    reached once.
+    """
+    adj = _partitioned_adj(edges)
+    nodes = (
+        edges.select("graph_id", F.col("src").alias("id"))
+        .union(edges.select("graph_id", F.col("dst").alias("id")))
+        .distinct()
+    )
+    has_in = edges.select("graph_id", F.col("dst").alias("id")).distinct()
+    frontier = (
+        nodes.join(has_in, on=["graph_id", "id"], how="left_anti")
+        .withColumn("level", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    assigned = frontier
+    f_cnt = frontier.count()
+    level = 0
+    while f_cnt > 0:
+        level += 1
+        if level > max_iter:
+            adj.unpersist()
+            raise ValueError(
+                f"toposort_levels: frontier alive after {max_iter} supersteps — "
+                "the edge set has a cycle (or raise max_iter for a deeper DAG)"
+            )
+        f_side = F.broadcast(frontier) if f_cnt <= broadcast_threshold else frontier
+        frontier = (
+            f_side.select("graph_id", "id")
+            .join(adj, on=["graph_id", "id"])
+            .select("graph_id", F.col("nb").alias("id"))
+            .distinct()
+            .withColumn("level", F.lit(level))
+            .localCheckpoint(eager=True)
+        )
+        f_cnt = frontier.count()
+        if f_cnt > 0:
+            assigned = assigned.union(frontier)
+            if level % _CHECKPOINT_EVERY == 0:
+                assigned = assigned.localCheckpoint(eager=True)
+    out = (
+        assigned.groupBy("graph_id", "id")
+        .agg(F.max("level").alias("level"))
+        .localCheckpoint(eager=True)
+    )
+    adj.unpersist()
+    return out

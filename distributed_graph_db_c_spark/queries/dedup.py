@@ -249,3 +249,40 @@ def sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang").agg(
         F.count("*").alias("n_docs"), F.sum("doc_id").alias("id_checksum")
     )
+
+
+_CONTAIN_SQL = rf"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(t) >= 3
+                   THEN list_distinct(list_transform(generate_series(0, len(t)-3),
+                                                     i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                   ELSE [] END AS s
+       FROM toks),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+SELECT doc_a, doc_b,
+       CAST(inter AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE) AS containment
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / CAST(LEAST(sa.n, sb.n) AS DOUBLE) >= 0.9
+"""
+
+
+@register("dedup_containment_pairs", oracle=_CONTAIN_SQL)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram CONTAINMENT near-dup join (round 5,
+    operators/dedup.containment_pairs): pairs where the smaller doc's
+    3-gram shingle set is >= 90% contained in the larger's — the
+    doc-in-doc duplication (quotes, boilerplate wrappers) Jaccard's
+    union-normalized score misses.  Same shingle-equijoin candidate plan
+    as dedup_jaccard_pairs; only the normalizer differs (min size, not
+    union size)."""
+    from ..operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, threshold=0.9)

@@ -438,3 +438,56 @@ def graph_sssp_order_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit(0).alias("graph_id"), "id")
     )
     return sssp_auto(edges, start).select("id", "dist")
+
+
+# Directed (unsymmetrized) order chains: a forest of per-customer paths —
+# a DAG by construction, the toposort fixture.
+_TOPO_SQL = """
+WITH RECURSIVE
+ordered AS (
+    SELECT o_orderkey,
+           LAG(o_orderkey) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS prev_key
+    FROM orders
+),
+chain AS (SELECT prev_key AS src, o_orderkey AS dst FROM ordered WHERE prev_key IS NOT NULL),
+nodes AS (SELECT src AS id FROM chain UNION SELECT dst FROM chain),
+roots AS (SELECT id FROM nodes WHERE id NOT IN (SELECT dst FROM chain)),
+walk(id, level) AS (
+    SELECT id, 0 FROM roots
+    UNION
+    SELECT c.dst, w.level + 1
+    FROM walk w JOIN chain c ON c.src = w.id
+    WHERE w.level < 500
+)
+SELECT id, CAST(MAX(level) AS BIGINT) AS level FROM walk GROUP BY id
+"""
+
+
+@register("graph_toposort_levels", oracle=_TOPO_SQL)
+def graph_toposort_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topological levels (round 5, operators/traversal.toposort_levels):
+    every order's longest-path depth from its customer chain's first
+    order, over the DIRECTED (unsymmetrized) chain DAG — the dependency-
+    scheduling order BFS level does not give on reconverging DAGs.  The
+    oracle walks the same DAG with a recursive CTE and folds MAX(level).
+
+    Supersteps = longest chain length (bounded by orders-per-customer,
+    ~dozens at any SF — the iteration count is set by graph DEPTH, not
+    graph size, the property that makes frontier iteration viable at
+    100 TB)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chain = (
+        orders.select(
+            F.lag("o_orderkey").over(w).alias("src"),
+            F.col("o_orderkey").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull())
+        .select(F.lit(0).alias("graph_id"), "src", "dst")
+    )
+    from ..operators.traversal import toposort_levels
+
+    return toposort_levels(chain, max_iter=500).select(
+        F.col("id"), F.col("level").cast("long").alias("level")
+    )

@@ -1711,3 +1711,95 @@ def rel_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(v.agg(F.count("*").alias("n_view_after_signup")))
         .crossJoin(p.agg(F.count("*").alias("n_purchase_after_view")))
     )
+
+
+_PIVOT_SQL = """
+SELECT o_orderpriority,
+       """ + ",\n       ".join(
+    "CAST(CAST(COALESCE(SUM(CASE WHEN month(CAST(o_orderdate AS DATE)) = "
+    f"{m} THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0) AS DECIMAL(38,2)) "
+    f"AS DOUBLE) AS m{m:02d}"
+    for m in range(1, 13)
+) + """
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("rel_pivot_monthly_revenue", oracle=_PIVOT_SQL)
+def rel_pivot_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (round 5): order revenue per priority spread across 12
+    calendar-month columns m01..m12 — the long-to-wide reshape Spark's
+    ``pivot`` relational operator does natively; the oracle rebuilds it
+    as 12 conditional aggregates (a genuinely different formulation).
+
+    The pivot VALUES are pinned explicitly (1..12): without them Spark
+    runs an extra distinct-scan job to discover the pivot domain — at
+    100 TB that is a full shuffle you pay before the real one.  Pinned
+    values also make the output schema static, which the driver's schema
+    hash needs.  Money rides the decimal ladder; absent months surface
+    as exact 0, not null, on both sides."""
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (
+        orders.withColumn("month", F.month(F.to_date("o_orderdate")))
+        .groupBy("o_orderpriority")
+        .pivot("month", list(range(1, 13)))  # values pinned: no discovery job
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(str(m)), F.lit(0))
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias(f"m{m:02d}")
+            for m in range(1, 13)
+        ],
+    )
+
+
+_NTILE_SQL = """
+WITH t AS (
+  SELECT c_custkey, c_acctbal,
+         NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+  FROM customer)
+SELECT CAST(decile AS INT) AS decile,
+       COUNT(*) AS n_customers,
+       CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+       CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal,
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)
+         AS total_bal
+FROM t GROUP BY decile
+"""
+
+
+@register("rel_ntile_deciles", oracle=_NTILE_SQL)
+def rel_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing (round 5): customers split into 10 equal-frequency
+    account-balance deciles, then per-decile count/min/max/sum — the
+    quantile-bucket assignment feature pipelines use for binning
+    continuous features.  The window order carries c_custkey as a unique
+    tiebreaker, so tile assignment (and hence every aggregate) is
+    deterministic under any partitioning.
+
+    Scale shape: a single unpartitioned NTILE is a total order — fine
+    for dimension-sized tables like customer; for a 100 TB fact the
+    binning would switch to approx_percentile cutpoints + a broadcast
+    range join (the rel_percentiles_quantity pattern) rather than a
+    global sort."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select("c_custkey", "c_acctbal", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("c_acctbal").cast("double").alias("min_bal"),
+            F.max("c_acctbal").cast("double").alias("max_bal"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )

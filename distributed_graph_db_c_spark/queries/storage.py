@@ -611,3 +611,77 @@ def storage_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(nxt).alias("valid_to_us"),
         F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).cast("long").alias("is_current"),
     )
+
+
+_DIFF_SQL = """
+WITH base AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price FROM orders),
+new_snap AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0
+              THEN CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 1.05, 2) AS DOUBLE)
+              ELSE CAST(o_totalprice AS DOUBLE) END AS price
+  FROM orders WHERE o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT o_orderkey + 500000000 AS o_orderkey,
+         CAST(o_orderkey % 1000 AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 11 = 0),
+j AS (
+  SELECT COALESCE(b.o_orderkey, n.o_orderkey) AS key,
+         CASE WHEN b.o_orderkey IS NULL THEN 'added'
+              WHEN n.o_orderkey IS NULL THEN 'deleted'
+              WHEN b.price <> n.price THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+  FROM base b FULL OUTER JOIN new_snap n ON b.o_orderkey = n.o_orderkey)
+SELECT change_type, COUNT(*) AS n_rows, CAST(SUM(key) AS BIGINT) AS key_checksum
+FROM j GROUP BY change_type
+"""
+
+
+@register("storage_snapshot_diff", oracle=_DIFF_SQL)
+def storage_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / CDC derivation (round 5): given two versions of a
+    keyed table, classify every key as added / deleted / changed /
+    unchanged via one full-outer join on the key — how a lake pipeline
+    derives a change feed when upstream republishes full snapshots
+    instead of deltas (the inverse of storage_upsert_partitioned, which
+    APPLIES a change feed).  The new snapshot is derived deterministically
+    from orders: keys %7 deleted, %5 repriced through the decimal ladder,
+    %11 re-inserted under offset keys.
+
+    Scale shape: a single key-partitioned shuffle join of the two
+    snapshots, aggregate collapses map-side; with both snapshots bucketed
+    on the key (operators/bucketing.py) the diff is exchange-free.  The
+    changed-row test compares doubles produced by identical expressions,
+    so it is exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    survivors = base.filter(F.pmod("o_orderkey", F.lit(7)) != 0).select(
+        "o_orderkey",
+        F.when(
+            F.pmod("o_orderkey", F.lit(5)) == 0,
+            F.round(F.col("price").cast("decimal(18,2)") * 1.05, 2).cast("double"),
+        )
+        .otherwise(F.col("price"))
+        .alias("price"),
+    )
+    inserts = orders.filter(F.pmod("o_orderkey", F.lit(11)) == 0).select(
+        (F.col("o_orderkey") + 500000000).alias("o_orderkey"),
+        F.pmod("o_orderkey", F.lit(1000)).cast("double").alias("price"),
+    )
+    new_snap = survivors.unionByName(inserts)
+    b = base.select(F.col("o_orderkey").alias("bk"), F.col("price").alias("bp"))
+    n = new_snap.select(F.col("o_orderkey").alias("nk"), F.col("price").alias("np"))
+    j = b.join(n, b.bk == n.nk, "full_outer").select(
+        F.coalesce("bk", "nk").alias("key"),
+        F.when(F.col("bk").isNull(), F.lit("added"))
+        .when(F.col("nk").isNull(), F.lit("deleted"))
+        .when(F.col("bp") != F.col("np"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+    )
+    return j.groupBy("change_type").agg(
+        F.count("*").alias("n_rows"), F.sum("key").alias("key_checksum")
+    )

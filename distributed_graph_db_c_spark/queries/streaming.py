@@ -502,3 +502,75 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         cleanup(scratch)
     return final
+
+
+from .storage import _SCD_LATEST_SQL
+
+
+# Oracle = the batch latest-per-key (identical contract to
+# storage_scd_latest_version): incremental streaming MERGE must converge
+# to the full recompute.
+@register("stream_foreachbatch_upsert", oracle=_SCD_LATEST_SQL)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE (round 5): the events stream drains in 3 real
+    micro-batches and ``foreachBatch`` upserts each into a parquet lake
+    table — collapse the batch to latest-per-(user_id, event_type), merge
+    with the table's current state, commit via ``sinks.replace_table``
+    (write-new-then-swap, the audited rewrite helper).  The final table
+    must equal the BATCH latest-per-key over all events: the (ts,
+    event_id) total order makes the pairwise merge associative, so
+    incremental maintenance == full recompute — exactly the Delta-style
+    `foreachBatch` + MERGE pattern Structured Streaming docs prescribe
+    when the sink is a plain lake table.
+
+    At 100 TB the per-batch cost is the batch size plus the touched
+    partitions' rewrite (replace_partitions on a date-partitioned table),
+    never a full-table scan; state lives IN the table, so no state store
+    grows without bound."""
+    import os
+
+    from pyspark.sql import Window
+
+    from ..sinks import replace_table
+
+    ev = load_table(spark, sf_dir, "events")
+    scratch = scratch_dir("fbupsert")
+    table = f"{scratch}/table"
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+
+    def collapse(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_type", "event_id", "ts", "value")
+        )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = collapse(batch_df)
+        if os.path.exists(table):
+            cur = spark.read.parquet(table)
+            replace_table(collapse(cur.unionByName(fresh)), table)
+        else:
+            fresh.write.parquet(table)
+
+    try:
+        batches = [ev.filter(F.pmod("event_id", F.lit(3)) == i) for i in range(3)]
+        in_dir = stage_stream_dir(batches, f"{scratch}/in")
+        sev = read_file_stream(spark, in_dir, ev.schema)
+        run_available_now(sev, f"{scratch}/ckpt", foreach_batch=merge)
+        result = (
+            spark.read.parquet(table)
+            .select(
+                "user_id",
+                "event_type",
+                "event_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "value",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        cleanup(scratch)
+    return result

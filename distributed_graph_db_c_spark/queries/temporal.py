@@ -224,3 +224,51 @@ def ts_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > 2.5)
         .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
     )
+
+
+_INTERP_SQL = """
+WITH obs AS (
+    SELECT user_id AS key, epoch_us(ts) // 14400000000 AS bucket,
+           MAX(value) AS v, COUNT(*) AS n_obs
+    FROM events GROUP BY 1, 2
+),
+b AS (SELECT key, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM obs GROUP BY key),
+grid AS (SELECT key, unnest(generate_series(b0, b1)) AS bucket FROM b),
+j AS (SELECT g.key, g.bucket, o.v, COALESCE(o.n_obs, 0) AS n_obs,
+             CASE WHEN o.v IS NOT NULL THEN g.bucket END AS ob
+      FROM grid g LEFT JOIN obs o USING (key, bucket)),
+f AS (SELECT key, bucket, v, n_obs,
+             last_value(v IGNORE NULLS) OVER wb AS prev_v,
+             last_value(ob IGNORE NULLS) OVER wb AS prev_b,
+             first_value(v IGNORE NULLS) OVER wf AS next_v,
+             first_value(ob IGNORE NULLS) OVER wf AS next_b
+      FROM j
+      WINDOW wb AS (PARTITION BY key ORDER BY bucket ROWS UNBOUNDED PRECEDING),
+             wf AS (PARTITION BY key ORDER BY bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT key, bucket,
+       CASE WHEN v IS NOT NULL THEN v
+            ELSE prev_v + (next_v - prev_v)
+                 * (CAST(bucket - prev_b AS DOUBLE) / CAST(next_b - prev_b AS DOUBLE))
+       END AS value,
+       n_obs
+FROM f
+"""
+
+
+@register("ts_interpolate_linear", oracle=_INTERP_SQL)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resample (round 5): every user's event stream
+    on the dense 4-hour grid, gaps filled by linear interpolation between
+    the surrounding observations — the continuous-signal complement to
+    ts_resample_ffill_4h's step fill (operators/timeseries.resample_interpolate).
+
+    Hash-exactness: the fill value is prev + (next-prev) * (Δb/Δspan) with
+    the SAME expression tree on both sides — three correctly-rounded IEEE
+    double ops on identical inputs are bit-identical in any engine, so no
+    output rounding is needed.  Both fills (backward + forward) share one
+    per-key sort; the oracle uses IGNORE NULLS windows over the same grid."""
+    from ..operators.timeseries import resample_interpolate
+
+    ev = load_table(spark, sf_dir, "events")
+    return resample_interpolate(ev, "user_id", "ts", "value", 14_400_000_000)

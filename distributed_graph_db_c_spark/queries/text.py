@@ -638,3 +638,79 @@ def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+_ENTROPY_SQL = """
+WITH d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 3),
+pos AS (SELECT doc_id, t, unnest(generate_series(1, length(t) - 2)) AS i FROM d),
+cnt AS (SELECT doc_id, substring(t, i, 3) AS gram, COUNT(*) AS c
+        FROM pos GROUP BY 1, 2),
+agg AS (SELECT doc_id,
+               SUM(c) AS n,
+               COUNT(*) AS n_distinct,
+               SUM(c * c) AS sum_c2,
+               SUM(CAST(c * log2(c) AS DECIMAL(28,12))) AS s
+        FROM cnt GROUP BY 1)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_grams,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       1.0 - CAST(sum_c2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+         AS diversity,
+       round(log2(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 3)
+         AS entropy_bits
+FROM agg
+"""
+
+
+@register("text_char_ngram_entropy", oracle=_ENTROPY_SQL)
+def text_char_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram diversity signals (round 5) — the language-model
+    quality heuristic that flags keyboard-mash / template / low-entropy
+    documents: per doc, the trigram count, distinct-trigram count,
+    Gini-Simpson diversity 1 - Σ(c/N)², and Shannon entropy
+    log2(N) - Σ c·log2(c) / N in bits.
+
+    Hash-exactness is engineered per column: diversity is pure integer
+    moments (Σc², N) divided once — bit-identical in any engine; entropy
+    needs transcendental log2, so each term is quantized to DECIMAL(28,12)
+    before the sum (order-independent, ≤1e-12/term cross-libm drift) and
+    the output rounds to 3 decimals — drift ~1e-11 against a 5e-4
+    boundary, so the round cannot flip.
+
+    Plan: the gram table comes from three codegen ``slice`` views of the
+    char array aligned by ``arrays_zip`` (the minhash shingler's zero-
+    lambda pattern — an exploded row carries only (doc_id, 3 chars), never
+    the full text), then two key-partitioned aggregations with map-side
+    partial agg.  Shuffles carry (doc_id, gram, count) — at 100 TB that is
+    ~chars-per-corpus slim rows, the same O(n) the tokenizer pays."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    cs = F.split(F.lower(F.col("text")), "")
+    ln = F.length(F.lower(F.col("text")))
+    sliced = docs.select(
+        "doc_id",
+        *[F.slice(cs, j + 1, ln - 2).alias(f"_c{j}") for j in range(3)],
+    )
+    grams = sliced.select(
+        "doc_id",
+        F.explode(F.arrays_zip("_c0", "_c1", "_c2")).alias("z"),
+    ).select(
+        "doc_id",
+        F.concat(F.col("z._c0"), F.col("z._c1"), F.col("z._c2")).alias("gram"),
+    )
+    cnt = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+        F.sum((F.col("c") * F.log2("c")).cast("decimal(28,12)")).alias("s"),
+    )
+    n_d = F.col("n").cast("double")
+    return agg.select(
+        "doc_id",
+        F.col("n").alias("n_grams"),
+        F.col("n_distinct").alias("n_distinct"),
+        (F.lit(1.0) - F.col("sum_c2").cast("double") / (n_d * n_d)).alias("diversity"),
+        F.round(
+            F.log2(n_d) - F.col("s").cast("double") / n_d, 3
+        ).alias("entropy_bits"),
+    )

@@ -85,8 +85,12 @@ _loaded = False
 DRIVER_WINDOW = 50
 
 # Window head: the 7 batch events consumers (loader code changed), the
-# two drift-watched TPC-H shapes + two more headliners, and the proven
-# entries whose operator code changed this round.
+# two drift-watched TPC-H shapes, and the proven entries whose operator
+# code changed this round.  (rel_q3/rel_q18/graph_bfs/text_quality/
+# dedup_minhash_pairs/sim_ann_batch moved out mid-round-5: all green r04
+# with unchanged code paths, and their slots fund first driver rows for
+# the second wave of round-5 operators — their families stay represented
+# by those new entries.)
 _WINDOW_HEAD = [
     "asof_join_events",
     "range_join_events",
@@ -97,13 +101,7 @@ _WINDOW_HEAD = [
     "rel_events_type_matrix",
     "rel_q1_pricing_summary",
     "rel_q5_local_supplier_volume",
-    "rel_q3_shipping_priority",
-    "rel_q18_large_volume_customer",
-    "graph_bfs_order_chain",
-    "text_quality_score",
-    "dedup_minhash_pairs",
     "dedup_embedding_cosine_pairs",  # ragged-vector guard added r5
-    "sim_ann_batch_topk",
     "rel_bloom_pruned_join",  # checkpoint lifetime rework r5
     "storage_compact_roundtrip",  # now in-place via replace_table r5
     "storage_upsert_partitioned",  # r4 red; race fixed r5 — must re-green
@@ -121,6 +119,14 @@ _ROUND5_NEW: list[str] = [
     "storage_scd_latest_version",  # CDC latest-per-key compaction
     "storage_scd2_history",  # LEAD-based type-2 validity intervals
     "pipeline_sequence_packing",  # 2048-token concat-and-chunk bins
+    # -- second wave (added mid-round-5) --
+    "rel_pivot_monthly_revenue",  # native pivot with pinned values
+    "rel_ntile_deciles",  # equal-frequency NTILE binning
+    "ts_interpolate_linear",  # linear-interpolation resample
+    "storage_snapshot_diff",  # full-outer CDC snapshot diff
+    "graph_toposort_levels",  # longest-path DAG levels
+    "text_char_ngram_entropy",  # trigram entropy/diversity quality signal
+    "dedup_containment_pairs",  # doc-in-doc n-gram containment
 ]
 
 # Regression-prone proven entries (pandas-UDF kernels, skew/salting).
@@ -134,6 +140,7 @@ _REGRESSION = [
 # rounds old (r04's window had zero free slots, so all of these sat
 # out); they fill remaining slots this round.
 _FILLER = [
+    "sample_deterministic_split",  # first: sole window rep of sampling
     "storage_zorder_roundtrip",
     "sim_ann_ivf_topk",
     "storage_bucketed_join_revenue",
@@ -141,7 +148,6 @@ _FILLER = [
     "source_csv_roundtrip",
     "source_jsonl_roundtrip",
     "source_jsonl_quarantine",
-    "sample_deterministic_split",
     "rel_percentiles_quantity",
     "rel_q2_best_supplier",
     "rel_q4_late_shipping",
@@ -163,6 +169,7 @@ _WINDOW_TAIL_STREAMING = [
     "stream_dedup_exact",
     "stream_watermark_late_drop",  # round 4: late-data drop semantics
     "stream_stream_interval_join",  # round 4: stream-stream join mode
+    "stream_foreachbatch_upsert",  # round 5: streaming MERGE, first row
     "stream_dedup_minhash_incremental",
 ]
 

@@ -283,3 +283,26 @@ def test_cosine_lsh_pairs_ragged_vector_raises(spark):
     # both are loud; silence is the failure mode being pinned against.
     with _pytest.raises(Exception, match="width != 8|INVALID_ARRAY_INDEX"):
         cosine_lsh_pairs(df, 0.0, dim=8).collect()
+
+
+def test_containment_catches_doc_in_doc_jaccard_misses(spark):
+    """A short doc fully embedded in a long one: containment = 1.0 but
+    Jaccard is far below any dedup threshold — the case the containment
+    operator exists for."""
+    from distributed_graph_db_c_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "totally unrelated text body here")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert cont == {(1, 2): 1.0}
+    assert jaccard_pairs(docs, threshold=0.8).count() == 0

@@ -151,3 +151,40 @@ def test_max_graph_edges_memo_and_catalog_invalidation(spark, tmp_path):
     assert len(_EDGE_STAT_CACHE) == 0
     assert max_graph_edges(cat.edges()) == 3
     clear_graph_stats_cache()
+
+
+def test_toposort_levels_diamond_vs_bfs(spark):
+    """Reconverging diamond + tail: 1->2->4->5 and 1->3->4; BFS gives
+    node 4 level 2 either way, but TOPO level must be the LONGEST path
+    (still 2 here) and node 5 gets 3; add a shortcut 1->4 — longest path
+    keeps 4 at level 2 while BFS would pull it to 1."""
+    from distributed_graph_db_c_spark.operators.traversal import toposort_levels
+
+    edges = spark.createDataFrame(
+        [(0, 1, 2), (0, 1, 3), (0, 2, 4), (0, 3, 4), (0, 4, 5), (0, 1, 4)],
+        "graph_id long, src long, dst long",
+    )
+    got = {r["id"]: r["level"] for r in toposort_levels(edges).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 3}
+
+
+def test_toposort_levels_cycle_raises(spark):
+    from distributed_graph_db_c_spark.operators.traversal import toposort_levels
+
+    edges = spark.createDataFrame(
+        [(0, 1, 2), (0, 2, 3), (0, 3, 1), (0, 9, 1)],
+        "graph_id long, src long, dst long",
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        toposort_levels(edges, max_iter=20)
+
+
+def test_toposort_forest_matches_chain_position(spark):
+    """On a forest of paths (the gate's shape) every node's topo level is
+    its position in the chain."""
+    from distributed_graph_db_c_spark.operators.traversal import toposort_levels
+
+    rows = [(0, c * 100 + i, c * 100 + i + 1) for c in range(3) for i in range(4)]
+    edges = spark.createDataFrame(rows, "graph_id long, src long, dst long")
+    got = {r["id"]: r["level"] for r in toposort_levels(edges).collect()}
+    assert got == {c * 100 + i: i for c in range(3) for i in range(5)}

@@ -299,6 +299,83 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         ("arrow batched", r"MapInPandas|ArrowEvalPython", True),
         ("no row-python udf", r"BatchEvalPython", False),
     ],
+    # --- round 5 ---
+    "mm_png_decode_stats": [
+        ("arrow batched", r"MapInPandas|ArrowEvalPython", True),
+        ("no row-python udf", r"BatchEvalPython", False),
+    ],
+    "ts_rolling_7d_revenue": [
+        # raw orders collapse to per-day rows BEFORE the unpartitioned
+        # window — the partial agg is what bounds the window input
+        ("partial agg first", r"partial_", True),
+        ("range window", r"Window", True),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+    ],
+    "ts_zscore_outliers": [
+        # 5 moment rows broadcast back over the stream — no second
+        # shuffle of the events
+        ("broadcast moments", r"BroadcastHashJoin", True),
+        ("partial moments", r"partial_", True),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+    ],
+    "ts_interpolate_linear": [
+        # backward+forward fills share one per-key sort; everything codegen
+        ("per-key window", r"Window", True),
+        ("no nested loop", r"BroadcastNestedLoopJoin|CartesianProduct", False),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+    ],
+    "sim_centroid_by_label": [
+        ("partial agg", r"partial_", True),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+    ],
+    "rel_median_per_group": [
+        ("rank window", r"Window", True),
+        ("no nested loop", r"BroadcastNestedLoopJoin|CartesianProduct", False),
+    ],
+    "rel_pivot_monthly_revenue": [
+        # pinned pivot values: single two-phase aggregate, no
+        # domain-discovery pass, no join at all
+        ("partial agg", r"partial_", True),
+        ("no join", r"Join", False),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+    ],
+    "rel_ntile_deciles": [
+        ("ntile window", r"Window", True),
+        ("partial agg", r"partial_", True),
+    ],
+    "storage_scd_latest_version": [
+        ("per-key window", r"Window", True),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+    ],
+    "storage_scd2_history": [
+        # tight filters reach the scan; LEAD is one per-entity window
+        ("filter pushdown", r"PushedFilters: \[[^\]]*(user_id|event_type)", True),
+        ("validity window", r"Window", True),
+    ],
+    "storage_snapshot_diff": [
+        # the diff is ONE equi full-outer join on the key
+        ("full outer equi", r"FullOuter", True),
+        ("no nested loop", r"BroadcastNestedLoopJoin|CartesianProduct", False),
+        ("partial agg", r"partial_", True),
+    ],
+    "pipeline_sequence_packing": [
+        ("running-sum window", r"Window", True),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+    ],
+    "text_char_ngram_entropy": [
+        # gram build is slice+zip codegen — zero lambdas, zero UDFs; two
+        # key-partitioned aggs both partial
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("no interpreted lambda", r"LambdaFunction|transform\(", False),
+        ("partial agg", r"partial_", True),
+        ("column pruning", r"ReadSchema: [^\n]*text", True),
+    ],
+    "dedup_containment_pairs": [
+        # shingle-equijoin candidates, never all-pairs
+        ("equi not theta", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True),
+        ("no nested loop", r"BroadcastNestedLoopJoin|CartesianProduct", False),
+        ("partial agg", r"partial_", True),
+    ],
 }
 
 
