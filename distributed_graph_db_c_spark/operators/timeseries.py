@@ -89,9 +89,15 @@ def resample_interpolate(
     neighbors always exist.  The interpolation is three IEEE double ops on
     identical inputs in any engine — bit-exact, no rounding needed.
 
-    Same shuffle budget as ffill (bucket agg + per-key window); the
-    backward-looking and forward-looking fills are two frames over ONE
-    sort — Catalyst runs both in a single Window exchange."""
+    SEGMENT formulation (the first version filled a dense grid with two
+    IGNORE-NULLS window passes — 3.3x slower at sf0.1 because every
+    window/sort ran over GRID rows): one LEAD window over the slim
+    observation rows pairs each obs with its successor, and each pair
+    explodes its interior gap buckets map-side WITH both endpoint values
+    already in hand — no dense-grid join, no fill passes.  Shuffle budget:
+    the bucket agg + one obs-sized window; everything after is narrow.
+    At 100 TB the cost driver is observations, and buckets appear only as
+    generated output rows."""
     obs = (
         df.select(
             F.col(key_col).alias("key"),
@@ -101,28 +107,40 @@ def resample_interpolate(
         .groupBy("key", "bucket")
         .agg(F.max("v").alias("v"), F.count("*").alias("n_obs"))
     )
-    bounds = obs.groupBy("key").agg(
-        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
-    )
-    grid = bounds.select("key", F.explode(F.sequence("b0", "b1")).alias("bucket"))
-    joined = grid.join(obs, on=["key", "bucket"], how="left")
-    wb = Window.partitionBy("key").orderBy("bucket").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wf = Window.partitionBy("key").orderBy("bucket").rowsBetween(
-        0, Window.unboundedFollowing
-    )
-    obs_bucket = F.when(F.col("v").isNotNull(), F.col("bucket"))
-    prev_v = F.last("v", ignorenulls=True).over(wb)
-    prev_b = F.last(obs_bucket, ignorenulls=True).over(wb)
-    next_v = F.first("v", ignorenulls=True).over(wf)
-    next_b = F.first(obs_bucket, ignorenulls=True).over(wf)
-    frac = (F.col("bucket") - prev_b).cast("double") / (next_b - prev_b).cast("double")
-    return joined.select(
+    w = Window.partitionBy("key").orderBy("bucket")
+    seg = obs.select(
         "key",
         "bucket",
-        F.when(F.col("v").isNotNull(), F.col("v"))
-        .otherwise(prev_v + (next_v - prev_v) * frac)
-        .alias("value"),
-        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        "v",
+        "n_obs",
+        F.lead("bucket").over(w).alias("nb"),
+        F.lead("v").over(w).alias("nv"),
     )
+    gaps = (
+        seg.filter(F.col("nb") > F.col("bucket") + 1)
+        .select(
+            "key",
+            "bucket",
+            "v",
+            "nv",
+            "nb",
+            F.explode(
+                F.sequence(F.col("bucket") + 1, F.col("nb") - 1)
+            ).alias("gap"),
+        )
+        .select(
+            "key",
+            F.col("gap").alias("bucket"),
+            (
+                F.col("v")
+                + (F.col("nv") - F.col("v"))
+                * (
+                    (F.col("gap") - F.col("bucket")).cast("double")
+                    / (F.col("nb") - F.col("bucket")).cast("double")
+                )
+            ).alias("value"),
+            F.lit(0).cast("long").alias("n_obs"),
+        )
+    )
+    observed = obs.select("key", "bucket", F.col("v").alias("value"), "n_obs")
+    return observed.unionByName(gaps)

@@ -666,20 +666,118 @@ def toposort_levels(
     predecessors'), which plain BFS level (shortest path) does not give on
     DAGs with reconverging paths.
 
-    Edges are DIRECTED (src -> dst) and must form a DAG; ``max_iter``
-    bounds the supersteps so an accidental cycle raises instead of
-    spinning (a cycle keeps a frontier alive forever).
+    Edges are DIRECTED (src -> dst) and must form a DAG; an accidental
+    cycle raises instead of spinning.
 
-    Kernel: frontier relaxation — frontier_k = vertices at the end of some
-    k-edge path from a root; a vertex's final level is the max k that
-    reaches it, folded with a groupBy-max at the end.  Same shuffle
-    discipline as :func:`bfs`: the adjacency is shuffled once into
-    persisted key partitioning, each superstep moves only the frontier
-    (broadcast while small), localCheckpoint per superstep keeps lineage
-    O(1).  Supersteps = longest path length; cost O(depth x edges) worst
-    case, O(edges) total on path-shaped graphs where each vertex is
-    reached once.
+    Two kernels, dispatched by in-degree (the ``bfs_auto`` pattern):
+
+    - max in-degree <= 1 (a forest of chains/trees — CDC lineage chains,
+      the order-chain fixture): POINTER DOUBLING — every vertex keeps
+      (ptr, dist-to-ptr) and each round jumps ptr to ptr(ptr), doubling
+      the collapsed distance, so a depth-d chain resolves in ceil(log2 d)
+      rounds of one self-equijoin each.  Iteration count set by log of
+      the depth, not the depth — the difference between 40 supersteps and
+      6 at bench scale, and between 10^6 and 20 rounds on a
+      million-long lineage chain at 100 TB.
+    - general DAGs (reconverging paths => a vertex has many pointers, so
+      doubling's state would explode): frontier relaxation — frontier_k =
+      vertices ending some k-edge path from a root, final level folded
+      with groupBy-max.  Same shuffle discipline as :func:`bfs`
+      (once-shuffled persisted adjacency, broadcast frontier, per-step
+      localCheckpoint); supersteps = longest path length.
+
+    Kernel agreement on in-degree<=1 inputs is property-pinned in
+    tests/test_traversal.py.
     """
+    max_indeg_row = (
+        edges.groupBy("graph_id", "dst").count().agg(F.max("count")).first()
+    )
+    max_indeg = max_indeg_row[0] or 0
+    if max_indeg <= 1:
+        return _toposort_pointer_doubling(edges)
+    return _toposort_relax(edges, max_iter, broadcast_threshold)
+
+
+def _toposort_pointer_doubling(
+    edges: DataFrame,
+    max_rounds: int = 63,
+    broadcast_threshold: int = 1_000_000,
+) -> DataFrame:
+    """(graph_id, id, level) for in-degree<=1 DAGs via pointer jumping.
+
+    Invariant: dist(v) = path length from v to ptr(v) (to the root when
+    ptr is null).  Init ptr=parent, dist=1 (roots: null, 0); each round
+    dist += dist(ptr), ptr = ptr(ptr).  Any finite acyclic chain drains
+    in <= 63 rounds (depth < 2^63); a surviving pointer after that is a
+    cycle and raises.
+
+    The lookup (target) side is the whole vertex state; while it fits the
+    broadcast threshold each round is a broadcast hash join — zero
+    shuffle — with the sort-merge fallback above the threshold (the bfs
+    frontier discipline, applied to the jump table)."""
+    parent = edges.select(
+        "graph_id", F.col("dst").cast("long").alias("id"), F.col("src").cast("long").alias("ptr")
+    )
+    nodes = (
+        edges.select("graph_id", F.col("src").cast("long").alias("id"))
+        .union(edges.select("graph_id", F.col("dst").cast("long").alias("id")))
+        .distinct()
+    )
+    state = (
+        nodes.join(parent, on=["graph_id", "id"], how="left")
+        .select(
+            "graph_id",
+            "id",
+            "ptr",
+            F.when(F.col("ptr").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+            .cast("long")
+            .alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_state = state.count()
+    live = state.filter(F.col("ptr").isNotNull()).count()
+    rounds = 0
+    while live > 0:
+        rounds += 1
+        if rounds > max_rounds:
+            raise ValueError(
+                f"toposort_levels: pointers alive after {max_rounds} doubling "
+                "rounds — the edge set has a cycle"
+            )
+        # every t_* column renamed: a checkpointed self-join shares expr
+        # IDs, and same-named columns in the condition resolve ambiguously
+        target = state.select(
+            F.col("graph_id").alias("t_gid"),
+            F.col("id").alias("t_id"),
+            F.col("ptr").alias("t_ptr"),
+            F.col("dist").alias("t_dist"),
+        )
+        t_side = F.broadcast(target) if n_state <= broadcast_threshold else target
+        state = (
+            state.join(
+                t_side,
+                on=(F.col("graph_id") == F.col("t_gid"))
+                & (F.col("ptr") == F.col("t_id")),
+                how="left",
+            )
+            .select(
+                "graph_id",
+                "id",
+                F.col("t_ptr").alias("ptr"),
+                (F.col("dist") + F.coalesce("t_dist", F.lit(0))).alias("dist"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        live = state.filter(F.col("ptr").isNotNull()).count()
+    return state.select("graph_id", "id", F.col("dist").alias("level"))
+
+
+def _toposort_relax(
+    edges: DataFrame,
+    max_iter: int = 1000,
+    broadcast_threshold: int = 1_000_000,
+) -> DataFrame:
     adj = _partitioned_adj(edges)
     nodes = (
         edges.select("graph_id", F.col("src").alias("id"))

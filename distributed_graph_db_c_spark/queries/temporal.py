@@ -266,8 +266,11 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash-exactness: the fill value is prev + (next-prev) * (Δb/Δspan) with
     the SAME expression tree on both sides — three correctly-rounded IEEE
     double ops on identical inputs are bit-identical in any engine, so no
-    output rounding is needed.  Both fills (backward + forward) share one
-    per-key sort; the oracle uses IGNORE NULLS windows over the same grid."""
+    output rounding is needed.  The Spark side is SEGMENT-based (one LEAD
+    window over slim observation rows, gaps exploded map-side with both
+    endpoints in hand); the oracle deliberately takes the other route —
+    dense grid + IGNORE NULLS windows — so the two formulations check
+    each other."""
     from ..operators.timeseries import resample_interpolate
 
     ev = load_table(spark, sf_dir, "events")

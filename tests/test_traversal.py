@@ -188,3 +188,42 @@ def test_toposort_forest_matches_chain_position(spark):
     edges = spark.createDataFrame(rows, "graph_id long, src long, dst long")
     got = {r["id"]: r["level"] for r in toposort_levels(edges).collect()}
     assert got == {c * 100 + i: i for c in range(3) for i in range(5)}
+
+
+def test_toposort_kernel_agreement_on_forest(spark):
+    """In-degree<=1 inputs may route to either kernel: pointer doubling
+    and frontier relaxation must agree exactly (a random 2-tree forest)."""
+    import random
+
+    from distributed_graph_db_c_spark.operators.traversal import (
+        _toposort_pointer_doubling,
+        _toposort_relax,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for g in range(2):
+        nxt = 1
+        # random trees: each new node attaches to a random existing node
+        nodes = [0]
+        for _ in range(40):
+            parent = rng.choice(nodes)
+            rows.append((g, parent, nxt))
+            nodes.append(nxt)
+            nxt += 1
+    edges = spark.createDataFrame(rows, "graph_id long, src long, dst long")
+    a = {(r["graph_id"], r["id"]): r["level"] for r in _toposort_pointer_doubling(edges).collect()}
+    b = {(r["graph_id"], r["id"]): r["level"] for r in _toposort_relax(edges).collect()}
+    assert a == b and len(a) == 82
+
+
+def test_toposort_doubling_cycle_raises(spark):
+    from distributed_graph_db_c_spark.operators.traversal import (
+        _toposort_pointer_doubling,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1, 2), (0, 2, 3), (0, 3, 1)], "graph_id long, src long, dst long"
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        _toposort_pointer_doubling(edges, max_rounds=8)
