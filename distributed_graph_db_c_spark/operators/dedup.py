@@ -23,7 +23,7 @@ oracle instead, tests/test_dedup_similarity.py).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from ..functions.text import shingles, tokens
 
@@ -285,32 +285,59 @@ def containment_pairs(
     a small doc fully contained in a large one has high containment but
     low Jaccard because the union is dominated by the large doc.
 
-    Same plan as :func:`jaccard_pairs` — shingle-equijoin candidate
-    generation, never all-pairs; only the final score differs.  At scale
-    the MinHash/LSH path bounds candidates the same way (containment
-    >= t implies Jaccard >= t * min/(min+max-t*min), so LSH at the
-    implied Jaccard threshold keeps recall)."""
-    sh = shingle_table(docs, k, id_col, text_col)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, on="shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
+    PREFIX-FILTERED set-similarity join (the SSJoin/PPJoin family,
+    Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08 — public literature):
+    the naive every-shared-shingle equijoin fans out quadratically on hot
+    shingles (stopword trigrams collide every doc with every doc — 31 s
+    at sf0.1, unbounded at 100 TB).  Instead, order each doc's shingles
+    by GLOBAL RARITY (document frequency ascending); if wlog |A| <= |B|
+    and C(A,B) >= t then fewer than (1-t)·|A| of A's shingles miss B, so
+    by pigeonhole A's first floor((1-t)·|A|)+1 rarest shingles must hit
+    B — candidates = prefix(doc) equijoined against ALL shingles, run
+    symmetrically so whichever side is smaller generates the pair.  Total
+    recall by construction (EXACT, not probabilistic), and the join's
+    fan-out rides the rare tail of the shingle DF distribution instead
+    of its hot head.  Verification intersects the two docs' hashed
+    shingle ARRAYS (codegen array_intersect) only for surviving candidate
+    pairs.  Shingles are xxhash64 longs throughout — the exchange never
+    carries token strings, and |hashed set| == |string set| absent a
+    64-bit collision (the minhash gate's standing argument), so the
+    containment values are bit-identical to the string-set oracle."""
+    sets = shingle_hash_sets(docs, k, id_col, text_col)
+    ex = sets.select("id", F.explode("hs").alias("h"))
+    docfreq = ex.groupBy("h").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "h")
+    ranked = ex.join(docfreq, on="h").select(
+        "id",
+        "h",
+        F.row_number().over(w).alias("pos"),
+        F.count("*").over(Window.partitionBy("id")).alias("n"),
     )
-    na = sizes.select(F.col("id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("id").alias("doc_b"), F.col("n").alias("nb"))
+    prefix_len = F.floor(F.lit(1.0 - threshold) * F.col("n")).cast("int") + 1
+    prefix = ranked.filter(F.col("pos") <= prefix_len).select(
+        F.col("id").alias("id_p"), "h"
+    )
+    cand = (
+        prefix.join(ex.select(F.col("id").alias("id_f"), "h"), on="h")
+        .filter(F.col("id_p") != F.col("id_f"))
+        .select(
+            F.least("id_p", "id_f").alias("doc_a"),
+            F.greatest("id_p", "id_f").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sets.select(F.col("id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    sb = sets.select(F.col("id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
     return (
-        inter.join(na, on="doc_a")
-        .join(nb, on="doc_b")
+        cand.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
         .select(
             "doc_a",
             "doc_b",
             (
-                F.col("inter").cast("double")
-                / F.least("na", "nb").cast("double")
+                inter.cast("double")
+                / F.least(F.size("hs_a"), F.size("hs_b")).cast("double")
             ).alias("containment"),
         )
         .filter(F.col("containment") >= threshold)

@@ -306,3 +306,43 @@ def test_containment_catches_doc_in_doc_jaccard_misses(spark):
     }
     assert cont == {(1, 2): 1.0}
     assert jaccard_pairs(docs, threshold=0.8).count() == 0
+
+
+def test_containment_prefix_filter_matches_bruteforce(spark):
+    """Total-recall proof for the prefix filter on random corpora: the
+    prefix-filtered join must produce EXACTLY the brute-force containment
+    pairs (python sets over string shingles), across thresholds."""
+    import itertools
+    import random
+
+    from distributed_graph_db_c_spark.operators.dedup import containment_pairs
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = {}
+    for d in range(24):
+        n = rng.randint(3, 40)
+        texts[d] = " ".join(rng.choice(vocab) for _ in range(n))
+    # plant doc-in-doc cases
+    texts[24] = texts[0] + " " + texts[1]
+    texts[25] = texts[2]
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+
+    def sh(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    for thr in (0.7, 0.9):
+        expect = {}
+        for a, b in itertools.combinations(sorted(texts), 2):
+            sa, sb = sh(texts[a]), sh(texts[b])
+            if not sa or not sb:
+                continue
+            c = len(sa & sb) / min(len(sa), len(sb))
+            if c >= thr:
+                expect[(a, b)] = c
+        got = {
+            (r["doc_a"], r["doc_b"]): r["containment"]
+            for r in containment_pairs(docs, threshold=thr).collect()
+        }
+        assert got == expect, f"thr={thr}"
