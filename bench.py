@@ -86,6 +86,10 @@ HEADLINE = [
     "text_char_ngram_entropy",
     "dedup_containment_pairs",
     "stream_foreachbatch_upsert",
+    # round 5 third wave
+    "storage_time_travel",
+    "sim_quantize_int8",
+    "text_sentence_stats",
 ]
 
 

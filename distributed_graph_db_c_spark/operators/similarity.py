@@ -259,6 +259,28 @@ def ann_batch_topk(
     )
 
 
+# Auto-sized LSH: target mean bucket occupancy.  Candidate volume per
+# table is sum-over-buckets of occupancy^2 — with FIXED planes a 10x
+# corpus makes buckets 10x fuller and candidates 100x (observed: the sf1
+# spot run took 46x sf0.1's time at n_planes=4).  Holding occupancy
+# constant instead (planes ~ log2(n / target)) keeps candidates ~linear
+# in the corpus.
+_TARGET_BUCKET_ROWS = 32
+_MAX_PLANES = 24
+
+
+def planes_for(n_rows: int) -> int:
+    """Bucket-bit count for a corpus of ``n_rows``: smallest n_planes
+    holding mean occupancy <= _TARGET_BUCKET_ROWS, floored at the pinned
+    gate-scale N_PLANES (so small-corpus gates keep their exact-recall
+    parameters) and capped at _MAX_PLANES."""
+    import math
+
+    if n_rows <= _TARGET_BUCKET_ROWS * (1 << N_PLANES):
+        return N_PLANES
+    return min(_MAX_PLANES, math.ceil(math.log2(n_rows / _TARGET_BUCKET_ROWS)))
+
+
 def cosine_lsh_pairs(
     embeddings: DataFrame,
     threshold: float,
@@ -266,6 +288,7 @@ def cosine_lsh_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe: int = 0,
+    n_planes: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine >= threshold via LSH bucketing — the scale
     twin of :func:`cosine_pairs` for the embedding NEAR-DUP problem (the
@@ -309,7 +332,13 @@ def cosine_lsh_pairs(
     null cosine, and a silently dropped pair — so the norm expression
     raises loudly on any row whose array length != ``dim`` (embedded in
     a column the output needs, where pruning can't remove it)."""
-    bkt = with_lsh_buckets(embeddings, dim, id_col=id_col, vec_col=vec_col)
+    if n_planes is None:
+        # one counting pass sizes the bucket space to the corpus — the
+        # knob that keeps the bucket self-equijoin linear at 100 TB
+        n_planes = planes_for(embeddings.count())
+    bkt = with_lsh_buckets(
+        embeddings, dim, n_planes=n_planes, id_col=id_col, vec_col=vec_col
+    )
     bt = bkt.select(
         F.col(id_col).alias("id"), F.posexplode("buckets").alias("table", "bucket")
     )
@@ -323,7 +352,7 @@ def cosine_lsh_pairs(
                     F.col("bucket"),
                     *[
                         F.col("bucket").bitwiseXOR(F.lit(1 << b))
-                        for b in range(min(multiprobe, N_PLANES))
+                        for b in range(min(multiprobe, n_planes))
                     ],
                 )
             ).alias("bucket"),

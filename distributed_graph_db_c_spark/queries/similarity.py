@@ -203,3 +203,90 @@ def sim_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s").cast("double") / F.col("n"), 8).alias("centroid"),
         )
     )
+
+
+def _q8_sql() -> str:
+    """Generated 64-term SQL mirroring the Spark unpacked-column plan with
+    the SAME left-associative expression order, so every double op is
+    bit-identical."""
+    v = [f"CAST(embedding[{k + 1}] AS DOUBLE)" for k in range(EMBED_DIM)]
+    m = "GREATEST(" + ", ".join(f"abs({x})" for x in v) + ")"
+    q = [f"round({x} * 127.0 / m)" for x in v]
+    e2 = [f"(({x}) - (q{k} * m / 127.0)) * (({x}) - (q{k} * m / 127.0))"
+          for k, x in enumerate(v)]
+    mse_chain = e2[0]
+    for t in e2[1:]:
+        mse_chain = f"({mse_chain} + {t})"
+    qsum = " + ".join(f"CAST(q{k} AS BIGINT)" for k in range(EMBED_DIM))
+    qdefs = ", ".join(f"{expr} AS q{k}" for k, expr in enumerate(q))
+    return f"""
+WITH base AS (
+  SELECT vec_id, label, embedding, {m} AS m
+  FROM embeddings WHERE len(embedding) = {EMBED_DIM}),
+nz AS (SELECT * FROM base WHERE m > 0),
+qd AS (SELECT vec_id, label, embedding, m, {qdefs} FROM nz),
+per AS (SELECT label,
+               {qsum} AS q_sum,
+               CAST({mse_chain} / {EMBED_DIM}.0 AS DECIMAL(38,12)) AS mse
+        FROM qd)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(q_sum) AS BIGINT) AS q_checksum,
+       CAST(CAST(SUM(mse) AS DECIMAL(38,12)) AS DOUBLE) / COUNT(*) AS avg_mse
+FROM per GROUP BY label
+"""
+
+
+@register("sim_quantize_int8", oracle=_q8_sql())
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (round 5) — the embedding
+    compression step an ANN serving/storage stack applies before
+    indexing (4x smaller than float32, recall barely moves): scale =
+    max|v|/127, q_k = round(v_k/scale), reconstruction error =
+    mean((v_k - q_k*scale)^2).  Per label: vector count, integer
+    checksum of all quantized codes (proves the exact code assignment),
+    and average reconstruction MSE.
+
+    Bit-exactness engineering: the whole computation is unpacked to 64
+    codegen column expressions with a pinned left-associative reduction
+    order, and the oracle's SQL is GENERATED with the same order —
+    every double op is then IEEE-identical in both engines; the
+    per-vector MSE rides DECIMAL(38,12) into the cross-row sum (scale
+    chosen so the summed unscaled value stays under 2^53 — above that,
+    DuckDB's int128->double path drifts 1 ulp from Java BigDecimal) so
+    the label aggregate is partitioning- AND engine-independent.  No UDF, no HOF lambda:
+    the plan is one map stage + one partial-agg groupBy — at 100 TB
+    quantization is scan-speed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = [F.col("embedding")[k].cast("double") for k in range(EMBED_DIM)]
+    m = F.greatest(*[F.abs(x) for x in v])
+    base = emb.filter(F.size("embedding") == EMBED_DIM).select(
+        "vec_id", "label", *[v[k].alias(f"v{k}") for k in range(EMBED_DIM)], m.alias("m")
+    ).filter(F.col("m") > 0)
+    q = [F.round(F.col(f"v{k}") * 127.0 / F.col("m")) for k in range(EMBED_DIM)]
+    qd = base.select(
+        "vec_id", "label", "m",
+        *[F.col(f"v{k}") for k in range(EMBED_DIM)],
+        *[q[k].alias(f"q{k}") for k in range(EMBED_DIM)],
+    )
+    e2 = [
+        (F.col(f"v{k}") - F.col(f"q{k}") * F.col("m") / 127.0)
+        * (F.col(f"v{k}") - F.col(f"q{k}") * F.col("m") / 127.0)
+        for k in range(EMBED_DIM)
+    ]
+    mse_chain = e2[0]
+    for t in e2[1:]:
+        mse_chain = mse_chain + t
+    q_sum = F.col("q0").cast("long")
+    for k in range(1, EMBED_DIM):
+        q_sum = q_sum + F.col(f"q{k}").cast("long")
+    per = qd.select(
+        "label",
+        q_sum.alias("q_sum"),
+        (mse_chain / float(EMBED_DIM)).cast("decimal(38,12)").alias("mse"),
+    )
+    return per.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("q_sum").alias("q_checksum"),
+        (F.sum("mse").cast("decimal(38,12)").cast("double") / F.count("*")).alias("avg_mse"),
+    )

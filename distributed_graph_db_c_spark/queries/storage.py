@@ -685,3 +685,103 @@ def storage_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("change_type").agg(
         F.count("*").alias("n_rows"), F.sum("key").alias("key_checksum")
     )
+
+
+_TT_SQL = """
+WITH v1 AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 3 <> 0),
+v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0
+              THEN CAST(ROUND(CAST(price AS DECIMAL(18,2)) * 1.1, 2) AS DOUBLE)
+              ELSE price END AS price
+  FROM v1),
+v3 AS (SELECT * FROM v2 WHERE o_orderkey % 7 <> 0),
+a1 AS (SELECT 1 AS version, COUNT(*) AS n_rows,
+              CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+              CAST(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)
+                AS total_price FROM v1),
+a2 AS (SELECT 2, COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+              CAST(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)
+       FROM v2),
+a3 AS (SELECT 3, COUNT(*), CAST(SUM(o_orderkey) AS BIGINT),
+              CAST(CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)
+       FROM v3)
+SELECT version, n_rows, key_checksum, total_price,
+       CAST(3 AS BIGINT) AS n_versions_before,
+       CAST(2 AS BIGINT) AS n_versions_after
+FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2 UNION ALL SELECT * FROM a3)
+"""
+
+
+@register("storage_time_travel", oracle=_TT_SQL)
+def storage_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned table / time travel / vacuum (round 5, ``versioned.py``):
+    three commits build successive snapshots — each NEW snapshot's plan
+    READS the previous published version (the staging write never
+    deletes, so read-while-commit cannot race); every version is then
+    read back BY NUMBER and aggregated, vacuum(keep_last=2) reclaims v1,
+    and the surviving version count lands in the output.  The oracle
+    recomputes all three snapshot aggregates from the raw table.
+
+    What this pins: published versions are immutable (v1's aggregate is
+    taken after two further commits), version reads are explicit (no
+    silent latest-fallback), vacuum destroys exactly the old tail.  The
+    reference's op-2 modify destroys history by design
+    (primary_server.c:65 "w+"); this is the lake-side answer."""
+    from ..streaming.sources import cleanup, scratch_dir
+    from ..versioned import commit_version, list_versions, read_version, vacuum_versions
+
+    orders = load_table(spark, sf_dir, "orders")
+    scratch = scratch_dir("timetravel")
+    table = f"{scratch}/t"
+    try:
+        v1 = orders.filter(F.pmod("o_orderkey", F.lit(3)) != 0).select(
+            "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+        )
+        assert commit_version(v1, table) == 1
+        prev = read_version(spark, table, 1)
+        v2 = prev.select(
+            "o_orderkey",
+            F.when(
+                F.pmod("o_orderkey", F.lit(5)) == 0,
+                F.round(F.col("price").cast("decimal(18,2)") * 1.1, 2).cast("double"),
+            )
+            .otherwise(F.col("price"))
+            .alias("price"),
+        )
+        assert commit_version(v2, table) == 2
+        v3 = read_version(spark, table, 2).filter(F.pmod("o_orderkey", F.lit(7)) != 0)
+        assert commit_version(v3, table) == 3
+
+        def agg(version: int) -> DataFrame:
+            return read_version(spark, table, version).agg(
+                F.lit(version).cast("int").alias("version"),
+                F.count("*").alias("n_rows"),
+                F.sum("o_orderkey").alias("key_checksum"),
+                F.sum(F.col("price").cast("decimal(18,2)"))
+                .cast("decimal(38,2)")
+                .cast("double")
+                .alias("total_price"),
+            )
+
+        n_before = len(list_versions(spark, table))
+        snap = (
+            agg(1).unionByName(agg(2)).unionByName(agg(3)).localCheckpoint(eager=True)
+        )
+        removed = vacuum_versions(spark, table, keep_last=2)
+        assert removed == [1]
+        n_after = len(list_versions(spark, table))
+        # latest read must survive the vacuum
+        assert read_version(spark, table).count() == snap.filter(
+            F.col("version") == 3
+        ).first()["n_rows"]
+        result = snap.select(
+            "*",
+            F.lit(n_before).cast("long").alias("n_versions_before"),
+            F.lit(n_after).cast("long").alias("n_versions_after"),
+        ).localCheckpoint(eager=True)
+    finally:
+        cleanup(scratch)
+    return result

@@ -714,3 +714,59 @@ def text_char_ngram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log2(n_d) - F.col("s").cast("double") / n_d, 3
         ).alias("entropy_bits"),
     )
+
+
+# Explicit [ \t\r\n] charset instead of \s: Java regex \s includes \x0B
+# where RE2 (DuckDB) does not — the one place the engines' regex
+# dialects would diverge on plausible text.
+_SENT_SQL = r"""
+WITH segs AS (
+  SELECT doc_id,
+         regexp_replace(unnest(string_split_regex(text, '[.!?]+')),
+                        '^[ \t\r\n]+|[ \t\r\n]+$', '', 'g') AS s
+  FROM documents),
+ne AS (SELECT doc_id, s FROM segs WHERE length(s) > 0)
+SELECT doc_id,
+       COUNT(*) AS n_sentences,
+       CAST(SUM(length(s)) AS BIGINT) AS total_sent_chars,
+       CAST((1000 * SUM(length(s))) // COUNT(*) AS BIGINT) AS avg_sent_chars_milli,
+       CAST(MAX(length(s)) AS BIGINT) AS max_sent_chars
+FROM ne GROUP BY doc_id
+"""
+
+
+@register("text_sentence_stats", oracle=_SENT_SQL)
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats (round 5) — the length/shape signals
+    sentence-level quality filters key on (too-long run-ons, fragment
+    spam): segments split on [.!?]+ runs, whitespace-trimmed, empties
+    dropped; per doc the sentence count, total/average (integer permille)
+    and max sentence character lengths.  All-integer outputs — exact in
+    any engine.  Pure codegen split+explode+regexp, two partial-agg
+    shuffles; at 100 TB this is scan-bound like the tokenizer."""
+    docs = load_table(spark, sf_dir, "documents")
+    segs = docs.select(
+        "doc_id", F.explode(F.split("text", r"[.!?]+")).alias("seg")
+    ).select(
+        "doc_id",
+        F.regexp_replace("seg", r"^[ \t\r\n]+|[ \t\r\n]+$", "").alias("s"),
+    ).filter(F.length("s") > 0)
+    return (
+        segs.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sentences"),
+            F.sum(F.length("s")).alias("total_sent_chars"),
+            F.max(F.length("s")).cast("long").alias("max_sent_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_sentences",
+            "total_sent_chars",
+            # integer floor-division, exact at any magnitude (a double
+            # division could land on the wrong side of an integer)
+            F.expr("(1000 * total_sent_chars) DIV n_sentences").alias(
+                "avg_sent_chars_milli"
+            ),
+            "max_sent_chars",
+        )
+    )

@@ -127,6 +127,10 @@ _ROUND5_NEW: list[str] = [
     "graph_toposort_levels",  # longest-path DAG levels
     "text_char_ngram_entropy",  # trigram entropy/diversity quality signal
     "dedup_containment_pairs",  # doc-in-doc n-gram containment
+    # -- third wave (added mid-round-5) --
+    "storage_time_travel",  # versioned commits + time travel + vacuum
+    "sim_quantize_int8",  # int8 embedding quantization + recon error
+    "text_sentence_stats",  # sentence segmentation quality signals
 ]
 
 # Regression-prone proven entries (pandas-UDF kernels, skew/salting).

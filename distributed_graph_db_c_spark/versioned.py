@@ -1,0 +1,110 @@
+"""Versioned parquet tables: time travel + vacuum on plain directories.
+
+The reference's modify (op 2) is a destructive whole-file truncate-and-
+rewrite (`primary_server.c:65` "w+") — a reader can never ask for the
+pre-modify graph.  A lake pipeline wants the opposite: every commit is a
+new immutable snapshot, reads default to the latest but can time-travel,
+and storage is reclaimed explicitly (vacuum), never implicitly.  Table
+formats (Delta/Iceberg) do this with a transaction log; this layer gives
+the raw-parquet equivalent with directory-rename atomicity — the same
+commit primitive `sinks.replace_table` uses, here applied per version:
+
+    path/v=00000001/...parquet     (immutable once published)
+    path/v=00000002/...parquet
+
+A version is PUBLISHED by renaming its fully-written staging directory to
+`v=NNNNNNNN` — one metadata op, so readers enumerate either without the
+new version or with all of it, never a partial directory.  Version
+numbers are monotonically increasing; the latest = max(listed).  Old
+versions stay byte-identical forever (readers-writers isolation for
+free), until `vacuum` deletes all but the newest ``keep_last``.
+
+Scale: listing cost is O(versions) directory entries, not O(files);
+every read is an ordinary pruned parquet scan of ONE version directory;
+vacuum is O(removed versions) recursive deletes.  Nothing here touches
+the driver filesystem API — all IO goes through the Hadoop FileSystem,
+so any HDFS-compatible store works.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .sinks import _hadoop_fs
+
+_FMT = "v=%08d"
+
+
+def _version_dirs(spark: SparkSession, path: str) -> list[int]:
+    fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath(path)):
+        return []
+    out = []
+    for st in fs.listStatus(jpath(path)):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("v="):
+            try:
+                out.append(int(name[2:]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def list_versions(spark: SparkSession, path: str) -> list[int]:
+    """All published version numbers, ascending."""
+    return _version_dirs(spark, path)
+
+
+def commit_version(df: DataFrame, path: str) -> int:
+    """Publish ``df`` as the next version of the table at ``path``;
+    returns the new version number.  The snapshot is written to a staging
+    directory and published by ONE rename, so a concurrent reader's
+    listing either includes the complete version or not at all.  Safe
+    when ``df``'s plan reads an older version of the same table (staging
+    never deletes anything)."""
+    spark = df.sparkSession
+    fs, jpath = _hadoop_fs(spark, path)
+    fs.mkdirs(jpath(path))
+    version = (_version_dirs(spark, path) or [0])[-1] + 1
+    staging = f"{path.rstrip('/')}/__stage_{version}__"
+    fs.delete(jpath(staging), True)
+    df.write.mode("overwrite").parquet(staging)
+    final = f"{path.rstrip('/')}/{_FMT % version}"
+    if not fs.rename(jpath(staging), jpath(final)):
+        fs.delete(jpath(staging), True)
+        raise IOError(
+            f"commit_version: publish rename to {final} failed "
+            "(concurrent committer won the version number)"
+        )
+    return version
+
+
+def read_version(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """The table at ``version`` (latest when None).  Raises if the
+    version was vacuumed or never existed — time travel is explicit,
+    never a silent fallback to a different snapshot."""
+    versions = _version_dirs(spark, path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise FileNotFoundError(
+            f"version {version} not present at {path} (have {versions})"
+        )
+    return spark.read.parquet(f"{path.rstrip('/')}/{_FMT % version}")
+
+
+def vacuum_versions(spark: SparkSession, path: str, keep_last: int) -> list[int]:
+    """Delete all but the newest ``keep_last`` versions; returns the
+    removed version numbers.  Storage reclamation is the ONLY operation
+    that destroys a published snapshot, and it never touches the newest
+    one (keep_last >= 1 enforced)."""
+    if keep_last < 1:
+        raise ValueError("vacuum_versions: keep_last must be >= 1")
+    fs, jpath = _hadoop_fs(spark, path)
+    versions = _version_dirs(spark, path)
+    doomed = versions[:-keep_last]
+    for v in doomed:
+        fs.delete(jpath(f"{path.rstrip('/')}/{_FMT % v}"), True)
+    return doomed

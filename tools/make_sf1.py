@@ -10,10 +10,13 @@ scales honestly instead of degenerating:
   within-copy-duplication-preserving) so cross-copy shingle Jaccard is ~0
   — a naive 10x copy would make every doc a 10-clique of near-dups and
   the pair output would grow ~45x/doc instead of the organic ~10x.
-- embeddings: keys offset; each copy's vector is cyclically rotated by
-  its copy index — norms and within-copy geometry are exactly preserved,
-  cross-copy cosine decorrelates, so the LSH bucket load scales ~10x
-  instead of every bucket holding 10 identical twins.
+- embeddings: keys offset; each copy's vector is multiplied elementwise
+  by a copy-specific deterministic ±1 sign pattern — cos(s⊙v, s⊙w) ==
+  cos(v, w), so within-copy geometry (and every norm) is EXACTLY
+  preserved, while cross-copy cosines get a random ±1 reweighting and
+  concentrate near 0.  (A first attempt used cyclic rotation; real
+  embeddings are structured enough that rotations stay correlated, which
+  manufactured ~17k cross-copy "near-dups" and a fake quadratic blowup.)
 - orders / lineitem / customer: keys offset per copy (custkey offsets
   keep orders-per-customer identical — join fan-outs scale, skew shape
   does not change).
@@ -75,17 +78,27 @@ def main() -> None:
             "n_chars",
         ),
     )
+    import hashlib
+
+    def signs(i: int) -> list[float]:
+        # deterministic per (copy, dim) ±1 pattern; copy 0 = identity
+        if i == 0:
+            return [1.0] * emb_dim
+        return [
+            1.0
+            if hashlib.md5(f"{i}:{k}".encode()).digest()[0] & 1
+            else -1.0
+            for k in range(emb_dim)
+        ]
+
     copies(
         "embeddings",
         lambda df, i: df.select(
             (F.col("vec_id") + i * KEY_OFF).alias("vec_id"),
-            (
-                F.col("embedding")
-                if i == 0
-                else F.concat(
-                    F.slice("embedding", i + 1, emb_dim - i),
-                    F.slice("embedding", 1, i),
-                )
+            F.zip_with(
+                "embedding",
+                F.array(*[F.lit(s) for s in signs(i)]),
+                lambda x, s: (x * s).cast("float"),
             ).alias("embedding"),
             "label",
         ),
