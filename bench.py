@@ -90,6 +90,7 @@ HEADLINE = [
     "storage_time_travel",
     "sim_quantize_int8",
     "text_sentence_stats",
+    "dedup_substring_windows",
 ]
 
 

@@ -342,3 +342,46 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def substring_dup_pairs(
+    docs: DataFrame, k: int = 20, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """EXACT k-token substring duplication: (doc_a, doc_b,
+    n_shared_windows, frac_milli) for every pair sharing at least one
+    exact k-token window — the exact-substring dedup criterion of
+    "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al. 2022; their suffix-array k=50 criterion, here as the equivalent
+    sliding-window-hash formulation).  frac_milli = permille of the
+    smaller doc's windows that appear in the other doc.
+
+    Plan: the doc's distinct k-window xxhash64 set (the slice+zip
+    shingler at k) exploded and self-equijoined on the hash.  Unlike
+    3-gram shingles, k-token windows are almost all globally unique, so
+    the equijoin's fan-out IS the duplication signal — no hot-key
+    mitigation needed; the exchange carries (id, long).  At 100 TB this
+    is the standard map-side-hash + shuffle-on-fingerprint sweep, cost
+    linear in total tokens."""
+    sets = shingle_hash_sets(docs, k, id_col, text_col)
+    sizes = sets.select("id", F.size("hs").alias("n"))
+    ex = sets.select("id", F.explode("hs").alias("h"))
+    a = ex.select(F.col("id").alias("doc_a"), "h")
+    b = ex.select(F.col("id").alias("doc_b"), "h")
+    shared = (
+        a.join(b, on="h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared_windows"))
+    )
+    na = sizes.select(F.col("id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(na, on="doc_a")
+        .join(nb, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared_windows",
+            F.expr("(1000 * n_shared_windows) DIV least(na, nb)").alias("frac_milli"),
+        )
+    )

@@ -286,3 +286,41 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return containment_pairs(docs, threshold=0.9)
+
+
+_SUBSTR_SQL = rf"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(t) >= 20
+                   THEN list_distinct(list_transform(generate_series(0, len(t)-20),
+                        i -> list_aggregate(t[i+1:i+20], 'string_agg', ' ')))
+                   ELSE [] END AS s
+       FROM toks),
+ex AS (SELECT doc_id, unnest(s) AS w FROM sh),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 COUNT(*) AS n_shared_windows
+          FROM ex a JOIN ex b ON a.w = b.w AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+SELECT doc_a, doc_b, n_shared_windows,
+       CAST((1000 * n_shared_windows) // LEAST(sa.n, sb.n) AS BIGINT) AS frac_milli
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+"""
+
+
+@register("dedup_substring_windows", oracle=_SUBSTR_SQL)
+def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 20-token substring duplication pairs (round 5,
+    operators/dedup.substring_dup_pairs) — the Lee-et-al exact-substring
+    dedup criterion: any two docs sharing a verbatim 20-token run, with
+    the shared-window count and the permille of the smaller doc's
+    windows duplicated.  Spark joins hashed windows (|hashed set| ==
+    |string set| absent a 64-bit collision — the minhash gates' standing
+    argument); the oracle joins the literal window STRINGS, so the two
+    sides share nothing."""
+    from ..operators.dedup import substring_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_dup_pairs(docs, k=20)

@@ -131,20 +131,20 @@ _ROUND5_NEW: list[str] = [
     "storage_time_travel",  # versioned commits + time travel + vacuum
     "sim_quantize_int8",  # int8 embedding quantization + recon error
     "text_sentence_stats",  # sentence segmentation quality signals
+    "dedup_substring_windows",  # exact 20-token substring dup pairs
 ]
 
-# Regression-prone proven entries (pandas-UDF kernels, skew/salting).
-_REGRESSION = [
-    "dedup_minhash_groups",
-    "skew_salted_join_revenue",
-    "graph_sssp_order_chain",
-]
+# (The round-4 "_REGRESSION" re-check group was retired mid-round-5: all
+# three entries are r04-green with unchanged code, and their slots fund
+# filler rotation now that 21 round-5 gates need first rows.)
+_REGRESSION: list[str] = []
 
 # Rotation filler: oracle-backed queries whose last driver row is >=2
 # rounds old (r04's window had zero free slots, so all of these sat
 # out); they fill remaining slots this round.
 _FILLER = [
-    "sample_deterministic_split",  # first: sole window rep of sampling
+    "skew_salted_join_revenue",  # first: sole window rep of skew
+    "sample_deterministic_split",  # sole window rep of sampling
     "storage_zorder_roundtrip",
     "sim_ann_ivf_topk",
     "storage_bucketed_join_revenue",
