@@ -376,6 +376,25 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         ("no nested loop", r"BroadcastNestedLoopJoin|CartesianProduct", False),
         ("partial agg", r"partial_", True),
     ],
+    "dedup_substring_windows": [
+        # hashed-window equijoin; exchange carries (id, long)
+        ("equi not theta", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True),
+        ("no nested loop", r"BroadcastNestedLoopJoin|CartesianProduct", False),
+        ("partial agg", r"partial_", True),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+    ],
+    "sim_quantize_int8": [
+        # one map stage of unpacked codegen columns + one partial-agg
+        # groupBy: no join, no UDF anywhere
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("no join", r"Join", False),
+        ("partial agg", r"partial_", True),
+    ],
+    "text_sentence_stats": [
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("partial agg", r"partial_", True),
+        ("column pruning", r"ReadSchema: [^\n]*text", True),
+    ],
 }
 
 
