@@ -91,6 +91,7 @@ HEADLINE = [
     "sim_quantize_int8",
     "text_sentence_stats",
     "dedup_substring_windows",
+    "graph_chain_roots",
 ]
 
 

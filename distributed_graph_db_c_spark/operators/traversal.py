@@ -822,3 +822,74 @@ def _toposort_relax(
     )
     adj.unpersist()
     return out
+
+
+def forest_roots(
+    edges: DataFrame,
+    max_rounds: int = 63,
+    broadcast_threshold: int = 1_000_000,
+) -> DataFrame:
+    """(graph_id, id, root) for every vertex of an in-degree<=1 edge set
+    (a forest of chains/trees): root = the unique ancestor with no
+    incoming edge — the distributed find() of union-find, by the same
+    pointer-doubling kernel as :func:`_toposort_pointer_doubling`
+    (ceil(log2 depth) self-join rounds).  The representative-lookup
+    primitive under CDC lineage resolution ("which original record does
+    this chain of amendments descend from"), survivorship, and
+    chain-partitioned incremental processing.
+
+    Roots map to themselves; vertices are exactly the edge endpoints
+    (an isolated record with no edges has no row — trivially its own
+    root).  Raises on a cycle (pointers never drain)."""
+    parent = edges.select(
+        "graph_id", F.col("dst").cast("long").alias("id"), F.col("src").cast("long").alias("ptr")
+    )
+    nodes = (
+        edges.select("graph_id", F.col("src").cast("long").alias("id"))
+        .union(edges.select("graph_id", F.col("dst").cast("long").alias("id")))
+        .distinct()
+    )
+    state = (
+        nodes.join(parent, on=["graph_id", "id"], how="left")
+        .select(
+            "graph_id",
+            "id",
+            "ptr",
+            F.coalesce("ptr", "id").alias("root"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_state = state.count()
+    live = state.filter(F.col("ptr").isNotNull()).count()
+    rounds = 0
+    while live > 0:
+        rounds += 1
+        if rounds > max_rounds:
+            raise ValueError(
+                f"forest_roots: pointers alive after {max_rounds} doubling "
+                "rounds — the edge set has a cycle"
+            )
+        target = state.select(
+            F.col("graph_id").alias("t_gid"),
+            F.col("id").alias("t_id"),
+            F.col("ptr").alias("t_ptr"),
+            F.col("root").alias("t_root"),
+        )
+        t_side = F.broadcast(target) if n_state <= broadcast_threshold else target
+        state = (
+            state.join(
+                t_side,
+                on=(F.col("graph_id") == F.col("t_gid"))
+                & (F.col("ptr") == F.col("t_id")),
+                how="left",
+            )
+            .select(
+                "graph_id",
+                "id",
+                F.col("t_ptr").alias("ptr"),
+                F.coalesce("t_root", "root").alias("root"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        live = state.filter(F.col("ptr").isNotNull()).count()
+    return state.select("graph_id", "id", "root")

@@ -491,3 +491,42 @@ def graph_toposort_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toposort_levels(chain, max_iter=500).select(
         F.col("id"), F.col("level").cast("long").alias("level")
     )
+
+
+_ROOTS_SQL = """
+WITH ordered AS (
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey) AS root,
+           COUNT(*) OVER (PARTITION BY o_custkey) AS n
+    FROM orders)
+SELECT o_orderkey AS id, CAST(root AS BIGINT) AS root
+FROM ordered WHERE n >= 2
+"""
+
+
+@register("graph_chain_roots", oracle=_ROOTS_SQL)
+def graph_chain_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed union-find find() (round 5,
+    operators/traversal.forest_roots): every order resolves to the ROOT
+    of its customer's chain — the first order — by pointer doubling in
+    ceil(log2 depth) rounds; the CDC-lineage / survivorship primitive
+    ("which original record does this amendment chain descend from").
+    The oracle takes the relational shortcut (FIRST_VALUE over the
+    customer window) that exists only because the chains are derived
+    from a window in the first place; the operator never sees the
+    customer key, only (src, dst) edges.  Single-order customers have
+    no edges and are excluded on both sides."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chain = (
+        orders.select(
+            F.lag("o_orderkey").over(w).alias("src"),
+            F.col("o_orderkey").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull())
+        .select(F.lit(0).alias("graph_id"), "src", "dst")
+    )
+    from ..operators.traversal import forest_roots
+
+    return forest_roots(chain).select("id", "root")

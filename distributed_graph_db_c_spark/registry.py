@@ -74,7 +74,8 @@ _loaded = False
 # guard), compaction (now in-place via sinks.replace_table), and the
 # round-4 red storage_upsert_partitioned (race fixed via
 # sinks.replace_partitions — its green row is THE deliverable);
-# (b) the 9 round-5 additions get their first rows; (c) the filler
+# (b) every round-5 addition (22 gates across three waves) gets its
+# first row; (c) the filler
 # entries that sat out r04 entirely (r04 had zero free slots) rotate
 # back in so no oracle-backed query's driver evidence goes >2 rounds
 # stale.  Entries green in r04 with unchanged code rest this round —
@@ -132,11 +133,12 @@ _ROUND5_NEW: list[str] = [
     "sim_quantize_int8",  # int8 embedding quantization + recon error
     "text_sentence_stats",  # sentence segmentation quality signals
     "dedup_substring_windows",  # exact 20-token substring dup pairs
+    "graph_chain_roots",  # pointer-doubling union-find find()
 ]
 
 # (The round-4 "_REGRESSION" re-check group was retired mid-round-5: all
 # three entries are r04-green with unchanged code, and their slots fund
-# filler rotation now that 21 round-5 gates need first rows.)
+# filler rotation now that 22 round-5 gates need first rows.)
 _REGRESSION: list[str] = []
 
 # Rotation filler: oracle-backed queries whose last driver row is >=2

@@ -227,3 +227,45 @@ def test_toposort_doubling_cycle_raises(spark):
     )
     with pytest.raises(ValueError, match="cycle"):
         _toposort_pointer_doubling(edges, max_rounds=8)
+
+
+def test_forest_roots_trees_and_selfmap(spark):
+    """Random forest: every node resolves to its tree's root; roots map
+    to themselves; matches a python ancestor walk."""
+    import random
+
+    from distributed_graph_db_c_spark.operators.traversal import forest_roots
+
+    rng = random.Random(13)
+    parent = {}
+    rows = []
+    nxt = 0
+    for _ in range(3):  # 3 trees
+        root = nxt
+        nodes = [root]
+        nxt += 1
+        for _ in range(25):
+            p = rng.choice(nodes)
+            rows.append((0, p, nxt))
+            parent[nxt] = p
+            nodes.append(nxt)
+            nxt += 1
+    edges = spark.createDataFrame(rows, "graph_id long, src long, dst long")
+
+    def walk(v):
+        while v in parent:
+            v = parent[v]
+        return v
+
+    got = {r["id"]: r["root"] for r in forest_roots(edges).collect()}
+    assert got == {v: walk(v) for v in range(nxt)}
+
+
+def test_forest_roots_cycle_raises(spark):
+    from distributed_graph_db_c_spark.operators.traversal import forest_roots
+
+    edges = spark.createDataFrame(
+        [(0, 1, 2), (0, 2, 1)], "graph_id long, src long, dst long"
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        forest_roots(edges, max_rounds=6)
