@@ -92,6 +92,7 @@ HEADLINE = [
     "text_sentence_stats",
     "dedup_substring_windows",
     "graph_chain_roots",
+    "storage_dpp_pruned_join",
 ]
 
 

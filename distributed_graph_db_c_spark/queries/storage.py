@@ -785,3 +785,54 @@ def storage_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         cleanup(scratch)
     return result
+
+
+_DPP_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+GROUP BY o_orderpriority
+"""
+
+
+@register("storage_dpp_pruned_join", oracle=_DPP_SQL)
+def storage_dpp_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (round 5): orders persisted as a
+    priority-partitioned table, then joined to a FILTERED dimension of
+    priorities — Catalyst injects the dim's post-filter values as a
+    runtime IN-subquery on the fact's PARTITION column, so the scan
+    reads 2 of 5 partition directories even though the selected
+    priorities are only known at run time.  This is THE mechanism that
+    makes star-schema joins over date/tenant-partitioned 100 TB facts
+    read only the joined slice; `tests/test_storage_plans.py` pins the
+    `dynamicpruning` subquery in the physical plan, and this gate pins
+    that pruning never changes the answer (oracle = plain filtered
+    aggregate)."""
+    from ..streaming.sources import cleanup, scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    scratch = scratch_dir("dppgate")
+    try:
+        orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
+            f"{scratch}/t"
+        )
+        fact = spark.read.parquet(f"{scratch}/t")
+        dim = (
+            orders.select("o_orderpriority")
+            .distinct()
+            .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        )
+        result = (
+            fact.join(F.broadcast(dim), on="o_orderpriority")
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.sum("o_orderkey").alias("key_checksum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        cleanup(scratch)
+    return result
