@@ -93,6 +93,7 @@ HEADLINE = [
     "dedup_substring_windows",
     "graph_chain_roots",
     "storage_dpp_pruned_join",
+    "source_binaryfile_ingest",
 ]
 
 

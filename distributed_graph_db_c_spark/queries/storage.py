@@ -836,3 +836,54 @@ def storage_dpp_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         cleanup(scratch)
     return result
+
+
+_BINFILE_SQL = """
+SELECT doc_id,
+       md5(text) AS content_md5,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+@register("source_binaryfile_ingest", oracle=_BINFILE_SQL)
+def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-bytes ingestion via the ``binaryFile`` source (round 5) — the
+    entry point a multimodal corpus actually arrives through (a bucket
+    of image/audio/doc files, no schema): one doc per staged file,
+    re-read as (path, content binary), identity recovered from the
+    filename, content proven byte-exact by md5 + byte length against
+    the table the files came from.  UTF-8 text bytes make the oracle
+    expressible (DuckDB md5/octet_length hash the same bytes); the
+    decode stage downstream of this seam is the mm_* gate family.
+
+    The staging loop writes each doc driver-side — bounded: the gate
+    slice is 50 files at sf0.01 (a real ingest READS existing files;
+    only the fixture needs creating them).  binaryFile scans
+    distribute per-file like any other source."""
+    import os
+
+    from ..streaming.sources import cleanup, scratch_dir
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.pmod("doc_id", F.lit(10)) == 0)
+        .select("doc_id", "text")
+    )
+    scratch = scratch_dir("binfile")
+    try:
+        os.makedirs(f"{scratch}/files", exist_ok=True)
+        for r in docs.collect():  # bounded: 1/10 of the gate corpus
+            with open(f"{scratch}/files/doc_{r['doc_id']}.txt", "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+        raw = spark.read.format("binaryFile").load(f"{scratch}/files")
+        result = raw.select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.txt$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.md5("content").alias("content_md5"),
+            F.col("length").alias("n_bytes"),
+        ).localCheckpoint(eager=True)
+    finally:
+        cleanup(scratch)
+    return result

@@ -135,11 +135,12 @@ _ROUND5_NEW: list[str] = [
     "dedup_substring_windows",  # exact 20-token substring dup pairs
     "graph_chain_roots",  # pointer-doubling union-find find()
     "storage_dpp_pruned_join",  # dynamic partition pruning gate
+    "source_binaryfile_ingest",  # raw-bytes multimodal ingest seam
 ]
 
 # (The round-4 "_REGRESSION" re-check group was retired mid-round-5: all
 # three entries are r04-green with unchanged code, and their slots fund
-# filler rotation now that 23 round-5 gates need first rows.)
+# filler rotation now that 24 round-5 gates need first rows.)
 _REGRESSION: list[str] = []
 
 # Rotation filler: oracle-backed queries whose last driver row is >=2
