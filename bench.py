@@ -94,6 +94,7 @@ HEADLINE = [
     "graph_chain_roots",
     "storage_dpp_pruned_join",
     "source_binaryfile_ingest",
+    "stream_checkpoint_recovery",
 ]
 
 

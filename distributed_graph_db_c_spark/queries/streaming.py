@@ -574,3 +574,71 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         cleanup(scratch)
     return result
+
+
+_RECOVERY_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events GROUP BY event_type
+"""
+
+
+@register("stream_checkpoint_recovery", oracle=_RECOVERY_SQL)
+def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint recovery / exactly-once restart (round 5): the stream
+    runs TWICE against the SAME checkpoint — first draining two staged
+    micro-batch files into an append-only parquet sink, then again after
+    a third file lands.  The second run must resume from the checkpoint
+    and process ONLY the new file: if restart semantics were broken the
+    first two batches would append twice and every count below would be
+    double the batch oracle.  This is the operational property that
+    makes a nightly-restarted 100 TB ingest pipeline idempotent — the
+    checkpoint's file-source log, not the job's uptime, defines
+    progress."""
+    import os
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events")
+    scratch = scratch_dir("ckptrec")
+    out = f"{scratch}/out"
+    ckpt = f"{scratch}/ckpt"
+    in_dir = f"{scratch}/in"
+
+    def append_sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    def stage_one(df: DataFrame, idx: int) -> None:
+        tmp = f"{in_dir}/_stage{idx}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        final = f"{in_dir}/batch{idx:04d}.parquet"
+        shutil.move(os.path.join(tmp, part), final)
+        shutil.rmtree(tmp)
+        os.utime(final, (1_700_000_000 + idx * 60, 1_700_000_000 + idx * 60))
+
+    try:
+        batches = [ev.filter(F.pmod("event_id", F.lit(3)) == i) for i in range(3)]
+        os.makedirs(in_dir, exist_ok=True)
+        stage_one(batches[0], 0)
+        stage_one(batches[1], 1)
+        stream = read_file_stream(spark, in_dir, ev.schema)
+        run_available_now(stream, ckpt, foreach_batch=append_sink)
+        # late file lands; RESTART from the same checkpoint
+        stage_one(batches[2], 2)
+        stream2 = read_file_stream(spark, in_dir, ev.schema)
+        run_available_now(stream2, ckpt, foreach_batch=append_sink)
+        result = (
+            spark.read.parquet(out)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                    "total_cents"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        cleanup(scratch)
+    return result

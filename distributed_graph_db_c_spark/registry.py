@@ -99,7 +99,6 @@ _WINDOW_HEAD = [
     "ts_resample_ffill_4h",
     "rel_events_tumbling_hour",
     "rel_events_json_extract",
-    "rel_events_type_matrix",
     "rel_q1_pricing_summary",
     "rel_q5_local_supplier_volume",
     "dedup_embedding_cosine_pairs",  # ragged-vector guard added r5
@@ -140,7 +139,7 @@ _ROUND5_NEW: list[str] = [
 
 # (The round-4 "_REGRESSION" re-check group was retired mid-round-5: all
 # three entries are r04-green with unchanged code, and their slots fund
-# filler rotation now that 24 round-5 gates need first rows.)
+# filler rotation now that 25 round-5 gates need first rows.)
 _REGRESSION: list[str] = []
 
 # Rotation filler: oracle-backed queries whose last driver row is >=2
@@ -178,6 +177,7 @@ _WINDOW_TAIL_STREAMING = [
     "stream_watermark_late_drop",  # round 4: late-data drop semantics
     "stream_stream_interval_join",  # round 4: stream-stream join mode
     "stream_foreachbatch_upsert",  # round 5: streaming MERGE, first row
+    "stream_checkpoint_recovery",  # round 5: exactly-once restart
     "stream_dedup_minhash_incremental",
 ]
 

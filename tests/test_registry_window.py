@@ -54,7 +54,7 @@ def test_events_family_leads_window():
     ]
     assert w[-1] == "stream_dedup_minhash_incremental"
     streaming_tail = [n for n in w if n.startswith("stream_")]
-    assert len(streaming_tail) == 10, streaming_tail  # r5: + foreachbatch upsert
+    assert len(streaming_tail) == 11, streaming_tail  # r5: + foreachbatch, ckpt recovery
 
 
 def test_window_fully_oracle_backed():
