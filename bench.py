@@ -95,6 +95,9 @@ HEADLINE = [
     "storage_dpp_pruned_join",
     "source_binaryfile_ingest",
     "stream_checkpoint_recovery",
+    "graph_copurchase_pairs",
+    "storage_schema_evolution",
+    "ts_ewma8_value",
 ]
 
 

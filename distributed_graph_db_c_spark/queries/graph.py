@@ -530,3 +530,46 @@ def graph_chain_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.traversal import forest_roots
 
     return forest_roots(chain).select("id", "root")
+
+
+_COPURCHASE_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2)
+SELECT part_a, part_b, n_orders
+FROM pairs
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+@register("graph_copurchase_pairs", oracle=_COPURCHASE_SQL)
+def graph_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (round 5): the bipartite
+    order-contains-part graph projected onto parts — top-20 part pairs
+    by number of orders containing both (the support counts under
+    association-rule mining, and the edge weights of a co-purchase
+    graph).  The self-join keys on the ORDER, so fan-out is
+    lines-per-order choose 2 (~21 for TPC-H's <=7 lines) — linear in
+    orders, never parts x parts; the pair aggregate is one
+    partial-agged shuffle and the top-20 compiles to
+    TakeOrderedAndProject.  Unique-key tie-break (part_a, part_b) makes
+    the cut deterministic."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, on="k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(20)
+    )

@@ -887,3 +887,66 @@ def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         cleanup(scratch)
     return result
+
+
+_EVOLVE_SQL = """
+WITH unioned AS (
+  SELECT o_orderkey, o_orderpriority, CAST(NULL AS DOUBLE) AS o_discount_rate
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderpriority,
+         CAST(o_orderkey % 100 AS DOUBLE) / 1000.0 AS o_discount_rate
+  FROM orders WHERE o_orderkey % 2 = 1)
+SELECT o_orderpriority,
+       COUNT(*) AS n_rows,
+       COUNT(o_discount_rate) AS n_with_rate,
+       CAST(CAST(SUM(CAST(o_discount_rate AS DECIMAL(18,6))) AS DECIMAL(38,6))
+            AS DOUBLE) AS rate_sum
+FROM unioned GROUP BY o_orderpriority
+"""
+
+
+@register("storage_schema_evolution", oracle=_EVOLVE_SQL)
+def storage_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a raw parquet table (round 5): an old batch
+    written WITHOUT a column and a new batch written WITH it land in the
+    same directory; reading with ``mergeSchema`` reconciles them — old
+    rows surface the added column as NULL, and nothing is silently
+    dropped or coerced.  The count/COUNT(col)/decimal-sum triple pins
+    exactly which rows carry the new column.  This is the append-only
+    evolution raw parquet supports (add nullable columns); renames/type
+    changes need a table format — documented seam, same boundary
+    ``replace_table`` draws for transactions."""
+    from ..streaming.sources import cleanup, scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders")
+    scratch = scratch_dir("evolvegate")
+    try:
+        old = orders.filter(F.pmod("o_orderkey", F.lit(2)) == 0).select(
+            "o_orderkey", "o_orderpriority"
+        )
+        new = orders.filter(F.pmod("o_orderkey", F.lit(2)) == 1).select(
+            "o_orderkey",
+            "o_orderpriority",
+            (F.pmod("o_orderkey", F.lit(100)).cast("double") / 1000.0).alias(
+                "o_discount_rate"
+            ),
+        )
+        old.write.mode("overwrite").parquet(f"{scratch}/t")
+        new.write.mode("append").parquet(f"{scratch}/t")
+        back = spark.read.option("mergeSchema", True).parquet(f"{scratch}/t")
+        result = (
+            back.groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.count("o_discount_rate").alias("n_with_rate"),
+                F.sum(F.col("o_discount_rate").cast("decimal(18,6)"))
+                .cast("decimal(38,6)")
+                .cast("double")
+                .alias("rate_sum"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        cleanup(scratch)
+    return result

@@ -275,3 +275,56 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return resample_interpolate(ev, "user_id", "ts", "value", 14_400_000_000)
+
+
+def _ewma_sql(k: int = 8, alpha: float = 0.5) -> str:
+    """Generated LAG-chain EWMA with the same left-associative term order
+    as the Spark side — doubles bit-identical."""
+    num = []
+    den = []
+    for j in range(k):
+        w = alpha ** j
+        x = "value" if j == 0 else f"LAG(value, {j}) OVER w"
+        num.append(f"CASE WHEN {x} IS NULL THEN 0.0 ELSE {x} * {w!r} END")
+        den.append(f"CASE WHEN {x} IS NULL THEN 0.0 ELSE {w!r} END")
+    num_chain, den_chain = num[0], den[0]
+    for t in num[1:]:
+        num_chain = f"({num_chain} + {t})"
+    for t in den[1:]:
+        den_chain = f"({den_chain} + {t})"
+    return f"""
+SELECT event_id, user_id, ({num_chain}) / ({den_chain}) AS ewma8
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("ts_ewma8_value", oracle=_ewma_sql())
+def ts_ewma8_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated EWMA (round 5): per user, the exponentially weighted
+    moving average of the last 8 observations (alpha=0.5, weights
+    renormalized over the terms actually present near the series head) —
+    the recursive EWMA y_t = a·x + (1-a)·y_{t-1} is not a closed-form
+    window, but its 8-term truncation (residual weight 0.4%) IS: a
+    codegen LAG chain over one per-key sort, the standard smoothing
+    feature a training pipeline derives per entity.
+
+    Bit-exactness: weights are powers of 1/2 (exact binary), and both
+    sides evaluate the SAME left-associated chain of fused terms, so the
+    division inputs are IEEE-identical — no rounding needed.  One
+    shuffle (the per-user window); at 100 TB cost is the sort, exactly
+    like every other per-entity window here."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for j in range(8):
+        wt = 0.5 ** j
+        x = F.col("value") if j == 0 else F.lag("value", j).over(w)
+        t_num = F.when(x.isNull(), F.lit(0.0)).otherwise(x * wt)
+        t_den = F.when(x.isNull(), F.lit(0.0)).otherwise(F.lit(wt))
+        num = t_num if num is None else num + t_num
+        den = t_den if den is None else den + t_den
+    return ev.select("event_id", "user_id", (num / den).alias("ewma8"))
