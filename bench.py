@@ -98,6 +98,8 @@ HEADLINE = [
     "graph_copurchase_pairs",
     "storage_schema_evolution",
     "ts_ewma8_value",
+    "rel_corr_quantity_price",
+    "rel_string_agg_ordered",
 ]
 
 

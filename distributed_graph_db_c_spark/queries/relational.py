@@ -1803,3 +1803,113 @@ def rel_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_bal"),
         )
     )
+
+
+# Correlation via EXPLICIT decimal moments — not the engines' built-in
+# corr() accumulators (Welford vs naive differ in the last bits): n, Σx,
+# Σy, Σxy, Σx², Σy² ride the decimal ladder (exact, partitioning-
+# independent), and both sides evaluate the same closed form on
+# identical doubles.
+_CORR_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+         / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                * (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)),
+             9) AS corr_qty_price
+FROM m
+"""
+
+
+@register("rel_corr_quantity_price", oracle=_CORR_SQL)
+def rel_corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface (round 5): Pearson correlation of
+    quantity vs extended price per return flag, computed from explicit
+    decimal moment sums rather than the engines' corr() accumulators
+    (Welford-style streaming accumulators differ across engines in the
+    last bits and with partitioning; exact integer/decimal moments do
+    not).  Output rounded to 9 decimals — the closed form's doubles are
+    identical on both sides up to the decimal→double seam, and the
+    moment shuffles are one map-side-partial agg.  The same moment-sum
+    shape gives covariance, variance, and regression slopes for free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * y).cast("decimal(38,4)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(38,4)")).alias("sxx"),
+        F.sum((y * y).cast("decimal(38,4)")).alias("syy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    corr = (sxy - sx * sy / n) / F.sqrt(
+        (sxx - sx * sx / n) * (syy - sy * sy / n)
+    )
+    return m.select(
+        "l_returnflag", "n", F.round(corr, 9).alias("corr_qty_price")
+    )
+
+
+_STRAGG_SQL = """
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       string_agg(o_orderpriority, ',' ORDER BY o_orderdate, o_orderkey)
+         AS priority_seq
+FROM orders
+WHERE o_custkey % 50 = 0
+GROUP BY o_custkey
+"""
+
+
+@register("rel_string_agg_ordered", oracle=_STRAGG_SQL)
+def rel_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (round 5): each sampled customer's
+    order priorities concatenated in (date, key) order — LISTAGG/
+    string_agg, the report-building aggregate SQL users reach for
+    constantly.  Spark has no ordered string_agg, so the composition is
+    collect_list of (sort-key, value) structs + array_sort (struct
+    order = field order ⇒ the exact compound key) + transform to values
+    + array_join.  The per-group lambdas run on ~dozens of elements per
+    customer — bounded by group size, not corpus size; the scalar
+    STRING output (never an array column) keeps the driver's hash
+    canonicalizer happy."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.pmod("o_custkey", F.lit(50)) == 0
+    )
+    grouped = orders.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("o_orderdate").alias("d"),
+                            F.col("o_orderkey").alias("k"),
+                            F.col("o_orderpriority").alias("v"),
+                        )
+                    )
+                ),
+                lambda s: s["v"],
+            ),
+            ",",
+        ).alias("priority_seq"),
+    )
+    return grouped

@@ -98,9 +98,7 @@ _WINDOW_HEAD = [
     "rel_events_sessionization",
     "ts_resample_ffill_4h",
     "rel_q1_pricing_summary",
-    "rel_q5_local_supplier_volume",
     "dedup_embedding_cosine_pairs",  # ragged-vector guard added r5
-    "rel_bloom_pruned_join",  # checkpoint lifetime rework r5
     "storage_compact_roundtrip",  # now in-place via replace_table r5
     "storage_upsert_partitioned",  # r4 red; race fixed r5 — must re-green
 ]
@@ -135,11 +133,13 @@ _ROUND5_NEW: list[str] = [
     "graph_copurchase_pairs",  # market-basket bipartite projection
     "storage_schema_evolution",  # mergeSchema add-column reconcile
     "ts_ewma8_value",  # truncated-EWMA LAG chain
+    "rel_corr_quantity_price",  # decimal-moment Pearson correlation
+    "rel_string_agg_ordered",  # ordered LISTAGG composition
 ]
 
 # (The round-4 "_REGRESSION" re-check group was retired mid-round-5: all
 # three entries are r04-green with unchanged code, and their slots fund
-# filler rotation now that 28 round-5 gates need first rows.)
+# filler rotation now that 30 round-5 gates need first rows.)
 _REGRESSION: list[str] = []
 
 # Rotation filler: oracle-backed queries whose last driver row is >=2

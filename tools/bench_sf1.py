@@ -30,6 +30,12 @@ QUERIES = [
     "dedup_minhash_pairs",
     "skew_salted_join_revenue",
     "rel_q1_pricing_summary",
+    # round-5 scale-sensitive additions: prefix-filtered containment,
+    # hashed substring windows, and the two pointer-doubling kernels
+    "dedup_containment_pairs",
+    "dedup_substring_windows",
+    "graph_toposort_levels",
+    "graph_chain_roots",
 ]
 
 N_PASSES = 2
