@@ -395,6 +395,29 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         ("partial agg", r"partial_", True),
         ("column pruning", r"ReadSchema: [^\n]*text", True),
     ],
+    "graph_copurchase_pairs": [
+        # basket self-join keys on the ORDER (bounded fan-out), top-20
+        # compiles to TakeOrdered
+        ("equi not theta", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True),
+        ("no nested loop", r"BroadcastNestedLoopJoin|CartesianProduct", False),
+        ("top-k as TakeOrdered", r"TakeOrderedAndProject", True),
+        ("partial agg", r"partial_", True),
+    ],
+    "ts_ewma8_value": [
+        ("per-key window", r"Window", True),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("no join", r"Join", False),
+    ],
+    "rel_corr_quantity_price": [
+        ("partial moments", r"partial_", True),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("column pruning", r"ReadSchema: [^\n]*l_quantity", True),
+        ("no full-width scan", r"ReadSchema: [^\n]*l_comment", False),
+    ],
+    "rel_string_agg_ordered": [
+        ("pushdown custkey filter", r"PushedFilters: \[[^\]]*", True),
+        ("partial agg", r"partial_", True),
+    ],
 }
 
 
