@@ -100,6 +100,7 @@ HEADLINE = [
     "ts_ewma8_value",
     "rel_corr_quantity_price",
     "rel_string_agg_ordered",
+    "rel_weighted_median_udaf",
 ]
 
 

@@ -1913,3 +1913,55 @@ def rel_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("priority_seq"),
     )
     return grouped
+
+
+_WMEDIAN_SQL = """
+WITH o AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS p,
+         SUM(CAST(l_quantity AS DOUBLE)) OVER (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(CAST(l_quantity AS DOUBLE)) OVER (PARTITION BY l_returnflag) AS tw
+  FROM lineitem)
+SELECT l_returnflag, CAST(MIN(p) AS DOUBLE) AS weighted_median
+FROM o WHERE cw >= tw / 2.0
+GROUP BY l_returnflag
+"""
+
+
+@register("rel_weighted_median_udaf", oracle=_WMEDIAN_SQL)
+def rel_weighted_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas GROUPED-AGGREGATE UDF (round 5) — the one pandas-UDF flavor
+    the engine had not yet exercised (scalar, grouped-map, mapInPandas,
+    and applyInPandasWithState all have gates): quantity-weighted median
+    price per return flag, an aggregate Spark has no builtin for.  Each
+    group arrives as Arrow series; the kernel sorts once and takes the
+    first price whose cumulative weight crosses half.
+
+    Determinism across engines/orderings: weights are integer-valued
+    doubles (sums exact < 2^53) so the half-crossing comparison is
+    exact, and the selected value — MIN price whose cumulative weight
+    reaches half — is invariant to permutation within equal-price ties.
+    Scale: standard partial-free grouped agg; groups stream through
+    Arrow batches, cost one shuffle on the group key.  For groups too
+    large for one executor the percentile-cutpoint + broadcast-range
+    pattern (rel_percentiles_quantity) is the fallback — documented
+    trade, same answer."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: the module's `from __future__ import
+    # annotations` stringifies hints, which defeats signature inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wmedian(price, qty):
+        df = pd.DataFrame({"p": price, "w": qty}).sort_values("p")
+        half = df["w"].sum() / 2.0
+        return float(df.loc[df["w"].cumsum() >= half, "p"].iloc[0])
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_quantity").cast("double").alias("qty"),
+    )
+    return li.groupBy("l_returnflag").agg(
+        wmedian("price", "qty").alias("weighted_median")
+    )

@@ -135,11 +135,12 @@ _ROUND5_NEW: list[str] = [
     "ts_ewma8_value",  # truncated-EWMA LAG chain
     "rel_corr_quantity_price",  # decimal-moment Pearson correlation
     "rel_string_agg_ordered",  # ordered LISTAGG composition
+    "rel_weighted_median_udaf",  # pandas GROUPED_AGG UDAF
 ]
 
 # (The round-4 "_REGRESSION" re-check group was retired mid-round-5: all
 # three entries are r04-green with unchanged code, and their slots fund
-# filler rotation now that 30 round-5 gates need first rows.)
+# filler rotation now that 31 round-5 gates need first rows.)
 _REGRESSION: list[str] = []
 
 # Rotation filler: oracle-backed queries whose last driver row is >=2
