@@ -108,31 +108,36 @@ def bloom_pruned_join(
     keys, probe map-side before the join's Exchange.  Result set is
     EXACTLY the plain join's.
 
-    The dim is materialized once (localCheckpoint) for the two EAGER
-    uses inside this function — key count and bitmap build — and
-    unpersisted before returning (checkpoint blocks would otherwise
-    accumulate in the block manager across repeated calls in one
-    session, and a local checkpoint forfeits fault tolerance for as
-    long as it lives).  The returned lazy join re-derives the dim from
-    its source lineage: 2 dim evaluations total instead of the 3
-    separate scan+filter jobs the naive form pays (measured 2x the
-    whole operator's cost at sf0.1)."""
+    The dim is materialized once (localCheckpoint) and used for ALL
+    THREE consumers — key count, bitmap build, and the returned join's
+    build side.  Joining the SAME snapshot the bitmap was built from is
+    what makes the exactness claim unconditional: a join that re-derived
+    the dim from source lineage could (for a nondeterministic dim plan —
+    a sample, a rand-filter, a re-read of a mutated table) contain keys
+    the bitmap never saw, and those fact rows would be silently pruned.
+
+    Lifetime note: the checkpoint's block-manager blocks live until the
+    RDD is garbage-collected — they CANNOT be freed eagerly here because
+    the returned lazy join still reads them (and ``Dataset.unpersist``
+    would not free localCheckpoint blocks anyway — it only drops
+    CacheManager entries).  A local checkpoint also forfeits fault
+    tolerance (executor loss fails the job) for as long as it lives —
+    both are the documented price of materializing the dim once instead
+    of paying 3 separate scan+filter jobs (measured 2x the whole
+    operator's cost at sf0.1)."""
     ckpt = dim.localCheckpoint(eager=True)
-    try:
-        if n_keys_hint is not None:
-            n = n_keys_hint
-        elif keys_unique:
-            # caller vouches dim_key is unique (e.g. a primary key): a
-            # plain count on the checkpointed dim skips the distinct's
-            # shuffle
-            n = ckpt.count()
-        else:
-            n = ckpt.select(dim_key).distinct().count()
-        m_bits, n_hashes = bloom_params(n, fpp)
-        bitmap = bloom_build(ckpt.select(dim_key), dim_key, m_bits, n_hashes)
-    finally:
-        ckpt.unpersist()
+    if n_keys_hint is not None:
+        n = n_keys_hint
+    elif keys_unique:
+        # caller vouches dim_key is unique (e.g. a primary key): a
+        # plain count on the checkpointed dim skips the distinct's
+        # shuffle
+        n = ckpt.count()
+    else:
+        n = ckpt.select(dim_key).distinct().count()
+    m_bits, n_hashes = bloom_params(n, fpp)
+    bitmap = bloom_build(ckpt.select(dim_key), dim_key, m_bits, n_hashes)
     pruned = fact.filter(
         bloom_might_contain(F.col(fact_key), bitmap, m_bits, n_hashes)
     )
-    return pruned.join(dim, pruned[fact_key] == dim[dim_key])
+    return pruned.join(ckpt, pruned[fact_key] == ckpt[dim_key])

@@ -129,8 +129,16 @@ def decode_image(blob_bytes: bytes) -> np.ndarray:
     through it; in this container the probe fails and the documented
     NotImplementedError remains.  Every caller goes through this one
     seam."""
+    png_err: NotImplementedError | None = None
     if blob_bytes[: len(_PNG_MAGIC)] == _PNG_MAGIC:
-        return _png_decode(blob_bytes)
+        try:
+            return _png_decode(blob_bytes)
+        except NotImplementedError as e:
+            # PNG variant the stdlib path doesn't cover (grayscale/
+            # palette/16-bit/interlaced): fall through to the Pillow
+            # probe below instead of failing where Pillow exists; keep
+            # the specific error for the no-Pillow raise
+            png_err = e
     if blob_bytes[:2] == b"BM":
         off, = struct.unpack_from("<I", blob_bytes, 10)
         hdr_size, w, h = struct.unpack_from("<Iii", blob_bytes, 14)
@@ -156,6 +164,8 @@ def decode_image(blob_bytes: bytes) -> np.ndarray:
         return np.asarray(Image.open(io.BytesIO(blob_bytes)).convert("RGB"))
     except ImportError:
         pass
+    if png_err is not None:
+        raise png_err  # the specific unsupported-PNG-variant message
     raise NotImplementedError(
         "BMP and 8-bit RGB PNG decode natively; JPEG/WebP need Pillow, "
         "which this container lacks — the import probe above is the seam"

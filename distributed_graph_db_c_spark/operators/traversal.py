@@ -778,12 +778,19 @@ def _toposort_relax(
     max_iter: int = 1000,
     broadcast_threshold: int = 1_000_000,
 ) -> DataFrame:
+    # ids normalized to long exactly like the doubling kernel, so the
+    # output schema does not depend on which kernel dispatch picked
+    edges = edges.select(
+        "graph_id", F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")
+    )
     adj = _partitioned_adj(edges)
     nodes = (
         edges.select("graph_id", F.col("src").alias("id"))
         .union(edges.select("graph_id", F.col("dst").alias("id")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    n_nodes = nodes.count()
     has_in = edges.select("graph_id", F.col("dst").alias("id")).distinct()
     frontier = (
         nodes.join(has_in, on=["graph_id", "id"], how="left_anti")
@@ -821,6 +828,17 @@ def _toposort_relax(
         .localCheckpoint(eager=True)
     )
     adj.unpersist()
+    # Every DAG vertex is reachable from some root, so a vertex the
+    # frontier never assigned sits on (or behind) a cycle the drained
+    # frontier simply never reached — without this check a DISCONNECTED
+    # cycle would be silently omitted instead of raising like every
+    # other cycle shape does.
+    n_assigned = out.count()
+    if n_assigned != n_nodes:
+        raise ValueError(
+            f"toposort_levels: {n_nodes - n_assigned} vertices unreachable "
+            "from any root — the edge set has a cycle"
+        )
     return out
 
 

@@ -190,7 +190,9 @@ SELECT e.event_id, e.event_type, e.value,
                 - (CAST(st.s AS DOUBLE) / st.n) * (CAST(st.s AS DOUBLE) / st.n)), 6)
          AS z
 FROM events e JOIN st USING (event_type)
-WHERE abs((e.value - CAST(st.s AS DOUBLE) / st.n)
+WHERE CAST(st.q AS DOUBLE) / st.n
+      - (CAST(st.s AS DOUBLE) / st.n) * (CAST(st.s AS DOUBLE) / st.n) > 0
+  AND abs((e.value - CAST(st.s AS DOUBLE) / st.n)
           / sqrt(CAST(st.q AS DOUBLE) / st.n
                  - (CAST(st.s AS DOUBLE) / st.n) * (CAST(st.s AS DOUBLE) / st.n)))
       > 2.5
@@ -219,9 +221,14 @@ def ts_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (F.col("value") - mean) / F.sqrt(
         F.col("q").cast("double") / F.col("n") - mean * mean
     )
+    variance = F.col("q").cast("double") / F.col("n") - mean * mean
     return (
         ev.join(F.broadcast(st), "event_type")
-        .filter(F.abs(z) > 2.5)
+        # zero-variance guard, mirrored in the oracle: without it a
+        # degenerate group diverges across engines (Spark's non-ANSI
+        # x/0.0 is NULL and the rows silently drop; DuckDB's IEEE
+        # division is ±inf and the rows stay)
+        .filter((variance > 0) & (F.abs(z) > 2.5))
         .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
     )
 

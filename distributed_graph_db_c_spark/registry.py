@@ -74,11 +74,14 @@ _loaded = False
 # guard), compaction (now in-place via sinks.replace_table), and the
 # round-4 red storage_upsert_partitioned (race fixed via
 # sinks.replace_partitions — its green row is THE deliverable);
-# (b) every round-5 addition (22 gates across three waves) gets its
-# first row; (c) the filler
-# entries that sat out r04 entirely (r04 had zero free slots) rotate
-# back in so no oracle-backed query's driver evidence goes >2 rounds
-# stale.  Entries green in r04 with unchanged code rest this round —
+# (b) every round-5 addition (29 gates across five waves) gets its
+# first row — this consumed nearly the whole non-streaming window, so
+# (c) only the FIRST TWO filler entries fit (the sole skew and sampling
+# family representatives); the other 13 fillers sit out a second round
+# and their driver evidence goes 3+ rounds stale — an accepted trade
+# (each is r02/r03 driver-green with unchanged code and strict-green in
+# ORACLE_LOCAL.md), and they are first in line for round-6 slots.
+# Entries green in r04 with unchanged code rest this round —
 # ORACLE_LOCAL.md still strict-checks all of them locally.
 # No-oracle entries stay OUT of the window (r02+r03 both proved the
 # driver reports them as err=no_oracle — a wasted slot; their accuracy
@@ -140,7 +143,7 @@ _ROUND5_NEW: list[str] = [
 
 # (The round-4 "_REGRESSION" re-check group was retired mid-round-5: all
 # three entries are r04-green with unchanged code, and their slots fund
-# filler rotation now that 31 round-5 gates need first rows.)
+# filler rotation once the round-5 gate count outgrew the window.)
 _REGRESSION: list[str] = []
 
 # Rotation filler: oracle-backed queries whose last driver row is >=2

@@ -74,8 +74,18 @@ def _hadoop_fs(spark: SparkSession, path: str):
 
 def _swap_dir(fs, jpath_cls, staging: str, final: str) -> None:
     """Replace directory ``final`` with ``staging``: old → trash-suffix,
-    staging → final, delete old.  Each step is one rename/delete."""
-    old = final.rstrip("/") + "__old__"
+    staging → final, delete old.  Each step is one rename/delete.
+
+    The backup name carries a LEADING UNDERSCORE: Spark's file listing
+    ignores ``_``/``.``-prefixed entries, so when ``final`` is a
+    partition directory INSIDE a table (replace_partitions), a reader
+    racing the swap can only ever see the partition absent for a
+    rename-sized instant — never a mislabeled ``part=x__old__``
+    partition value or a doubled row set from scanning both copies
+    (which a visible sibling backup produced)."""
+    fin = final.rstrip("/")
+    parent, name = fin.rsplit("/", 1)
+    old = f"{parent}/_{name}__old__"
     fs.delete(jpath_cls(old), True)
     if fs.exists(jpath_cls(final)):
         if not fs.rename(jpath_cls(final), jpath_cls(old)):

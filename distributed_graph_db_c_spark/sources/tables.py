@@ -15,24 +15,26 @@ from ..schemas import TABLE_NAMES
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
-# Sessions whose defaults we've already pinned — the pin happens ONCE per
-# session, not on every load: repeated mutation of global session config
-# as a load side effect could silently revert a caller's deliberate
-# mid-session override (ADVICE r4).  UTC session time is a correctness
-# REQUIREMENT for every timestamp oracle (DuckDB compares naive
-# timestamps); a caller who overrides it owns the divergence.
-_PINNED_SESSIONS: set[int] = set()
+# The pin happens ONCE per session, not on every load: repeated mutation
+# of global session config as a load side effect could silently revert a
+# caller's deliberate mid-session override (ADVICE r4).  UTC session time
+# is a correctness REQUIREMENT for every timestamp oracle (DuckDB
+# compares naive timestamps); a caller who overrides it owns the
+# divergence.  The once-marker lives ON the session's own conf — a
+# driver-side id()-keyed set would treat a NEW session reusing a
+# garbage-collected session's address as already pinned and silently
+# skip the UTC pin.
+_PIN_MARKER = "spark.dgdb.sessionDefaultsPinned"
 
 
 def _pin_session_defaults(spark: SparkSession) -> None:
-    key = id(spark)
-    if key in _PINNED_SESSIONS:
+    if spark.conf.get(_PIN_MARKER, None) == "true":
         return
     # must be set before the first nanos-parquet read in this session
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-    _PINNED_SESSIONS.add(key)
+    spark.conf.set(_PIN_MARKER, "true")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

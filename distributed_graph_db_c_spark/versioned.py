@@ -61,20 +61,41 @@ def commit_version(df: DataFrame, path: str) -> int:
     directory and published by ONE rename, so a concurrent reader's
     listing either includes the complete version or not at all.  Safe
     when ``df``'s plan reads an older version of the same table (staging
-    never deletes anything)."""
+    never deletes anything).
+
+    Writer contract: ONE writer per table.  Hadoop's rename does not
+    fail onto an existing directory (it nests the source inside it), so
+    a lost concurrent commit cannot be detected by the rename alone;
+    the staging dir is therefore committer-unique (uuid) so two racers
+    never clobber each other's in-flight files, and the publish is
+    guarded by an exists-check before AND after the rename — the loser
+    raises instead of silently nesting its data where no reader will
+    find it.  The check-then-rename window is not atomic: true
+    multi-writer commits need a coordination log (Delta/Iceberg) — the
+    same boundary replace_table documents."""
+    import uuid as _uuid
+
     spark = df.sparkSession
     fs, jpath = _hadoop_fs(spark, path)
     fs.mkdirs(jpath(path))
     version = (_version_dirs(spark, path) or [0])[-1] + 1
-    staging = f"{path.rstrip('/')}/__stage_{version}__"
-    fs.delete(jpath(staging), True)
+    staging = f"{path.rstrip('/')}/__stage_{version}_{_uuid.uuid4().hex[:8]}__"
     df.write.mode("overwrite").parquet(staging)
     final = f"{path.rstrip('/')}/{_FMT % version}"
-    if not fs.rename(jpath(staging), jpath(final)):
+    if fs.exists(jpath(final)) or not fs.rename(jpath(staging), jpath(final)):
         fs.delete(jpath(staging), True)
         raise IOError(
-            f"commit_version: publish rename to {final} failed "
-            "(concurrent committer won the version number)"
+            f"commit_version: version {version} already published "
+            f"(concurrent committer won) — staged data discarded, retry"
+        )
+    # post-rename audit: if a racer published between the exists-check and
+    # our rename, our dir was nested INSIDE theirs — detect and fail loudly
+    nested = f"{final}/{staging.rsplit('/', 1)[1]}"
+    if fs.exists(jpath(nested)):
+        fs.delete(jpath(nested), True)
+        raise IOError(
+            f"commit_version: lost publish race for version {version} — "
+            "staged data discarded, retry"
         )
     return version
 

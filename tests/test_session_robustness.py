@@ -19,7 +19,7 @@ def test_events_load_repins_non_utc_session(spark):
     prev = spark.conf.get("spark.sql.session.timeZone")
     try:
         spark.conf.set("spark.sql.session.timeZone", "America/New_York")
-        tables._PINNED_SESSIONS.discard(id(spark))  # simulate a fresh session
+        spark.conf.unset(tables._PIN_MARKER)  # simulate a fresh session
         ev = load_table(spark, SF_DIR, "events")
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
         # wall-clock micros must match DuckDB's naive read of the file
@@ -36,4 +36,4 @@ def test_events_load_repins_non_utc_session(spark):
         assert (got["s"], got["n"]) == (int(want[0]), int(want[1]))
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
-        tables._PINNED_SESSIONS.add(id(spark))
+        spark.conf.set(tables._PIN_MARKER, "true")

@@ -269,3 +269,18 @@ def test_forest_roots_cycle_raises(spark):
     )
     with pytest.raises(ValueError, match="cycle"):
         forest_roots(edges, max_rounds=6)
+
+
+def test_toposort_relax_disconnected_cycle_raises(spark):
+    """A cycle NOT reachable from any root must still raise in the
+    frontier-relaxation kernel — the frontier drains normally without
+    ever visiting it, so the completeness check is what catches it."""
+    from distributed_graph_db_c_spark.operators.traversal import _toposort_relax
+
+    edges = spark.createDataFrame(
+        # diamond DAG (max in-degree 2 shapes dispatch) + detached 2-cycle
+        [(0, 1, 2), (0, 1, 3), (0, 2, 4), (0, 3, 4), (0, 7, 8), (0, 8, 7)],
+        "graph_id long, src long, dst long",
+    )
+    with pytest.raises(ValueError, match="cycle"):
+        _toposort_relax(edges, max_iter=50)
