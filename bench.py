@@ -101,6 +101,7 @@ HEADLINE = [
     "rel_corr_quantity_price",
     "rel_string_agg_ordered",
     "rel_weighted_median_udaf",
+    "mm_ahash_dedup_pairs",
 ]
 
 

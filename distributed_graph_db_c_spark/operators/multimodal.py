@@ -449,3 +449,60 @@ def resize_blob(
     return df.select(id_col, blob_col).mapInPandas(
         resize, schema=f"{id_col} long, resized binary"
     )
+
+
+def _write_bmp24(rgb: np.ndarray) -> bytes:
+    """Serialize an HxWx3 uint8 RGB array as an uncompressed 24-bit BMP
+    (bottom-up rows, BGR, 4-byte row padding — the synth writers' core)."""
+    h, w, _ = rgb.shape
+    row_bytes = (w * 3 + 3) & ~3
+    pad = b"\x00" * (row_bytes - w * 3)
+    body = b"".join(rgb[row, :, ::-1].tobytes() + pad for row in range(h - 1, -1, -1))
+    off = 14 + 40
+    return (
+        b"BM"
+        + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        + body
+    )
+
+
+def synth_bmp_near_dup(doc_id: int) -> bytes:
+    """Perceptual-dedup fixture: 16x16 BMP whose pixels derive from the
+    doc's GROUP base (groups of 5 consecutive doc_ids); members 1-4
+    additionally shift one pixel's red channel.  Within a group the
+    images are near-identical (aHash Hamming <= 2); across groups the
+    patterns differ everywhere (Hamming ~32)."""
+    base = doc_id - doc_id % 5
+    w = h = 16
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    r = (x * 7 + y * 13 + base) % 256
+    g = (x * 11 + y * 3 + 2 * base) % 256
+    b = (x * 5 + y * 17 + 3 * base) % 256
+    rgb = np.stack(np.broadcast_arrays(r, g, b), axis=-1).astype(np.uint8)
+    k = doc_id % 5
+    if k:
+        rgb[k, k, 0] = (int(rgb[k, k, 0]) + 8) % 256
+    return _write_bmp24(rgb)
+
+
+def ahash64(img: np.ndarray) -> int:
+    """Average hash (aHash) of an RGB image: luminance proxy r+2g+b,
+    8x8 grid of block SUMS over the (cropped-to-multiple-of-8) frame,
+    bit_k = 64*block_k > total (strict, integer-exact — no float means),
+    MSB = top-left block.  Returned as a SIGNED 64-bit int (Spark
+    LongType).  Near-duplicate frames (re-encodes, small edits,
+    resizes) keep small Hamming distance — the classic image-dedup
+    sketch, the visual sibling of text SimHash."""
+    h, w, _ = img.shape
+    bh, bw = max(h // 8, 1), max(w // 8, 1)
+    g = img[: bh * 8, : bw * 8].astype(np.int64)
+    gray = g[:, :, 0] + 2 * g[:, :, 1] + g[:, :, 2]
+    blocks = gray.reshape(8, bh, 8, bw).sum(axis=(1, 3))
+    total = int(blocks.sum())
+    bits = (64 * blocks.reshape(64) > total)
+    out = 0
+    for bit in bits:
+        out = (out << 1) | int(bit)
+    return out - (1 << 64) if out >= (1 << 63) else out

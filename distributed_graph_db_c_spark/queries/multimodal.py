@@ -5,6 +5,7 @@ DuckDB over encode(text)."""
 
 from __future__ import annotations
 
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -222,3 +223,63 @@ def mm_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     PIL capability probe."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return image_decode_stats(_with_synth_blob(docs, synth_png))
+
+
+@register("mm_ahash_dedup_pairs", oracle=None)
+def mm_ahash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE dedup (round 5) — the visual sibling of
+    text SimHash: every doc's synthesized frame (groups of 5 share a
+    base image, members differ by one pixel — re-encode/small-edit
+    near-dups) is decoded and reduced to a 64-bit aHash
+    (operators/multimodal.ahash64, integer-exact block-mean bits), and
+    near-dup pairs are found by the SAME 4x16 pigeonhole banding as
+    SimHash: Hamming <= 3 guarantees an identical 16-bit quarter, so
+    candidates are 4 bucket-equijoins, never all-pairs.
+
+    Rows-only by design (aHash needs the decoder — not expressible in
+    DuckDB); exactness vs brute-force Hamming over all pairs is pinned
+    in tests/test_multimodal_decode.py.  At 100 TB: hashing is one
+    Arrow-batched scan; the pair join is bucket-bounded exactly like
+    the text sketches."""
+    from collections.abc import Iterator
+
+    from ..operators.multimodal import ahash64, decode_image, synth_bmp_near_dup
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    blobs = _with_synth_blob(docs, synth_bmp_near_dup)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "ah": [ahash64(decode_image(bytes(b))) for b in pdf["blob"]],
+                }
+            )
+
+    hashed = blobs.mapInPandas(gen, "doc_id long, ah long")
+    quarters = hashed.select(
+        "doc_id",
+        "ah",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftright("ah", q * 16).bitwiseAND(F.lit(0xFFFF)).alias("qv"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("qq"),
+    ).select("doc_id", "ah", F.col("qq.q").alias("q"), F.col("qq.qv").alias("qv"))
+    a = quarters.select(F.col("doc_id").alias("doc_a"), F.col("ah").alias("ah_a"), "q", "qv")
+    b = quarters.select(F.col("doc_id").alias("doc_b"), F.col("ah").alias("ah_b"), "q", "qv")
+    hamming = F.bit_count(F.col("ah_a").bitwiseXOR(F.col("ah_b")))
+    return (
+        a.join(b, on=["q", "qv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )

@@ -134,3 +134,36 @@ def test_png_unsupported_color_type_raises():
     blob = magic + chunk(b"IHDR", ihdr) + chunk(b"IDAT", raw) + chunk(b"IEND", b"")
     with _pytest.raises(NotImplementedError, match="color_type"):
         decode_image(blob)
+
+
+def test_ahash_dedup_pairs_match_bruteforce(spark):
+    """The banded aHash pair join must equal brute-force Hamming <= 3
+    over all pairs of the synthesized near-dup corpus, and the planted
+    within-group near-dups must actually surface (not vacuous)."""
+    import itertools
+
+    import pyspark.sql.functions as F
+
+    from distributed_graph_db_c_spark.operators.multimodal import (
+        ahash64,
+        decode_image,
+        synth_bmp_near_dup,
+    )
+    from distributed_graph_db_c_spark.queries.multimodal import mm_ahash_dedup_pairs
+
+    n = 60
+    hashes = {d: ahash64(decode_image(synth_bmp_near_dup(d))) for d in range(n)}
+    expect = {}
+    for a, b in itertools.combinations(range(n), 2):
+        hd = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+        if hd <= 3:
+            expect[(a, b)] = hd
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in mm_ahash_dedup_pairs(spark, "/root/testdata/sf0.001")
+        .filter((F.col("doc_a") < n) & (F.col("doc_b") < n))
+        .collect()
+    }
+    assert got == expect
+    # the fixture plants near-dups: some within-group pair must be found
+    assert any(a // 5 == b // 5 for a, b in expect), "fixture vacuous"
