@@ -124,7 +124,16 @@ def bloom_pruned_join(
     tolerance (executor loss fails the job) for as long as it lives —
     both are the documented price of materializing the dim once instead
     of paying 3 separate scan+filter jobs (measured 2x the whole
-    operator's cost at sf0.1)."""
+    operator's cost at sf0.1).
+
+    Reclamation recipe for long-lived sessions (repeated calls otherwise
+    accumulate block-manager memory): drop every reference to the
+    returned DataFrame once consumed, then ``import gc; gc.collect()`` —
+    the py4j proxy release lets Spark's ContextCleaner free the
+    checkpoint blocks on its next sweep (forceable via
+    ``spark._jvm.System.gc()`` in tests).  Blocks also vanish with the
+    session, so bounded drivers (one pipeline run per session) need
+    nothing."""
     ckpt = dim.localCheckpoint(eager=True)
     if n_keys_hint is not None:
         n = n_keys_hint

@@ -494,7 +494,18 @@ def ahash64(img: np.ndarray) -> int:
     MSB = top-left block.  Returned as a SIGNED 64-bit int (Spark
     LongType).  Near-duplicate frames (re-encodes, small edits,
     resizes) keep small Hamming distance — the classic image-dedup
-    sketch, the visual sibling of text SimHash."""
+    sketch, the visual sibling of text SimHash.
+
+    Frames narrower than the 8x8 grid are upscaled nearest-neighbor
+    first (h<8 or w<8 previously crashed the reshape: bh=1 but the
+    crop img[:8] yielded fewer than 8 rows)."""
+    h, w, _ = img.shape
+    if h < 1 or w < 1:
+        raise ValueError(f"ahash64: empty frame {h}x{w}")
+    if h < 8:
+        img = np.repeat(img, -(-8 // h), axis=0)
+    if w < 8:
+        img = np.repeat(img, -(-8 // w), axis=1)
     h, w, _ = img.shape
     bh, bw = max(h // 8, 1), max(w // 8, 1)
     g = img[: bh * 8, : bw * 8].astype(np.int64)

@@ -281,6 +281,59 @@ def planes_for(n_rows: int) -> int:
     return min(_MAX_PLANES, math.ceil(math.log2(n_rows / _TARGET_BUCKET_ROWS)))
 
 
+# Recall-compensation caps for the auto-sized pairs path.  More planes
+# (needed to keep buckets small as the corpus grows) shrink the
+# per-table collision probability of a TRUE pair — r^P with
+# r = 1 - theta/pi — so tables and probes must grow with P or recall
+# silently collapses (observed: 8 tables at P=11 predicts ~0.20 recall
+# at threshold 0.45 where the P=4 gate had ~1.0).  The caps bound the
+# candidate-volume constant; when they bind, the achieved target is
+# whatever ``lsh_params_for`` predicts — exposed, not hidden.
+_MAX_TABLES = 32
+_MAX_MULTIPROBE = 8
+_RECALL_TARGET = 0.9
+
+
+def lsh_params_for(
+    n_rows: int,
+    threshold: float,
+    recall_target: float = _RECALL_TARGET,
+    max_tables: int = _MAX_TABLES,
+    max_multiprobe: int = _MAX_MULTIPROBE,
+) -> tuple[int, int, int, float]:
+    """(n_planes, n_tables, multiprobe, predicted_recall) for an
+    auto-sized ``cosine_lsh_pairs`` run over ``n_rows`` vectors.
+
+    The model (standard random-hyperplane LSH analysis): a true pair at
+    the threshold angle theta = acos(threshold) agrees on one plane with
+    probability r = 1 - theta/pi, so one table of P planes collides with
+    probability r^P, each of q multiprobe bit-flips adds (1-r) * r^(P-1),
+    and L independent tables give recall 1 - (1 - p_table)^L.  Planes are
+    fixed by the occupancy rule (:func:`planes_for` — the linearity knob);
+    q then L grow until predicted recall reaches ``recall_target`` or the
+    caps bind (worst case: near-orthogonal corpora at near-random
+    thresholds, where constant recall fundamentally costs n^(1+rho) —
+    real clustered embeddings at dedup-grade thresholds >= 0.8 reach the
+    target well inside the caps)."""
+    import math
+
+    n_planes = planes_for(n_rows)
+    r = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    r = max(r, 1e-9)
+
+    def per_table(q: int) -> float:
+        return (r**n_planes) * (1.0 + q * (1.0 - r) / r)
+
+    def recall(q: int, tables: int) -> float:
+        return 1.0 - (1.0 - min(per_table(q), 1.0)) ** tables
+
+    q = 0 if n_planes <= N_PLANES else min(max_multiprobe, n_planes)
+    tables = N_TABLES
+    while tables < max_tables and recall(q, tables) < recall_target:
+        tables += 1
+    return n_planes, tables, q, recall(q, tables)
+
+
 def cosine_lsh_pairs(
     embeddings: DataFrame,
     threshold: float,
@@ -289,10 +342,29 @@ def cosine_lsh_pairs(
     vec_col: str = "embedding",
     multiprobe: int = 0,
     n_planes: int | None = None,
+    n_tables: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold via LSH bucketing — the scale
-    twin of :func:`cosine_pairs` for the embedding NEAR-DUP problem (the
+    """Pairs with cosine >= threshold via LSH bucketing — the scale twin
+    of :func:`cosine_pairs` for the embedding NEAR-DUP problem (the
     pairs analogue of :func:`ann_topk`).
+
+    RECALL MODEL (read this before trusting "all pairs"): precision is
+    exact (every candidate is re-scored with the exact cosine), but
+    candidate RECALL is probabilistic and depends on (n_planes,
+    n_tables, multiprobe) — a true pair at angle theta collides in one
+    table with probability (1-theta/pi)^n_planes, widened by multiprobe
+    and amplified across tables; see :func:`lsh_params_for` for the
+    closed form.  When ``n_planes`` is left None the corpus is counted
+    (one Spark job — pass ``n_rows`` to skip it) and ALL THREE
+    parameters are sized together: planes by the occupancy rule (keeps
+    the bucket join linear in the corpus), then probes and tables grown
+    to hold predicted recall >= 0.9 up to documented caps
+    (_MAX_TABLES/_MAX_MULTIPROBE — near-orthogonal corpora at
+    near-random thresholds can exhaust them; dedup-grade thresholds
+    >= 0.8 stay well inside).  Fixing planes while tables stay at the
+    gate default is the silent-recall-collapse trap this signature
+    exists to prevent.
 
     Candidates = pairs sharing a bucket in >= 1 LSH table (a bucket
     self-equijoin, never an all-pairs cross join); ``multiprobe`` > 0
@@ -333,11 +405,20 @@ def cosine_lsh_pairs(
     raises loudly on any row whose array length != ``dim`` (embedded in
     a column the output needs, where pruning can't remove it)."""
     if n_planes is None:
-        # one counting pass sizes the bucket space to the corpus — the
-        # knob that keeps the bucket self-equijoin linear at 100 TB
-        n_planes = planes_for(embeddings.count())
+        # one counting pass sizes bucket space to the corpus (skipped
+        # when the caller passes n_rows); probes and tables scale WITH
+        # the plane count so recall holds as the corpus grows
+        if n_rows is None:
+            n_rows = embeddings.count()
+        n_planes, auto_tables, auto_probe, _pred = lsh_params_for(n_rows, threshold)
+        if n_tables is None:
+            n_tables = auto_tables
+        multiprobe = max(multiprobe, auto_probe)
+    if n_tables is None:
+        n_tables = N_TABLES
     bkt = with_lsh_buckets(
-        embeddings, dim, n_planes=n_planes, id_col=id_col, vec_col=vec_col
+        embeddings, dim, n_planes=n_planes, n_tables=n_tables,
+        id_col=id_col, vec_col=vec_col,
     )
     bt = bkt.select(
         F.col(id_col).alias("id"), F.posexplode("buckets").alias("table", "bucket")

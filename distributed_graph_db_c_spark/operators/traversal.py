@@ -694,7 +694,9 @@ def toposort_levels(
     )
     max_indeg = max_indeg_row[0] or 0
     if max_indeg <= 1:
-        return _toposort_pointer_doubling(edges)
+        return _toposort_pointer_doubling(
+            edges, broadcast_threshold=broadcast_threshold
+        )
     return _toposort_relax(edges, max_iter, broadcast_threshold)
 
 
@@ -713,8 +715,13 @@ def _toposort_pointer_doubling(
 
     The lookup (target) side is the whole vertex state; while it fits the
     broadcast threshold each round is a broadcast hash join — zero
-    shuffle — with the sort-merge fallback above the threshold (the bfs
-    frontier discipline, applied to the jump table)."""
+    shuffle.  Above the threshold the state is MAINTAINED hash-partitioned
+    on (graph_id, id): the jump-table (right) side of every round's
+    self-join then already satisfies the join's required distribution
+    (alias-aware — Catalyst tracks t_gid/t_id back through the rename),
+    so only the pointer (left) side exchanges, and a SHUFFLE_HASH hint
+    drops the sort-merge sorts — one slim exchange + one maintenance
+    repartition per round instead of two exchanges + two sorts."""
     parent = edges.select(
         "graph_id", F.col("dst").cast("long").alias("id"), F.col("src").cast("long").alias("ptr")
     )
@@ -723,19 +730,20 @@ def _toposort_pointer_doubling(
         .union(edges.select("graph_id", F.col("dst").cast("long").alias("id")))
         .distinct()
     )
-    state = (
-        nodes.join(parent, on=["graph_id", "id"], how="left")
-        .select(
-            "graph_id",
-            "id",
-            "ptr",
-            F.when(F.col("ptr").isNotNull(), F.lit(1)).otherwise(F.lit(0))
-            .cast("long")
-            .alias("dist"),
-        )
-        .localCheckpoint(eager=True)
+    state = nodes.join(parent, on=["graph_id", "id"], how="left").select(
+        "graph_id",
+        "id",
+        "ptr",
+        F.when(F.col("ptr").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("dist"),
     )
+    state = state.localCheckpoint(eager=True)
     n_state = state.count()
+    shuffle_regime = n_state > broadcast_threshold
+    n_part = int(state.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if shuffle_regime:
+        state = state.repartition(n_part, "graph_id", "id").localCheckpoint(eager=True)
     live = state.filter(F.col("ptr").isNotNull()).count()
     rounds = 0
     while live > 0:
@@ -753,22 +761,25 @@ def _toposort_pointer_doubling(
             F.col("ptr").alias("t_ptr"),
             F.col("dist").alias("t_dist"),
         )
-        t_side = F.broadcast(target) if n_state <= broadcast_threshold else target
-        state = (
-            state.join(
-                t_side,
-                on=(F.col("graph_id") == F.col("t_gid"))
-                & (F.col("ptr") == F.col("t_id")),
-                how="left",
-            )
-            .select(
-                "graph_id",
-                "id",
-                F.col("t_ptr").alias("ptr"),
-                (F.col("dist") + F.coalesce("t_dist", F.lit(0))).alias("dist"),
-            )
-            .localCheckpoint(eager=True)
+        t_side = (
+            target.hint("shuffle_hash")
+            if shuffle_regime
+            else F.broadcast(target)
         )
+        new_state = state.join(
+            t_side,
+            on=(F.col("graph_id") == F.col("t_gid"))
+            & (F.col("ptr") == F.col("t_id")),
+            how="left",
+        ).select(
+            "graph_id",
+            "id",
+            F.col("t_ptr").alias("ptr"),
+            (F.col("dist") + F.coalesce("t_dist", F.lit(0))).alias("dist"),
+        )
+        if shuffle_regime:
+            new_state = new_state.repartition(n_part, "graph_id", "id")
+        state = new_state.localCheckpoint(eager=True)
         live = state.filter(F.col("ptr").isNotNull()).count()
     return state.select("graph_id", "id", F.col("dist").alias("level"))
 
@@ -867,17 +878,22 @@ def forest_roots(
         .union(edges.select("graph_id", F.col("dst").cast("long").alias("id")))
         .distinct()
     )
-    state = (
-        nodes.join(parent, on=["graph_id", "id"], how="left")
-        .select(
-            "graph_id",
-            "id",
-            "ptr",
-            F.coalesce("ptr", "id").alias("root"),
-        )
-        .localCheckpoint(eager=True)
+    state = nodes.join(parent, on=["graph_id", "id"], how="left").select(
+        "graph_id",
+        "id",
+        "ptr",
+        F.coalesce("ptr", "id").alias("root"),
     )
+    state = state.localCheckpoint(eager=True)
     n_state = state.count()
+    # same shuffle-regime discipline as _toposort_pointer_doubling: keep
+    # the state hash-partitioned on (graph_id, id) so the jump-table side
+    # of each round's self-join reuses the partitioning, and shuffle-hash
+    # instead of sort-merge for the slim 4-column rows
+    shuffle_regime = n_state > broadcast_threshold
+    n_part = int(state.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if shuffle_regime:
+        state = state.repartition(n_part, "graph_id", "id").localCheckpoint(eager=True)
     live = state.filter(F.col("ptr").isNotNull()).count()
     rounds = 0
     while live > 0:
@@ -893,21 +909,24 @@ def forest_roots(
             F.col("ptr").alias("t_ptr"),
             F.col("root").alias("t_root"),
         )
-        t_side = F.broadcast(target) if n_state <= broadcast_threshold else target
-        state = (
-            state.join(
-                t_side,
-                on=(F.col("graph_id") == F.col("t_gid"))
-                & (F.col("ptr") == F.col("t_id")),
-                how="left",
-            )
-            .select(
-                "graph_id",
-                "id",
-                F.col("t_ptr").alias("ptr"),
-                F.coalesce("t_root", "root").alias("root"),
-            )
-            .localCheckpoint(eager=True)
+        t_side = (
+            target.hint("shuffle_hash")
+            if shuffle_regime
+            else F.broadcast(target)
         )
+        new_state = state.join(
+            t_side,
+            on=(F.col("graph_id") == F.col("t_gid"))
+            & (F.col("ptr") == F.col("t_id")),
+            how="left",
+        ).select(
+            "graph_id",
+            "id",
+            F.col("t_ptr").alias("ptr"),
+            F.coalesce("t_root", "root").alias("root"),
+        )
+        if shuffle_regime:
+            new_state = new_state.repartition(n_part, "graph_id", "id")
+        state = new_state.localCheckpoint(eager=True)
         live = state.filter(F.col("ptr").isNotNull()).count()
     return state.select("graph_id", "id", "root")

@@ -28,11 +28,32 @@ so any HDFS-compatible store works.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 
 from .sinks import _hadoop_fs
 
 _FMT = "v=%08d"
+_CLAIM_FMT = "__claim_v%08d__"
+
+log = logging.getLogger(__name__)
+
+
+def _discard_staging(fs, jpath, staging: str) -> None:
+    """Best-effort staging cleanup; a silent false from fs.delete would
+    orphan the __stage__ dir invisibly, so log it loudly instead."""
+    try:
+        if not fs.delete(jpath(staging), True):
+            log.warning("commit_version: staging cleanup left orphan %s", staging)
+    except Exception:
+        log.warning("commit_version: staging cleanup raised for %s", staging, exc_info=True)
+
+
+class ConcurrentCommitError(IOError):
+    """A concurrent committer claimed or published the version first.
+    The raising committer's data was never visible to readers; retrying
+    the commit recomputes the next free version number."""
 
 
 def _version_dirs(spark: SparkSession, path: str) -> list[int]:
@@ -63,28 +84,55 @@ def commit_version(df: DataFrame, path: str) -> int:
     when ``df``'s plan reads an older version of the same table (staging
     never deletes anything).
 
-    Writer contract: ONE writer per table.  Hadoop's rename does not
-    fail onto an existing directory (it nests the source inside it), so
-    a lost concurrent commit cannot be detected by the rename alone;
-    the staging dir is therefore committer-unique (uuid) so two racers
-    never clobber each other's in-flight files, and the publish is
-    guarded by an exists-check before AND after the rename — the loser
-    raises instead of silently nesting its data where no reader will
-    find it.  The check-then-rename window is not atomic: true
-    multi-writer commits need a coordination log (Delta/Iceberg) — the
-    same boundary replace_table documents."""
+    Multi-writer contract: the version number is CLAIMED atomically
+    before any data is written — ``FileSystem.create(path,
+    overwrite=false)`` on a per-version marker file has O_EXCL
+    semantics (one creator wins, every other raises), so two racing
+    committers can never both believe they published the same version:
+    the loser raises :class:`ConcurrentCommitError` up front, with no
+    staged data written at all.  Hadoop's rename does not fail onto an
+    existing directory (it nests the source inside it), so the publish
+    is additionally guarded by an exists-check before and a nest-audit
+    after the rename — belt for marker-deleted-by-hand scenarios.  A
+    committer that crashes between claim and publish leaves its marker
+    behind; the claim error names the marker so an operator (or a
+    cleanup sweep) can remove it after verifying no committer is live —
+    lost work is always LOUD, never silent.
+
+    Markers of already-published versions are swept opportunistically at
+    the start of the next commit, so steady-state leaves one live marker
+    per in-flight commit, not one per version forever."""
     import uuid as _uuid
 
     spark = df.sparkSession
     fs, jpath = _hadoop_fs(spark, path)
     fs.mkdirs(jpath(path))
     version = (_version_dirs(spark, path) or [0])[-1] + 1
+    # sweep markers whose version dir already exists (their commit is done)
+    for st in fs.listStatus(jpath(path)):
+        name = st.getPath().getName()
+        if name.startswith("__claim_v") and name.endswith("__"):
+            try:
+                v = int(name[len("__claim_v"):-2])
+            except ValueError:
+                continue
+            if fs.exists(jpath(f"{path.rstrip('/')}/{_FMT % v}")):
+                fs.delete(st.getPath(), False)
+    claim = f"{path.rstrip('/')}/{_CLAIM_FMT % version}"
+    try:
+        fs.create(jpath(claim), False).close()
+    except Exception as exc:  # py4j FileAlreadyExistsException and kin
+        raise ConcurrentCommitError(
+            f"commit_version: version {version} is claimed by another "
+            f"committer (marker {claim}) — lost the race before staging; "
+            "retry, or remove the marker if its committer is known dead"
+        ) from exc
     staging = f"{path.rstrip('/')}/__stage_{version}_{_uuid.uuid4().hex[:8]}__"
     df.write.mode("overwrite").parquet(staging)
     final = f"{path.rstrip('/')}/{_FMT % version}"
     if fs.exists(jpath(final)) or not fs.rename(jpath(staging), jpath(final)):
-        fs.delete(jpath(staging), True)
-        raise IOError(
+        _discard_staging(fs, jpath, staging)
+        raise ConcurrentCommitError(
             f"commit_version: version {version} already published "
             f"(concurrent committer won) — staged data discarded, retry"
         )
@@ -93,7 +141,7 @@ def commit_version(df: DataFrame, path: str) -> int:
     nested = f"{final}/{staging.rsplit('/', 1)[1]}"
     if fs.exists(jpath(nested)):
         fs.delete(jpath(nested), True)
-        raise IOError(
+        raise ConcurrentCommitError(
             f"commit_version: lost publish race for version {version} — "
             "staged data discarded, retry"
         )

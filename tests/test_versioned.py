@@ -12,6 +12,7 @@ import pytest
 import pyspark.sql.functions as F
 
 from distributed_graph_db_c_spark.versioned import (
+    ConcurrentCommitError,
     commit_version,
     list_versions,
     read_version,
@@ -66,3 +67,56 @@ def test_vacuum_removes_exactly_old_tail(spark, tmp_path):
 def test_read_missing_table_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_version(spark, str(tmp_path / "nope"))
+
+
+def test_claimed_version_raises_before_staging(spark, tmp_path):
+    """The deterministic core of the race: a standing claim marker for
+    the next version (an in-flight committer) makes a second committer
+    raise ConcurrentCommitError BEFORE writing any data — no staging
+    dir, no partial state, published history untouched."""
+    import os
+
+    t = tmp_path / "t"
+    commit_version(_df(spark, [1]), str(t))
+    (t / "__claim_v00000002__").touch()  # rival committer's claim
+    with pytest.raises(ConcurrentCommitError, match="claimed by another"):
+        commit_version(_df(spark, [2]), str(t))
+    assert list_versions(spark, str(t)) == [1]
+    assert not [d for d in os.listdir(t) if d.startswith("__stage_")]
+    # the rival publishes; its completed marker is swept by the next
+    # commit, which claims the following number cleanly
+    _df(spark, [2]).write.parquet(str(t / "v=00000002"))
+    assert commit_version(_df(spark, [3]), str(t)) == 3
+    assert not [d for d in os.listdir(t) if d.startswith("__claim_")and d != "__claim_v00000003__"]
+
+
+def test_racing_committers_one_wins_one_raises(spark, tmp_path):
+    """Two commit_version calls racing from the same version listing:
+    whatever the interleaving, version numbering stays consistent (no
+    version published twice, no silent loss — a loser always raises)."""
+    import threading
+
+    t = str(tmp_path / "t")
+    commit_version(_df(spark, [0]), t)
+    results: list[object] = [None, None]
+
+    def go(i: int) -> None:
+        try:
+            results[i] = commit_version(_df(spark, [100 + i]), t)
+        except ConcurrentCommitError as exc:
+            results[i] = exc
+
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    wins = [r for r in results if isinstance(r, int)]
+    losses = [r for r in results if isinstance(r, ConcurrentCommitError)]
+    assert len(wins) + len(losses) == 2 and len(wins) >= 1
+    # every winner's version is published and readable; no duplicates
+    assert len(set(wins)) == len(wins)
+    published = list_versions(spark, t)
+    for v in wins:
+        assert v in published
+        read_version(spark, t, v).collect()
