@@ -487,6 +487,57 @@ def synth_bmp_near_dup(doc_id: int) -> bytes:
     return _write_bmp24(rgb)
 
 
+def ahash_band_pairs(
+    hashed, id_col: str = "doc_id", hash_col: str = "ah", max_hamming: int = 3
+):
+    """Near-dup pairs (id_a < id_b, hamming <= max_hamming) over a table
+    of 64-bit perceptual hashes via 4x16 PIGEONHOLE BANDING: Hamming
+    <= 3 over 64 bits guarantees at least one of the four 16-bit
+    quarters is identical, so candidates come from 4 bucket-equijoins
+    on (quarter_index, quarter_value) — never an all-pairs product —
+    then the exact Hamming (bit_count of xor) filters and dedups.
+    Total recall for max_hamming <= 3 by the pigeonhole principle
+    (ceil(64/16)=4 bands tolerate 4-1 flips); shared by the real-decode
+    path (mm_ahash_dedup_pairs) and the oracle-backed hash-table gate
+    (mm_ahash_pairs_from_hashes).  At 100 TB the equijoin shuffles slim
+    (id, long) rows and each bucket holds hash-sharing docs only."""
+    import pyspark.sql.functions as F
+
+    if max_hamming > 3:
+        raise ValueError(
+            f"ahash_band_pairs: 4x16 banding only guarantees recall for "
+            f"hamming <= 3, got max_hamming={max_hamming}"
+        )
+    quarters = hashed.select(
+        F.col(id_col).alias("_id"),
+        F.col(hash_col).alias("_ah"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftright(hash_col, q * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("qv"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("qq"),
+    ).select("_id", "_ah", F.col("qq.q").alias("q"), F.col("qq.qv").alias("qv"))
+    a = quarters.select(F.col("_id").alias("doc_a"), F.col("_ah").alias("ah_a"), "q", "qv")
+    b = quarters.select(F.col("_id").alias("doc_b"), F.col("_ah").alias("ah_b"), "q", "qv")
+    # cast: Spark bit_count is INT, DuckDB's is BIGINT — long on both
+    hamming = F.bit_count(F.col("ah_a").bitwiseXOR(F.col("ah_b"))).cast("long")
+    return (
+        a.join(b, on=["q", "qv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def ahash64(img: np.ndarray) -> int:
     """Average hash (aHash) of an RGB image: luminance proxy r+2g+b,
     8x8 grid of block SUMS over the (cropped-to-multiple-of-8) frame,

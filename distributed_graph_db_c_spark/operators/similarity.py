@@ -213,6 +213,8 @@ def ann_batch_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multiprobe: int = 0,
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
 ) -> DataFrame:
     """Top-k neighbours for EVERY query vector in one plan — the
     production shape of ANN (a query batch amortizes the index build;
@@ -226,9 +228,18 @@ def ann_batch_topk(
     (rank by cosine desc, id asc, same tie order as the exact path).
     ``multiprobe`` widens the query side's bucket list by the first
     ``multiprobe`` Hamming-1 flips per table, exactly as in
-    :func:`ann_topk`."""
-    bt = lsh_bucket_table(embeddings, dim, id_col=id_col, vec_col=vec_col)
-    qt = lsh_bucket_table(queries, dim, id_col="qid", vec_col="qvec")
+    :func:`ann_topk`.  ``n_planes``/``n_tables`` default to the pinned
+    gate constants; large corpora should size them together via
+    :func:`lsh_params_for` (recall holds only when probes and tables
+    scale WITH the plane count — see the recall-sweep test)."""
+    bt = lsh_bucket_table(
+        embeddings, dim, n_planes=n_planes, n_tables=n_tables,
+        id_col=id_col, vec_col=vec_col,
+    )
+    qt = lsh_bucket_table(
+        queries, dim, n_planes=n_planes, n_tables=n_tables,
+        id_col="qid", vec_col="qvec",
+    )
     q = qt.select(F.col("id").alias("qid"), F.col("vec").alias("_qvec"), "table", "bucket")
     if multiprobe > 0:
         q = q.select(
@@ -240,7 +251,7 @@ def ann_batch_topk(
                     F.col("bucket"),
                     *[
                         F.col("bucket").bitwiseXOR(F.lit(1 << b))
-                        for b in range(min(multiprobe, N_PLANES))
+                        for b in range(min(multiprobe, n_planes))
                     ],
                 )
             ).alias("bucket"),

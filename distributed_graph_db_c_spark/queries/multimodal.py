@@ -258,28 +258,73 @@ def mm_ahash_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     hashed = blobs.mapInPandas(gen, "doc_id long, ah long")
-    quarters = hashed.select(
-        "doc_id",
-        "ah",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(q).alias("q"),
-                        F.shiftright("ah", q * 16).bitwiseAND(F.lit(0xFFFF)).alias("qv"),
-                    )
-                    for q in range(4)
-                ]
-            )
-        ).alias("qq"),
-    ).select("doc_id", "ah", F.col("qq.q").alias("q"), F.col("qq.qv").alias("qv"))
-    a = quarters.select(F.col("doc_id").alias("doc_a"), F.col("ah").alias("ah_a"), "q", "qv")
-    b = quarters.select(F.col("doc_id").alias("doc_b"), F.col("ah").alias("ah_b"), "q", "qv")
-    hamming = F.bit_count(F.col("ah_a").bitwiseXOR(F.col("ah_b")))
-    return (
-        a.join(b, on=["q", "qv"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
-        .distinct()
-        .filter(F.col("hamming") <= 3)
+    from ..operators.multimodal import ahash_band_pairs
+
+    return ahash_band_pairs(hashed)
+
+
+# Cross-engine deterministic 64-bit "perceptual hashes" for the
+# oracle-backed banding gate: four arithmetic 16-bit quarters from the
+# GROUP number (groups of 5 docs), XORed with a member mask that flips
+# member-many DISJOINT low bits — so within a group Hamming(m1, m2) =
+# m1 + m2 exactly, giving pairs at distances 1..7 with a known <=3
+# subset, while cross-group hashes differ arbitrarily.  Every operation
+# (integer mul/mod under 2^63, xor, bit_count) evaluates identically in
+# Spark and DuckDB, which is the whole point: the BANDING JOIN half of
+# the aHash dedup operator gets full hash-match driver evidence, with
+# only the image-decode half left to its differential pytest.
+_AHASH_MEMBER_MASKS = [0, 0x1, 0x30, 0x700, 0xF000]  # 0,1,2,3,4 disjoint bits
+
+
+def _synth_hash_col() -> F.Column:
+    grp = F.expr("doc_id div 5")
+    q0 = (grp * 31 + 7) % 65536
+    q1 = (grp * 57 + 11) % 65536
+    q2 = (grp * 41 + 3) % 65536
+    q3 = (grp * 23 + 5) % 32768  # 15 bits: keeps the sum under 2^63
+    base = q0 + q1 * 65536 + q2 * 4294967296 + q3 * 281474976710656
+    mask = F.element_at(
+        F.array(*[F.lit(m) for m in _AHASH_MEMBER_MASKS]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
     )
+    return base.bitwiseXOR(mask.cast("long"))
+
+
+_AHASH_PAIRS_SQL = """
+WITH h AS (
+  SELECT doc_id,
+         xor(
+           (((doc_id // 5) * 31 + 7) % 65536)
+           + (((doc_id // 5) * 57 + 11) % 65536) * 65536
+           + (((doc_id // 5) * 41 + 3) % 65536) * 4294967296
+           + (((doc_id // 5) * 23 + 5) % 32768) * 281474976710656,
+           CASE doc_id % 5 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 48
+                           WHEN 3 THEN 1792 ELSE 61440 END
+         ) AS ah
+  FROM documents WHERE doc_id < 300
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.ah, b.ah)) AS BIGINT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ah, b.ah)) <= 3
+"""
+
+
+@register("mm_ahash_pairs_from_hashes", oracle=_AHASH_PAIRS_SQL)
+def mm_ahash_pairs_from_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORACLE-CHECKABLE half of perceptual-hash image dedup (round
+    6, splitting the round-5 rows-only gate): the 4x16 pigeonhole
+    banding pair-join runs over PRECOMPUTED 64-bit hashes that both
+    engines derive identically (arithmetic quarters + disjoint member-
+    bit masks, see _synth_hash_col), and DuckDB brute-forces Hamming =
+    bit_count(xor) over all pairs as the oracle.  Total recall of the
+    banding at Hamming <= 3 is therefore hash-matched by the driver —
+    any pigeonhole, quarter-extraction, or dedup bug surfaces as a
+    missing/excess pair — while the decoder half (ahash64 over real
+    decoded frames) keeps its differential pytest.  Same banding code
+    path as mm_ahash_dedup_pairs (operators/multimodal.ahash_band_pairs)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    hashed = docs.select("doc_id", _synth_hash_col().alias("ah"))
+    from ..operators.multimodal import ahash_band_pairs
+
+    return ahash_band_pairs(hashed)

@@ -346,3 +346,109 @@ def test_containment_prefix_filter_matches_bruteforce(spark):
             for r in containment_pairs(docs, threshold=thr).collect()
         }
         assert got == expect, f"thr={thr}"
+
+
+def _clustered_corpus(n: int, dim: int = 32, n_clusters: int = 64):
+    """Deterministic clustered corpus shaped like real embeddings: point
+    i = unit(center[i % n_clusters] + 0.25 * noise_i).  Cluster-mates sit
+    at cosine ~0.9; cross-cluster pairs near 0 — the regime the LSH/IVF
+    recall model targets (random near-orthogonal corpora are the
+    documented worst case, not the operating point)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)  # PCG64 stream is version-stable
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    noise = rng.standard_normal((n, dim))
+    pts = centers[np.arange(n) % n_clusters] + 0.25 * noise / np.linalg.norm(
+        noise, axis=1, keepdims=True
+    )
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    return pts.astype(np.float32)
+
+
+def _exact_topk_ids(pts, qidx: int, k: int = 10) -> list[int]:
+    import numpy as np
+
+    cos = pts @ pts[qidx]
+    cos[qidx] = -np.inf
+    order = np.lexsort((np.arange(len(pts)), -cos))  # cosine desc, id asc
+    return [int(i) for i in order[:k]]
+
+
+@pytest.mark.parametrize("n", [512, 4096, 16384])
+def test_ann_recall_sweep_clustered_corpora(spark, n):
+    """MEASURED recall@10 vs corpus size (the r5-verdict #5 curve): with
+    parameters auto-sized together by lsh_params_for (planes from the
+    occupancy rule, probes+tables scaled to hold the model's recall),
+    multiprobe batch ANN keeps mean recall@10 >= 0.9 from 512 to 16384
+    vectors on a clustered corpus.  Fixed gate parameters would decay
+    with n — this pins that the SIZING RULE, not a lucky constant, is
+    what scales."""
+    import pandas as pd
+
+    from distributed_graph_db_c_spark.operators.similarity import (
+        ann_batch_topk,
+        lsh_params_for,
+    )
+
+    dim, k, n_queries = 32, 10, 10
+    pts = _clustered_corpus(n, dim)
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(n), "embedding": list(map(list, pts))})
+    )
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            {"qid": range(n_queries), "qvec": list(map(list, pts[:n_queries]))}
+        )
+    )
+    n_planes, n_tables, multiprobe, predicted = lsh_params_for(n, 0.85)
+    got = (
+        ann_batch_topk(
+            emb, queries, dim=dim, top_k=k,
+            multiprobe=multiprobe, n_planes=n_planes, n_tables=n_tables,
+        )
+        .groupBy("qid")
+        .agg(F.collect_list("vec_id").alias("ids"))
+        .collect()
+    )
+    by_q = {r["qid"]: set(r["ids"]) for r in got}
+    recalls = [
+        len(by_q.get(q, set()) & set(_exact_topk_ids(pts, q, k))) / k
+        for q in range(n_queries)
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.9, (
+        f"n={n}: mean recall@10 {mean_recall:.3f} < 0.9 "
+        f"(params planes={n_planes} tables={n_tables} probe={multiprobe}, "
+        f"model predicted {predicted:.3f})"
+    )
+
+
+@pytest.mark.parametrize("n", [512, 4096])
+def test_ivf_recall_sweep_clustered_corpora(spark, n):
+    """IVF recall@10 across corpus sizes with cells scaled to the corpus
+    (n//256 floored at 16) and nprobe = half the cells — the IVF half of
+    the measured recall curve."""
+    import pandas as pd
+
+    from distributed_graph_db_c_spark.operators.similarity import ivf_topk
+
+    dim, k = 32, 10
+    pts = _clustered_corpus(n, dim)
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(n), "embedding": list(map(list, pts))})
+    ).cache()
+    n_cells = max(16, n // 256)
+    recalls = []
+    for q in [0, 1, 2]:
+        got = {
+            r["vec_id"]
+            for r in ivf_topk(
+                emb, query_id=q, top_k=k, n_cells=n_cells, nprobe=n_cells // 2
+            ).collect()
+        }
+        recalls.append(len(got & set(_exact_topk_ids(pts, q, k))) / k)
+    emb.unpersist()
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.9, f"n={n}: IVF mean recall@10 {mean_recall:.3f} < 0.9"
