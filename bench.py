@@ -102,6 +102,12 @@ HEADLINE = [
     "rel_string_agg_ordered",
     "rel_weighted_median_udaf",
     "mm_ahash_dedup_pairs",
+    # round 6 operators
+    "mm_ahash_pairs_from_hashes",
+    "storage_merge_cdc_batch",
+    "text_clean_normalize",
+    "pipeline_domain_mixture",
+    "rel_price_histogram",
 ]
 
 

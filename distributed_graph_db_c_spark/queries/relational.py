@@ -1965,3 +1965,44 @@ def rel_weighted_median_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         wmedian("price", "qty").alias("weighted_median")
     )
+
+
+_HIST_SQL = """
+SELECT LEAST(CAST(FLOOR(CAST(l_extendedprice AS DOUBLE) / 5000.0) AS BIGINT), 19)
+         AS bucket,
+       COUNT(*) AS n_lines,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+            AS DOUBLE) AS price_sum
+FROM lineitem
+GROUP BY 1
+"""
+
+
+@register("rel_price_histogram", oracle=_HIST_SQL)
+def rel_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width HISTOGRAM profiling (round 6): 20 fixed buckets of
+    5,000 over l_extendedprice with an open top bucket — the data-
+    profiling primitive behind skew detection, bucket-count sizing, and
+    range-partition boundary picks.  Fixed (data-independent) bounds
+    keep it one partial-agg scan — a data-driven min/max would cost an
+    extra pass; when bounds must adapt, the quantile sketch family
+    (sketch_quantiles_totalprice) is the scale path.  Sums route
+    through DECIMAL (associativity) per the registry contract."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.least(
+                F.floor(F.col("l_extendedprice").cast("double") / 5000.0).cast("long"),
+                F.lit(19),
+            ).alias("bucket"),
+            "l_extendedprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .cast("double")
+            .alias("price_sum"),
+        )
+    )

@@ -950,3 +950,99 @@ def storage_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         cleanup(scratch)
     return result
+
+
+_MERGE_CDC_SQL = """
+WITH upd AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,2)) + 100, 2) AS DOUBLE) AS c_acctbal,
+         'U' AS op
+  FROM customer WHERE c_custkey % 10 = 3),
+del AS (
+  SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal, 'D' AS op
+  FROM customer WHERE c_custkey % 10 = 7),
+ins AS (
+  SELECT c_custkey + 50000000 AS c_custkey, c_nationkey,
+         CAST(c_custkey % 500 AS DOUBLE) AS c_acctbal, 'I' AS op
+  FROM customer WHERE c_custkey % 100 = 0),
+chg AS (SELECT * FROM upd UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins),
+merged AS (
+  SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+  FROM customer WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+  UNION ALL
+  SELECT c_custkey, c_nationkey, c_acctbal FROM chg WHERE op <> 'D')
+SELECT c_nationkey, COUNT(*) AS n_customers,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_checksum,
+       CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)
+         AS balance_total
+FROM merged GROUP BY c_nationkey
+"""
+
+
+@register("storage_merge_cdc_batch", oracle=_MERGE_CDC_SQL)
+def storage_merge_cdc_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with DELETES (round 6): apply one CDC batch — updates
+    (+100 balance on custkey%10==3), tombstone deletes (custkey%10==7),
+    inserts (offset keys) — to a parquet snapshot and commit via
+    ``sinks.replace_table``.  This is the op the round-5 CDC read-side
+    gates (scd_latest / scd2 / snapshot_diff) assumed someone performs:
+    the WRITE side of a change-data-capture pipeline, including the
+    delete semantics ``storage_upsert_partitioned`` does not exercise
+    (a tombstone must remove the base row, not just fail to update it).
+
+    Plan shape: one anti-join of the base against all change keys (the
+    single shuffle), union of surviving changes, staged write + swap.
+    At 100 TB the anti-join becomes a broadcast of the (slim) CDC key
+    set — change batches are small relative to the base by definition —
+    and the swap stays one metadata op per partition dir.  The oracle
+    recomputes full MERGE semantics in SQL over the same tables; the
+    gate aggregates the RE-READ table, so a lost delete, double-applied
+    update, or dropped insert flips the hash."""
+    from ..sinks import replace_table
+    from ..streaming.sources import cleanup, scratch_dir
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+    scratch = scratch_dir("mergecdc")
+    try:
+        cust.write.mode("overwrite").parquet(f"{scratch}/t")
+        base = spark.read.parquet(f"{scratch}/t")
+        upd = base.filter(F.pmod("c_custkey", F.lit(10)) == 3).select(
+            "c_custkey",
+            "c_nationkey",
+            F.round(F.col("c_acctbal").cast("decimal(18,2)") + 100, 2)
+            .cast("double")
+            .alias("c_acctbal"),
+            F.lit("U").alias("op"),
+        )
+        dele = base.filter(F.pmod("c_custkey", F.lit(10)) == 7).select(
+            "c_custkey", "c_nationkey", "c_acctbal", F.lit("D").alias("op")
+        )
+        ins = base.filter(F.pmod("c_custkey", F.lit(100)) == 0).select(
+            (F.col("c_custkey") + 50000000).alias("c_custkey"),
+            "c_nationkey",
+            F.pmod("c_custkey", F.lit(500)).cast("double").alias("c_acctbal"),
+            F.lit("I").alias("op"),
+        )
+        changes = upd.unionByName(dele).unionByName(ins)
+        merged = base.join(
+            F.broadcast(changes.select("c_custkey")), "c_custkey", "left_anti"
+        ).unionByName(changes.filter(F.col("op") != "D").drop("op"))
+        replace_table(merged, f"{scratch}/t")
+        back = spark.read.parquet(f"{scratch}/t")
+        result = (
+            back.groupBy("c_nationkey")
+            .agg(
+                F.count("*").alias("n_customers"),
+                F.sum("c_custkey").alias("key_checksum"),
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                .cast("decimal(38,2)")
+                .cast("double")
+                .alias("balance_total"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        cleanup(scratch)
+    return result

