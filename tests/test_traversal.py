@@ -284,3 +284,37 @@ def test_toposort_relax_disconnected_cycle_raises(spark):
     )
     with pytest.raises(ValueError, match="cycle"):
         _toposort_relax(edges, max_iter=50)
+
+
+def test_pointer_doubling_shuffle_regime_agrees_with_broadcast(spark):
+    """The shuffle regime (state kept hash-partitioned on (graph_id, id),
+    shuffle-hash jump joins) must produce EXACTLY the broadcast regime's
+    answers — broadcast_threshold=0 forces the shuffle path at test scale,
+    so the round-6 partitioning rework is exercised without sf1."""
+    import random
+
+    from distributed_graph_db_c_spark.operators.traversal import (
+        _toposort_pointer_doubling,
+        forest_roots,
+    )
+
+    rng = random.Random(21)
+    rows = []
+    for g in range(2):
+        nodes = [0]
+        for nxt in range(1, 60):
+            rows.append((g, rng.choice(nodes), nxt))
+            nodes.append(nxt)
+    edges = spark.createDataFrame(rows, "graph_id long, src long, dst long")
+
+    topo_b = {(r["graph_id"], r["id"]): r["level"]
+              for r in _toposort_pointer_doubling(edges).collect()}
+    topo_s = {(r["graph_id"], r["id"]): r["level"]
+              for r in _toposort_pointer_doubling(edges, broadcast_threshold=0).collect()}
+    assert topo_s == topo_b and len(topo_s) == 120
+
+    roots_b = {(r["graph_id"], r["id"]): r["root"]
+               for r in forest_roots(edges).collect()}
+    roots_s = {(r["graph_id"], r["id"]): r["root"]
+               for r in forest_roots(edges, broadcast_threshold=0).collect()}
+    assert roots_s == roots_b and len(roots_s) == 120

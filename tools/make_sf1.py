@@ -117,6 +117,16 @@ def main() -> None:
         "lineitem",
         lambda df, i: df.withColumn("l_orderkey", F.col("l_orderkey") + i * KEY_OFF),
     )
+    # events: offset event AND user keys, timestamps unchanged — 10x the
+    # user population with per-user histories intact, so sessionization /
+    # funnel / per-user windows scale by key cardinality (the honest
+    # shape) rather than by 10x-denser single-user timelines
+    copies(
+        "events",
+        lambda df, i: df.withColumn(
+            "event_id", F.col("event_id") + i * KEY_OFF
+        ).withColumn("user_id", F.col("user_id") + i * CUST_OFF),
+    )
     spark.stop()
 
 

@@ -418,6 +418,37 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         ("pushdown custkey filter", r"PushedFilters: \[[^\]]*", True),
         ("partial agg", r"partial_", True),
     ],
+    # -- round 6 --
+    "mm_ahash_pairs_from_hashes": [
+        # pigeonhole banding: quarter-bucket equijoin, never all-pairs;
+        # the synthetic hash derivation is pure codegen
+        ("equi not theta", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True),
+        ("no nested loop", r"BroadcastNestedLoopJoin|CartesianProduct", False),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("pushdown doc_id bound", r"PushedFilters: \[[^\]]*doc_id", True),
+    ],
+    "text_clean_normalize": [
+        # pure per-row map: no shuffle at any scale
+        ("no exchange", r"Exchange", False),
+        ("no join", r"Join", False),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("column pruning", r"ReadSchema: [^\n]*text", True),
+    ],
+    "pipeline_domain_mixture": [
+        # per-source stats broadcast back onto the scan; membership filter
+        # is map-side — no row-level shuffle
+        ("stats broadcast", r"BroadcastHashJoin", True),
+        ("no nested loop", r"BroadcastNestedLoopJoin|CartesianProduct", False),
+        ("partial agg", r"partial_", True),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+    ],
+    "rel_price_histogram": [
+        ("no join", r"Join", False),
+        ("partial agg", r"partial_", True),
+        ("column pruning", r"ReadSchema: [^\n]*l_extendedprice", True),
+        ("no full-width scan", r"ReadSchema: [^\n]*l_comment", False),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+    ],
 }
 
 
