@@ -311,6 +311,7 @@ def lsh_params_for(
     recall_target: float = _RECALL_TARGET,
     max_tables: int = _MAX_TABLES,
     max_multiprobe: int = _MAX_MULTIPROBE,
+    min_multiprobe: int = 0,
 ) -> tuple[int, int, int, float]:
     """(n_planes, n_tables, multiprobe, predicted_recall) for an
     auto-sized ``cosine_lsh_pairs`` run over ``n_rows`` vectors.
@@ -320,12 +321,20 @@ def lsh_params_for(
     probability r = 1 - theta/pi, so one table of P planes collides with
     probability r^P, each of q multiprobe bit-flips adds (1-r) * r^(P-1),
     and L independent tables give recall 1 - (1 - p_table)^L.  Planes are
-    fixed by the occupancy rule (:func:`planes_for` — the linearity knob);
-    q then L grow until predicted recall reaches ``recall_target`` or the
-    caps bind (worst case: near-orthogonal corpora at near-random
-    thresholds, where constant recall fundamentally costs n^(1+rho) —
-    real clustered embeddings at dedup-grade thresholds >= 0.8 reach the
-    target well inside the caps)."""
+    fixed by the occupancy rule (:func:`planes_for` — the linearity knob).
+
+    Growth order is TABLES FIRST, probes only once the table cap binds:
+    candidate volume is linear in both knobs, but a table buys collision
+    probability r^P per unit volume where a probe buys only
+    (1-r) * r^(P-1) — smaller whenever r > 1/2, i.e. for every positive
+    threshold.  (Measured at sf1, threshold 0.8: tables-first reaches the
+    same >=0.9 target at ~1/3 the candidate volume of probes-first.)
+    ``min_multiprobe`` floors q regardless (callers with an empirically
+    recall-1.0 pinned probe setting keep their candidate superset).
+    Worst case remains near-orthogonal corpora at near-random thresholds,
+    where constant recall fundamentally costs n^(1+rho) and the caps bind
+    — the predicted recall is returned, not hidden; dedup-grade
+    thresholds >= 0.8 reach the target well inside the caps."""
     import math
 
     n_planes = planes_for(n_rows)
@@ -338,10 +347,13 @@ def lsh_params_for(
     def recall(q: int, tables: int) -> float:
         return 1.0 - (1.0 - min(per_table(q), 1.0)) ** tables
 
-    q = 0 if n_planes <= N_PLANES else min(max_multiprobe, n_planes)
+    q = min(min_multiprobe, n_planes)
     tables = N_TABLES
     while tables < max_tables and recall(q, tables) < recall_target:
         tables += 1
+    q_cap = min(max_multiprobe, n_planes) if n_planes > N_PLANES else q
+    while q < q_cap and recall(q, tables) < recall_target:
+        q += 1
     return n_planes, tables, q, recall(q, tables)
 
 
@@ -421,7 +433,9 @@ def cosine_lsh_pairs(
         # the plane count so recall holds as the corpus grows
         if n_rows is None:
             n_rows = embeddings.count()
-        n_planes, auto_tables, auto_probe, _pred = lsh_params_for(n_rows, threshold)
+        n_planes, auto_tables, auto_probe, _pred = lsh_params_for(
+            n_rows, threshold, min_multiprobe=multiprobe
+        )
         if n_tables is None:
             n_tables = auto_tables
         multiprobe = max(multiprobe, auto_probe)

@@ -28,6 +28,8 @@ standard iterative-algorithm-on-Spark pattern.
 
 from __future__ import annotations
 
+import functools
+
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -715,13 +717,9 @@ def _toposort_pointer_doubling(
 
     The lookup (target) side is the whole vertex state; while it fits the
     broadcast threshold each round is a broadcast hash join — zero
-    shuffle.  Above the threshold the state is MAINTAINED hash-partitioned
-    on (graph_id, id): the jump-table (right) side of every round's
-    self-join then already satisfies the join's required distribution
-    (alias-aware — Catalyst tracks t_gid/t_id back through the rename),
-    so only the pointer (left) side exchanges, and a SHUFFLE_HASH hint
-    drops the sort-merge sorts — one slim exchange + one maintenance
-    repartition per round instead of two exchanges + two sorts."""
+    shuffle — with a shuffle-HASH (not sort-merge) fallback above it.
+    DRAINED rows (ptr resolved to null) leave the join's probe side but
+    remain lookup targets — see :func:`_pointer_doubling_loop`."""
     parent = edges.select(
         "graph_id", F.col("dst").cast("long").alias("id"), F.col("src").cast("long").alias("ptr")
     )
@@ -738,50 +736,89 @@ def _toposort_pointer_doubling(
         .cast("long")
         .alias("dist"),
     )
+    out = _pointer_doubling_loop(
+        state,
+        payload="dist",
+        merged_payload=(F.col("dist") + F.coalesce("t_dist", F.lit(0))),
+        err_name="toposort_levels",
+        max_rounds=max_rounds,
+        broadcast_threshold=broadcast_threshold,
+    )
+    return out.select("graph_id", "id", F.col("dist").alias("level"))
+
+
+def _pointer_doubling_loop(
+    state: DataFrame,
+    payload: str,
+    merged_payload,
+    err_name: str,
+    max_rounds: int,
+    broadcast_threshold: int,
+) -> DataFrame:
+    """Shared pointer-jumping loop over state (graph_id, id, ptr,
+    ``payload``): each round every LIVE row (ptr != null) jumps
+    ptr -> ptr(ptr) and folds its payload via ``merged_payload`` (an
+    expression over the live row's columns and the jump target's t_*
+    columns); rows whose pointer resolves to null are DRAINED — they
+    stop flowing through the probe side of subsequent rounds (for
+    uniform-depth forests most rows drain in the middle rounds, saving
+    ~40% of joined rows end-to-end) but remain lookup targets, since a
+    live pointer may land on them.
+
+    Join strategy: broadcast of the full state below
+    ``broadcast_threshold`` rows, else shuffle-HASH (hinted — the
+    sort-merge default pays two sorts per round for slim 4-column rows;
+    measured 11.5s vs 9.8s per sf1 chain-roots run).  A maintenance
+    repartition to pre-align the target side was measured WORSE (27s:
+    localCheckpoint materializes to an RDD scan with
+    UnknownPartitioning, so Catalyst cannot reuse the exchange and the
+    repartition is pure extra work — the experiment that killed the
+    idea is in BENCH_SF1.md round 6)."""
     state = state.localCheckpoint(eager=True)
     n_state = state.count()
     shuffle_regime = n_state > broadcast_threshold
-    n_part = int(state.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    if shuffle_regime:
-        state = state.repartition(n_part, "graph_id", "id").localCheckpoint(eager=True)
-    live = state.filter(F.col("ptr").isNotNull()).count()
+    done_parts = [state.filter(F.col("ptr").isNull())]
+    live = state.filter(F.col("ptr").isNotNull())
+    n_live = live.count()
     rounds = 0
-    while live > 0:
+    while n_live > 0:
         rounds += 1
         if rounds > max_rounds:
             raise ValueError(
-                f"toposort_levels: pointers alive after {max_rounds} doubling "
+                f"{err_name}: pointers alive after {max_rounds} doubling "
                 "rounds — the edge set has a cycle"
             )
         # every t_* column renamed: a checkpointed self-join shares expr
         # IDs, and same-named columns in the condition resolve ambiguously
-        target = state.select(
+        full = functools.reduce(DataFrame.union, done_parts, live)
+        target = full.select(
             F.col("graph_id").alias("t_gid"),
             F.col("id").alias("t_id"),
             F.col("ptr").alias("t_ptr"),
-            F.col("dist").alias("t_dist"),
+            F.col(payload).alias(f"t_{payload}"),
         )
         t_side = (
-            target.hint("shuffle_hash")
-            if shuffle_regime
-            else F.broadcast(target)
+            target.hint("shuffle_hash") if shuffle_regime else F.broadcast(target)
         )
-        new_state = state.join(
-            t_side,
-            on=(F.col("graph_id") == F.col("t_gid"))
-            & (F.col("ptr") == F.col("t_id")),
-            how="left",
-        ).select(
-            "graph_id",
-            "id",
-            F.col("t_ptr").alias("ptr"),
-            (F.col("dist") + F.coalesce("t_dist", F.lit(0))).alias("dist"),
+        new = (
+            live.join(
+                t_side,
+                on=(F.col("graph_id") == F.col("t_gid"))
+                & (F.col("ptr") == F.col("t_id")),
+                how="left",
+            )
+            .select(
+                "graph_id",
+                "id",
+                F.col("t_ptr").alias("ptr"),
+                merged_payload.alias(payload),
+            )
+            .localCheckpoint(eager=True)
         )
-        if shuffle_regime:
-            new_state = new_state.repartition(n_part, "graph_id", "id")
-        state = new_state.localCheckpoint(eager=True)
-        live = state.filter(F.col("ptr").isNotNull()).count()
-    return state.select("graph_id", "id", F.col("dist").alias("level"))
+        done_parts.append(new.filter(F.col("ptr").isNull()))
+        live = new.filter(F.col("ptr").isNotNull())
+        n_live = live.count()
+    return functools.reduce(DataFrame.union, done_parts)
 
 
 def _toposort_relax(
@@ -884,49 +921,12 @@ def forest_roots(
         "ptr",
         F.coalesce("ptr", "id").alias("root"),
     )
-    state = state.localCheckpoint(eager=True)
-    n_state = state.count()
-    # same shuffle-regime discipline as _toposort_pointer_doubling: keep
-    # the state hash-partitioned on (graph_id, id) so the jump-table side
-    # of each round's self-join reuses the partitioning, and shuffle-hash
-    # instead of sort-merge for the slim 4-column rows
-    shuffle_regime = n_state > broadcast_threshold
-    n_part = int(state.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    if shuffle_regime:
-        state = state.repartition(n_part, "graph_id", "id").localCheckpoint(eager=True)
-    live = state.filter(F.col("ptr").isNotNull()).count()
-    rounds = 0
-    while live > 0:
-        rounds += 1
-        if rounds > max_rounds:
-            raise ValueError(
-                f"forest_roots: pointers alive after {max_rounds} doubling "
-                "rounds — the edge set has a cycle"
-            )
-        target = state.select(
-            F.col("graph_id").alias("t_gid"),
-            F.col("id").alias("t_id"),
-            F.col("ptr").alias("t_ptr"),
-            F.col("root").alias("t_root"),
-        )
-        t_side = (
-            target.hint("shuffle_hash")
-            if shuffle_regime
-            else F.broadcast(target)
-        )
-        new_state = state.join(
-            t_side,
-            on=(F.col("graph_id") == F.col("t_gid"))
-            & (F.col("ptr") == F.col("t_id")),
-            how="left",
-        ).select(
-            "graph_id",
-            "id",
-            F.col("t_ptr").alias("ptr"),
-            F.coalesce("t_root", "root").alias("root"),
-        )
-        if shuffle_regime:
-            new_state = new_state.repartition(n_part, "graph_id", "id")
-        state = new_state.localCheckpoint(eager=True)
-        live = state.filter(F.col("ptr").isNotNull()).count()
-    return state.select("graph_id", "id", "root")
+    out = _pointer_doubling_loop(
+        state,
+        payload="root",
+        merged_payload=F.coalesce("t_root", "root"),
+        err_name="forest_roots",
+        max_rounds=max_rounds,
+        broadcast_threshold=broadcast_threshold,
+    )
+    return out.select("graph_id", "id", "root")

@@ -108,7 +108,9 @@ def commit_version(df: DataFrame, path: str) -> int:
     fs, jpath = _hadoop_fs(spark, path)
     fs.mkdirs(jpath(path))
     version = (_version_dirs(spark, path) or [0])[-1] + 1
-    # sweep markers whose version dir already exists (their commit is done)
+    # sweep markers whose commit completed (version dir exists) or whose
+    # version is older than the current head (published then vacuumed —
+    # numbering never reuses them, so the marker can only be an orphan)
     for st in fs.listStatus(jpath(path)):
         name = st.getPath().getName()
         if name.startswith("__claim_v") and name.endswith("__"):
@@ -116,7 +118,7 @@ def commit_version(df: DataFrame, path: str) -> int:
                 v = int(name[len("__claim_v"):-2])
             except ValueError:
                 continue
-            if fs.exists(jpath(f"{path.rstrip('/')}/{_FMT % v}")):
+            if v < version or fs.exists(jpath(f"{path.rstrip('/')}/{_FMT % v}")):
                 fs.delete(st.getPath(), False)
     claim = f"{path.rstrip('/')}/{_CLAIM_FMT % version}"
     try:

@@ -167,3 +167,27 @@ def test_ahash_dedup_pairs_match_bruteforce(spark):
     assert got == expect
     # the fixture plants near-dups: some within-group pair must be found
     assert any(a // 5 == b // 5 for a, b in expect), "fixture vacuous"
+
+
+def test_ahash64_small_frames_upscale_instead_of_crash():
+    """h<8 or w<8 used to crash the 8x8 block reshape (advice r5); now
+    the frame is upscaled nearest-neighbor, and upscaling is hash-
+    preserving for frames already block-constant (each source pixel
+    becomes an equal-weight block, so every block comparison against the
+    mean is unchanged)."""
+    import numpy as np
+
+    from distributed_graph_db_c_spark.operators.multimodal import ahash64
+
+    rng = np.random.default_rng(3)
+    small = rng.integers(0, 256, (3, 5, 3), dtype=np.uint8).astype(np.uint8)
+    assert isinstance(ahash64(small), int)  # no ValueError
+    # 1x1 and 8x1 degenerate shapes
+    assert ahash64(np.full((1, 1, 3), 7, np.uint8)) == 0  # all-equal blocks
+    assert isinstance(ahash64(np.arange(24, dtype=np.uint8).reshape(8, 1, 3)), int)
+    # nearest-neighbor upscale of an exact 8x8 image reproduces its hash
+    base = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8).astype(np.uint8)
+    up = np.repeat(np.repeat(base, 2, axis=0), 2, axis=1)
+    assert ahash64(base) == ahash64(up)
+    with np.testing.assert_raises(ValueError):
+        ahash64(np.zeros((0, 4, 3), np.uint8))

@@ -114,8 +114,9 @@ def measure_embedding_pair_recall(spark) -> dict:
         for r in REGISTRY["dedup_embedding_cosine_pairs"].run(spark, SF1_DIR).collect()
     }
     hit = len(found & truth)
+    # min_multiprobe=4 mirrors the gate query's explicit multiprobe floor
     n_planes, n_tables, multiprobe, predicted = lsh_params_for(
-        n01 * N_COPIES, 0.45
+        n01 * N_COPIES, 0.45, min_multiprobe=4
     )
     return {
         "truth_pairs": len(truth),
