@@ -145,8 +145,14 @@ def main() -> None:
         for q in queries:
             try:
                 t0 = time.monotonic()
-                rows[q] = len(REGISTRY[q].run(spark, SF1_DIR).collect())
+                # noop sink, same forcing as bench.py: a .collect() of a
+                # megarow output (interpolate emits 2.6M rows at sf1)
+                # measures single-threaded py4j transfer, not the engine
+                df = REGISTRY[q].run(spark, SF1_DIR)
+                df.write.format("noop").mode("overwrite").save()
                 times[q].append(time.monotonic() - t0)
+                if q not in rows:
+                    rows[q] = df.count()
             except Exception as exc:  # record, keep measuring the rest
                 errors[q] = f"{type(exc).__name__}: {exc}"[:300]
     best = {q: round(min(ts), 3) for q, ts in times.items() if ts}
