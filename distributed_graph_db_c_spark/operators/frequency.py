@@ -1,0 +1,140 @@
+"""Mergeable heavy-hitters (frequent items) sketch — Misra–Gries.
+
+The frequent-items question ("which keys exceed an n/k share of 100 TB?")
+is the third classic sketch after cardinality (HLL, queries/sketches.py)
+and quantiles (percentile_approx): an exact answer needs a full groupBy
+shuffle of every distinct key, while a Misra–Gries summary of capacity k
+is k rows per partition, merges associatively, and guarantees
+
+    true_count - n/(k+1)  <=  estimate  <=  true_count
+
+for every item (Misra & Gries 1982; merge + re-offset bound from the
+"Mergeable Summaries" line of work, Agarwal et al., PODS 2012).  When k
+is at least the number of distinct items no decrement ever fires and the
+sketch is EXACT — that regime is what the DuckDB-oracle gate pins, while
+tests/test_frequency.py pins the error bound and merge invariance in the
+lossy regime.
+
+Scale shape (100 TB): one ``mapInPandas`` pass emits <= k summary rows
+per input partition (the only Python step, Arrow-batched, dict updates
+per batch); the merge is a plain ``groupBy(item).sum`` over
+n_partitions * k rows — partial-aggregatable, no driver collect, no
+full-key shuffle.  The final re-offset (subtract the (k+1)-th largest
+merged weight) is computed from the merged summary itself, which is
+small by construction, with one scalar broadcast back across it.
+
+No reference citation: the reference (1,550 LoC of C, SURVEY.md §2.2)
+has no aggregation surface; this is driver-mandated extension surface
+(SURVEY.md §2.3 sketches family).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def misra_gries(
+    df: DataFrame,
+    col: str,
+    capacity: int = 64,
+) -> DataFrame:
+    """Frequent-items summary of ``df[col]`` with Misra–Gries capacity
+    ``capacity``.
+
+    Returns a DataFrame ``(item string, est_count long, err_ub long)``
+    with at most ``capacity`` rows: ``est_count`` is a LOWER bound on the
+    item's true count and ``est_count + err_ub`` an upper bound, where
+    ``err_ub`` is the total decrement weight (global, same value every
+    row — kept per-row so the result is self-describing after a write).
+    Items surviving the sketch are every item whose true count exceeds
+    ``err_ub``; when ``capacity`` >= distinct(col), ``err_ub`` is 0 and
+    ``est_count`` is exact.
+
+    Nulls are counted under the sentinel item ``"\\x00null"`` (a real
+    NULL would be dropped by the merge groupBy's null semantics).
+    """
+    if capacity < 1:
+        raise ValueError(f"misra_gries: capacity must be >= 1, got {capacity}")
+
+    src = df.select(F.col(col).cast("string").alias("item"))
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict[str, int] = {}
+        decremented = 0
+        for pdf in batches:
+            vc = pdf["item"].fillna("\x00null").value_counts()
+            for item, n in vc.items():
+                counts[item] = counts.get(item, 0) + int(n)
+            # One decrement sweep per Arrow batch amortizes the classic
+            # per-row algorithm; correctness is unchanged (decrementing
+            # the minimum from every tracked item any time the dict
+            # exceeds capacity preserves the MG invariant).
+            while len(counts) > capacity:
+                # Subtract the (len-capacity)-th smallest weight from every
+                # counter and drop the non-positive ones: any one item's
+                # counter loses at most `spare`, so the per-item undercount
+                # bound grows by `spare` per sweep.
+                spare = sorted(counts.values())[len(counts) - capacity - 1]
+                decremented += spare
+                counts = {k: v - spare for k, v in counts.items() if v > spare}
+        out = pd.DataFrame(
+            {
+                "item": list(counts.keys()),
+                "est_count": list(counts.values()),
+                "decr": [0] * len(counts),
+            }
+        )
+        # Partition-level decrement weight rides along as one extra row
+        # (item=None) so the global error bound needs no side channel.
+        if decremented:
+            out = pd.concat(
+                [out, pd.DataFrame({"item": ["\x00decr"], "est_count": [0], "decr": [decremented]})],
+                ignore_index=True,
+            )
+        yield out
+
+    summaries = src.mapInPandas(
+        summarize, schema="item string, est_count long, decr long"
+    )
+    merged = summaries.groupBy("item").agg(
+        F.sum("est_count").alias("est_count"), F.sum("decr").alias("decr")
+    )
+    # Re-truncate the merged summary to `capacity` items: subtract the
+    # (capacity+1)-th largest weight (0 when fewer items survive), which
+    # restores the <= capacity size bound and the n/(k+1) error bound
+    # after a merge (Agarwal et al. 2012, Lemma for MG merge).
+    w_rank = F.row_number().over(
+        Window.orderBy(F.col("est_count").desc(), F.col("item"))
+    )
+    items = merged.filter(F.col("item") != "\x00decr")
+    ranked = items.select("item", "est_count", w_rank.alias("rk"))
+    kth = ranked.filter(F.col("rk") == capacity + 1).select(
+        F.col("est_count").alias("spare")
+    )
+    part_decr = merged.filter(F.col("item") == "\x00decr").select(
+        F.col("decr").alias("part_decr")
+    )
+    # Both scalars come from the (tiny) merged summary — broadcast-join
+    # them back on; coalesce covers the empty-frame (absent-row) case.
+    out = (
+        ranked.crossJoin(
+            F.broadcast(
+                kth.agg(F.coalesce(F.max("spare"), F.lit(0)).alias("spare")).crossJoin(
+                    part_decr.agg(
+                        F.coalesce(F.max("part_decr"), F.lit(0)).alias("part_decr")
+                    )
+                )
+            )
+        )
+        .filter(F.col("est_count") > F.col("spare"))
+        .select(
+            "item",
+            (F.col("est_count") - F.col("spare")).alias("est_count"),
+            (F.col("part_decr") + F.col("spare")).alias("err_ub"),
+        )
+    )
+    return out

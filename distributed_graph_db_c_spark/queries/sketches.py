@@ -76,6 +76,42 @@ def sketch_quantiles_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FREQ_SQL = """
+SELECT CAST(p_brand AS VARCHAR) AS item,
+       COUNT(*) AS est_count,
+       CAST(0 AS BIGINT) AS err_ub
+FROM part
+GROUP BY p_brand
+ORDER BY est_count DESC, item
+LIMIT 5
+"""
+
+
+@register("sketch_freq_items_brand", oracle=_FREQ_SQL)
+def sketch_freq_items_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the mergeable Misra–Gries sketch (round 6):
+    top-5 part brands by frequency.  Capacity 64 exceeds the 25 distinct
+    brands, so the sketch runs in its EXACT regime (err_ub = 0, counts
+    exact) and the DuckDB exact-count oracle hash-matches — the same
+    oracle-split discipline as mm_ahash_pairs_from_hashes: the exact
+    regime is driver-checked here, the lossy regime's n/(k+1) error
+    bound and merge invariance are pinned by tests/test_frequency.py.
+
+    Scale: one mapInPandas pass emits <= 64 summary rows per partition;
+    the merge is a groupBy-sum over those summaries.  No full-key
+    shuffle at any corpus size — the COUNT GROUP BY replacement when
+    the key domain (URLs, shingles, tokens) is itself 100 TB-scale."""
+    from ..operators.frequency import misra_gries
+
+    part = load_table(spark, sf_dir, "part")
+    hh = misra_gries(part, "p_brand", capacity=64)
+    return (
+        hh.orderBy(F.col("est_count").desc(), F.col("item"))
+        .limit(5)
+        .select("item", "est_count", "err_ub")
+    )
+
+
 @register("sketch_approx_count_distinct")
 def sketch_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++, rsd=0.02) beside the group

@@ -1,0 +1,79 @@
+"""Misra–Gries heavy-hitters sketch: exact regime, lossy-regime error
+bound, merge (partitioning) invariance, and null handling."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from distributed_graph_db_c_spark.operators.frequency import misra_gries
+
+
+def _zipf_df(spark, n_items=200, n_rows=20_000, parts=8):
+    """Deterministic skewed corpus: item i appears ~ n_rows/(i+1)/H times
+    (Zipf-ish), generated engine-side with no RNG."""
+    return (
+        spark.range(0, n_rows, 1, parts)
+        .select(
+            # id -> rank via the inverse of the zipf CDF approximated by
+            # floor(n_rows/(id+1)) bucketing: maps many ids to item 0,
+            # fewer to item 1, etc.  Pure column expr, deterministic.
+            F.least(
+                F.floor(F.lit(float(n_items)) / (F.col("id") % 1000 + 1)).cast("long"),
+                F.lit(n_items - 1),
+            )
+            .cast("string")
+            .alias("item")
+        )
+    )
+
+
+def test_exact_regime_matches_groupby(spark):
+    df = _zipf_df(spark, n_items=50, n_rows=5_000, parts=4)
+    exact = {
+        r["item"]: r["n"]
+        for r in df.groupBy("item").agg(F.count("*").alias("n")).collect()
+    }
+    # capacity >= distinct: sketch must be exact with err_ub == 0
+    got = misra_gries(df, "item", capacity=len(exact)).collect()
+    assert {r["item"]: r["est_count"] for r in got} == exact
+    assert all(r["err_ub"] == 0 for r in got)
+
+
+def test_lossy_regime_error_bound_and_coverage(spark):
+    df = _zipf_df(spark, n_items=200, n_rows=20_000, parts=8)
+    exact = {
+        r["item"]: r["n"]
+        for r in df.groupBy("item").agg(F.count("*").alias("n")).collect()
+    }
+    n = sum(exact.values())
+    k = 16
+    got = misra_gries(df, "item", capacity=k).collect()
+    assert 0 < len(got) <= k
+    err_ub = got[0]["err_ub"]
+    assert all(r["err_ub"] == err_ub for r in got)
+    for r in got:
+        true = exact[r["item"]]
+        # lower-bound estimate, within the advertised window
+        assert r["est_count"] <= true <= r["est_count"] + err_ub
+    # every item whose true count exceeds err_ub must survive the sketch
+    surviving = {r["item"] for r in got}
+    for item, true in exact.items():
+        if true > err_ub:
+            assert item in surviving, (item, true, err_ub)
+
+
+def test_merge_invariance_exact_regime(spark):
+    base = _zipf_df(spark, n_items=30, n_rows=4_000, parts=1)
+    a = misra_gries(base, "item", capacity=40).collect()
+    b = misra_gries(base.repartition(13), "item", capacity=40).collect()
+    assert sorted((r["item"], r["est_count"]) for r in a) == sorted(
+        (r["item"], r["est_count"]) for r in b
+    )
+
+
+def test_null_sentinel(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), (None,), (None,), (None,), ("b",)], ["item"]
+    )
+    got = {r["item"]: r["est_count"] for r in misra_gries(df, "item", 8).collect()}
+    assert got == {"a": 2, "b": 1, "\x00null": 3}
