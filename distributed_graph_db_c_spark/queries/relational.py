@@ -2006,3 +2006,233 @@ def rel_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("price_sum"),
         )
     )
+
+
+# -- round 6: array higher-order functions ---------------------------------
+
+_HOF_SQL = """
+SELECT l_orderkey,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       MAX(l_quantity) AS max_qty,
+       COALESCE(SUM(CASE WHEN l_quantity * 2 > 50 THEN l_quantity * 2 END),
+                0.0) AS big_doubled_sum
+FROM lineitem
+GROUP BY l_orderkey
+"""
+
+
+@register("rel_array_hof", oracle=_HOF_SQL)
+def rel_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array HIGHER-ORDER FUNCTIONS (round 6): per-order quantity
+    vectors built with collect_list, then array_sort / element_at /
+    transform / filter / aggregate — the lambda-expression family that
+    keeps array work JVM-side in whole-stage codegen where a naive
+    implementation would round-trip through a Python UDF (SURVEY §2.3:
+    the same primitives the brute-force cosine path uses on
+    embeddings).  The oracle states the equivalent scalar aggregation —
+    the POINT of HOFs is that the array pipeline collapses to the same
+    values without leaving the JVM.
+
+    Determinism: the collected array is order-nondeterministic under
+    partitioning, so every derived value is order-insensitive (count,
+    max via sorted tail, a commutative sum).  Sum operands are small
+    integers in doubles (exact, associative).  Scale: one partial-agg
+    groupBy; arrays bounded by lines-per-order (<= 7 in TPC-H shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qtys = F.array_sort(F.collect_list(F.col("l_quantity"))).alias("qtys")
+    per_order = li.groupBy("l_orderkey").agg(qtys)
+    return per_order.select(
+        "l_orderkey",
+        F.size("qtys").cast("long").alias("n_items"),
+        F.element_at("qtys", -1).alias("max_qty"),
+        F.aggregate(
+            F.filter(
+                F.transform("qtys", lambda x: x * F.lit(2.0)),
+                lambda x: x > F.lit(50.0),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("big_doubled_sum"),
+    )
+
+
+# -- round 6: mode (most frequent value) per group -------------------------
+
+_MODE_SQL = """
+SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS n_mode
+FROM (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+WHERE rn = 1
+"""
+
+
+@register("rel_mode_order_priority", oracle=_MODE_SQL)
+def rel_mode_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE per group (round 6): the most frequent order priority per
+    order status, ties broken lexicographically so the answer is unique
+    under any partitioning.  Implemented as count-then-rank (groupBy on
+    the (group, value) pair — partial-aggregatable — then a row_number
+    window over the tiny per-group distinct-value set), NOT as a
+    collect_list + Python mode: the shuffle carries one row per
+    distinct (status, priority) pair, never the raw rows."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    counted = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counted.select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "cnt",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("cnt").alias("n_mode"),
+        )
+    )
+
+
+# -- round 6: skyline (Pareto frontier) ------------------------------------
+
+_SKYLINE_SQL = """
+SELECT p.p_partkey, p.p_size, p.p_retailprice
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+    AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))
+"""
+
+
+@register("rel_skyline_parts", oracle=_SKYLINE_SQL)
+def rel_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE / Pareto frontier (round 6): parts not dominated on
+    (maximize p_size, minimize p_retailprice) — the multi-criteria
+    shortlist operator (cheapest-per-capability).  The oracle states
+    the O(n^2) NOT EXISTS definition; the engine computes it in one
+    partial-agg pass + a window over the tiny per-size summary:
+
+      1. min price per size  (groupBy — map-side combine, domain-sized)
+      2. strict prefix-min over sizes DESC (window over <= |sizes| rows)
+         -> a size "survives" iff its min price undercuts every
+         larger size's min price
+      3. broadcast the surviving (size, min_price) set back onto the
+         scan; frontier rows = price == size-min of a surviving size.
+
+    Ties on (size, price) all survive (dominance requires strict
+    inequality in one dimension) — both sides agree.  Scale: when the
+    skyline attribute has no small domain, step 1-2 generalize to
+    per-partition local skylines merged once (skylines compose under
+    union); the domain-grouped form here IS that plan with the merge
+    collapsed to a window."""
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part")
+    size_min = part.groupBy("p_size").agg(
+        F.min("p_retailprice").alias("size_min")
+    )
+    w = Window.orderBy(F.col("p_size").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    alive = size_min.select(
+        "p_size", "size_min", F.min("size_min").over(w).alias("strict_min_gt")
+    ).filter(
+        F.col("strict_min_gt").isNull()
+        | (F.col("size_min") < F.col("strict_min_gt"))
+    )
+    return (
+        part.join(F.broadcast(alive), "p_size")
+        .filter(F.col("p_retailprice") == F.col("size_min"))
+        .select("p_partkey", "p_size", "p_retailprice")
+    )
+
+
+# -- round 6: ANALYZE-style column profile ---------------------------------
+
+_PROFILE_SQL = """
+SELECT 'o_custkey' AS column_name, COUNT(*) AS n_rows,
+       COUNT(o_custkey) AS n_nonnull, COUNT(DISTINCT o_custkey) AS n_distinct,
+       CAST(MIN(o_custkey) AS VARCHAR) AS min_s,
+       CAST(MAX(o_custkey) AS VARCHAR) AS max_s
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', COUNT(*), COUNT(o_orderdate),
+       COUNT(DISTINCT o_orderdate),
+       CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+       COUNT(DISTINCT o_orderpriority),
+       MIN(o_orderpriority), MAX(o_orderpriority)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus),
+       MIN(o_orderstatus), MAX(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice),
+       COUNT(DISTINCT o_totalprice),
+       printf('%.2f', MIN(o_totalprice)), printf('%.2f', MAX(o_totalprice))
+FROM orders
+"""
+
+
+@register("rel_profile_orders", oracle=_PROFILE_SQL)
+def rel_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN PROFILING (round 6): ANALYZE-TABLE-style statistics —
+    row count, non-null count, exact distinct count, min, max — for
+    five orders columns in ONE scan, unpivoted to long format with
+    ``stack`` so heterogeneous column types share a schema (min/max
+    serialize to strings; doubles via format_string('%.2f') which
+    matches DuckDB printf exactly — a raw double->string cast drifts).
+
+    The multi-distinct aggregate plans as Spark's Expand (one scan,
+    5x row expansion, partial-aggregatable) — the profiling pass a
+    table catalog runs before choosing join strategies; the sketch
+    family (HLL) is the same profile at 100 TB when exact distincts
+    stop paying."""
+    o = load_table(spark, sf_dir, "orders")
+    prof = o.agg(
+        F.count("*").alias("n"),
+        *[
+            e
+            for c in ["o_custkey", "o_orderdate", "o_orderpriority", "o_orderstatus"]
+            for e in (
+                F.count(c).alias(f"nn_{c}"),
+                F.count_distinct(F.col(c)).alias(f"nd_{c}"),
+                F.min(c).cast("string").alias(f"mn_{c}"),
+                F.max(c).cast("string").alias(f"mx_{c}"),
+            )
+        ],
+        F.count("o_totalprice").alias("nn_o_totalprice"),
+        F.count_distinct(F.col("o_totalprice")).alias("nd_o_totalprice"),
+        F.format_string("%.2f", F.min("o_totalprice")).alias("mn_o_totalprice"),
+        F.format_string("%.2f", F.max("o_totalprice")).alias("mx_o_totalprice"),
+    )
+    cols = [
+        "o_custkey",
+        "o_orderdate",
+        "o_orderpriority",
+        "o_orderstatus",
+        "o_totalprice",
+    ]
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in cols
+    )
+    return prof.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_nonnull, n_distinct, min_s, max_s)",
+        "n AS n_rows",
+    ).select("column_name", "n_rows", "n_nonnull", "n_distinct", "min_s", "max_s")

@@ -1046,3 +1046,47 @@ def storage_merge_cdc_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         cleanup(scratch)
     return result
+
+
+# -- round 6: zone-map (data-skipping) statistics --------------------------
+
+_ZONEMAP_SQL = """
+SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+       COUNT(*) AS n_rows,
+       MIN(l_orderkey) AS min_orderkey, MAX(l_orderkey) AS max_orderkey,
+       MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+       CAST(MIN(l_shipdate) AS VARCHAR) AS min_shipdate,
+       CAST(MAX(l_shipdate) AS VARCHAR) AS max_shipdate
+FROM lineitem
+GROUP BY 1
+"""
+
+
+@register("storage_zonemap_stats", oracle=_ZONEMAP_SQL)
+def storage_zonemap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZONE-MAP construction (round 6): per-zone (ship-year) min/max/
+    count statistics — the data-skipping index a lakehouse keeps per
+    file/row-group so point and range predicates prune I/O without
+    reading data.  This engine already RELIES on zone maps twice
+    (parquet row-group stats written tight by the sorted sink,
+    sinks.py; partition pruning, storage_dpp_pruned_join); this gate
+    makes the index itself a first-class queryable artifact, the way
+    Delta/Iceberg expose per-file stats in their manifests.
+
+    One partial-agg scan (year() is a pushdown-friendly projection of
+    an existing column); the zone key generalizes to any partition or
+    file identifier.  A predicate like l_shipdate >= '1995-01-01'
+    skips every zone whose max_shipdate falls below it — the pruning
+    decision is a broadcast filter over this (tiny) table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.year("l_shipdate").cast("long").alias("ship_year")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_orderkey").alias("min_orderkey"),
+        F.max("l_orderkey").alias("max_orderkey"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_shipdate").cast("string").alias("min_shipdate"),
+        F.max("l_shipdate").cast("string").alias("max_shipdate"),
+    )

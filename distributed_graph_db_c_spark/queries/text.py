@@ -921,3 +921,56 @@ def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("id_checksum"),
         )
     )
+
+
+# -- round 6: skew-proof top-k per group -----------------------------------
+
+_TOPK_DOMAIN_SQL = """
+SELECT lang, doc_id, n_chars, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT lang, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents)
+WHERE rk <= 3
+"""
+
+
+@register("pipeline_topk_per_domain", oracle=_TOPK_DOMAIN_SQL)
+def pipeline_topk_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP-K PER GROUP without the skew trap (round 6): the 3 longest
+    documents per language — the curation primitive ("keep the k best
+    per domain/language/source") behind quality-filtered corpus cuts.
+
+    A row_number window partitioned by lang shuffles EVERY row to its
+    group's partition — with a handful of languages over 100 TB that is
+    a few executors receiving everything.  This plan never moves raw
+    rows by group: stage 1 reduces each INPUT partition to its local
+    top-3 per lang (groupBy (lang, partition_id) + sorted-slice — the
+    partial-aggregate shape, bounded by k x groups x partitions), and
+    stage 2 merges those slivers per lang, of which at most
+    3 x n_partitions rows per language exist.  Ordering key
+    (n_chars DESC, doc_id) is total, so the result is unique and the
+    window-based oracle agrees exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    item = F.struct(
+        (-F.col("n_chars")).alias("neg_chars"), F.col("doc_id").alias("doc_id")
+    )
+    local = (
+        docs.withColumn("pid", F.spark_partition_id())
+        .groupBy("lang", "pid")
+        .agg(F.slice(F.array_sort(F.collect_list(item)), 1, 3).alias("top"))
+    )
+    merged = (
+        local.select("lang", F.explode("top").alias("it"))
+        .groupBy("lang")
+        .agg(F.slice(F.array_sort(F.collect_list("it")), 1, 3).alias("top"))
+    )
+    return merged.select(
+        "lang", F.posexplode("top").alias("pos", "it")
+    ).select(
+        "lang",
+        F.col("it.doc_id").alias("doc_id"),
+        (-F.col("it.neg_chars")).alias("n_chars"),
+        (F.col("pos") + 1).cast("long").alias("rk"),
+    )

@@ -100,13 +100,22 @@ _ROUND6_NEW: list[str] = [
     "text_clean_normalize",  # case/whitespace/control normalization
     "pipeline_domain_mixture",  # stat-derived stratified downsampling
     "rel_price_histogram",  # equi-width profiling histogram
+    "sketch_freq_items_brand",  # Misra-Gries exact regime vs exact counts
+    "rel_array_hof",  # transform/filter/aggregate lambda family
+    "rel_mode_order_priority",  # count-then-rank mode, no raw-row shuffle
+    "rel_skyline_parts",  # Pareto frontier, window form of local-skyline merge
+    "rel_profile_orders",  # one-scan ANALYZE profile via Expand + stack
+    "pipeline_topk_per_domain",  # two-stage partial top-k, skew-proof
+    "storage_zonemap_stats",  # data-skipping min/max index as a query
 ]
 
 _REGRESSION: list[str] = []
 
 # Stalest-first rotation: the 13 fillers promised in round 5 (last
 # driver rows r02/r03), then the oldest r01-green entries.  The
-# remaining r01/r02 entries (text_fingerprint, text_language_id,
+# r01-tail entries displaced by the twelve round-6 additions
+# (rel_case_bucketing .. rel_window_order_gap_days) plus the remaining
+# r01/r02 entries (text_fingerprint, text_language_id,
 # text_shingle_stats, text_term_frequency, text_token_stats, and the
 # r02 block) are first in line for round-7 slots.
 _FILLER = [

@@ -449,6 +449,62 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         ("no full-width scan", r"ReadSchema: [^\n]*l_comment", False),
         ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
     ],
+    "sketch_freq_items_brand": [
+        # per-partition MG summaries (the one sanctioned Arrow step),
+        # merged by a plain partial-aggregatable groupBy-sum; the two
+        # scalar re-offsets broadcast — nothing may go cartesian
+        ("arrow summarize step", r"MapInPandas", True),
+        ("merge is partial agg", r"partial_sum", True),
+        ("no cartesian", r"CartesianProduct", False),
+        ("column pruning", r"ReadSchema: [^\n]*p_brand", True),
+        ("no full-width scan", r"ReadSchema: [^\n]*p_name", False),
+    ],
+    "rel_array_hof": [
+        # the whole lambda pipeline (transform/filter/aggregate) stays
+        # JVM-side — a Python eval node here means the HOFs fell out of
+        # codegen into a UDF
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("grouped collect partial", r"partial_collect_list|ObjectHashAggregate", True),
+        ("column pruning", r"ReadSchema: [^\n]*l_quantity", True),
+        ("no full-width scan", r"ReadSchema: [^\n]*l_extendedprice", False),
+    ],
+    "rel_mode_order_priority": [
+        # count-then-rank: the groupBy pair count is partial-aggregatable,
+        # so the window only ever sees one row per distinct pair
+        ("partial agg", r"partial_count", True),
+        ("rank over distinct pairs", r"Window", True),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+    ],
+    "rel_skyline_parts": [
+        # frontier membership comes back as a broadcast semi-structure;
+        # the O(n^2) NOT EXISTS of the oracle must NOT appear as a plan
+        ("alive set broadcast", r"BroadcastHashJoin", True),
+        ("no cartesian", r"BroadcastNestedLoopJoin|CartesianProduct", False),
+        ("partial agg", r"partial_min", True),
+    ],
+    "rel_profile_orders": [
+        # multi-distinct profile: one scan, Expand, partial+final aggs
+        ("expand for multi-distinct", r"Expand", True),
+        ("partial agg", r"partial_", True),
+        ("no join", r"Join", False),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+    ],
+    "pipeline_topk_per_domain": [
+        # two-stage partial top-k: NO window over raw rows (the skew
+        # trap this gate exists to avoid) and no Python step
+        ("no raw-row window", r"Window", False),
+        ("grouped slice partial", r"ObjectHashAggregate", True),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("column pruning", r"ReadSchema: [^\n]*n_chars", True),
+        ("no text payload scan", r"ReadSchema: [^\n]*text", False),
+    ],
+    "storage_zonemap_stats": [
+        ("partial agg", r"partial_(min|max|count)", True),
+        ("no join", r"Join", False),
+        ("column pruning", r"ReadSchema: [^\n]*l_shipdate", True),
+        ("no full-width scan", r"ReadSchema: [^\n]*l_quantity", False),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+    ],
 }
 
 
