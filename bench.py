@@ -108,6 +108,16 @@ HEADLINE = [
     "text_clean_normalize",
     "pipeline_domain_mixture",
     "rel_price_histogram",
+    # round 6 second wave
+    "sketch_freq_items_brand",
+    "rel_array_hof",
+    "rel_mode_order_priority",
+    "rel_skyline_parts",
+    "rel_profile_orders",
+    "pipeline_topk_per_domain",
+    "storage_zonemap_stats",
+    "storage_constraint_audit",
+    "storage_table_checksum",
 ]
 
 

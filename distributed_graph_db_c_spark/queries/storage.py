@@ -1090,3 +1090,133 @@ def storage_zonemap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_shipdate").cast("string").alias("min_shipdate"),
         F.max("l_shipdate").cast("string").alias("max_shipdate"),
     )
+
+
+# -- round 6: data-quality constraint audit --------------------------------
+
+_CONSTRAINT_SQL = """
+SELECT 'orderkey_unique' AS constraint_name,
+       COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'custkey_fk_customer',
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'totalprice_positive',
+       COUNT(*) FILTER (WHERE o_totalprice <= 0) FROM orders
+UNION ALL
+SELECT 'totalprice_expected_lt_400k',
+       COUNT(*) FILTER (WHERE o_totalprice > 400000) FROM orders
+UNION ALL
+SELECT 'status_enum',
+       COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P')) FROM orders
+UNION ALL
+SELECT 'orderdate_not_null',
+       COUNT(*) FILTER (WHERE o_orderdate IS NULL) FROM orders
+"""
+
+
+@register("storage_constraint_audit", oracle=_CONSTRAINT_SQL)
+def storage_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-QUALITY CONSTRAINT AUDIT (round 6): declarative
+    expectations — key uniqueness, referential integrity, range, enum
+    domain, non-null — evaluated in bulk and reported as a violation
+    ledger, the contract-checking pass (Deequ/dbt-test-style) a
+    training pipeline runs before admitting a batch.  Includes one
+    deliberately tight expectation (totalprice < 400k) so the gate
+    exercises nonzero violation counts, not just vacuous passes.
+
+    Plan shape: the five scalar checks share ONE scan (conditional
+    partial aggregates — count_if and a count-distinct Expand); the FK
+    check is a broadcast/shuffle LEFT ANTI join counted map-side.  No
+    raw rows move for any check; at 100 TB each constraint stays a
+    partial-agg or anti-join reduction."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    scalars = o.agg(
+        (F.count("*") - F.count_distinct(F.col("o_orderkey"))).alias(
+            "orderkey_unique"
+        ),
+        F.count_if(F.col("o_totalprice") <= 0).alias("totalprice_positive"),
+        F.count_if(F.col("o_totalprice") > 400000).alias(
+            "totalprice_expected_lt_400k"
+        ),
+        F.count_if(~F.col("o_orderstatus").isin("F", "O", "P")).alias(
+            "status_enum"
+        ),
+        F.count_if(F.col("o_orderdate").isNull()).alias("orderdate_not_null"),
+    )
+    fk = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("custkey_fk_customer").alias("constraint_name"),
+            F.col("n").alias("n_violations"),
+        )
+    )
+    names = [
+        "orderkey_unique",
+        "totalprice_positive",
+        "totalprice_expected_lt_400k",
+        "status_enum",
+        "orderdate_not_null",
+    ]
+    stack_args = ", ".join(f"'{n}', {n}" for n in names)
+    unpivoted = scalars.selectExpr(
+        f"stack({len(names)}, {stack_args}) AS (constraint_name, n_violations)"
+    )
+    return unpivoted.unionAll(fk)
+
+
+# -- round 6: order-insensitive table checksum -----------------------------
+
+_CHECKSUM_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       bit_xor(CAST('0x' || substr(md5(concat_ws('|',
+           CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+           printf('%.2f', l_quantity), printf('%.2f', l_extendedprice),
+           l_returnflag, CAST(l_shipdate AS VARCHAR))), 1, 12) AS BIGINT))
+         AS xor_checksum
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("storage_table_checksum", oracle=_CHECKSUM_SQL)
+def storage_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-INSENSITIVE TABLE CHECKSUM (round 6): per-group content
+    fingerprint = XOR of a 48-bit md5 slice of each row's CANONICAL
+    string — the cross-engine replication/migration verifier ("same
+    rows on both sides?") that needs no sort, no row transfer, and no
+    tolerance rules, because canonicalization (fixed %.2f for doubles,
+    ISO dates, '|' separator) is pinned in the fingerprint itself.
+    This gate IS its own point: the DuckDB hash-match proves two
+    independent engines derive identical table fingerprints.
+
+    XOR (not SUM) is the scale choice: commutative, associative, and
+    incapable of overflow at ANY row count, so the partial aggregate
+    map-side-combines and the shuffle carries one 8-byte value per
+    (partition, group).  Deletions re-verify by XORing the removed
+    rows back out — the same trick ledger diff tools use."""
+    li = load_table(spark, sf_dir, "lineitem")
+    canon = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.format_string("%.2f", F.col("l_quantity")),
+        F.format_string("%.2f", F.col("l_extendedprice")),
+        F.col("l_returnflag"),
+        F.col("l_shipdate").cast("string"),
+    )
+    h48 = F.conv(F.substring(F.md5(canon), 1, 12), 16, 10).cast("long")
+    return (
+        li.withColumn("h48", h48)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(h48)").alias("xor_checksum"),
+        )
+    )

@@ -107,6 +107,8 @@ _ROUND6_NEW: list[str] = [
     "rel_profile_orders",  # one-scan ANALYZE profile via Expand + stack
     "pipeline_topk_per_domain",  # two-stage partial top-k, skew-proof
     "storage_zonemap_stats",  # data-skipping min/max index as a query
+    "storage_constraint_audit",  # Deequ-style expectations ledger
+    "storage_table_checksum",  # order-insensitive XOR content fingerprint
 ]
 
 _REGRESSION: list[str] = []

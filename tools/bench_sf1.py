@@ -75,6 +75,16 @@ QUERIES = [
     "ts_interpolate_linear",
     "ts_rolling_7d_revenue",
     "mm_ahash_pairs_from_hashes",
+    # round-6 second wave
+    "sketch_freq_items_brand",
+    "rel_array_hof",
+    "rel_mode_order_priority",
+    "rel_skyline_parts",
+    "rel_profile_orders",
+    "pipeline_topk_per_domain",
+    "storage_zonemap_stats",
+    "storage_constraint_audit",
+    "storage_table_checksum",
 ]
 
 N_PASSES = 2

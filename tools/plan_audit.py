@@ -505,6 +505,20 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         ("no full-width scan", r"ReadSchema: [^\n]*l_quantity", False),
         ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
     ],
+    "storage_constraint_audit": [
+        # five scalar checks share one scan; FK check is a counted anti join
+        ("anti join for FK", r"LeftAnti", True),
+        ("partial agg", r"partial_", True),
+        ("no cartesian", r"CartesianProduct", False),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+    ],
+    "storage_table_checksum": [
+        # md5+conv fingerprint is pure codegen; XOR partial-aggregates
+        ("partial xor", r"partial_bit_xor", True),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("no join", r"Join", False),
+        ("codegen", r"\*\(\d+\)", True),
+    ],
 }
 
 
