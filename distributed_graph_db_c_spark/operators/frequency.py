@@ -103,30 +103,37 @@ def misra_gries(
     merged = summaries.groupBy("item").agg(
         F.sum("est_count").alias("est_count"), F.sum("decr").alias("decr")
     )
-    # Re-truncate the merged summary to `capacity` items: subtract the
-    # (capacity+1)-th largest weight (0 when fewer items survive), which
-    # restores the <= capacity size bound and the n/(k+1) error bound
-    # after a merge (Agarwal et al. 2012, Lemma for MG merge).
+    items = merged.filter(F.col("item") != "\x00decr").select("item", "est_count")
+    base_err = merged.filter(F.col("item") == "\x00decr").agg(
+        F.coalesce(F.sum("decr"), F.lit(0)).alias("base_err")
+    )
+    return _retruncate(items, base_err, capacity)
+
+
+def _retruncate(items: DataFrame, base_err: DataFrame, capacity: int) -> DataFrame:
+    """Re-truncate a merged (item, est_count) summary to ``capacity``
+    items: subtract the (capacity+1)-th largest weight (0 when fewer
+    items survive), which restores the <= capacity size bound and the
+    n/(k+1) error bound after a merge (Agarwal et al. 2012, the MG
+    merge lemma).  ``base_err`` is a 1-row (base_err long) DataFrame
+    carrying the error already accumulated before this merge; the
+    subtracted spare adds to it.  Everything here runs over the tiny
+    merged summary (<= summaries x capacity rows) — the single-partition
+    window is deliberate."""
     w_rank = F.row_number().over(
         Window.orderBy(F.col("est_count").desc(), F.col("item"))
     )
-    items = merged.filter(F.col("item") != "\x00decr")
     ranked = items.select("item", "est_count", w_rank.alias("rk"))
     kth = ranked.filter(F.col("rk") == capacity + 1).select(
         F.col("est_count").alias("spare")
     )
-    part_decr = merged.filter(F.col("item") == "\x00decr").select(
-        F.col("decr").alias("part_decr")
-    )
     # Both scalars come from the (tiny) merged summary — broadcast-join
     # them back on; coalesce covers the empty-frame (absent-row) case.
-    out = (
+    return (
         ranked.crossJoin(
             F.broadcast(
                 kth.agg(F.coalesce(F.max("spare"), F.lit(0)).alias("spare")).crossJoin(
-                    part_decr.agg(
-                        F.coalesce(F.max("part_decr"), F.lit(0)).alias("part_decr")
-                    )
+                    base_err
                 )
             )
         )
@@ -134,7 +141,26 @@ def misra_gries(
         .select(
             "item",
             (F.col("est_count") - F.col("spare")).alias("est_count"),
-            (F.col("part_decr") + F.col("spare")).alias("err_ub"),
+            (F.col("base_err") + F.col("spare")).alias("err_ub"),
         )
     )
-    return out
+
+
+def merge_summaries(
+    summaries: DataFrame, capacity: int, group_col: str = "batch"
+) -> DataFrame:
+    """Merge per-group Misra–Gries summaries — rows
+    ``(item, est_count, err_ub, <group_col>)`` where ``err_ub`` is
+    constant within a group — into one summary with the same schema as
+    :func:`misra_gries`.  This is the READ side of the
+    summary-per-micro-batch streaming pattern: each batch persists its
+    own summary partition idempotently, and this merge (sum counts,
+    sum per-group errors, re-truncate) reconstructs the corpus-level
+    sketch without ever re-reading raw data."""
+    counts = summaries.groupBy("item").agg(F.sum("est_count").alias("est_count"))
+    base_err = (
+        summaries.groupBy(group_col)
+        .agg(F.max("err_ub").alias("err"))
+        .agg(F.coalesce(F.sum("err"), F.lit(0)).alias("base_err"))
+    )
+    return _retruncate(counts, base_err, capacity)

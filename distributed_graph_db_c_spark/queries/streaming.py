@@ -642,3 +642,55 @@ def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         cleanup(scratch)
     return result
+
+
+# ---------------------------------------------------------------------------
+# round 6: incremental heavy hitters (summary-per-micro-batch)
+# ---------------------------------------------------------------------------
+
+_STREAM_FREQ_SQL = """
+SELECT event_type AS item, COUNT(*) AS est_count, CAST(0 AS BIGINT) AS err_ub
+FROM events GROUP BY event_type ORDER BY est_count DESC, item LIMIT 5
+"""
+
+
+@register("stream_freq_items_incremental", oracle=_STREAM_FREQ_SQL)
+def stream_freq_items_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental STREAMING heavy hitters (round 6): events arrive in
+    3 real micro-batches; each batch persists its own Misra–Gries
+    summary under batch=<id> (idempotent under at-least-once replay —
+    a replayed batch overwrites its own summary instead of
+    double-counting), and the corpus sketch is reconstructed by the
+    mergeable-summaries merge at read time.  State is
+    O(batches x capacity) rows — no raw row is ever revisited, which
+    is the property that makes the sketch streamable at all.
+
+    Capacity 16 over the 5-value event_type domain = the sketch's
+    EXACT regime, so the merged counts equal the batch groupBy and the
+    plain-SQL oracle hash-matches (the same oracle-split discipline as
+    sketch_freq_items_brand; lossy-regime streaming behavior rides on
+    the same merge_summaries path pinned in tests/test_frequency.py)."""
+    from ..streaming.frequency import incremental_freq_items, read_merged_freq_items
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    scratch = scratch_dir("sfreq")
+    try:
+        batches = [ev.filter(F.pmod("event_id", F.lit(3)) == i) for i in range(3)]
+        in_dir = stage_stream_dir(batches, f"{scratch}/in")
+        sev = read_file_stream(spark, in_dir, ev.schema)
+        run_available_now(
+            sev,
+            f"{scratch}/ckpt",
+            foreach_batch=incremental_freq_items(
+                f"{scratch}/state", "event_type", 16
+            ),
+        )
+        merged = read_merged_freq_items(spark, f"{scratch}/state", 16)
+        result = (
+            merged.orderBy(F.col("est_count").desc(), F.col("item"))
+            .limit(5)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        cleanup(scratch)
+    return result

@@ -173,6 +173,7 @@ _WINDOW_TAIL_STREAMING = [
     "stream_foreachbatch_upsert",
     "stream_checkpoint_recovery",
     "stream_dedup_minhash_incremental",
+    "stream_freq_items_incremental",
 ]
 
 

@@ -77,3 +77,86 @@ def test_null_sentinel(spark):
     )
     got = {r["item"]: r["est_count"] for r in misra_gries(df, "item", 8).collect()}
     assert got == {"a": 2, "b": 1, "\x00null": 3}
+
+
+def test_merge_summaries_matches_single_pass_exact(spark):
+    import pyspark.sql.functions as F
+
+    from distributed_graph_db_c_spark.operators.frequency import merge_summaries
+
+    df = _zipf_df(spark, n_items=40, n_rows=6_000, parts=4)
+    whole = {
+        (r["item"], r["est_count"])
+        for r in misra_gries(df, "item", capacity=64).collect()
+    }
+    # three "micro-batches" -> per-batch summaries -> merge
+    parts = [
+        misra_gries(df.filter(F.col("item").cast("long") % 3 == i), "item", 64)
+        .withColumn("batch", F.lit(i).cast("long"))
+        for i in range(3)
+    ]
+    summaries = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    merged = {
+        (r["item"], r["est_count"])
+        for r in merge_summaries(summaries, capacity=64).collect()
+    }
+    assert merged == whole
+
+
+def test_merge_summaries_lossy_bound(spark):
+    import pyspark.sql.functions as F
+
+    from distributed_graph_db_c_spark.operators.frequency import merge_summaries
+
+    df = _zipf_df(spark, n_items=200, n_rows=20_000, parts=8)
+    exact = {
+        r["item"]: r["n"]
+        for r in df.groupBy("item").agg(F.count("*").alias("n")).collect()
+    }
+    k = 12
+    parts = [
+        misra_gries(df.filter(F.col("item").cast("long") % 2 == i), "item", k)
+        .withColumn("batch", F.lit(i).cast("long"))
+        for i in range(2)
+    ]
+    got = merge_summaries(parts[0].unionAll(parts[1]), capacity=k).collect()
+    assert 0 < len(got) <= k
+    err_ub = got[0]["err_ub"]
+    for r in got:
+        true = exact[r["item"]]
+        assert r["est_count"] <= true <= r["est_count"] + err_ub
+
+
+def test_streaming_replay_idempotent(spark, tmp_path):
+    """Re-running a micro-batch overwrites its own summary partition, so
+    the merged result is unchanged — the at-least-once safety of the
+    summary-per-batch pattern."""
+    import pyspark.sql.functions as F
+
+    from distributed_graph_db_c_spark.streaming.frequency import (
+        incremental_freq_items,
+        read_merged_freq_items,
+    )
+
+    df = _zipf_df(spark, n_items=30, n_rows=3_000, parts=2)
+    state = str(tmp_path / "state")
+    handler = incremental_freq_items(state, "item", 64)
+    b0 = df.filter(F.col("item").cast("long") % 2 == 0)
+    b1 = df.filter(F.col("item").cast("long") % 2 == 1)
+    handler(b0, 0)
+    handler(b1, 1)
+    once = sorted(
+        (r["item"], r["est_count"])
+        for r in read_merged_freq_items(spark, state, 64).collect()
+    )
+    handler(b1, 1)  # replayed batch
+    twice = sorted(
+        (r["item"], r["est_count"])
+        for r in read_merged_freq_items(spark, state, 64).collect()
+    )
+    assert once == twice
+    exact = {
+        (r["item"], r["n"])
+        for r in df.groupBy("item").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(once) == exact
