@@ -56,9 +56,10 @@ def test_changed_code_leads_window():
         "storage_time_travel",
         "sim_ann_batch_topk",
     ]
-    assert w[-1] == "stream_dedup_minhash_incremental"
+    assert w[-1] == "stream_freq_items_incremental"
     streaming_tail = [n for n in w if n.startswith("stream_")]
-    assert len(streaming_tail) == 11, streaming_tail  # r6: + requests_dispatch rotated in
+    # r6: requests_dispatch rotated in + freq_items_incremental new
+    assert len(streaming_tail) == 12, streaming_tail
 
 
 def test_window_fully_oracle_backed():
@@ -119,11 +120,12 @@ def test_round6_new_gates_inside_window():
 
 
 def test_every_family_represented():
-    # sketches are absent BY POLICY: every sketch query is rows-only
-    # (engine-specific estimates), a wasted window slot; accuracy is
-    # pytest-pinned in tests/test_sketches.py
+    # (Until round 6 sketches were absent BY POLICY — every sketch query
+    # was rows-only.  sketch_freq_items_brand broke that: its exact
+    # regime is oracle-backed, so the family now holds a window slot.)
     w = window()
     families = {
+        "sketch": ["sketch_"],
         "relational": ["rel_"],
         "graph": ["graph_"],
         "text": ["text_"],
