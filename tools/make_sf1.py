@@ -117,6 +117,14 @@ def main() -> None:
         "lineitem",
         lambda df, i: df.withColumn("l_orderkey", F.col("l_orderkey") + i * KEY_OFF),
     )
+    # part: offset keys only — brand/size/price DOMAINS deliberately stay
+    # fixed (25 brands, 50 sizes), so the round-6 domain-agg gates
+    # (frequent-items, skyline) scale by scan volume while their summary
+    # sizes stay constant: the honest shape for a dimension table
+    copies(
+        "part",
+        lambda df, i: df.withColumn("p_partkey", F.col("p_partkey") + i * KEY_OFF),
+    )
     # events: offset event AND user keys, timestamps unchanged — 10x the
     # user population with per-user histories intact, so sessionization /
     # funnel / per-user windows scale by key cardinality (the honest
