@@ -118,6 +118,7 @@ HEADLINE = [
     "storage_zonemap_stats",
     "storage_constraint_audit",
     "storage_table_checksum",
+    "storage_zonemap_incremental",
     "stream_freq_items_incremental",
 ]
 

@@ -109,6 +109,7 @@ _ROUND6_NEW: list[str] = [
     "storage_zonemap_stats",  # data-skipping min/max index as a query
     "storage_constraint_audit",  # Deequ-style expectations ledger
     "storage_table_checksum",  # order-insensitive XOR content fingerprint
+    "storage_zonemap_incremental",  # algebraic stats merge == full recompute
 ]
 
 _REGRESSION: list[str] = []

@@ -519,6 +519,13 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         ("no join", r"Join", False),
         ("codegen", r"\*\(\d+\)", True),
     ],
+    "storage_zonemap_incremental": [
+        # the merge consumes the materialized base stats + the delta's
+        # partial agg — never a rescan join against history
+        ("partial agg", r"partial_(min|max|count|sum)", True),
+        ("no join", r"Join", False),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+    ],
 }
 
 
