@@ -119,6 +119,7 @@ HEADLINE = [
     "storage_constraint_audit",
     "storage_table_checksum",
     "storage_zonemap_incremental",
+    "sim_ann_ivf_persisted",
     "stream_freq_items_incremental",
 ]
 

@@ -573,3 +573,70 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(top_k)
     )
+
+
+def ivf_build(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """PERSIST an IVF index: the inverted lists land at ``path``/lists
+    as parquet PARTITIONED BY cell — so a probe of nprobe cells is
+    PARTITION PRUNING at the file-listing level, reading only those
+    cells' files from disk (the on-disk payoff IVF exists for) — and
+    the coarse quantizer lands at ``path``/centroids (n_cells tiny
+    rows).  Build cost is one embarrassingly-parallel assignment scan +
+    one partitioned write; the index is immutable-snapshot like every
+    table this engine writes, so rebuilds follow the same
+    write-new-then-swap discipline as sinks.replace_table."""
+    assigned, cnorm, _ = ivf_assign(embeddings, n_cells, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/lists")
+    spark = embeddings.sparkSession
+    cent_rows = [
+        (int(i), [float(x) for x in cnorm[i]]) for i in range(cnorm.shape[0])
+    ]
+    spark.createDataFrame(
+        cent_rows, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_query_persisted(
+    spark,
+    path: str,
+    query_id: int,
+    top_k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index: rank cells by the (tiny, collected)
+    centroid table, then scan ONLY the nprobe winning cell partitions —
+    the `cell IN (...)` filter prunes at partition-directory level, so
+    disk reads scale with nprobe/n_cells of the corpus, not the corpus.
+    Scoring reuses the exact left-fold cosine of the brute-force path,
+    so whenever the probed cells contain the true top-k the result is
+    bit-identical to it."""
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    cmat = np.vstack(
+        [np.asarray(r["centroid"], dtype=np.float64) for r in sorted(
+            cents, key=lambda r: r["cell"]
+        )]
+    )
+    lists = spark.read.parquet(f"{path}/lists")
+    qrow = lists.filter(F.col(id_col) == query_id).select(vec_col).head()
+    qv = np.asarray(qrow[0], dtype=np.float64)
+    qn = qv / max(np.linalg.norm(qv), 1e-12)
+    probe = [int(c) for c in np.argsort(-(cmat @ qn))[:nprobe]]
+    q = lists.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("_qvec")
+    )
+    return (
+        lists.filter(F.col("cell").isin(probe))
+        .filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(id_col, cosine_seq(F.col(vec_col), F.col("_qvec")).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(top_k)
+    )

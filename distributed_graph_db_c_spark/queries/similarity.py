@@ -290,3 +290,31 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("q_sum").alias("q_checksum"),
         (F.sum("mse").cast("decimal(38,12)").cast("double") / F.count("*")).alias("avg_mse"),
     )
+
+
+@register("sim_ann_ivf_persisted", oracle=_TOPK_SQL)
+def sim_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED-INDEX IVF top-10 (round 6): the full index lifecycle —
+    build (assignment scan + cell-partitioned parquet write + centroid
+    table), then query the index FROM DISK with the `cell IN (probes)`
+    filter pruning whole partition directories, so the probe reads
+    nprobe/n_cells of the corpus bytes.  Same (n_cells=24, nprobe=16)
+    operating point as sim_ann_ivf_topk, so the same CORPUS-CONTINGENT
+    exact brute-force oracle applies (recall 1.0 on this corpus,
+    pytest-pinned); what this gate adds over the in-memory one is the
+    index round trip and the partition-pruned probe scan — at 100 TB
+    the index is built once and queried for months, which makes
+    persistence, not assignment, the operative surface."""
+    from ..operators.similarity import ivf_build, ivf_query_persisted
+    from ..streaming.sources import cleanup, scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scratch = scratch_dir("ivfidx")
+    try:
+        ivf_build(emb, f"{scratch}/idx", n_cells=24)
+        result = ivf_query_persisted(
+            spark, f"{scratch}/idx", query_id=0, top_k=10, nprobe=16
+        ).localCheckpoint(eager=True)
+    finally:
+        cleanup(scratch)
+    return result

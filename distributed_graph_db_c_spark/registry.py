@@ -110,6 +110,7 @@ _ROUND6_NEW: list[str] = [
     "storage_constraint_audit",  # Deequ-style expectations ledger
     "storage_table_checksum",  # order-insensitive XOR content fingerprint
     "storage_zonemap_incremental",  # algebraic stats merge == full recompute
+    "sim_ann_ivf_persisted",  # index lifecycle + partition-pruned probes
 ]
 
 _REGRESSION: list[str] = []

@@ -452,3 +452,30 @@ def test_ivf_recall_sweep_clustered_corpora(spark, n):
     emb.unpersist()
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= 0.9, f"n={n}: IVF mean recall@10 {mean_recall:.3f} < 0.9"
+
+
+def test_ivf_persisted_matches_in_memory_and_prunes(spark, tmp_path, embeddings):
+    """The persisted-index path must (a) return exactly the in-memory
+    ivf_topk result at the same operating point and (b) read the lists
+    through a PARTITION-PRUNED scan (`cell IN (probes)` as a
+    PartitionFilter) — reading all cells and filtering in memory would
+    defeat the on-disk index."""
+    from distributed_graph_db_c_spark.operators.similarity import (
+        ivf_build,
+        ivf_query_persisted,
+        ivf_topk,
+    )
+
+    idx = str(tmp_path / "idx")
+    ivf_build(embeddings, idx, n_cells=24)
+    got = ivf_query_persisted(spark, idx, query_id=0, top_k=10, nprobe=16)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan, plan[:2000]
+    mem = [
+        (r["vec_id"], round(r["cosine"], 9))
+        for r in ivf_topk(
+            embeddings, query_id=0, top_k=10, n_cells=24, nprobe=16
+        ).collect()
+    ]
+    per = [(r["vec_id"], round(r["cosine"], 9)) for r in got.collect()]
+    assert per == mem

@@ -519,6 +519,9 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         ("no join", r"Join", False),
         ("codegen", r"\*\(\d+\)", True),
     ],
+    # (sim_ann_ivf_persisted's partition-pruned probe is asserted in
+    # tests/test_dedup_similarity.py instead: the gate returns a
+    # localCheckpoint after scratch cleanup, which hides the scan here.)
     "storage_zonemap_incremental": [
         # the merge consumes the materialized base stats + the delta's
         # partial agg — never a rescan join against history
