@@ -120,6 +120,7 @@ HEADLINE = [
     "storage_table_checksum",
     "storage_zonemap_incremental",
     "sim_ann_ivf_persisted",
+    "sample_weighted_pps",
     "stream_freq_items_incremental",
 ]
 

@@ -974,3 +974,76 @@ def pipeline_topk_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("it.neg_chars")).alias("n_chars"),
         (F.col("pos") + 1).cast("long").alias("rk"),
     )
+
+
+# -- round 6: probability-proportional-to-size sampling --------------------
+
+_PPS_SQL = """
+WITH stats AS (
+  SELECT COUNT(*) AS n_total, SUM(n_chars) AS chars_total FROM documents),
+b AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+           AS bucket,
+         CAST(floor(least(1.0,
+             0.25 * s.n_total / s.chars_total * n_chars) * 65536.0) AS BIGINT)
+           AS thresh
+  FROM documents, stats s)
+SELECT lang,
+       COUNT(*) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+FROM b WHERE bucket < thresh
+GROUP BY lang
+"""
+
+
+@register("sample_weighted_pps", oracle=_PPS_SQL)
+def sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED (probability-proportional-to-size) deterministic
+    sampling (round 6): each document's inclusion probability is
+    proportional to its length, scaled so the expected kept-count is
+    25% of the corpus — the curation move that keeps long documents
+    (rare, information-dense) at a higher rate than boilerplate-length
+    ones, while staying fully reproducible: membership is a pure
+    function of doc_id (16-bit md5 bucket vs a per-row threshold), so
+    the same doc survives under any partitioning, engine, or re-run —
+    the PPS generalization of sample_deterministic_split's coin.
+
+    Plan: one tiny stats agg (count + weight sum) broadcast back onto
+    the scan, threshold arithmetic per row, map-side filter, partial
+    agg.  No row-level shuffle at any scale.  The id checksum pins the
+    exact kept SET, not just its size."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.agg(
+        F.count("*").alias("n_total"), F.sum("n_chars").alias("chars_total")
+    )
+    b = docs.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        .alias("bucket"),
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.lit(0.25)
+                * F.col("n_total")
+                / F.col("chars_total")
+                * F.col("n_chars"),
+            )
+            * 65536.0
+        )
+        .cast("long")
+        .alias("thresh"),
+    )
+    return (
+        b.filter(F.col("bucket") < F.col("thresh"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.sum("n_chars").alias("chars_kept"),
+        )
+    )

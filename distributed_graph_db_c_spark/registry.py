@@ -111,6 +111,7 @@ _ROUND6_NEW: list[str] = [
     "storage_table_checksum",  # order-insensitive XOR content fingerprint
     "storage_zonemap_incremental",  # algebraic stats merge == full recompute
     "sim_ann_ivf_persisted",  # index lifecycle + partition-pruned probes
+    "sample_weighted_pps",  # deterministic PPS curation sampling
 ]
 
 _REGRESSION: list[str] = []

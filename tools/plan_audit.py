@@ -522,6 +522,14 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
     # (sim_ann_ivf_persisted's partition-pruned probe is asserted in
     # tests/test_dedup_similarity.py instead: the gate returns a
     # localCheckpoint after scratch cleanup, which hides the scan here.)
+    "sample_weighted_pps": [
+        # stats broadcast onto the scan; membership filter map-side
+        ("no row shuffle before filter", r"BroadcastNestedLoopJoin", True),
+        ("partial agg", r"partial_", True),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("column pruning", r"ReadSchema: [^\n]*n_chars", True),
+        ("no text payload scan", r"ReadSchema: [^\n]*text", False),
+    ],
     "storage_zonemap_incremental": [
         # the merge consumes the materialized base stats + the delta's
         # partial agg — never a rescan join against history
