@@ -121,6 +121,7 @@ HEADLINE = [
     "storage_zonemap_incremental",
     "sim_ann_ivf_persisted",
     "sample_weighted_pps",
+    "rel_cumulative_distinct_users",
     "stream_freq_items_incremental",
 ]
 

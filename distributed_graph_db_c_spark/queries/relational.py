@@ -2236,3 +2236,43 @@ def rel_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(column_name, n_nonnull, n_distinct, min_s, max_s)",
         "n AS n_rows",
     ).select("column_name", "n_rows", "n_nonnull", "n_distinct", "min_s", "max_s")
+
+
+# -- round 6: cumulative distinct (first-seen rewrite) ---------------------
+
+_CUMDIST_SQL = """
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id),
+daily AS (
+  SELECT d, COUNT(*) AS new_users FROM first_seen GROUP BY d)
+SELECT CAST(d AS VARCHAR) AS day,
+       new_users,
+       CAST(SUM(new_users) OVER (ORDER BY d) AS BIGINT) AS cum_users
+FROM daily
+"""
+
+
+@register("rel_cumulative_distinct_users", oracle=_CUMDIST_SQL)
+def rel_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATIVE DISTINCT (round 6): distinct users ever seen, per day
+    — the DAU/\"cumulative uniques\" curve.  No engine supports
+    COUNT(DISTINCT) OVER a running window (state would be the full key
+    set per row); the scalable rewrite is FIRST-SEEN: min(date) per
+    user (partial agg over users), count firsts per day (partial agg
+    over days), running sum over the tiny day spine.  Two shuffles
+    whose widths are |users| then |days| — never rows x days — and the
+    same rewrite incrementalizes (a new day's batch only appends users
+    whose first-seen is that day)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d")
+    )
+    daily = first_seen.groupBy("d").agg(F.count("*").alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("d").cast("string").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )

@@ -112,6 +112,7 @@ _ROUND6_NEW: list[str] = [
     "storage_zonemap_incremental",  # algebraic stats merge == full recompute
     "sim_ann_ivf_persisted",  # index lifecycle + partition-pruned probes
     "sample_weighted_pps",  # deterministic PPS curation sampling
+    "rel_cumulative_distinct_users",  # first-seen rewrite of running distinct
 ]
 
 _REGRESSION: list[str] = []

@@ -537,6 +537,16 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         ("no join", r"Join", False),
         ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
     ],
+    "rel_cumulative_distinct_users": [
+        # first-seen rewrite: two partial aggs; the window runs over the
+        # tiny day spine, never rows x days, and no Expand appears (the
+        # rewrite avoids a distinct aggregate entirely)
+        ("partial agg", r"partial_(min|count)", True),
+        ("no distinct expand", r"Expand", False),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("column pruning", r"ReadSchema: [^\n]*user_id", True),
+        ("no props payload scan", r"ReadSchema: [^\n]*props", False),
+    ],
 }
 
 
