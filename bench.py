@@ -122,6 +122,7 @@ HEADLINE = [
     "sim_ann_ivf_persisted",
     "sample_weighted_pps",
     "rel_cumulative_distinct_users",
+    "graph_kcore_copurchase",
     "stream_freq_items_incremental",
 ]
 

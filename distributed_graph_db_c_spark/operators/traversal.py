@@ -930,3 +930,49 @@ def forest_roots(
         broadcast_threshold=broadcast_threshold,
     )
     return out.select("graph_id", "id", "root")
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    max_iter: int = 50,
+) -> DataFrame:
+    """K-CORE decomposition by iterative peeling: repeatedly drop
+    vertices with degree < k until the fixpoint; return the surviving
+    vertices with their degree INSIDE the core as ``(id, core_degree)``.
+
+    ``edges`` must carry both directions of each undirected edge as
+    ``(u, v)`` rows.  Each round is one semi-join restriction + one
+    partial-agg degree count over the CURRENT subgraph — work shrinks
+    monotonically as vertices peel, and the round count is the peeling
+    depth of the graph (bounded by max degree layers, NOT |V|, on the
+    dense-community graphs k-core targets; a chain is the adversarial
+    case and peels in O(|V|/2) rounds — use the fleet kernel for
+    path-shaped graphs).  ``localCheckpoint`` truncates the growing
+    lineage each round, the same discipline as ``bfs``.
+
+    The termination test is a count() comparison: keep ⊆ alive always
+    holds, so equal counts imply the fixpoint — one cheap action per
+    round instead of a subtract.
+
+    No reference citation: the reference's graph surface is 4 traversal
+    ops (SURVEY.md §2.1); k-core is driver-mandated extension surface
+    (graph analytics beyond parity, §2.3)."""
+    alive = edges.select(F.col("u").alias("id")).distinct().localCheckpoint(
+        eager=True
+    )
+    n_alive = alive.count()
+    for _ in range(max_iter):
+        sub = edges.join(alive.select(F.col("id").alias("u")), "u", "left_semi").join(
+            alive.select(F.col("id").alias("v")), "v", "left_semi"
+        )
+        deg = sub.groupBy("u").agg(F.count("*").alias("core_degree"))
+        keep = deg.filter(F.col("core_degree") >= k).localCheckpoint(eager=True)
+        n_keep = keep.count()
+        if n_keep == n_alive:
+            return keep.select(F.col("u").alias("id"), "core_degree")
+        alive = keep.select(F.col("u").alias("id"))
+        n_alive = n_keep
+        if n_alive == 0:
+            return keep.select(F.col("u").alias("id"), "core_degree")
+    raise RuntimeError(f"kcore: no fixpoint within {max_iter} rounds")

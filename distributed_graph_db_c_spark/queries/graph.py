@@ -573,3 +573,76 @@ def graph_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
         .limit(20)
     )
+
+
+# -- round 6: k-core decomposition -----------------------------------------
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled peeling oracle: each CTE layer drops vertices with degree
+    < k in the previous layer's induced subgraph.  Peeling is IDEMPOTENT
+    past the fixpoint, so unrolling MORE rounds than convergence needs is
+    harmless — ``rounds`` is convergence at the gate corpus (4 at
+    sf0.01) plus safety margin, and a corpus change that needs more
+    rounds flips the gate red loudly (diagnose with the pytest
+    reference-peeler differential, then raise ``rounds``)."""
+    layers = ["a0 AS (SELECT DISTINCT u FROM und)"]
+    for i in range(1, rounds + 1):
+        layers.append(
+            f"a{i} AS (SELECT u FROM ("
+            f"SELECT e.u, COUNT(*) AS d FROM und e "
+            f"JOIN a{i-1} x ON e.u = x.u JOIN a{i-1} y ON e.v = y.u "
+            f"GROUP BY e.u) WHERE d >= {k})"
+        )
+    return f"""
+WITH e0 AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+und AS (SELECT src AS u, dst AS v FROM e0 UNION ALL SELECT dst, src FROM e0),
+{", ".join(layers)}
+SELECT e.u AS part_id, COUNT(*) AS core_degree
+FROM und e JOIN a{rounds} x ON e.u = x.u JOIN a{rounds} y ON e.v = y.u
+GROUP BY e.u
+"""
+
+
+@register("graph_kcore_copurchase", oracle=_kcore_sql(2, 6))
+def graph_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-CORE over the co-purchase graph (round 6): the maximal subgraph
+    in which every part is co-purchased (same order, support >= 2) with
+    at least k=2 other core parts — the dense-community extraction that
+    prunes tendrils and leaves the stable product neighborhoods
+    (operators/traversal.kcore, iterative peeling with per-round
+    lineage truncation).
+
+    CORPUS-CONTINGENT ORACLE: peeling is not expressible as a single
+    recursive CTE (aggregation in the recursive term), so the oracle
+    UNROLLS 6 peeling rounds — exact while the gate corpus converges
+    within 6 (measured: 4 at sf0.01; extra rounds are idempotent).
+    The operator itself runs to the true fixpoint at any scale; the
+    pytest differential against a reference peeler covers graphs the
+    unrolled oracle can't."""
+    from ..operators.traversal import kcore
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    und = pairs.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
+        pairs.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    return kcore(und, k=2).select(
+        F.col("id").alias("part_id"), "core_degree"
+    )

@@ -117,13 +117,22 @@ _ROUND6_NEW: list[str] = [
 
 _REGRESSION: list[str] = []
 
+# Registered after the round-6 window filled (6 head + 19 new + 13
+# promised fillers + 12 streaming = exactly 50): local strict evidence
+# only (ORACLE_LOCAL.md), first in line for round-7 driver slots.
+# test_registry_window.py asserts this list stays small and drains.
+AWAITING_FIRST_SLOT: list[str] = [
+    "graph_kcore_copurchase",
+]
+
 # Stalest-first rotation: the 13 fillers promised in round 5 (last
 # driver rows r02/r03), then the oldest r01-green entries.  The
-# r01-tail entries displaced by the twelve round-6 additions
-# (rel_case_bucketing .. rel_window_order_gap_days) plus the remaining
-# r01/r02 entries (text_fingerprint, text_language_id,
-# text_shingle_stats, text_term_frequency, text_token_stats, and the
-# r02 block) are first in line for round-7 slots.
+# window is EXACTLY full this round (6 head + 19 new + 13 promised
+# fillers + 12 streaming); graph_kcore_copurchase (registered, local
+# strict-green) plus the displaced r01-tail entries
+# (dedup_exact_by_keys .. rel_window_order_gap_days, the asof/skew/
+# sampling pins, and the r01/r02 text block) are first in line for
+# round-7 slots.
 _FILLER = [
     "storage_zorder_roundtrip",
     "sim_ann_ivf_topk",

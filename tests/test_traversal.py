@@ -318,3 +318,50 @@ def test_pointer_doubling_shuffle_regime_agrees_with_broadcast(spark):
     roots_s = {(r["graph_id"], r["id"]): r["root"]
                for r in forest_roots(edges, broadcast_threshold=0).collect()}
     assert roots_s == roots_b and len(roots_s) == 120
+
+
+def _py_kcore(edges: list[tuple[int, int]], k: int) -> dict[int, int]:
+    """Reference peeler: iterate drop-degree-<k to fixpoint; return
+    {vertex: core_degree}.  edges = undirected pair list (one direction)."""
+    und: dict[int, set[int]] = {}
+    for a, b in edges:
+        und.setdefault(a, set()).add(b)
+        und.setdefault(b, set()).add(a)
+    alive = set(und)
+    while True:
+        drop = {u for u in alive if len(und[u] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    return {u: len(und[u] & alive) for u in alive}
+
+
+def test_kcore_matches_reference_peeler(spark):
+    """Distributed peeling vs the in-memory reference on deterministic
+    pseudo-random graphs, including a k that empties the core and the
+    slow-peeling chain shape."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    from distributed_graph_db_c_spark.operators.traversal import kcore
+
+    def h(i: int, j: int) -> int:
+        return int.from_bytes(hashlib.md5(f"{i}:{j}".encode()).digest()[:4], "big")
+
+    # pseudo-random graph: 120 vertices, ~480 deterministic edges
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for t in range(480)
+            for a, b in [(h(t, 0) % 120, h(t, 1) % 120)]
+            if a != b
+        }
+    )
+    chain = [(i, i + 1) for i in range(20)]
+    for elist, k in [(edges, 2), (edges, 3), (edges, 5), (chain, 2)]:
+        ref = _py_kcore(elist, k)
+        df = spark.createDataFrame(elist, "u int, v int")
+        und = df.unionAll(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        got = {r["id"]: r["core_degree"] for r in kcore(und, k=k).collect()}
+        assert got == ref, (k, len(got), len(ref))

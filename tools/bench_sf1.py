@@ -85,6 +85,7 @@ QUERIES = [
     "storage_zonemap_stats",
     "storage_constraint_audit",
     "storage_table_checksum",
+    "graph_kcore_copurchase",
 ]
 
 N_PASSES = 2
