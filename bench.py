@@ -123,6 +123,7 @@ HEADLINE = [
     "sample_weighted_pps",
     "rel_cumulative_distinct_users",
     "graph_kcore_copurchase",
+    "dedup_embedding_groups",
     "stream_freq_items_incremental",
 ]
 

@@ -324,3 +324,67 @@ def dedup_substring_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return substring_dup_pairs(docs, k=20)
+
+
+# -- round 6: embedding near-dup survivorship ------------------------------
+
+def _embed_groups_sql() -> str:
+    from .similarity import dot_sql
+
+    return f"""
+WITH RECURSIVE agg AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {dot_sql('a.embedding', 'b.embedding')} AS dot,
+           {dot_sql('a.embedding', 'a.embedding')} AS na,
+           {dot_sql('b.embedding', 'b.embedding')} AS nb
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+jp AS (SELECT id_a, id_b FROM agg WHERE dot / (sqrt(na) * sqrt(nb)) >= 0.45),
+edges AS (SELECT id_a AS a, id_b AS b FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+reach(v, lab) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT e.a, r.lab FROM reach r JOIN edges e ON e.b = r.v
+)
+SELECT v AS vec_id, MIN(lab) AS canonical_id FROM reach GROUP BY v
+"""
+
+
+@register("dedup_embedding_groups", oracle=_embed_groups_sql())
+def dedup_embedding_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup SURVIVORSHIP (round 6): every vector mapped to
+    the canonical (min vec_id) member of its cosine>=0.45 cluster — the
+    embedding-space twin of dedup_minhash_groups, completing the
+    pairs->clusters->survivor story for BOTH text and vector
+    near-duplicate modes.  Composes two separately-gated scale paths:
+    the LSH-bucketed cosine pair join feeds min-label connected
+    components (cogrouped union-find via auto dispatch; near-dup
+    clusters stay tiny even when the corpus is not).
+
+    CORPUS-CONTINGENT ORACLE: exact while multiprobe candidate recall
+    at 0.45 is total on this corpus — the same contract (and the same
+    pytest pin) as dedup_embedding_cosine_pairs; the oracle recomputes
+    the fixpoint as a recursive CTE over the exact all-pairs graph."""
+    from ..operators.similarity import N_PLANES, cosine_lsh_pairs
+    from ..operators.traversal import connected_components_auto
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_lsh_pairs(emb, threshold=0.45, dim=64, multiprobe=N_PLANES)
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .select(
+            F.lit(0).alias("graph_id"),
+            F.col("src").cast("long"),
+            F.col("dst").cast("long"),
+        )
+    )
+    vertices = emb.select(
+        F.lit(0).alias("graph_id"), F.col("vec_id").cast("long").alias("id")
+    )
+    cc = connected_components_auto(edges, vertices)
+    return cc.select(
+        F.col("id").alias("vec_id"), F.col("component").alias("canonical_id")
+    )

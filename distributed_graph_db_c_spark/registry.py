@@ -123,6 +123,7 @@ _REGRESSION: list[str] = []
 # test_registry_window.py asserts this list stays small and drains.
 AWAITING_FIRST_SLOT: list[str] = [
     "graph_kcore_copurchase",
+    "dedup_embedding_groups",
 ]
 
 # Stalest-first rotation: the 13 fillers promised in round 5 (last

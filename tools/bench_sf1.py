@@ -86,6 +86,7 @@ QUERIES = [
     "storage_constraint_audit",
     "storage_table_checksum",
     "graph_kcore_copurchase",
+    "dedup_embedding_groups",
 ]
 
 N_PASSES = 2
