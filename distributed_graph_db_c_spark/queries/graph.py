@@ -622,8 +622,11 @@ def graph_kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     within 6 (measured: 4 at sf0.01; extra rounds are idempotent).
     The operator itself runs to the true fixpoint at any scale; the
     pytest differential against a reference peeler covers graphs the
-    unrolled oracle can't."""
-    from ..operators.traversal import kcore
+    unrolled oracle can't.  Physical strategy via kcore_auto: this
+    graph fits one task, so the linear-time in-task bucket peel runs
+    (peel depth free — the sf0.1 graph needs ~15 rounds, 16 s -> ~3 s);
+    the distributed per-round loop remains the over-threshold path."""
+    from ..operators.traversal import kcore_auto as kcore
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pairs = (

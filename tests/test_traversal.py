@@ -359,9 +359,17 @@ def test_kcore_matches_reference_peeler(spark):
         }
     )
     chain = [(i, i + 1) for i in range(20)]
+    from distributed_graph_db_c_spark.operators.traversal import kcore_fleet
+
     for elist, k in [(edges, 2), (edges, 3), (edges, 5), (chain, 2)]:
         ref = _py_kcore(elist, k)
         df = spark.createDataFrame(elist, "u int, v int")
         und = df.unionAll(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # kernel agreement: distributed per-round peeling AND the
+        # in-task bucket peel must both match the reference
         got = {r["id"]: r["core_degree"] for r in kcore(und, k=k).collect()}
-        assert got == ref, (k, len(got), len(ref))
+        assert got == ref, ("iterative", k, len(got), len(ref))
+        fleet = {
+            r["id"]: r["core_degree"] for r in kcore_fleet(und, k=k).collect()
+        }
+        assert fleet == ref, ("fleet", k, len(fleet), len(ref))
