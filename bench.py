@@ -124,6 +124,7 @@ HEADLINE = [
     "rel_cumulative_distinct_users",
     "graph_kcore_copurchase",
     "dedup_embedding_groups",
+    "mm_ahash_groups_from_hashes",
     "stream_freq_items_incremental",
 ]
 

@@ -328,3 +328,71 @@ def mm_ahash_pairs_from_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import ahash_band_pairs
 
     return ahash_band_pairs(hashed)
+
+
+_AHASH_GROUPS_SQL = """
+WITH RECURSIVE h AS (
+  SELECT doc_id,
+         xor(
+           (((doc_id // 5) * 31 + 7) % 65536)
+           + (((doc_id // 5) * 57 + 11) % 65536) * 65536
+           + (((doc_id // 5) * 41 + 3) % 65536) * 4294967296
+           + (((doc_id // 5) * 23 + 5) % 32768) * 281474976710656,
+           CASE doc_id % 5 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 48
+                           WHEN 3 THEN 1792 ELSE 61440 END
+         ) AS ah
+  FROM documents WHERE doc_id < 300
+),
+jp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM h a JOIN h b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.ah, b.ah)) <= 3),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM jp
+          UNION ALL SELECT doc_b, doc_a FROM jp),
+reach(d, lab) AS (
+    SELECT doc_id, doc_id FROM h
+    UNION
+    SELECT e.a, r.lab FROM reach r JOIN edges e ON e.b = r.d
+)
+SELECT d AS doc_id, MIN(lab) AS canonical_id FROM reach GROUP BY d
+"""
+
+
+@register("mm_ahash_groups_from_hashes", oracle=_AHASH_GROUPS_SQL)
+def mm_ahash_groups_from_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image SURVIVORSHIP (round 6): banding pairs at
+    Hamming <= 3 -> min-label connected components -> canonical image
+    per near-dup cluster, over the same cross-engine-deterministic
+    synthetic hashes as mm_ahash_pairs_from_hashes — completing the
+    pairs->clusters->survivor story for the IMAGE mode alongside text
+    (dedup_minhash_groups) and embeddings (dedup_embedding_groups).
+    The mask design makes the expected clusters known by construction
+    (members 0-3 of each 5-doc group chain together at distances
+    1..3; member 4 sits at Hamming 4-7 from the rest and stays a
+    singleton), and the recursive-CTE oracle recomputes the fixpoint
+    from brute-force Hamming — so banding recall, the pigeonhole
+    quarters, AND the cluster labeling are all driver hash-matched."""
+    from ..operators.multimodal import ahash_band_pairs
+    from ..operators.traversal import connected_components_auto
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    hashed = docs.select("doc_id", _synth_hash_col().alias("ah"))
+    pairs = ahash_band_pairs(hashed)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .select(
+            F.lit(0).alias("graph_id"),
+            F.col("src").cast("long"),
+            F.col("dst").cast("long"),
+        )
+    )
+    vertices = docs.select(
+        F.lit(0).alias("graph_id"), F.col("doc_id").cast("long").alias("id")
+    )
+    cc = connected_components_auto(edges, vertices)
+    return cc.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("canonical_id")
+    )

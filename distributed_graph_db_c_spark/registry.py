@@ -124,6 +124,7 @@ _REGRESSION: list[str] = []
 AWAITING_FIRST_SLOT: list[str] = [
     "graph_kcore_copurchase",
     "dedup_embedding_groups",
+    "mm_ahash_groups_from_hashes",
 ]
 
 # Stalest-first rotation: the 13 fillers promised in round 5 (last
