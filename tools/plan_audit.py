@@ -483,8 +483,15 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         ("partial agg", r"partial_min", True),
     ],
     "rel_profile_orders": [
-        # multi-distinct profile: one scan, Expand, partial+final aggs
-        ("expand for multi-distinct", r"Expand", True),
+        # columnar-minded profile: five single-column legs, each a plain
+        # two-stage HASH aggregate — the 6x-row Expand + sort-based
+        # catch-all form this replaced must NOT come back
+        ("no expand", r"Expand", False),
+        ("no first() catch-alls", r"first\(", False),
+        # numeric/date legs hash-aggregate; string min/max legs stay
+        # sort-based by engine rule (string agg buffers aren't
+        # hash-supported) over post-partial single-column rows
+        ("numeric leg hash agg", r"HashAggregate[^\n]*o_custkey", True),
         ("partial agg", r"partial_", True),
         ("no join", r"Join", False),
         ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
