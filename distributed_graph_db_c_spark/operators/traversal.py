@@ -1028,7 +1028,13 @@ def kcore_auto(
     semantics either way (kernel-agreement pytest); only the physical
     strategy changes — peel depth is free in-task, while the iterative
     kernel parallelizes each round across the cluster for graphs that
-    don't fit."""
+    don't fit.
+
+    The edge list is localCheckpoint-materialized BEFORE the dispatch
+    count: edge derivation is often the expensive half (the co-purchase
+    gate's self-join), and counting a lazy plan then handing the same
+    plan to the kernel would compute it twice."""
+    edges = edges.localCheckpoint(eager=True)
     if edges.count() <= fleet_max_edges:
         return kcore_fleet(edges, k)
     return kcore(edges, k)
