@@ -55,7 +55,11 @@ def misra_gries(
     ``est_count`` is exact.
 
     Nulls are counted under the sentinel item ``"\\x00null"`` (a real
-    NULL would be dropped by the merge groupBy's null semantics).
+    NULL would conflate with the out-of-band decrement channel, which
+    uses null-item rows).  Known caveat: a data value literally equal
+    to that token conflates with the null count — acceptable for the
+    text/categorical keys this targets; binary keys should be hex-
+    encoded first.
     """
     if capacity < 1:
         raise ValueError(f"misra_gries: capacity must be >= 1, got {capacity}")
@@ -89,10 +93,12 @@ def misra_gries(
             }
         )
         # Partition-level decrement weight rides along as one extra row
-        # (item=None) so the global error bound needs no side channel.
+        # with item=NULL — an OUT-OF-BAND channel no string value can
+        # collide with (real nulls were already mapped to the "\x00null"
+        # token above, so a null item here is unambiguous).
         if decremented:
             out = pd.concat(
-                [out, pd.DataFrame({"item": ["\x00decr"], "est_count": [0], "decr": [decremented]})],
+                [out, pd.DataFrame({"item": [None], "est_count": [0], "decr": [decremented]})],
                 ignore_index=True,
             )
         yield out
@@ -103,8 +109,8 @@ def misra_gries(
     merged = summaries.groupBy("item").agg(
         F.sum("est_count").alias("est_count"), F.sum("decr").alias("decr")
     )
-    items = merged.filter(F.col("item") != "\x00decr").select("item", "est_count")
-    base_err = merged.filter(F.col("item") == "\x00decr").agg(
+    items = merged.filter(F.col("item").isNotNull()).select("item", "est_count")
+    base_err = merged.filter(F.col("item").isNull()).agg(
         F.coalesce(F.sum("decr"), F.lit(0)).alias("base_err")
     )
     return _retruncate(items, base_err, capacity)

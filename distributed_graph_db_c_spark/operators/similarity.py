@@ -626,17 +626,22 @@ def ivf_query_persisted(
     )
     lists = spark.read.parquet(f"{path}/lists")
     qrow = lists.filter(F.col(id_col) == query_id).select(vec_col).head()
+    if qrow is None:
+        raise KeyError(
+            f"ivf_query_persisted: {id_col}={query_id} not found in index {path}"
+        )
+    # The head() above is the ONLY full-lists access the query pays for
+    # the vector fetch; scoring embeds it as a literal array so the
+    # probed scan below is the sole remaining read — partition-pruned to
+    # the nprobe winning cells.
     qv = np.asarray(qrow[0], dtype=np.float64)
     qn = qv / max(np.linalg.norm(qv), 1e-12)
     probe = [int(c) for c in np.argsort(-(cmat @ qn))[:nprobe]]
-    q = lists.filter(F.col(id_col) == query_id).select(
-        F.col(vec_col).alias("_qvec")
-    )
+    qlit = F.array(*[F.lit(float(x)) for x in qrow[0]])
     return (
         lists.filter(F.col("cell").isin(probe))
         .filter(F.col(id_col) != query_id)
-        .crossJoin(F.broadcast(q))
-        .select(id_col, cosine_seq(F.col(vec_col), F.col("_qvec")).alias("cosine"))
+        .select(id_col, cosine_seq(F.col(vec_col), qlit).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(top_k)
     )

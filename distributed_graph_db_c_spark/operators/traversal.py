@@ -1038,3 +1038,34 @@ def kcore_auto(
     if edges.count() <= fleet_max_edges:
         return kcore_fleet(edges, k)
     return kcore(edges, k)
+
+
+def pairs_to_canonical(
+    pairs: DataFrame,
+    ids: DataFrame,
+    pair_cols: tuple[str, str],
+    id_col: str,
+) -> DataFrame:
+    """SURVIVORSHIP from a near-dup pair list: symmetrize ``pairs``
+    (columns ``pair_cols``) into a single-graph edge frame, run
+    min-label connected components over the ``ids`` vertex frame
+    (column ``id_col``), and return ``(id_col, canonical_id)`` — every
+    id mapped to the smallest id in its cluster, singletons to
+    themselves.  The shared tail of all three dedup modes (text
+    MinHash, embedding cosine, image aHash): the pair generator is the
+    mode-specific half, the cluster labeling is identical."""
+    a, b = pair_cols
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .select(
+            F.lit(0).alias("graph_id"),
+            F.col("src").cast("long"),
+            F.col("dst").cast("long"),
+        )
+    )
+    vertices = ids.select(
+        F.lit(0).alias("graph_id"), F.col(id_col).cast("long").alias("id")
+    )
+    cc = connected_components_auto(edges, vertices)
+    return cc.select(F.col("id").alias(id_col), F.col("component").alias("canonical_id"))

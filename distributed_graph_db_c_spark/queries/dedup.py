@@ -200,20 +200,11 @@ def dedup_minhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair graph; both reduce to min-reachable-id, so the mapping is
     hash-exact while LSH recall stays total (see dedup_minhash_pairs'
     corpus-contingency note — same contract)."""
-    from ..operators.traversal import connected_components_auto
+    from ..operators.traversal import pairs_to_canonical
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_dedup_pairs(docs, threshold=0.8)
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .select(F.lit(0).alias("graph_id"), F.col("src").cast("long"), F.col("dst").cast("long"))
-    )
-    vertices = docs.select(F.lit(0).alias("graph_id"), F.col("doc_id").cast("long").alias("id"))
-    cc = connected_components_auto(edges, vertices)
-    return cc.select(
-        F.col("id").alias("doc_id"), F.col("component").alias("canonical_id")
-    )
+    return pairs_to_canonical(pairs, docs, ("doc_a", "doc_b"), "doc_id")
 
 
 _STRAT_SQL = """
@@ -366,25 +357,8 @@ def dedup_embedding_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest pin) as dedup_embedding_cosine_pairs; the oracle recomputes
     the fixpoint as a recursive CTE over the exact all-pairs graph."""
     from ..operators.similarity import N_PLANES, cosine_lsh_pairs
-    from ..operators.traversal import connected_components_auto
+    from ..operators.traversal import pairs_to_canonical
 
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = cosine_lsh_pairs(emb, threshold=0.45, dim=64, multiprobe=N_PLANES)
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-        )
-        .select(
-            F.lit(0).alias("graph_id"),
-            F.col("src").cast("long"),
-            F.col("dst").cast("long"),
-        )
-    )
-    vertices = emb.select(
-        F.lit(0).alias("graph_id"), F.col("vec_id").cast("long").alias("id")
-    )
-    cc = connected_components_auto(edges, vertices)
-    return cc.select(
-        F.col("id").alias("vec_id"), F.col("component").alias("canonical_id")
-    )
+    return pairs_to_canonical(pairs, emb, ("id_a", "id_b"), "vec_id")

@@ -373,26 +373,9 @@ def mm_ahash_groups_from_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from brute-force Hamming — so banding recall, the pigeonhole
     quarters, AND the cluster labeling are all driver hash-matched."""
     from ..operators.multimodal import ahash_band_pairs
-    from ..operators.traversal import connected_components_auto
+    from ..operators.traversal import pairs_to_canonical
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     hashed = docs.select("doc_id", _synth_hash_col().alias("ah"))
     pairs = ahash_band_pairs(hashed)
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .select(
-            F.lit(0).alias("graph_id"),
-            F.col("src").cast("long"),
-            F.col("dst").cast("long"),
-        )
-    )
-    vertices = docs.select(
-        F.lit(0).alias("graph_id"), F.col("doc_id").cast("long").alias("id")
-    )
-    cc = connected_components_auto(edges, vertices)
-    return cc.select(
-        F.col("id").alias("doc_id"), F.col("component").alias("canonical_id")
-    )
+    return pairs_to_canonical(pairs, docs, ("doc_a", "doc_b"), "doc_id")

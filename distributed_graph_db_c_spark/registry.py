@@ -104,7 +104,7 @@ _ROUND6_NEW: list[str] = [
     "rel_array_hof",  # transform/filter/aggregate lambda family
     "rel_mode_order_priority",  # count-then-rank mode, no raw-row shuffle
     "rel_skyline_parts",  # Pareto frontier, window form of local-skyline merge
-    "rel_profile_orders",  # one-scan ANALYZE profile via Expand + stack
+    "rel_profile_orders",  # five single-column hash-agg legs (Expand form pinned out)
     "pipeline_topk_per_domain",  # two-stage partial top-k, skew-proof
     "storage_zonemap_stats",  # data-skipping min/max index as a query
     "storage_constraint_audit",  # Deequ-style expectations ledger
@@ -117,8 +117,8 @@ _ROUND6_NEW: list[str] = [
 
 _REGRESSION: list[str] = []
 
-# Registered after the round-6 window filled (6 head + 19 new + 13
-# promised fillers + 12 streaming = exactly 50): local strict evidence
+# Registered after the round-6 window filled (6 head + 18 new + 12
+# streaming + 14 fillers = exactly 50): local strict evidence
 # only (ORACLE_LOCAL.md), first in line for round-7 driver slots.
 # test_registry_window.py asserts this list stays small and drains.
 AWAITING_FIRST_SLOT: list[str] = [
@@ -129,10 +129,15 @@ AWAITING_FIRST_SLOT: list[str] = [
 
 # Stalest-first rotation: the 13 fillers promised in round 5 (last
 # driver rows r02/r03), then the oldest r01-green entries.  The
-# window is EXACTLY full this round (6 head + 19 new + 13 promised
-# fillers + 12 streaming); graph_kcore_copurchase (registered, local
-# strict-green) plus the displaced r01-tail entries
-# (dedup_exact_by_keys .. rel_window_order_gap_days, the asof/skew/
+# window is EXACTLY full this round: 6 head + 18 round-6 new + 12
+# streaming = 36 fixed, so _FILLER[:14] fills it — the 13 promised
+# fillers PLUS the asof_join_events temporal pin.  The skew and
+# sampling family pins (skew_salted_join_revenue,
+# sample_deterministic_split) fall at filler positions 15-16 and sit
+# OUT this round, resting on their r05-green rows (the amended
+# family-representation test records exactly this).  The
+# AWAITING_FIRST_SLOT gates plus the displaced r01-tail entries
+# (dedup_exact_by_keys .. rel_window_order_gap_days, the skew/
 # sampling pins, and the r01/r02 text block) are first in line for
 # round-7 slots.
 _FILLER = [

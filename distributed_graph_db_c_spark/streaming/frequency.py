@@ -42,15 +42,16 @@ def incremental_freq_items(
 
 def read_merged_freq_items(spark, state_dir: str, capacity: int) -> DataFrame:
     """Merge every persisted batch summary into one corpus-level
-    summary ``(item, est_count, err_ub)``."""
+    summary ``(item, est_count, err_ub)``.  The batch id is read from
+    the ``batch`` column the handler PERSISTED in every row —
+    ``recursiveFileLookup`` disables directory-name partition
+    inference, so the merge survives any future file move, compaction,
+    or path rewrite that the dir-name-regex alternative would not."""
     from ..operators.frequency import merge_summaries
 
-    raw = spark.read.schema("item string, est_count long, err_ub long").parquet(
-        f"{state_dir}/batch=*"
-    )
-    # recover the batch id from the directory name the handler chose
-    with_batch = raw.withColumn(
-        "batch",
-        F.regexp_extract(F.input_file_name(), r"batch=(\d+)", 1).cast("long"),
+    with_batch = (
+        spark.read.schema("item string, est_count long, err_ub long, batch long")
+        .option("recursiveFileLookup", "true")
+        .parquet(state_dir)
     )
     return merge_summaries(with_batch, capacity, group_col="batch")

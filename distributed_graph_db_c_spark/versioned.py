@@ -123,14 +123,32 @@ def commit_version(df: DataFrame, path: str) -> int:
     claim = f"{path.rstrip('/')}/{_CLAIM_FMT % version}"
     try:
         fs.create(jpath(claim), False).close()
-    except Exception as exc:  # py4j FileAlreadyExistsException and kin
-        raise ConcurrentCommitError(
-            f"commit_version: version {version} is claimed by another "
-            f"committer (marker {claim}) — lost the race before staging; "
-            "retry, or remove the marker if its committer is known dead"
-        ) from exc
+    except Exception as exc:
+        # Only a genuine lost race (marker already exists) may wear the
+        # ConcurrentCommitError label — a transient IO fault (namenode
+        # failover, permissions, quota) must surface as itself, or an
+        # operator hunts for a phantom marker.
+        if "FileAlreadyExists" in type(exc).__name__ or "FileAlreadyExists" in str(
+            exc
+        ) or fs.exists(jpath(claim)):
+            raise ConcurrentCommitError(
+                f"commit_version: version {version} is claimed by another "
+                f"committer (marker {claim}) — lost the race before staging; "
+                "retry, or remove the marker if its committer is known dead"
+            ) from exc
+        raise
     staging = f"{path.rstrip('/')}/__stage_{version}_{_uuid.uuid4().hex[:8]}__"
-    df.write.mode("overwrite").parquet(staging)
+    try:
+        df.write.mode("overwrite").parquet(staging)
+    except Exception:
+        # The staging write failed AFTER we claimed the version.  Our own
+        # marker must not outlive the attempt: nothing was published, so
+        # a retry recomputes the SAME version number and would find the
+        # dead marker and raise ConcurrentCommitError forever.  Release
+        # the claim, then surface the real failure.
+        fs.delete(jpath(claim), False)
+        _discard_staging(fs, jpath, staging)
+        raise
     final = f"{path.rstrip('/')}/{_FMT % version}"
     if fs.exists(jpath(final)) or not fs.rename(jpath(staging), jpath(final)):
         _discard_staging(fs, jpath, staging)

@@ -134,10 +134,11 @@ def test_every_family_represented():
     # regime is oracle-backed, so the family now holds a window slot.)
     # Amended round 6: a family counts as represented if it holds a
     # window slot OR has a green row in the LATEST completed driver
-    # round — 19 round-6 additions plus the 13 promised filler
-    # rotations fill the window exactly, and the asof/skew/sampling
-    # single-family pins (all r05-green, code unchanged) yield their
-    # slots for one round rather than bumping a first-evidence gate.
+    # round — 18 round-6 additions + 12 streaming + 6 head leave 14
+    # filler slots: the 13 promised rotations plus the asof pin.  The
+    # skew/sampling single-family pins (r05-green, code unchanged)
+    # yield their slots for one round rather than bumping a
+    # first-evidence gate.
     import glob
     import json
     import os

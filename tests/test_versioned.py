@@ -120,3 +120,24 @@ def test_racing_committers_one_wins_one_raises(spark, tmp_path):
     for v in wins:
         assert v in published
         read_version(spark, t, v).collect()
+
+
+def test_failed_staging_releases_claim_and_retry_succeeds(spark, tmp_path):
+    """A staging-write failure AFTER the claim marker is created must
+    release the committer's own marker: nothing was published, so a
+    retry recomputes the same version number and would otherwise hit
+    its own dead marker as a phantom ConcurrentCommitError forever."""
+    t = str(tmp_path / "t")
+    commit_version(_df(spark, [1]), t)
+
+    @F.udf("long")
+    def boom(x):
+        raise RuntimeError("injected staging failure")
+
+    bad = _df(spark, [2]).withColumn("x", boom(F.col("x")))
+    with pytest.raises(Exception) as exc_info:
+        commit_version(bad, t)
+    # the surfaced error is the real write failure, not a claim error
+    assert not isinstance(exc_info.value, ConcurrentCommitError)
+    # the claim was released: the same version number commits cleanly
+    assert commit_version(_df(spark, [3]), t) == 2

@@ -153,18 +153,30 @@ def main() -> None:
     times: dict[str, list[float]] = {q: [] for q in queries}
     rows: dict[str, int] = {}
     errors: dict[str, str] = {}
+    from pyspark.sql import Observation
+    import pyspark.sql.functions as F
+
     for _ in range(N_PASSES):
         for q in queries:
             try:
                 t0 = time.monotonic()
                 # noop sink, same forcing as bench.py: a .collect() of a
                 # megarow output (interpolate emits 2.6M rows at sf1)
-                # measures single-threaded py4j transfer, not the engine
+                # measures single-threaded py4j transfer, not the engine.
+                # Row counts ride the SAME write via an Observation — a
+                # separate df.count() would re-execute the whole plan,
+                # silently doubling the tool's wall-clock per pass.
                 df = REGISTRY[q].run(spark, SF1_DIR)
-                df.write.format("noop").mode("overwrite").save()
-                times[q].append(time.monotonic() - t0)
                 if q not in rows:
-                    rows[q] = df.count()
+                    obs = Observation()
+                    df.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    times[q].append(time.monotonic() - t0)
+                    rows[q] = int(obs.get["n"])
+                else:
+                    df.write.format("noop").mode("overwrite").save()
+                    times[q].append(time.monotonic() - t0)
             except Exception as exc:  # record, keep measuring the rest
                 errors[q] = f"{type(exc).__name__}: {exc}"[:300]
     best = {q: round(min(ts), 3) for q, ts in times.items() if ts}
