@@ -592,7 +592,16 @@ def ivf_build(
     table this engine writes, so rebuilds follow the same
     write-new-then-swap discipline as sinks.replace_table."""
     assigned, cnorm, _ = ivf_assign(embeddings, n_cells, id_col, vec_col)
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/lists")
+    # Cluster rows by cell BEFORE the partitioned write: without this,
+    # every shuffle partition holds a slice of every cell and the sink
+    # emits partitions x cells tiny files; with it, each cell's inverted
+    # list lands as one contiguous file — fewer files to list and read
+    # at probe time, tighter row groups.  (At larger corpora Spark's
+    # rebalance/AQE would split oversized cells; the clustering intent
+    # is the same.)
+    assigned.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(f"{path}/lists")
     spark = embeddings.sparkSession
     cent_rows = [
         (int(i), [float(x) for x in cnorm[i]]) for i in range(cnorm.shape[0])
