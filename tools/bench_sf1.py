@@ -179,6 +179,14 @@ def main() -> None:
                     times[q].append(time.monotonic() - t0)
             except Exception as exc:  # record, keep measuring the rest
                 errors[q] = f"{type(exc).__name__}: {exc}"[:300]
+            # Release dropped localCheckpoint blocks between queries (the
+            # operators/bloom.py reclamation recipe): a full-suite session
+            # otherwise accumulates block-manager state from ~47 queries'
+            # checkpoints and the late heavy iterative queries measure
+            # 1.5-1.7x slower than in a fresh session (observed round 6).
+            import gc
+
+            gc.collect()
     best = {q: round(min(ts), 3) for q, ts in times.items() if ts}
     out = {
         "metric": "sf1_batch_suite_sec",
