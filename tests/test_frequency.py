@@ -160,3 +160,41 @@ def test_streaming_replay_idempotent(spark, tmp_path):
         for r in df.groupBy("item").agg(F.count("*").alias("n")).collect()
     }
     assert set(once) == exact
+
+
+def test_capacity_one_and_empty_input(spark):
+    import pyspark.sql.functions as F
+
+    # capacity=1 on a skewed corpus must keep the majority item with a
+    # valid bound window
+    df = _zipf_df(spark, n_items=50, n_rows=5_000, parts=4)
+    exact = {
+        r["item"]: r["n"]
+        for r in df.groupBy("item").agg(F.count("*").alias("n")).collect()
+    }
+    got = misra_gries(df, "item", capacity=1).collect()
+    assert len(got) <= 1
+    for r in got:
+        true = exact[r["item"]]
+        assert r["est_count"] <= true <= r["est_count"] + r["err_ub"]
+    # empty input -> empty summary, no crash
+    empty = df.filter(F.lit(False))
+    assert misra_gries(empty, "item", capacity=8).collect() == []
+
+
+def test_merge_single_summary_is_identity(spark):
+    import pyspark.sql.functions as F
+
+    from distributed_graph_db_c_spark.operators.frequency import merge_summaries
+
+    df = _zipf_df(spark, n_items=30, n_rows=2_000, parts=2)
+    one = misra_gries(df, "item", 64).withColumn("batch", F.lit(0).cast("long"))
+    merged = {
+        (r["item"], r["est_count"], r["err_ub"])
+        for r in merge_summaries(one, capacity=64).collect()
+    }
+    direct = {
+        (r["item"], r["est_count"], r["err_ub"])
+        for r in misra_gries(df, "item", 64).collect()
+    }
+    assert merged == direct

@@ -112,3 +112,41 @@ def test_table_checksum_detects_single_row_change(spark):
     # same table re-read -> identical fingerprints (determinism)
     again = {r["l_returnflag"]: r["xor_checksum"] for r in run(spark, "/root/testdata/sf0.001").collect()}
     assert base == again
+
+
+def test_zonemap_merge_equals_full_recompute_any_split(spark):
+    """The algebraic zone-stats merge must equal the full recompute for
+    ANY base/delta split, including an empty delta."""
+    import hashlib
+
+    def h(i, j):
+        return int.from_bytes(hashlib.md5(f"{i}:{j}".encode()).digest()[:4], "big")
+
+    rows = [(i, h(i, 0) % 5, float(h(i, 1) % 1000) / 10) for i in range(2_000)]
+    df = spark.createDataFrame(rows, "k long, zone int, v double")
+
+    def stats(d):
+        return d.groupBy("zone").agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+
+    full = {tuple(r) for r in stats(df).collect()}
+    for pred in [F.col("k") % 3 == 0, F.lit(False), F.lit(True)]:
+        base, delta = df.filter(~pred), df.filter(pred)
+        merged = (
+            stats(base)
+            .unionByName(stats(delta))
+            .groupBy("zone")
+            .agg(
+                F.sum("n").alias("n"),
+                F.min("min_k").alias("min_k"),
+                F.max("max_k").alias("max_k"),
+                F.min("min_v").alias("min_v"),
+                F.max("max_v").alias("max_v"),
+            )
+        )
+        assert {tuple(r) for r in merged.collect()} == full
