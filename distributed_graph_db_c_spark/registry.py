@@ -85,7 +85,10 @@ _loaded = False
 DRIVER_WINDOW = 50
 
 _WINDOW_HEAD = [
-    "rel_q1_pricing_summary",  # drift pin, third round (1.56s local r6)
+    "rel_q1_pricing_summary",  # drift pin CONVERGED: 1.65s r02 -> 2.12s
+    # r04/r05 -> 1.27s in the round-6 final full bench (plans unchanged
+    # throughout) — the r04/r05 number was machine noise, not a
+    # regression; pin retires after this round's driver row
     "dedup_embedding_cosine_pairs",  # lsh_params_for recall scaling r6
     "graph_toposort_levels",  # shuffle-regime keyed partitioning r6
     "graph_chain_roots",  # shuffle-regime keyed partitioning r6
