@@ -126,6 +126,10 @@ HEADLINE = [
     "dedup_embedding_groups",
     "mm_ahash_groups_from_hashes",
     "stream_freq_items_incremental",
+    # round 7: the dedup-grade embedding operating point (threshold 0.8)
+    # beside the 0.45 recall stress gates
+    "dedup_embedding_pairs_grade",
+    "dedup_embedding_groups_grade",
 ]
 
 

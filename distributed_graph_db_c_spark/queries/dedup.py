@@ -362,3 +362,162 @@ def dedup_embedding_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = cosine_lsh_pairs(emb, threshold=0.45, dim=64, multiprobe=N_PLANES)
     return pairs_to_canonical(pairs, emb, ("id_a", "id_b"), "vec_id")
+
+
+# -- round 7: the dedup-grade embedding operating point --------------------
+#
+# The 0.45 gates above are the RECALL STRESS TEST: near-orthogonal random
+# vectors at a threshold near the random-cosine regime are LSH's worst
+# case, and holding recall there fundamentally costs n^(1+rho) (the
+# measured 9.4x at 10x data, BENCH_SF1.md).  A production near-dup pass
+# runs at a dedup-grade threshold (>= 0.8), where the same auto-sizing
+# runs ~2.6x at 10x data — these gates pin THAT operating point
+# (r6 verdict item 2), so both ends of the recall/cost curve carry
+# driver hash evidence.
+#
+# The test corpora have NO natural pairs above cosine ~0.51 (verified at
+# sf0.001 and sf0.01), so a plain threshold-0.8 gate would be vacuously
+# 0-row.  Instead the gate plants near-duplicates DETERMINISTICALLY and
+# identically on both sides: for every vec_id divisible by 7, a mixture
+# vector 2*x + y (y = the next vector) joins the corpus under
+# vec_id + 1_000_000.  cos(x, 2x+y) ~ 2/sqrt(5) ~ 0.89 for
+# near-orthogonal equal-norm x, y — above threshold with margin, below
+# exact-duplicate triviality — while cos(y, 2x+y) ~ 0.45 stays far
+# under 0.8.  All arithmetic is double-precision with the same
+# operation order in both engines (2*a_i + b_i, then the shared
+# left-fold dot), so the constructed corpora are bit-identical.
+
+_PLANT_STRIDE = 7
+_PLANT_ID_OFFSET = 1_000_000
+_GRADE_THRESHOLD = 0.8
+# Multiprobe floor feeding lsh_params_for (same widening idiom as the 0.45
+# gates, which probe N_PLANES=4 bits): auto-sizing alone predicts ~0.95
+# recall at the threshold and realized 71/72 pairs at sf0.01; measured
+# minimal total-recall floor on both driver corpora is 3 bits (2 still
+# missed the (0, 1000000) pair at sf0.001), so the gate probes 4 — one
+# step of margin, same setting as the 0.45 gates.
+_GRADE_MULTIPROBE = 4
+
+_GRADE_CORPUS_SQL = f"""
+base AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+planted AS (
+    SELECT a.vec_id + {_PLANT_ID_OFFSET} AS vec_id,
+           list_transform(generate_series(1, len(a.v)),
+                          i -> 2 * a.v[i] + b.v[i]) AS v
+    FROM base a JOIN base b ON b.vec_id = a.vec_id + 1
+    WHERE a.vec_id % {_PLANT_STRIDE} = 0
+),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+"""
+
+
+def _grade_pairs_sql() -> str:
+    from .similarity import dot_sql
+
+    return f"""
+WITH {_GRADE_CORPUS_SQL},
+agg AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {dot_sql('a.v', 'b.v')} AS dot,
+           {dot_sql('a.v', 'a.v')} AS na,
+           {dot_sql('b.v', 'b.v')} AS nb
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, dot / (sqrt(na) * sqrt(nb)) AS cosine
+FROM agg WHERE dot / (sqrt(na) * sqrt(nb)) >= {_GRADE_THRESHOLD}
+"""
+
+
+def _grade_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted-near-dup corpus, Spark side — bit-identical to the
+    oracle's ``corpus`` CTE (same double casts, same 2*a+b order)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = base.filter(F.col("vec_id") % _PLANT_STRIDE == 0).select(
+        F.col("vec_id").alias("_aid"), F.col("v").alias("_av")
+    )
+    b = base.select((F.col("vec_id") - 1).alias("_aid"), F.col("v").alias("_bv"))
+    planted = a.join(b, "_aid").select(
+        (F.col("_aid") + _PLANT_ID_OFFSET).alias("vec_id"),
+        F.zip_with(
+            "_av", "_bv", lambda x, y: F.lit(2.0) * x + y
+        ).alias("v"),
+    )
+    return base.unionByName(planted)
+
+
+@register("dedup_embedding_pairs_grade", oracle=_grade_pairs_sql())
+def dedup_embedding_pairs_grade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs at the DEDUP-GRADE operating point
+    (threshold 0.8, auto-sized LSH) over the planted-near-dup corpus —
+    the production twin of dedup_embedding_cosine_pairs' recall stress
+    test; see the module comment for the planting construction.
+
+    The LSH parameters are the honest auto-sizing (lsh_params_for at
+    threshold 0.8): at this threshold the recall target is reached well
+    inside the table/probe caps, which is exactly the cost argument the
+    10x run measured (2.6x vs 9.4x at threshold 0.45); the gate adds a
+    4-bit multiprobe floor on top (the same widening idiom as the 0.45
+    gates) so candidate recall is total on the gate corpus.
+
+    CORPUS-CONTINGENT ORACLE: exact while widened candidate recall at
+    0.8 is total on this corpus (pinned by
+    test_grade_pairs_total_recall; realized 72/72 at sf0.01)."""
+    from ..operators.similarity import cosine_lsh_pairs
+
+    corpus = _grade_corpus(spark, sf_dir)
+    return cosine_lsh_pairs(
+        corpus, threshold=_GRADE_THRESHOLD, dim=64,
+        id_col="vec_id", vec_col="v", multiprobe=_GRADE_MULTIPROBE,
+    )
+
+
+def _grade_groups_sql() -> str:
+    from .similarity import dot_sql
+
+    return f"""
+WITH RECURSIVE {_GRADE_CORPUS_SQL},
+agg AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {dot_sql('a.v', 'b.v')} AS dot,
+           {dot_sql('a.v', 'a.v')} AS na,
+           {dot_sql('b.v', 'b.v')} AS nb
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+),
+jp AS (SELECT id_a, id_b FROM agg
+       WHERE dot / (sqrt(na) * sqrt(nb)) >= {_GRADE_THRESHOLD}),
+edges AS (SELECT id_a AS a, id_b AS b FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+reach(v, lab) AS (
+    SELECT vec_id, vec_id FROM corpus
+    UNION
+    SELECT e.a, r.lab FROM reach r JOIN edges e ON e.b = r.v
+)
+SELECT v AS vec_id, MIN(lab) AS canonical_id FROM reach GROUP BY v
+"""
+
+
+@register("dedup_embedding_groups_grade", oracle=_grade_groups_sql())
+def dedup_embedding_groups_grade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup SURVIVORSHIP at the dedup-grade operating
+    point: every corpus vector (base + planted) mapped to the canonical
+    (min vec_id) member of its cosine>=0.8 cluster.  Planted mixtures
+    cluster with their source vector (each cluster = {x, 2x+y}), every
+    other vector is a singleton — the realistic shape of production
+    dedup, where duplicate clusters are tiny and almost everything
+    survives.  Same corpus-contingent-recall contract as the pairs
+    gate; the oracle recomputes the fixpoint as a recursive CTE over
+    the exact all-pairs graph of the same constructed corpus."""
+    from ..operators.similarity import cosine_lsh_pairs
+    from ..operators.traversal import pairs_to_canonical
+
+    corpus = _grade_corpus(spark, sf_dir)
+    pairs = cosine_lsh_pairs(
+        corpus, threshold=_GRADE_THRESHOLD, dim=64,
+        id_col="vec_id", vec_col="v", multiprobe=_GRADE_MULTIPROBE,
+    )
+    return pairs_to_canonical(pairs, corpus, ("id_a", "id_b"), "vec_id")

@@ -479,3 +479,70 @@ def test_ivf_persisted_matches_in_memory_and_prunes(spark, tmp_path, embeddings)
     ]
     per = [(r["vec_id"], round(r["cosine"], 9)) for r in got.collect()]
     assert per == mem
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_grade_pairs_total_recall(spark, sf_dir):
+    """The dedup-grade gates' exact oracle is valid ONLY while the
+    widened (4-bit multiprobe floor) candidate recall at threshold 0.8
+    is 1.0 on the planted corpus — pinned at both driver SFs.  Planted
+    pairs sit at cosine ~0.89 (mixture 2x+y), where auto-sizing alone
+    realized 71/72 and a 2-bit floor still missed one pair at sf0.001;
+    the measured minimal floor is 3, the gate carries 4.  Precision is exact by
+    construction (candidates re-scored with the shared fold)."""
+    from distributed_graph_db_c_spark.operators.similarity import (
+        cosine_lsh_pairs,
+        cosine_pairs,
+    )
+    from distributed_graph_db_c_spark.queries.dedup import (
+        _GRADE_MULTIPROBE,
+        _GRADE_THRESHOLD,
+        _grade_corpus,
+    )
+
+    corpus = _grade_corpus(spark, sf_dir).cache()
+    try:
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in cosine_pairs(
+                corpus, _GRADE_THRESHOLD, id_col="vec_id", vec_col="v"
+            ).collect()
+        }
+        assert exact, "planted corpus produced no dedup-grade pairs"
+        lsh = {
+            (r["id_a"], r["id_b"])
+            for r in cosine_lsh_pairs(
+                corpus,
+                _GRADE_THRESHOLD,
+                dim=64,
+                id_col="vec_id",
+                vec_col="v",
+                multiprobe=_GRADE_MULTIPROBE,
+            ).collect()
+        }
+        assert lsh == exact, f"missed={sorted(exact - lsh)} extra={sorted(lsh - exact)}"
+    finally:
+        corpus.unpersist()
+
+
+def test_grade_groups_cluster_shape(spark):
+    """Dedup-grade survivorship shape: every planted mixture clusters
+    with its source vector (canonical = the source id), and no base
+    vector other than the sources leaves its singleton — the production
+    dedup geometry the gate exists to pin."""
+    from distributed_graph_db_c_spark.queries.dedup import (
+        _PLANT_ID_OFFSET,
+        _PLANT_STRIDE,
+        dedup_embedding_groups_grade,
+    )
+
+    rows = dedup_embedding_groups_grade(spark, "/root/testdata/sf0.001").collect()
+    canon = {r["vec_id"]: r["canonical_id"] for r in rows}
+    planted = [v for v in canon if v >= _PLANT_ID_OFFSET]
+    assert planted, "no planted vectors in the corpus"
+    for v in planted:
+        assert canon[v] == v - _PLANT_ID_OFFSET, (v, canon[v])
+    sources = {v - _PLANT_ID_OFFSET for v in planted}
+    for v, lab in canon.items():
+        if v < _PLANT_ID_OFFSET and v not in sources:
+            assert lab == v, f"base vector {v} unexpectedly clustered to {lab}"
