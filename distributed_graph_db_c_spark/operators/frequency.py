@@ -46,10 +46,14 @@ def misra_gries(
     ``capacity``.
 
     Returns a DataFrame ``(item string, est_count long, err_ub long)``
-    with at most ``capacity`` rows: ``est_count`` is a LOWER bound on the
-    item's true count and ``est_count + err_ub`` an upper bound, where
-    ``err_ub`` is the total decrement weight (global, same value every
-    row — kept per-row so the result is self-describing after a write).
+    with at most ``capacity`` item rows: ``est_count`` is a LOWER bound
+    on the item's true count and ``est_count + err_ub`` an upper bound,
+    where ``err_ub`` is the total decrement weight (global, same value
+    every row — kept per-row so the result is self-describing after a
+    write).  In the lossy regime one extra OUT-OF-BAND row
+    ``(item=NULL, est_count=0, err_ub=total)`` carries the error mass
+    even when every counter truncates away (see :func:`_retruncate`);
+    exact-regime output has no such row.
     Items surviving the sketch are every item whose true count exceeds
     ``err_ub``; when ``capacity`` >= distinct(col), ``err_ub`` is 0 and
     ``est_count`` is exact.
@@ -125,7 +129,18 @@ def _retruncate(items: DataFrame, base_err: DataFrame, capacity: int) -> DataFra
     carrying the error already accumulated before this merge; the
     subtracted spare adds to it.  Everything here runs over the tiny
     merged summary (<= summaries x capacity rows) — the single-partition
-    window is deliberate."""
+    window is deliberate.
+
+    Error mass is ALSO emitted out-of-band: whenever the total error is
+    nonzero, one extra row ``(item=NULL, est_count=0, err_ub=total)``
+    rides along (mirroring the internal decr channel of
+    :func:`misra_gries`).  Without it, a summary whose every counter
+    cancels in truncation would ship ZERO rows and silently lose its
+    accumulated error — after :func:`merge_summaries` the
+    ``est_count + err_ub`` upper bound and the "true > err_ub survives"
+    guarantee could then be violated in the lossy streaming regime.  In
+    the exact regime (total error 0) the output is unchanged — item
+    rows only."""
     w_rank = F.row_number().over(
         Window.orderBy(F.col("est_count").desc(), F.col("item"))
     )
@@ -135,14 +150,11 @@ def _retruncate(items: DataFrame, base_err: DataFrame, capacity: int) -> DataFra
     )
     # Both scalars come from the (tiny) merged summary — broadcast-join
     # them back on; coalesce covers the empty-frame (absent-row) case.
-    return (
-        ranked.crossJoin(
-            F.broadcast(
-                kth.agg(F.coalesce(F.max("spare"), F.lit(0)).alias("spare")).crossJoin(
-                    base_err
-                )
-            )
-        )
+    scalars = kth.agg(
+        F.coalesce(F.max("spare"), F.lit(0)).alias("spare")
+    ).crossJoin(base_err)
+    survivors = (
+        ranked.crossJoin(F.broadcast(scalars))
         .filter(F.col("est_count") > F.col("spare"))
         .select(
             "item",
@@ -150,6 +162,12 @@ def _retruncate(items: DataFrame, base_err: DataFrame, capacity: int) -> DataFra
             (F.col("base_err") + F.col("spare")).alias("err_ub"),
         )
     )
+    err_row = scalars.filter(F.col("base_err") + F.col("spare") > 0).select(
+        F.lit(None).cast("string").alias("item"),
+        F.lit(0).cast("long").alias("est_count"),
+        (F.col("base_err") + F.col("spare")).cast("long").alias("err_ub"),
+    )
+    return survivors.unionByName(err_row)
 
 
 def merge_summaries(
@@ -162,8 +180,18 @@ def merge_summaries(
     summary-per-micro-batch streaming pattern: each batch persists its
     own summary partition idempotently, and this merge (sum counts,
     sum per-group errors, re-truncate) reconstructs the corpus-level
-    sketch without ever re-reading raw data."""
-    counts = summaries.groupBy("item").agg(F.sum("est_count").alias("est_count"))
+    sketch without ever re-reading raw data.
+
+    A group's error is read from ANY of its rows (err_ub is constant
+    within a group, and the out-of-band ``item=NULL`` error row carries
+    the same value) — so a group whose summary truncated to zero item
+    rows still contributes its accumulated error through the null row
+    alone."""
+    counts = (
+        summaries.filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("est_count").alias("est_count"))
+    )
     base_err = (
         summaries.groupBy(group_col)
         .agg(F.max("err_ub").alias("err"))

@@ -1020,7 +1020,10 @@ def kcore_fleet(edges: DataFrame, k: int) -> DataFrame:
 
 
 def kcore_auto(
-    edges: DataFrame, k: int, fleet_max_edges: int = 2_000_000
+    edges: DataFrame,
+    k: int,
+    fleet_max_edges: int = 2_000_000,
+    max_iter: int | None = None,
 ) -> DataFrame:
     """Kernel dispatch for k-core, mirroring :func:`bfs_auto`: an edge
     count (one cheap action) picks in-task bucket peeling for graphs
@@ -1030,14 +1033,26 @@ def kcore_auto(
     kernel parallelizes each round across the cluster for graphs that
     don't fit.
 
+    ``max_iter`` threads through to the distributed :func:`kcore` loop
+    (ADVICE r6: the hardcoded 50-round cap made deep-peeling
+    path/tendril-shaped graphs above ``fleet_max_edges`` raise instead
+    of converge).  When None the cap derives from the graph itself:
+    each peeling round removes at least one vertex or reaches the
+    fixpoint, so rounds are bounded by the vertex count, itself bounded
+    by the (already counted) directed edge count + isolated-free
+    construction — ``n_edges + 1`` rounds can never fire before
+    convergence.  50 stays the floor so tiny graphs keep a loud
+    runaway-bug detector rather than a vacuous one.
+
     The edge list is localCheckpoint-materialized BEFORE the dispatch
     count: edge derivation is often the expensive half (the co-purchase
     gate's self-join), and counting a lazy plan then handing the same
     plan to the kernel would compute it twice."""
     edges = edges.localCheckpoint(eager=True)
-    if edges.count() <= fleet_max_edges:
+    n_edges = edges.count()
+    if n_edges <= fleet_max_edges:
         return kcore_fleet(edges, k)
-    return kcore(edges, k)
+    return kcore(edges, k, max_iter=max_iter or max(50, n_edges + 1))
 
 
 def pairs_to_canonical(

@@ -2037,14 +2037,28 @@ def rel_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning, so every derived value is order-insensitive (count,
     max via sorted tail, a commutative sum).  Sum operands are small
     integers in doubles (exact, associative).  Scale: one partial-agg
-    groupBy; arrays bounded by lines-per-order (<= 7 in TPC-H shape)."""
+    groupBy; arrays bounded by lines-per-order (<= 7 in TPC-H shape).
+
+    Null contract (ADVICE r6 hardening): ``collect_list`` DROPS null
+    quantities, so the array is null-free by construction — on nullable
+    data ``max_qty`` (sorted tail) and ``big_doubled_sum`` then match
+    the oracle's null-ignoring MAX / CASE-guarded SUM, and ``n_items``
+    counts ROWS (``count(*)`` in the same agg), not collected elements,
+    matching the oracle's COUNT(*).  TPC-H l_quantity is non-null, so
+    values are unchanged; the contract just no longer depends on it."""
     li = load_table(spark, sf_dir, "lineitem")
     qtys = F.array_sort(F.collect_list(F.col("l_quantity"))).alias("qtys")
-    per_order = li.groupBy("l_orderkey").agg(qtys)
+    per_order = li.groupBy("l_orderkey").agg(
+        qtys, F.count("*").cast("long").alias("n_items")
+    )
     return per_order.select(
         "l_orderkey",
-        F.size("qtys").cast("long").alias("n_items"),
-        F.element_at("qtys", -1).alias("max_qty"),
+        "n_items",
+        # try_element_at: an ALL-NULL group collects an EMPTY array, and
+        # ANSI element_at(-1) throws on it — try_ yields NULL, matching
+        # the oracle's MAX over all-null (non-empty TPC-H groups are
+        # byte-identical either way)
+        F.try_element_at("qtys", F.lit(-1)).alias("max_qty"),
         F.aggregate(
             F.filter(
                 F.transform("qtys", lambda x: x * F.lit(2.0)),

@@ -56,6 +56,44 @@ class ConcurrentCommitError(IOError):
     the commit recomputes the next free version number."""
 
 
+def _claim_marker(fs, jpath, claim: str, version: int) -> None:
+    """Atomically claim ``version`` by creating its marker file with
+    ``create(overwrite=false)`` (O_EXCL semantics: one creator wins).
+
+    Existence is checked BEFORE the create attempt so a later create
+    failure can be classified: a marker that already existed here is
+    another committer's claim; one that appears only after our create
+    raised is OUR OWN partially-created marker (create succeeded,
+    close/flush raised) and must not masquerade as a lost race — nor
+    survive to wedge this version forever (ADVICE r6).  The create
+    remains the atomic arbiter; the pre-check only classifies.  Only a
+    genuine lost race may wear the ConcurrentCommitError label — a
+    transient IO fault (namenode failover, permissions, quota) must
+    surface as itself, or an operator hunts for a phantom marker."""
+    pre_existed = fs.exists(jpath(claim))
+    try:
+        fs.create(jpath(claim), False).close()
+    except Exception as exc:
+        if pre_existed or "FileAlreadyExists" in type(
+            exc
+        ).__name__ or "FileAlreadyExists" in str(exc):
+            raise ConcurrentCommitError(
+                f"commit_version: version {version} is claimed by another "
+                f"committer (marker {claim}) — lost the race before staging; "
+                "retry, or remove the marker if its committer is known dead"
+            ) from exc
+        # Non-race failure: release any marker our own failed attempt
+        # left behind, then surface the real fault.
+        try:
+            fs.delete(jpath(claim), False)
+        except Exception:
+            log.warning(
+                "commit_version: could not release own marker %s after "
+                "failed claim", claim, exc_info=True,
+            )
+        raise
+
+
 def _version_dirs(spark: SparkSession, path: str) -> list[int]:
     fs, jpath = _hadoop_fs(spark, path)
     if not fs.exists(jpath(path)):
@@ -121,22 +159,7 @@ def commit_version(df: DataFrame, path: str) -> int:
             if v < version or fs.exists(jpath(f"{path.rstrip('/')}/{_FMT % v}")):
                 fs.delete(st.getPath(), False)
     claim = f"{path.rstrip('/')}/{_CLAIM_FMT % version}"
-    try:
-        fs.create(jpath(claim), False).close()
-    except Exception as exc:
-        # Only a genuine lost race (marker already exists) may wear the
-        # ConcurrentCommitError label — a transient IO fault (namenode
-        # failover, permissions, quota) must surface as itself, or an
-        # operator hunts for a phantom marker.
-        if "FileAlreadyExists" in type(exc).__name__ or "FileAlreadyExists" in str(
-            exc
-        ) or fs.exists(jpath(claim)):
-            raise ConcurrentCommitError(
-                f"commit_version: version {version} is claimed by another "
-                f"committer (marker {claim}) — lost the race before staging; "
-                "retry, or remove the marker if its committer is known dead"
-            ) from exc
-        raise
+    _claim_marker(fs, jpath, claim, version)
     staging = f"{path.rstrip('/')}/__stage_{version}_{_uuid.uuid4().hex[:8]}__"
     try:
         df.write.mode("overwrite").parquet(staging)

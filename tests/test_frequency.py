@@ -47,10 +47,15 @@ def test_lossy_regime_error_bound_and_coverage(spark):
     }
     n = sum(exact.values())
     k = 16
-    got = misra_gries(df, "item", capacity=k).collect()
+    rows = misra_gries(df, "item", capacity=k).collect()
+    got = [r for r in rows if r["item"] is not None]
+    err_rows = [r for r in rows if r["item"] is None]
     assert 0 < len(got) <= k
     err_ub = got[0]["err_ub"]
     assert all(r["err_ub"] == err_ub for r in got)
+    # lossy regime: the out-of-band error row rides along with the SAME
+    # error mass, so the error survives even a zero-item truncation
+    assert [ (r["est_count"], r["err_ub"]) for r in err_rows ] == [(0, err_ub)]
     for r in got:
         true = exact[r["item"]]
         # lower-bound estimate, within the advertised window
@@ -119,7 +124,8 @@ def test_merge_summaries_lossy_bound(spark):
         .withColumn("batch", F.lit(i).cast("long"))
         for i in range(2)
     ]
-    got = merge_summaries(parts[0].unionAll(parts[1]), capacity=k).collect()
+    rows = merge_summaries(parts[0].unionAll(parts[1]), capacity=k).collect()
+    got = [r for r in rows if r["item"] is not None]
     assert 0 < len(got) <= k
     err_ub = got[0]["err_ub"]
     for r in got:
@@ -172,7 +178,8 @@ def test_capacity_one_and_empty_input(spark):
         r["item"]: r["n"]
         for r in df.groupBy("item").agg(F.count("*").alias("n")).collect()
     }
-    got = misra_gries(df, "item", capacity=1).collect()
+    rows = misra_gries(df, "item", capacity=1).collect()
+    got = [r for r in rows if r["item"] is not None]
     assert len(got) <= 1
     for r in got:
         true = exact[r["item"]]
@@ -198,3 +205,52 @@ def test_merge_single_summary_is_identity(spark):
         for r in misra_gries(df, "item", 64).collect()
     }
     assert merged == direct
+
+
+def test_error_mass_survives_zero_item_truncation(spark):
+    """ADVICE r6: a summary that truncates to ZERO item rows must still
+    propagate its accumulated error.  Construct the degenerate case
+    directly against merge_summaries: one group holds only the
+    out-of-band error row (its counters all cancelled), the other a
+    real item — the merged bound must include BOTH groups' error."""
+    from distributed_graph_db_c_spark.operators.frequency import merge_summaries
+
+    rows = [
+        # group 0: zero-item summary, error carried out-of-band only
+        (None, 0, 7, 0),
+        # group 1: one surviving item with its own error
+        ("a", 10, 3, 1),
+        (None, 0, 3, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "item string, est_count long, err_ub long, batch long"
+    )
+    out = merge_summaries(df, capacity=4).collect()
+    items = {r["item"]: (r["est_count"], r["err_ub"]) for r in out if r["item"] is not None}
+    err_rows = [r for r in out if r["item"] is None]
+    # both groups' error mass (7 + 3) must appear in the merged bound
+    assert items == {"a": (10, 10)}
+    assert [(r["est_count"], r["err_ub"]) for r in err_rows] == [(0, 10)]
+
+
+def test_zero_item_summary_emits_error_row(spark):
+    """End-to-end degenerate lossy case: capacity 1 over a corpus where
+    the two tracked values tie exactly — every counter cancels in the
+    final sweep and the item set can be empty, but the error row must
+    still carry the decrement mass (upper bounds stay valid)."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [("a",)] * 8 + [("b",)] * 8, ["item"]
+    ).coalesce(1)
+    rows = misra_gries(df, "item", capacity=1).collect()
+    err_rows = [r for r in rows if r["item"] is None]
+    items = [r for r in rows if r["item"] is not None]
+    total_err = err_rows[0]["err_ub"] if err_rows else 0
+    # the true count of EVERY value must sit inside [est, est+err]:
+    # absent items have est=0, so err_ub must cover the full 8
+    bounds = {r["item"]: r["est_count"] for r in items}
+    for v in ("a", "b"):
+        est = bounds.get(v, 0)
+        err = items[0]["err_ub"] if v in bounds else total_err
+        assert est <= 8 <= est + err, (v, est, err, rows)

@@ -373,3 +373,66 @@ def test_kcore_matches_reference_peeler(spark):
             r["id"]: r["core_degree"] for r in kcore_fleet(und, k=k).collect()
         }
         assert fleet == ref, ("fleet", k, len(fleet), len(ref))
+
+
+def test_kcore_auto_threads_max_iter_to_distributed_path(spark):
+    """ADVICE r6: a deep-peeling chain above fleet_max_edges must
+    CONVERGE through the distributed kcore loop, not die on the
+    hardcoded 50-round cap.  A 120-vertex path graph peels ~60 rounds
+    at k=2 (both endpoints shed each round); forcing the distributed
+    kernel with fleet_max_edges=0 and the derived cap must return the
+    correct (empty — a path has no 2-core) result instead of raising."""
+    import pyspark.sql.functions as F
+
+    from distributed_graph_db_c_spark.operators.traversal import kcore_auto
+
+    n = 120
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "u long, v long"
+    )
+    und = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    out = kcore_auto(und, k=2, fleet_max_edges=0).collect()
+    assert out == []  # a path graph has no 2-core
+    # explicit max_iter still forwards (and a too-small one still raises loudly)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="no fixpoint"):
+        kcore_auto(und, k=2, fleet_max_edges=0, max_iter=3)
+
+
+def test_rel_array_hof_null_quantities_match_oracle_semantics(spark):
+    """ADVICE r6 hardening: on NULLABLE quantities the gate's n_items
+    must count rows (COUNT(*)), max must ignore nulls, and the big-sum
+    must skip null-derived terms — the oracle's semantics.  Construct a
+    3-row group with one NULL and check all three directly."""
+    import pyspark.sql.functions as F
+
+    li = spark.createDataFrame(
+        [(1, 30.0), (1, None), (1, 10.0), (2, None)],
+        "l_orderkey long, l_quantity double",
+    )
+    qtys = F.array_sort(F.collect_list(F.col("l_quantity"))).alias("qtys")
+    per_order = li.groupBy("l_orderkey").agg(
+        qtys, F.count("*").cast("long").alias("n_items")
+    )
+    out = {
+        r["l_orderkey"]: r
+        for r in per_order.select(
+            "l_orderkey",
+            "n_items",
+            F.try_element_at("qtys", F.lit(-1)).alias("max_qty"),
+            F.aggregate(
+                F.filter(
+                    F.transform("qtys", lambda x: x * F.lit(2.0)),
+                    lambda x: x > F.lit(50.0),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("big_doubled_sum"),
+        ).collect()
+    }
+    assert out[1]["n_items"] == 3  # COUNT(*) includes the null row
+    assert out[1]["max_qty"] == 30.0  # null never wins the max
+    assert out[1]["big_doubled_sum"] == 60.0  # only 30*2 > 50
+    assert out[2]["n_items"] == 1 and out[2]["max_qty"] is None
+    assert out[2]["big_doubled_sum"] == 0.0

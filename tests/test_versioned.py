@@ -141,3 +141,79 @@ def test_failed_staging_releases_claim_and_retry_succeeds(spark, tmp_path):
     assert not isinstance(exc_info.value, ConcurrentCommitError)
     # the claim was released: the same version number commits cleanly
     assert commit_version(_df(spark, [3]), t) == 2
+
+
+class _FakePath:
+    def __init__(self, p):
+        self.p = p
+
+
+class _FakeFS:
+    """Pure-python FileSystem stub for exercising _claim_marker's
+    classification branches without a JVM failure injector."""
+
+    def __init__(self, existing=(), create_error=None, fail_on_close=False):
+        self.files = set(existing)
+        self.create_error = create_error
+        self.fail_on_close = fail_on_close
+        self.deleted = []
+
+    def exists(self, jp):
+        return jp.p in self.files
+
+    def create(self, jp, overwrite):
+        if jp.p in self.files:
+            raise OSError("FileAlreadyExistsException: " + jp.p)
+        if self.create_error is not None:
+            raise self.create_error
+        self.files.add(jp.p)
+        fs = self
+
+        class _Out:
+            def close(self):
+                if fs.fail_on_close:
+                    raise OSError("flush failed")
+
+        return _Out()
+
+    def delete(self, jp, recursive=False):
+        self.deleted.append(jp.p)
+        self.files.discard(jp.p)
+        return True
+
+
+def test_claim_marker_preexisting_is_concurrent():
+    from distributed_graph_db_c_spark.versioned import (
+        ConcurrentCommitError,
+        _claim_marker,
+    )
+
+    fs = _FakeFS(existing={"/t/__claim_v00000001__"})
+    with pytest.raises(ConcurrentCommitError):
+        _claim_marker(fs, _FakePath, "/t/__claim_v00000001__", 1)
+    assert fs.deleted == []  # a foreign marker is never deleted
+
+
+def test_claim_marker_own_partial_marker_released_not_mislabeled():
+    """ADVICE r6: create succeeded but close() raised — the marker is
+    OURS.  The failure must surface as the real IO error (not
+    ConcurrentCommitError), and our marker must be deleted so the
+    version is not permanently wedged."""
+    from distributed_graph_db_c_spark.versioned import (
+        ConcurrentCommitError,
+        _claim_marker,
+    )
+
+    fs = _FakeFS(fail_on_close=True)
+    with pytest.raises(OSError, match="flush failed"):
+        _claim_marker(fs, _FakePath, "/t/__claim_v00000002__", 2)
+    assert "/t/__claim_v00000002__" in fs.deleted
+    assert "/t/__claim_v00000002__" not in fs.files
+
+
+def test_claim_marker_transient_create_fault_surfaces_itself():
+    from distributed_graph_db_c_spark.versioned import _claim_marker
+
+    fs = _FakeFS(create_error=OSError("quota exceeded"))
+    with pytest.raises(OSError, match="quota exceeded"):
+        _claim_marker(fs, _FakePath, "/t/__claim_v00000003__", 3)
