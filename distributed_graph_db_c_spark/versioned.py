@@ -32,7 +32,7 @@ import logging
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .sinks import _hadoop_fs
+from .sinks import ConcurrentCommitError, _hadoop_fs, claim_marker
 
 _FMT = "v=%08d"
 _CLAIM_FMT = "__claim_v%08d__"
@@ -50,48 +50,18 @@ def _discard_staging(fs, jpath, staging: str) -> None:
         log.warning("commit_version: staging cleanup raised for %s", staging, exc_info=True)
 
 
-class ConcurrentCommitError(IOError):
-    """A concurrent committer claimed or published the version first.
-    The raising committer's data was never visible to readers; retrying
-    the commit recomputes the next free version number."""
+# ConcurrentCommitError is defined in sinks.py (shared with the
+# non-versioned replace_table/replace_partitions commit path, which
+# adopted the same claim discipline in round 7) and re-exported here —
+# this module remains its historical import site.
 
 
 def _claim_marker(fs, jpath, claim: str, version: int) -> None:
-    """Atomically claim ``version`` by creating its marker file with
-    ``create(overwrite=false)`` (O_EXCL semantics: one creator wins).
-
-    Existence is checked BEFORE the create attempt so a later create
-    failure can be classified: a marker that already existed here is
-    another committer's claim; one that appears only after our create
-    raised is OUR OWN partially-created marker (create succeeded,
-    close/flush raised) and must not masquerade as a lost race — nor
-    survive to wedge this version forever (ADVICE r6).  The create
-    remains the atomic arbiter; the pre-check only classifies.  Only a
-    genuine lost race may wear the ConcurrentCommitError label — a
-    transient IO fault (namenode failover, permissions, quota) must
-    surface as itself, or an operator hunts for a phantom marker."""
-    pre_existed = fs.exists(jpath(claim))
-    try:
-        fs.create(jpath(claim), False).close()
-    except Exception as exc:
-        if pre_existed or "FileAlreadyExists" in type(
-            exc
-        ).__name__ or "FileAlreadyExists" in str(exc):
-            raise ConcurrentCommitError(
-                f"commit_version: version {version} is claimed by another "
-                f"committer (marker {claim}) — lost the race before staging; "
-                "retry, or remove the marker if its committer is known dead"
-            ) from exc
-        # Non-race failure: release any marker our own failed attempt
-        # left behind, then surface the real fault.
-        try:
-            fs.delete(jpath(claim), False)
-        except Exception:
-            log.warning(
-                "commit_version: could not release own marker %s after "
-                "failed claim", claim, exc_info=True,
-            )
-        raise
+    """Atomically claim ``version`` via the shared
+    :func:`sinks.claim_marker` O_EXCL discipline (see its docstring for
+    the classification contract — ADVICE r6: a self-created marker
+    whose close() raised is released, not mislabeled as a lost race)."""
+    claim_marker(fs, jpath, claim, f"commit_version (version {version})")
 
 
 def _version_dirs(spark: SparkSession, path: str) -> list[int]:

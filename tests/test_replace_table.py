@@ -110,3 +110,123 @@ def test_compact_in_place_roundtrip(spark, scratch):
     assert back.agg(F.sum("id")).first()[0] == 5000 * 4999 // 2
     files = [f for f in os.listdir(path) if f.endswith(".parquet")]
     assert len(files) == 1
+
+
+# -- round 7: claim-marker discipline on the non-versioned commit path -----
+
+
+def test_racing_replace_table_one_wins_one_raises(spark, scratch):
+    """r6 verdict item 4: two replace_table writers racing the same
+    path must never interleave stage/swap silently — one commits, the
+    other raises ConcurrentCommitError (mirroring
+    test_racing_committers_one_wins_one_raises for commit_version).
+    The claim spans the whole stage+swap, so whatever the
+    interleaving, the survivor's table is one writer's COMPLETE
+    output."""
+    import threading
+
+    from distributed_graph_db_c_spark.sinks import ConcurrentCommitError
+
+    path = f"{scratch}/t"
+    _seed(spark, path, n=200)
+    results: list[object] = [None, None]
+
+    def go(i: int) -> None:
+        df = spark.range(5000).select(
+            F.col("id"), F.lit(f"w{i}").alias("writer")
+        )
+        try:
+            replace_table(df, path)
+            results[i] = "ok"
+        except ConcurrentCommitError as exc:
+            results[i] = exc
+
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    wins = [r for r in results if r == "ok"]
+    losses = [r for r in results if isinstance(r, ConcurrentCommitError)]
+    # the claim makes a silent double-commit impossible: every writer
+    # either commits or raises, and at least one must have won
+    assert len(wins) + len(losses) == 2 and len(wins) >= 1, results
+    out = spark.read.parquet(path)
+    writers = {r["writer"] for r in out.select("writer").distinct().collect()}
+    assert len(writers) == 1, f"interleaved output from {writers}"
+    assert out.count() == 5000
+    # the winner released its claim: a follow-up rewrite succeeds
+    replace_table(spark.range(10).select(F.col("id"), F.lit("w9").alias("writer")), path)
+    assert spark.read.parquet(path).count() == 10
+
+
+def test_racing_replace_partitions_one_wins_one_raises(spark, scratch):
+    import threading
+
+    from distributed_graph_db_c_spark.sinks import ConcurrentCommitError
+
+    path = f"{scratch}/t"
+    _seed(spark, path, n=200)
+    results: list[object] = [None, None]
+
+    def go(i: int) -> None:
+        df = spark.range(100).select(
+            F.col("id"),
+            F.lit("0").alias("part"),
+            F.lit(i).alias("val"),
+        )
+        try:
+            replace_partitions(df, path, ["part"])
+            results[i] = "ok"
+        except ConcurrentCommitError as exc:
+            results[i] = exc
+
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    wins = [r for r in results if r == "ok"]
+    losses = [r for r in results if isinstance(r, ConcurrentCommitError)]
+    assert len(wins) + len(losses) == 2 and len(wins) >= 1, results
+    # partition part=0 is exactly ONE writer's output; others untouched
+    p0 = spark.read.parquet(path).filter(F.col("part") == "0")
+    assert {r["val"] for r in p0.select("val").distinct().collect()} in ({0}, {1})
+    assert p0.count() == 100
+
+
+def test_replace_table_failure_releases_claim(spark, scratch):
+    """An in-process staging failure must release the claim so the next
+    writer proceeds — only a CRASHED writer leaves a marker (loudly)."""
+    path = f"{scratch}/t"
+    _seed(spark, path, n=50)
+
+    @F.udf("long")
+    def boom(x):
+        raise RuntimeError("injected staging failure")
+
+    bad = spark.range(10).select(boom(F.col("id")).alias("id"))
+    with pytest.raises(Exception, match="injected|Job aborted"):
+        replace_table(bad, path)
+    # claim released -> a clean writer succeeds immediately
+    replace_table(spark.range(7).select(F.col("id")), path)
+    assert spark.read.parquet(path).count() == 7
+
+
+def test_standing_claim_marker_fails_loudly_before_writing(spark, scratch):
+    """A crashed writer's leftover marker must stop the next writer
+    BEFORE it writes anything, naming the marker."""
+    from distributed_graph_db_c_spark.sinks import ConcurrentCommitError, _commit_claim
+
+    path = f"{scratch}/t"
+    _seed(spark, path, n=50)
+    marker = _commit_claim(path)
+    open(marker, "w").close()
+    with pytest.raises(ConcurrentCommitError, match="__commit__"):
+        replace_table(spark.range(3).select(F.col("id")), path)
+    # table untouched, no staging left behind
+    assert spark.read.parquet(path).count() == 50
+    assert not os.path.exists(path + "__staging__")
+    os.remove(marker)  # operator clears the dead writer's claim
+    replace_table(spark.range(3).select(F.col("id")), path)
+    assert spark.read.parquet(path).count() == 3
