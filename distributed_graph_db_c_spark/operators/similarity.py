@@ -602,6 +602,18 @@ def ivf_build(
     assigned.repartition("cell").write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(f"{path}/lists")
+    # id->cell SIDECAR (r6 verdict item 3): the query path's only
+    # by-id access is "which cell holds this id?" — answered here from
+    # a table of two integers per vector (~3% of the vector bytes),
+    # RANGE-partitioned and sorted on id so the parquet row-group
+    # min/max stats turn the id equality predicate into file/row-group
+    # skipping.  Without it, fetching a query vector by id cost a scan
+    # of the FULL inverted lists before the partition-pruned probe.
+    assigned.select(id_col, "cell").repartitionByRange(
+        id_col
+    ).sortWithinPartitions(id_col).write.mode("overwrite").parquet(
+        f"{path}/ids"
+    )
     spark = embeddings.sparkSession
     cent_rows = [
         (int(i), [float(x) for x in cnorm[i]]) for i in range(cnorm.shape[0])
@@ -614,11 +626,12 @@ def ivf_build(
 def ivf_query_persisted(
     spark,
     path: str,
-    query_id: int,
+    query_id: int | None = None,
     top_k: int = 10,
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_vec=None,
 ) -> DataFrame:
     """Query a persisted IVF index: rank cells by the (tiny, collected)
     centroid table, then scan ONLY the nprobe winning cell partitions —
@@ -626,7 +639,21 @@ def ivf_query_persisted(
     disk reads scale with nprobe/n_cells of the corpus, not the corpus.
     Scoring reuses the exact left-fold cosine of the brute-force path,
     so whenever the probed cells contain the true top-k the result is
-    bit-identical to it."""
+    bit-identical to it.
+
+    The query vector arrives one of two ways, NEITHER of which scans
+    the corpus (r6 verdict item 3 — the previous by-id fetch paid a
+    full-lists scan before the pruned probe):
+
+    - ``query_vec``: the caller already holds the vector (the usual
+      production case — it came from the embedding service) and no
+      fetch happens at all;
+    - ``query_id``: resolved via the build-time id->cell SIDECAR
+      (two integers per vector, id-sorted so the equality predicate
+      prunes at row-group stats level), then the vector itself is read
+      from that ONE cell partition — the fetch is partition-pruned
+      exactly like the probe.  Indexes built before the sidecar
+      existed raise loudly (rebuild, or pass ``query_vec``)."""
     cents = spark.read.parquet(f"{path}/centroids").collect()
     cmat = np.vstack(
         [np.asarray(r["centroid"], dtype=np.float64) for r in sorted(
@@ -634,23 +661,37 @@ def ivf_query_persisted(
         )]
     )
     lists = spark.read.parquet(f"{path}/lists")
-    qrow = lists.filter(F.col(id_col) == query_id).select(vec_col).head()
-    if qrow is None:
-        raise KeyError(
-            f"ivf_query_persisted: {id_col}={query_id} not found in index {path}"
+    if query_vec is None:
+        if query_id is None:
+            raise ValueError(
+                "ivf_query_persisted: pass query_vec or query_id"
+            )
+        cell_row = (
+            spark.read.parquet(f"{path}/ids")
+            .filter(F.col(id_col) == query_id)
+            .head()
         )
-    # The head() above is the ONLY full-lists access the query pays for
-    # the vector fetch; scoring embeds it as a literal array so the
-    # probed scan below is the sole remaining read — partition-pruned to
-    # the nprobe winning cells.
-    qv = np.asarray(qrow[0], dtype=np.float64)
+        if cell_row is None:
+            raise KeyError(
+                f"ivf_query_persisted: {id_col}={query_id} not found in "
+                f"index {path}"
+            )
+        qrow = (
+            lists.filter(F.col("cell") == int(cell_row["cell"]))
+            .filter(F.col(id_col) == query_id)
+            .select(vec_col)
+            .head()
+        )
+        query_vec = list(qrow[0])
+    qv = np.asarray(query_vec, dtype=np.float64)
     qn = qv / max(np.linalg.norm(qv), 1e-12)
     probe = [int(c) for c in np.argsort(-(cmat @ qn))[:nprobe]]
-    qlit = F.array(*[F.lit(float(x)) for x in qrow[0]])
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    out = lists.filter(F.col("cell").isin(probe))
+    if query_id is not None:
+        out = out.filter(F.col(id_col) != query_id)
     return (
-        lists.filter(F.col("cell").isin(probe))
-        .filter(F.col(id_col) != query_id)
-        .select(id_col, cosine_seq(F.col(vec_col), qlit).alias("cosine"))
+        out.select(id_col, cosine_seq(F.col(vec_col), qlit).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(top_k)
     )
