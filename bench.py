@@ -130,6 +130,9 @@ HEADLINE = [
     # beside the 0.45 recall stress gates
     "dedup_embedding_pairs_grade",
     "dedup_embedding_groups_grade",
+    # round 7 second wave: BM25 retrieval + quality-weighted keep rule
+    "text_bm25_topk",
+    "dedup_minhash_survivors_quality",
 ]
 
 

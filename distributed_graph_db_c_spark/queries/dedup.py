@@ -521,3 +521,80 @@ def dedup_embedding_groups_grade(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="vec_id", vec_col="v", multiprobe=_GRADE_MULTIPROBE,
     )
     return pairs_to_canonical(pairs, corpus, ("id_a", "id_b"), "vec_id")
+
+
+# -- round 7: quality-weighted survivorship --------------------------------
+
+_SURV_QUALITY_SQL = rf"""
+WITH RECURSIVE toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(t) >= 3
+                   THEN list_distinct(list_transform(generate_series(0, len(t)-3),
+                                                     i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                   ELSE [] END AS s
+       FROM toks),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+ipairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+           FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+jpairs AS (SELECT doc_a, doc_b
+           FROM ipairs
+           JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b
+           WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM jpairs
+          UNION ALL SELECT doc_b, doc_a FROM jpairs),
+reach(doc, lab) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.a, r.lab FROM reach r JOIN edges e ON e.b = r.doc
+),
+mapping AS (SELECT doc AS doc_id, MIN(lab) AS canonical_id FROM reach GROUP BY doc)
+SELECT m.doc_id, m.canonical_id,
+       FIRST_VALUE(m.doc_id) OVER (
+           PARTITION BY m.canonical_id
+           ORDER BY d.n_chars DESC, m.doc_id ASC) AS survivor_id
+FROM mapping m JOIN documents d USING (doc_id)
+"""
+
+
+@register("dedup_minhash_survivors_quality", oracle=_SURV_QUALITY_SQL)
+def dedup_minhash_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-WEIGHTED survivorship (round 7): every document mapped to
+    its near-dup cluster's canonical label AND to the member the
+    pipeline actually KEEPS — the highest-quality one (longest text,
+    ties broken by min doc_id), not the arbitrary min-id member.  This
+    is the keep-rule production corpus dedup ships: when a boilerplate
+    page and its richer superset near-duplicate each other, the corpus
+    keeps the superset.  Extends dedup_minhash_groups (which pins the
+    clustering itself) with the selection step.
+
+    Plan shape: the cluster mapping comes from the separately-gated
+    MinHash+LSH pairs -> min-label CC path; quality attaches as a slim
+    (doc_id, n_chars) join; the per-cluster argmax is a PARTIAL-AGG
+    ``max_by(doc_id, struct(n_chars, -doc_id))`` over the mapping (one
+    row per cluster out of the shuffle — never a window over raw
+    rows), broadcast back onto the members.  At 100 TB survivor
+    election shuffles |clusters| rows, not |corpus|.
+
+    The oracle recomputes the identical fixpoint + election as a
+    recursive CTE + FIRST_VALUE window over the exact-Jaccard pair
+    graph (same corpus-contingent MinHash-recall contract, and the
+    same argmax by construction: max(n_chars) then min(doc_id))."""
+    from ..operators.traversal import pairs_to_canonical
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, threshold=0.8)
+    mapping = pairs_to_canonical(
+        pairs, docs, ("doc_a", "doc_b"), "doc_id"
+    )
+    with_q = mapping.join(docs.select("doc_id", "n_chars"), "doc_id")
+    survivors = with_q.groupBy("canonical_id").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("_nd"))
+        ).alias("survivor_id")
+    )
+    return with_q.select("doc_id", "canonical_id").join(
+        F.broadcast(survivors), "canonical_id"
+    ).select("doc_id", "canonical_id", "survivor_id")

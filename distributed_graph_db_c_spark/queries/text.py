@@ -1047,3 +1047,106 @@ def sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("chars_kept"),
         )
     )
+
+
+# -- round 7: BM25 retrieval ------------------------------------------------
+
+_BM25_TERMS = ["data", "scan", "vector", "stream"]
+# Fixed-point BM25 (k1=1.2, b=0.75 in millis): every intermediate is an
+# INTEGER, so the Spark/DuckDB differential is bit-exact — ln() and
+# double division differ in last-ulp behavior between libm and the JVM
+# (the same reason text_tfidf_topk uses the rational idf surrogate).
+# The fixed-point formulation preserves BM25's two defining behaviors —
+# tf saturation (tf/(tf+K)) and doc-length normalization (K grows with
+# len/avglen) — up to milli-resolution rounding.
+_BM25_K1_MILLI = 1200
+_BM25_B_MILLI = 750
+
+_BM25_SQL = rf"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+corpus AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM lens),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf
+       FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+       WHERE term IN ('data', 'scan', 'vector', 'stream')
+       GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+idf AS (SELECT term, (1000 * (SELECT n_docs FROM corpus)) // df AS idf_milli
+        FROM dfreq),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(idf.idf_milli *
+             ((1000000 * tf.tf) //
+              (1000 * tf.tf +
+               ({_BM25_K1_MILLI} *
+                (1000 - {_BM25_B_MILLI} +
+                 ({_BM25_B_MILLI} * lens.dl * (SELECT n_docs FROM corpus))
+                 // (SELECT sum_dl FROM corpus))) // 1000))) AS score
+  FROM tf
+  JOIN idf USING (term)
+  JOIN lens ON lens.doc_id = tf.doc_id
+  GROUP BY tf.doc_id)
+SELECT doc_id, CAST(score AS BIGINT) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 15
+"""
+
+
+@register("text_bm25_topk", oracle=_BM25_SQL)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (round 7): top-15 documents for a 4-term query
+    under the fixed-point BM25 scorer (k1=1.2, b=0.75, milli scaling) —
+    the production retrieval scorer a pretraining-data pipeline uses
+    for targeted corpus search and contamination screening, extending
+    text_tfidf_topk with BM25's tf SATURATION (a 100th occurrence adds
+    almost nothing) and DOC-LENGTH NORMALIZATION (long word-salad
+    documents stop winning on raw tf).  All-integer arithmetic keeps
+    the oracle differential bit-exact (see _BM25_SQL comment).
+
+    Plan: tokens explode and filter to query terms BEFORE the tf
+    groupBy (the shuffle carries only query-term hits); doc lengths are
+    one partial-agg per doc; corpus stats (N, sum_dl) are one tiny
+    collected aggregate embedded as literals; idf is a broadcast join;
+    the top-k compiles to TakeOrderedAndProject.  At 100 TB: two
+    passes over the token stream (length + hits), both map-side
+    partial; no shuffle ever carries non-matching tokens."""
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id", F.size(tokens()).cast("long").alias("dl")
+    )
+    n_docs, sum_dl = lens.agg(
+        F.count("*"), F.sum("dl")
+    ).first()
+    tf = (
+        docs.select("doc_id", F.explode(tokens()).alias("term"))
+        .filter(F.col("term").isin(_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = tf.groupBy("term").agg(
+        F.expr(f"CAST((1000 * {n_docs}) DIV COUNT(DISTINCT doc_id) AS BIGINT)").alias(
+            "idf_milli"
+        )
+    )
+    # every step integer DIV (never `/` + cast: double division rounds
+    # to nearest and can land one above the true floor at quotient
+    # boundaries, where DuckDB's // would not)
+    k_expr = (
+        f"CAST(({_BM25_K1_MILLI} * ({1000 - _BM25_B_MILLI} + "
+        f"CAST(({_BM25_B_MILLI} * dl * {n_docs}) DIV {sum_dl} AS BIGINT)))"
+        f" DIV 1000 AS BIGINT)"
+    )
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .join(lens, "doc_id")
+        .withColumn("_k", F.expr(k_expr))
+        .withColumn(
+            "_tfsat",
+            F.expr("CAST((1000000 * tf) DIV (1000 * tf + _k) AS BIGINT)"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("idf_milli") * F.col("_tfsat")).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(15)
+    )

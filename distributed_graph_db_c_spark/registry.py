@@ -128,7 +128,13 @@ _AWAITING_DRAIN: list[str] = [
 # Registered after this round's window filled: local strict evidence
 # only (ORACLE_LOCAL.md), first in line for round-8 driver slots.
 # test_registry_window.py asserts this list stays small and drains.
-AWAITING_FIRST_SLOT: list[str] = []
+# (Unlike rounds 4-6 these are NOT close-of-round additions — they
+# registered mid-round with full local evidence; the window was simply
+# already obligated to the 28-entry stale rotation.)
+AWAITING_FIRST_SLOT: list[str] = [
+    "text_bm25_topk",  # fixed-point BM25 retrieval (r7)
+    "dedup_minhash_survivors_quality",  # quality-weighted keep-rule (r7)
+]
 
 # (d) the 28 bench-headline queries the r6 freshness test listed as
 # lacking evidence in rounds 5-6 — the verbatim failure output, as the

@@ -212,6 +212,7 @@ def test_stale_rotation_matches_r6_failure_list():
         - set(_ROUND7_NEW)
         - set(_AWAITING_DRAIN)
         - set(_WINDOW_HEAD)
+        - set(AWAITING_FIRST_SLOT)  # mid-round additions queue for r8
     )
     assert set(_STALE_ROTATION) == expected, (
         f"missing={sorted(expected - set(_STALE_ROTATION))} "

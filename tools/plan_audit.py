@@ -554,6 +554,19 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         ("column pruning", r"ReadSchema: [^\n]*user_id", True),
         ("no props payload scan", r"ReadSchema: [^\n]*props", False),
     ],
+    # --- round 7 ---
+    "dedup_embedding_pairs_grade": [
+        # dedup-grade operating point: same plan shape contract as the
+        # 0.45 stress gate — bucket self-EQUIJOIN candidates (never
+        # all-pairs), codegen left-fold scoring; the planted-corpus
+        # construction must also stay JVM-side (zip_with, no UDF)
+        ("equi not theta", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True),
+        ("no nested loop", r"BroadcastNestedLoopJoin|CartesianProduct", False),
+        ("no python udf", r"BatchEvalPython", False),
+    ],
+    # (dedup_embedding_groups_grade: min-label CC tail returns through
+    # localCheckpoint/auto-dispatch like dedup_embedding_groups — plan
+    # pinned in tests/test_dedup_similarity.py, not greppable here.)
 }
 
 
