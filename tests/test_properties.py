@@ -282,3 +282,42 @@ def test_sssp_fleet_kernel_agrees_with_iterative(spark):
         for r in sssp(edges_df, starts_df).collect()
     }
     assert got_fleet == got_iter
+
+
+def test_bm25_saturates_tf_and_normalizes_length(spark, tmp_path):
+    """The two behaviors BM25 adds over TF-IDF, pinned directly: (a) tf
+    SATURATION — 50 occurrences of a term score far less than 50x one
+    occurrence; (b) LENGTH NORMALIZATION — the same tf in a much longer
+    document scores lower.  Build a 4-doc corpus where tf-idf's raw
+    tf-weighting would rank the spammy doc first, and assert the BM25
+    gate ranks the concise relevant doc above it."""
+    import pyspark.sql.functions as F
+
+    from distributed_graph_db_c_spark.queries.text import text_bm25_topk
+
+    filler = " ".join(["filler"] * 200)
+    docs = [
+        # doc 0: concise, one hit of two query terms
+        (0, "data scan summary report", "en", "src0", 24),
+        # doc 1: spammy — the term 50x inside 200 fillers
+        (1, " ".join(["data"] * 50) + " " + filler, "en", "src0", 1200),
+        # doc 2: same single hit as doc 0 but buried in 200 fillers
+        (2, "data " + filler, "en", "src0", 1000),
+        # doc 3: no query terms
+        (3, filler, "en", "src0", 1000),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in text_bm25_topk(spark, sf_dir).collect()
+    }
+    assert 3 not in got  # no hits, no row
+    # (a)+(b): concise two-term doc beats the 50x-spam doc and the
+    # buried single hit; spam doc cannot reach 50x the buried doc
+    assert got[0] > got[1] > got[2]
+    assert got[1] < 3 * got[2], (
+        f"tf saturation failed: 50x tf scored {got[1]} vs single-hit {got[2]}"
+    )

@@ -144,10 +144,9 @@ def main() -> None:
     out["telemetry_after_gc"] = _telemetry(spark)
 
     persistent = spark.sparkContext._jsc.getPersistentRDDs()
-    it = persistent.values().iterator()
     n_unpersisted = 0
-    while it.hasNext():
-        it.next().unpersist(False)
+    for rdd in list(persistent.values()):  # py4j JavaMap -> dict view
+        rdd.unpersist(False)
         n_unpersisted += 1
     out["unpersisted_refs"] = n_unpersisted
     out["after_unpersist"] = _min3(spark, PROBES + CONTROL, sf_dir)

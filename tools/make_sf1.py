@@ -54,6 +54,19 @@ def main() -> None:
     spark = get_spark("make-sf1")
     os.makedirs(DST, exist_ok=True)
 
+    # Tiny dimensions pass through UNSCALED (a 10x fixture scales facts,
+    # not dims — nation/region are fixed-domain, supplier joins as a
+    # broadcast dim everywhere).  Round 7: stream_static_join_enrich
+    # failed at sf1 for want of nation.parquet; the dims ride along now.
+    import shutil
+
+    for t in ("nation", "region", "supplier"):
+        src, dst = f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet"
+        if os.path.isdir(src):
+            shutil.copytree(src, dst, dirs_exist_ok=True)
+        else:
+            shutil.copy(src, dst)
+
     emb_dim = len(
         spark.read.parquet(f"{SRC}/embeddings.parquet").first()["embedding"]
     )
