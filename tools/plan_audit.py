@@ -567,6 +567,25 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
     # (dedup_embedding_groups_grade: min-label CC tail returns through
     # localCheckpoint/auto-dispatch like dedup_embedding_groups — plan
     # pinned in tests/test_dedup_similarity.py, not greppable here.)
+    "text_bm25_topk": [
+        # query-term filter reaches the scan region (explode feeds only
+        # matching tokens to the tf shuffle); scoring is pure integer
+        # codegen; top-k compiles to TakeOrderedAndProject
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("partial agg", r"partial_", True),
+        ("top-k as TakeOrdered", r"TakeOrderedAndProject", True),
+        ("column pruning", r"ReadSchema: [^\n]*text", True),
+        ("no source payload scan", r"ReadSchema: [^\n]*source", False),
+    ],
+    "dedup_minhash_survivors_quality": [
+        # survivor election is a partial-agg max_by over the cluster
+        # mapping plus a broadcast join back — never a cartesian, never
+        # a window over raw corpus rows
+        ("no cartesian", r"CartesianProduct|BroadcastNestedLoopJoin", False),
+        ("partial agg", r"partial_", True),
+        ("broadcast survivors", r"BroadcastHashJoin", True),
+        ("no raw-row window", r"RunningWindowFunction", False),
+    ],
 }
 
 
