@@ -133,6 +133,7 @@ HEADLINE = [
     # round 7 second wave: BM25 retrieval + quality-weighted keep rule
     "text_bm25_topk",
     "dedup_minhash_survivors_quality",
+    "sample_reservoir_per_group",
 ]
 
 

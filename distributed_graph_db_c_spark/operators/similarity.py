@@ -682,6 +682,13 @@ def ivf_query_persisted(
             .select(vec_col)
             .head()
         )
+        if qrow is None:
+            raise IOError(
+                f"ivf_query_persisted: index {path} is inconsistent — "
+                f"ids sidecar maps {id_col}={query_id} to cell "
+                f"{int(cell_row['cell'])} but the inverted list has no "
+                "such row; rebuild the index"
+            )
         query_vec = list(qrow[0])
     qv = np.asarray(query_vec, dtype=np.float64)
     qn = qv / max(np.linalg.norm(qv), 1e-12)

@@ -1150,3 +1150,68 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(15)
     )
+
+
+# -- round 7: deterministic per-stratum reservoir sample -------------------
+
+_RESERVOIR_K = 20
+
+_RESERVOIR_SQL = f"""
+SELECT lang, doc_id, rk FROM (
+  SELECT lang, doc_id,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY lang
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+  FROM documents)
+WHERE rk <= {_RESERVOIR_K}
+"""
+
+
+@register("sample_reservoir_per_group", oracle=_RESERVOIR_SQL)
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC RESERVOIR SAMPLE per stratum (round 7): a uniform
+    k=20 without-replacement sample per language — the "hold out a
+    fixed-size eval slice per domain" curation primitive.  The classic
+    streaming reservoir is RNG-stateful and order-dependent; ordering
+    by md5(doc_id) instead makes the "random" k a PURE FUNCTION of the
+    ids — stable under repartitioning, engine changes, and incremental
+    corpus growth (a new doc displaces at most one sampled member, the
+    bottom-k-sketch property), while remaining uniform because the hash
+    is equidistributed over ids.
+
+    Plan shape: the same skew-proof TWO-STAGE partial top-k as
+    pipeline_topk_per_domain — each input partition reduces to its
+    local bottom-20-by-hash per lang (partial-agg, k x groups x
+    partitions rows out), slivers merge per lang — so a handful of
+    strata over 100 TB never pulls raw rows onto a few executors the
+    way a row_number window would.  Ordering key (md5 hex, doc_id) is
+    total, so the sample is unique and the window-based oracle agrees
+    exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    item = F.struct(
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.col("doc_id").alias("doc_id"),
+    )
+    local = (
+        docs.withColumn("pid", F.spark_partition_id())
+        .groupBy("lang", "pid")
+        .agg(
+            F.slice(F.array_sort(F.collect_list(item)), 1, _RESERVOIR_K).alias(
+                "top"
+            )
+        )
+    )
+    merged = (
+        local.select("lang", F.explode("top").alias("it"))
+        .groupBy("lang")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("it")), 1, _RESERVOIR_K).alias(
+                "top"
+            )
+        )
+    )
+    return merged.select("lang", F.posexplode("top").alias("pos", "it")).select(
+        "lang",
+        F.col("it.doc_id").alias("doc_id"),
+        (F.col("pos") + 1).cast("long").alias("rk"),
+    )

@@ -134,6 +134,7 @@ _AWAITING_DRAIN: list[str] = [
 AWAITING_FIRST_SLOT: list[str] = [
     "text_bm25_topk",  # fixed-point BM25 retrieval (r7)
     "dedup_minhash_survivors_quality",  # quality-weighted keep-rule (r7)
+    "sample_reservoir_per_group",  # deterministic per-stratum reservoir (r7)
 ]
 
 # (d) the 28 bench-headline queries the r6 freshness test listed as
@@ -196,6 +197,23 @@ _NEXT_DUE = [
 ]
 
 _REGRESSION: list[str] = []
+
+# ROUND-8 HANDOFF (computed by simulation with a synthetic r07 record =
+# this window all-green; the strict look-ahead test will recompute and
+# enforce it at r8 build time): the round-8 window owes (1) the 3
+# AWAITING_FIRST_SLOT drains, (2) these 21 entries whose newest evidence
+# (r06) exceeds the three-round horizon when r08 publishes, (3) family
+# pins (recheck — most ride the 21), (4) streaming rotation: 10 of 12
+# streaming gates' r06 rows age out at r09, so r08 should carry ~5-6
+# and r09 the rest.  Total ≈ 38-40 fixed + new r8 gates: feasible.
+# The 21: dedup_containment_pairs, dedup_substring_windows,
+# graph_copurchase_pairs, mm_png_decode_stats, pipeline_sequence_packing,
+# rel_corr_quantity_price, rel_events_funnel, rel_events_sessionization,
+# rel_median_per_group, rel_ntile_deciles, rel_pivot_monthly_revenue,
+# rel_string_agg_ordered, rel_weighted_median_udaf, sim_centroid_by_label,
+# sim_quantize_int8, source_binaryfile_ingest, storage_dpp_pruned_join,
+# storage_scd_latest_version, storage_snapshot_diff,
+# text_char_ngram_entropy, text_sentence_stats.
 
 # Streaming events consumers LAST inside the window: each runs a real
 # micro-batch stream and is the slowest gate class — if the driver's

@@ -577,6 +577,18 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         ("column pruning", r"ReadSchema: [^\n]*text", True),
         ("no source payload scan", r"ReadSchema: [^\n]*source", False),
     ],
+    "sample_reservoir_per_group": [
+        # two-stage partial top-k: bottom-20-by-hash per (lang, input
+        # partition) then per lang — no row_number window over raw rows,
+        # no python
+        ("partial agg", r"partial_", True),
+        ("no raw-row window", r"RunningWindowFunction", False),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("column pruning", r"ReadSchema: [^
+]*doc_id", True),
+        ("no text payload scan", r"ReadSchema: [^
+]*text", False),
+    ],
     "dedup_minhash_survivors_quality": [
         # survivor election is a partial-agg max_by over the cluster
         # mapping plus a broadcast join back — never a cartesian, never
