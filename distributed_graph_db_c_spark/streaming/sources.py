@@ -73,7 +73,12 @@ def run_available_now(
     stream runs with a reduced count (restored after): same results — the
     oracle hash is partition-count-invariant — a fraction of the dead
     trigger time.  A real 100 TB deployment would size this UP instead;
-    it is the same knob, set per workload."""
+    it is the same knob, set per workload.
+
+    Returns the final state-store telemetry (max rows / bytes across the
+    run's progress events, summed over state operators) so scale probes
+    can MEASURE state growth instead of arguing it; callers that only
+    want the results ignore the return value."""
     spark = out.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -85,6 +90,14 @@ def run_available_now(
             w = w.format("memory").queryName(query_name).outputMode(output_mode)
         q = w.trigger(availableNow=True).start()
         q.awaitTermination()
+        state_rows = state_bytes = 0
+        for p in q.recentProgress:
+            ops = p.get("stateOperators") or []
+            state_rows = max(state_rows, sum(o.get("numRowsTotal", 0) for o in ops))
+            state_bytes = max(
+                state_bytes, sum(o.get("memoryUsedBytes", 0) for o in ops)
+            )
+        return {"state_rows": state_rows, "state_bytes": state_bytes}
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
