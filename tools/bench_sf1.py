@@ -91,6 +91,10 @@ QUERIES = [
     # + planted near-dups) beside the 0.45 stress gates above
     "dedup_embedding_pairs_grade",
     "dedup_embedding_groups_grade",
+    # round-7 second wave
+    "text_bm25_topk",
+    "dedup_minhash_survivors_quality",
+    "sample_reservoir_per_group",
 ]
 
 # Round-7 extension (r6 verdict item 5): the 12 streaming gates at 10x
