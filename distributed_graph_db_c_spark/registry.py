@@ -214,6 +214,15 @@ _REGRESSION: list[str] = []
 # sim_quantize_int8, source_binaryfile_ingest, storage_dpp_pruned_join,
 # storage_scd_latest_version, storage_snapshot_diff,
 # text_char_ngram_entropy, text_sentence_stats.
+#
+# Surface candidates banked for round 8 (AWAITING cap was reached):
+# source_xml_roundtrip (Spark 4 ships a built-in XML source — the one
+# mainstream text format the sources/ family lacks; DuckDB has no XML
+# reader, so the oracle states the roundtrip against the parquet
+# original, the CSV/JSONL gate pattern), and an incremental-dedup gate
+# joining a NEW batch against a persisted minhash band index (the
+# cross-snapshot dedup production runs nightly; the streaming gate
+# covers within-stream only).
 
 # Streaming events consumers LAST inside the window: each runs a real
 # micro-batch stream and is the slowest gate class — if the driver's
