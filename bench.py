@@ -134,6 +134,7 @@ HEADLINE = [
     "text_bm25_topk",
     "dedup_minhash_survivors_quality",
     "sample_reservoir_per_group",
+    "mm_wav_spectral",
 ]
 
 

@@ -568,3 +568,63 @@ def ahash64(img: np.ndarray) -> int:
     for bit in bits:
         out = (out << 1) | int(bit)
     return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def audio_spectral_features(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
+) -> DataFrame:
+    """Real spectral FEATURE EXTRACTION over decoded audio (round 7):
+    per clip, the magnitude spectrum via numpy's rFFT reduced to the
+    three features audio curation pipelines filter on — spectral
+    CENTROID (brightness), BANDWIDTH (spread around the centroid), and
+    85% ROLLOFF (the frequency below which 85% of spectral mass sits).
+    Extends the decode family (bytes -> samples) with the
+    samples -> features step the brief's "decode / feature-extract"
+    pair names; no external DSP library — rfft/rfftfreq are numpy
+    built-ins, exercised inside the same Arrow-batched mapInPandas
+    shape as :func:`audio_decode_features`.
+
+    Accuracy is pytest-pinned by DIFFERENTIAL against an explicit
+    O(n^2) DFT summation (independent code path — a windowing,
+    normalization, or binning bug in this operator cannot cancel in
+    the reference), plus the analytic fact that a period-2 square wave
+    concentrates its spectrum at Nyquist.  The gate is rows-only: no
+    SQL engine FFTs."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, blob in zip(pdf[id_col], pdf[blob_col]):
+                samples, rate = decode_audio(bytes(blob))
+                mono = samples[:, 0].astype(np.float64)
+                n = len(mono)
+                if n == 0:
+                    rows.append((int(i), 0, rate, 0.0, 0.0, 0.0))
+                    continue
+                mag = np.abs(np.fft.rfft(mono))
+                freq = np.fft.rfftfreq(n, d=1.0 / rate)
+                total = mag.sum()
+                if total <= 0:
+                    rows.append((int(i), n, rate, 0.0, 0.0, 0.0))
+                    continue
+                centroid = float((freq * mag).sum() / total)
+                bandwidth = float(
+                    np.sqrt(((freq - centroid) ** 2 * mag).sum() / total)
+                )
+                rolloff = float(freq[np.searchsorted(np.cumsum(mag), 0.85 * total)])
+                rows.append((int(i), n, rate, centroid, bandwidth, rolloff))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "n_samples", "sample_rate",
+                    "centroid_hz", "bandwidth_hz", "rolloff85_hz",
+                ],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(
+        extract,
+        schema=(
+            f"{id_col} long, n_samples long, sample_rate long, "
+            "centroid_hz double, bandwidth_hz double, rolloff85_hz double"
+        ),
+    )

@@ -379,3 +379,19 @@ def mm_ahash_groups_from_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = docs.select("doc_id", _synth_hash_col().alias("ah"))
     pairs = ahash_band_pairs(hashed)
     return pairs_to_canonical(pairs, docs, ("doc_a", "doc_b"), "doc_id")
+
+
+@register("mm_wav_spectral", oracle=None)
+def mm_wav_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral feature extraction over the synthesized WAV corpus
+    (rows-only: no SQL engine FFTs — accuracy differential-pinned in
+    tests/test_multimodal_decode.py against an explicit O(n^2) DFT and
+    the analytic Nyquist concentration of the period-2 square wave).
+    The decode -> feature-extract pipeline shape of a real audio
+    curation pass: one Arrow-batched stage synthesizes/loads blobs, a
+    second decodes and reduces to per-clip features; nothing ever
+    collects raw samples to the driver."""
+    from ..operators.multimodal import audio_spectral_features
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return audio_spectral_features(_with_synth_blob(docs, synth_wav))

@@ -191,3 +191,58 @@ def test_ahash64_small_frames_upscale_instead_of_crash():
     assert ahash64(base) == ahash64(up)
     with np.testing.assert_raises(ValueError):
         ahash64(np.zeros((0, 4, 3), np.uint8))
+
+
+def test_spectral_features_match_explicit_dft(spark):
+    """audio_spectral_features differential: recompute centroid/
+    bandwidth/rolloff for a handful of clips with an EXPLICIT O(n^2)
+    DFT summation (independent of np.fft) and require agreement to
+    1e-6 relative; plus the analytic pin — a period-2 square wave's
+    spectrum concentrates at Nyquist, so centroid ~ rate/2 and
+    bandwidth ~ 0 for even-length clips."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from distributed_graph_db_c_spark.operators.multimodal import (
+        audio_spectral_features,
+        decode_audio,
+        synth_wav,
+    )
+
+    ids = [0, 1, 7, 42, 123]
+    df = spark.createDataFrame(
+        [(i, bytearray(synth_wav(i))) for i in ids], "doc_id long, blob binary"
+    )
+    got = {r["doc_id"]: r for r in audio_spectral_features(df).collect()}
+    for i in ids:
+        samples, rate = decode_audio(synth_wav(i))
+        mono = samples[:, 0].astype(float)
+        n = len(mono)
+        # explicit DFT at the rFFT bin frequencies
+        ks = np.arange(n // 2 + 1)
+        mag = np.array(
+            [
+                abs(sum(mono[t] * complex(math.cos(-2 * math.pi * k * t / n),
+                                          math.sin(-2 * math.pi * k * t / n))
+                        for t in range(n)))
+                for k in ks
+            ]
+        )
+        freq = ks * rate / n
+        total = mag.sum()
+        centroid = (freq * mag).sum() / total
+        bandwidth = math.sqrt((((freq - centroid) ** 2) * mag).sum() / total)
+        rolloff = freq[int(np.searchsorted(np.cumsum(mag), 0.85 * total))]
+        r = got[i]
+        # tolerance scales with the frequency AXIS, not the value: a
+        # pure tone's bandwidth is the sqrt of a cancellation-dominated
+        # near-zero sum, where relative error is meaningless
+        assert abs(r["centroid_hz"] - centroid) <= 1e-6 * rate
+        assert abs(r["bandwidth_hz"] - bandwidth) <= 1e-5 * rate
+        assert abs(r["rolloff85_hz"] - rolloff) <= 1e-6 * rate
+        # analytic: even-length period-2 square wave = pure Nyquist tone
+        if n % 2 == 0:
+            assert abs(r["centroid_hz"] - rate / 2) < 1e-6 * rate
+            assert r["bandwidth_hz"] < 1e-6 * rate

@@ -95,6 +95,7 @@ QUERIES = [
     "text_bm25_topk",
     "dedup_minhash_survivors_quality",
     "sample_reservoir_per_group",
+    "mm_wav_spectral",
 ]
 
 # Round-7 extension (r6 verdict item 5): the 12 streaming gates at 10x
