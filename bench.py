@@ -135,6 +135,7 @@ HEADLINE = [
     "dedup_minhash_survivors_quality",
     "sample_reservoir_per_group",
     "mm_wav_spectral",
+    "sketch_hll_corpus_overlap",
 ]
 
 

@@ -121,3 +121,41 @@ def sketch_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
         F.count("*").alias("n_orders"),
     )
+
+
+@register("sketch_hll_corpus_overlap", oracle=None)
+def sketch_hll_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-CORPUS OVERLAP via HLL set algebra (round 7, rows-only —
+    register-level sketches are engine-specific; accuracy and the
+    exact-merge property are pytest-pinned in tests/test_sketches.py):
+    two overlapping document sets (A = first 70%, B = last 70% by
+    doc_id, true overlap 40%) are sketched INDEPENDENTLY — one register
+    row per partition, values never shuffled — and the estimates
+    |A|, |B|, |A∪B|, |A∩B| come from the merge algebra
+    (union = elementwise register max, intersection by
+    inclusion–exclusion).  This is the "how much of the eval set leaked
+    into training?" contamination-rate question at a scale where the
+    exact join is unaffordable; the built-in approx_count_distinct
+    cannot answer it (its sketch is opaque — no union of separately
+    built sketches, no intersection at all)."""
+    from ..operators.hll import (
+        hll_estimate,
+        hll_intersect_estimate,
+        hll_sketch,
+        hll_union_estimate,
+        merge_registers,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    a = docs.filter(F.col("doc_id") < int(n * 0.7))
+    b = docs.filter(F.col("doc_id") >= int(n * 0.3))
+    ra = merge_registers(hll_sketch(a, "doc_id"))
+    rb = merge_registers(hll_sketch(b, "doc_id"))
+    rows = [
+        ("A", float(hll_estimate(ra))),
+        ("B", float(hll_estimate(rb))),
+        ("union", float(hll_union_estimate(ra, rb))),
+        ("intersection", float(hll_intersect_estimate(ra, rb))),
+    ]
+    return spark.createDataFrame(rows, "set_name string, est_cardinality double")

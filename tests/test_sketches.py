@@ -75,3 +75,71 @@ def test_approx_count_distinct_rsd(spark):
     for row in rows:
         e = exact[row["o_orderstatus"]]
         assert abs(row["approx_customers"] - e) / e < 0.06
+
+
+def test_hll_register_merge_is_exact_and_partition_invariant(spark):
+    """The algebra that makes the sketch a first-class value: the
+    sketch of A ∪ B has BIT-IDENTICAL registers to the max-merge of
+    independent sketches of A and B, and repartitioning never changes
+    the merged registers (register max is order/placement-invariant)."""
+    from distributed_graph_db_c_spark.operators.hll import (
+        hll_sketch,
+        merge_registers,
+    )
+
+    a = spark.range(0, 5_000).select(F.col("id").alias("k"))
+    b = spark.range(3_000, 9_000).select(F.col("id").alias("k"))
+    u = a.unionByName(b)
+    ra = merge_registers(hll_sketch(a, "k"))
+    rb = merge_registers(hll_sketch(b, "k"))
+    ru = merge_registers(hll_sketch(u, "k"))
+    import numpy as np
+
+    merged = np.maximum(
+        np.frombuffer(ra, dtype=np.uint8), np.frombuffer(rb, dtype=np.uint8)
+    ).tobytes()
+    assert merged == ru
+    ru5 = merge_registers(hll_sketch(u.repartition(5), "k"))
+    ru32 = merge_registers(hll_sketch(u.repartition(32), "k"))
+    assert ru5 == ru32 == ru
+
+
+def test_hll_estimates_within_error_bounds(spark):
+    """p=12 -> sigma ~ 1.04/sqrt(4096) ~ 1.6%; pin 5 sigma for the
+    direct estimates.  Intersection stacks three estimator errors on a
+    difference, so its bound is on the UNION scale: |err| <= 5 sigma of
+    the union cardinality."""
+    from distributed_graph_db_c_spark.operators.hll import (
+        hll_estimate,
+        hll_intersect_estimate,
+        hll_sketch,
+        hll_union_estimate,
+        merge_registers,
+    )
+
+    n_a, n_b, lo_b = 20_000, 20_000, 12_000  # true overlap 8,000
+    a = spark.range(0, n_a).select(F.col("id").alias("k"))
+    b = spark.range(lo_b, lo_b + n_b).select(F.col("id").alias("k"))
+    ra = merge_registers(hll_sketch(a, "k"))
+    rb = merge_registers(hll_sketch(b, "k"))
+    sigma = 1.04 / (4096 ** 0.5)
+    true_union = lo_b + n_b
+    assert abs(hll_estimate(ra) - n_a) <= 5 * sigma * n_a
+    assert abs(hll_estimate(rb) - n_b) <= 5 * sigma * n_b
+    assert abs(hll_union_estimate(ra, rb) - true_union) <= 5 * sigma * true_union
+    true_inter = n_a - lo_b
+    assert abs(hll_intersect_estimate(ra, rb) - true_inter) <= 5 * sigma * true_union
+
+
+def test_hll_small_range_linear_counting(spark):
+    """Tiny cardinalities route through the linear-counting correction:
+    30 distinct keys must estimate within +/-2 of 30 at p=12."""
+    from distributed_graph_db_c_spark.operators.hll import (
+        hll_estimate,
+        hll_sketch,
+        merge_registers,
+    )
+
+    df = spark.range(0, 30).select(F.col("id").alias("k"))
+    est = hll_estimate(merge_registers(hll_sketch(df, "k")))
+    assert abs(est - 30) <= 2

@@ -96,6 +96,7 @@ QUERIES = [
     "dedup_minhash_survivors_quality",
     "sample_reservoir_per_group",
     "mm_wav_spectral",
+    "sketch_hll_corpus_overlap",
 ]
 
 # Round-7 extension (r6 verdict item 5): the 12 streaming gates at 10x
