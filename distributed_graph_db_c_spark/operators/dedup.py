@@ -385,3 +385,113 @@ def substring_dup_pairs(
             F.expr("(1000 * n_shared_windows) DIV least(na, nb)").alias("frac_milli"),
         )
     )
+
+
+# -- round 7: cross-snapshot incremental dedup -----------------------------
+
+
+def minhash_index_build(
+    docs: DataFrame,
+    table_prefix: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    k: int = 3,
+    n_buckets: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist a MinHash dedup INDEX for a corpus snapshot, so later
+    batches dedup against it at DELTA cost (the nightly production run:
+    "which of tonight's documents already exist in the 100 TB corpus?"
+    — the streaming gate covers within-stream dedup only; this is the
+    cross-snapshot half).
+
+    Two BUCKETED tables (operators/bucketing.write_bucketed):
+
+    - ``<prefix>_bands``: (id, bkey) where bkey = xxhash64(band,
+      bucket) folds the band id into the bucket hash so the candidate
+      join needs ONE key — bucketed on bkey, the index side of every
+      future candidate join is read CO-LOCATED, zero Exchange.
+    - ``<prefix>_shingles``: (id, hs) the shingle-hash sets, bucketed
+      on id — the verification join reads the old side co-located too.
+
+    Build cost is the corpus's one shingling pass + two bucketed
+    writes; each incremental batch then shuffles only ITSELF.  The
+    64-bit band-fold collision argument is the minhash gates' standing
+    one (~pairs^2/2^64 — nil)."""
+    from .bucketing import write_bucketed
+
+    hs = shingle_hash_sets(docs, k, id_col, text_col).persist()
+    sig = minhash_signatures(docs, num_perm, k, id_col, text_col, hs_df=hs)
+    bk = minhash_band_buckets(sig, bands, rows)
+    bkeyed = bk.select(
+        "id", F.xxhash64(F.col("band"), F.col("bucket")).alias("bkey")
+    )
+    write_bucketed(bkeyed, f"{table_prefix}_bands", key="bkey", n_buckets=n_buckets)
+    write_bucketed(hs, f"{table_prefix}_shingles", key="id", n_buckets=n_buckets)
+    hs.unpersist()
+
+
+def incremental_dedup_pairs(
+    new_docs: DataFrame,
+    table_prefix: str,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(old_id, new_id, jaccard) pairs between a NEW batch and the
+    indexed corpus snapshot, at Jaccard >= ``threshold``.
+
+    Exactly equivalent to running :func:`minhash_dedup_pairs` over
+    old ∪ new and keeping the cross pairs (pytest-pinned set equality):
+    a document's signature — hence its band buckets — depends only on
+    its own text, so the candidate collision set decomposes exactly,
+    and verification re-scores with the same array_intersect Jaccard
+    over the same shingle sets.
+
+    Scale shape: the batch shingles/signs itself (delta-sized), the
+    candidate join shuffles ONLY the batch's (id, bkey) rows into the
+    index's bucket layout (the index scan reports its distribution —
+    no Exchange on the corpus side), and verification joins the slim
+    candidate ids against the bucketed shingle store the same way.
+    Re-ingested identical ids are excluded (old_id != new_id)."""
+    spark = new_docs.sparkSession
+    idx_bands = spark.table(f"{table_prefix}_bands")
+    idx_sh = spark.table(f"{table_prefix}_shingles")
+    hs_new = shingle_hash_sets(new_docs, k, id_col, text_col).persist()
+    sig = minhash_signatures(
+        new_docs, num_perm, k, id_col, text_col, hs_df=hs_new
+    )
+    nb = minhash_band_buckets(sig, bands, rows).select(
+        F.col("id").alias("new_id"),
+        F.xxhash64(F.col("band"), F.col("bucket")).alias("bkey"),
+    )
+    cand = (
+        nb.join(idx_bands.select(F.col("id").alias("old_id"), "bkey"), "bkey")
+        .filter(F.col("old_id") != F.col("new_id"))
+        .select("old_id", "new_id")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("hs_old", "hs_new"))
+    union = F.size("hs_old") + F.size("hs_new") - inter
+    return (
+        cand.join(
+            idx_sh.select(F.col("id").alias("old_id"), F.col("hs").alias("hs_old")),
+            "old_id",
+        )
+        .join(
+            hs_new.select(F.col("id").alias("new_id"), F.col("hs").alias("hs_new")),
+            "new_id",
+        )
+        .select(
+            "old_id",
+            "new_id",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -219,10 +219,12 @@ _REGRESSION: list[str] = []
 # source_xml_roundtrip (Spark 4 ships a built-in XML source — the one
 # mainstream text format the sources/ family lacks; DuckDB has no XML
 # reader, so the oracle states the roundtrip against the parquet
-# original, the CSV/JSONL gate pattern), and an incremental-dedup gate
-# joining a NEW batch against a persisted minhash band index (the
-# cross-snapshot dedup production runs nightly; the streaming gate
-# covers within-stream only).
+# original, the CSV/JSONL gate pattern), and an incremental-dedup gate:
+# the OPERATOR already landed this round (operators/dedup.py
+# minhash_index_build / incremental_dedup_pairs — bucketed band + shingle
+# stores, delta-only shuffle, pytest-pinned exact equality with the
+# full-batch pairs and a <=1-Exchange plan contract); round 8 only wires
+# the oracle gate (full-batch SQL restricted to cross pairs).
 
 # Streaming events consumers LAST inside the window: each runs a real
 # micro-batch stream and is the slowest gate class — if the driver's

@@ -614,3 +614,74 @@ def test_grade_groups_cluster_shape(spark):
     for v, lab in canon.items():
         if v < _PLANT_ID_OFFSET and v not in sources:
             assert lab == v, f"base vector {v} unexpectedly clustered to {lab}"
+
+
+def test_incremental_dedup_matches_full_batch_cross_pairs(spark):
+    """Cross-snapshot incremental dedup (round 7): index the 'old'
+    corpus snapshot, dedup a 'new' batch against it, and require EXACT
+    set equality (ids and jaccard values) with the full-batch
+    minhash_dedup_pairs over old ∪ new restricted to cross pairs — a
+    signature depends only on its own text, so the decomposition must
+    be exact, not approximate.  Also pins the scale contract: the
+    candidate join's INDEX side reads co-located (no Exchange above
+    the bucketed scan; the only Exchange hashes the delta's bkey)."""
+    from distributed_graph_db_c_spark.operators.dedup import (
+        incremental_dedup_pairs,
+        minhash_dedup_pairs,
+        minhash_index_build,
+    )
+    from distributed_graph_db_c_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    minhash_index_build(old, "incdedup_t")
+    inc = {
+        (r["old_id"], r["new_id"]): round(r["jaccard"], 9)
+        for r in incremental_dedup_pairs(new, "incdedup_t").collect()
+    }
+    full = minhash_dedup_pairs(docs, threshold=0.8).collect()
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    expected = {}
+    for r in full:
+        a, b = r["doc_a"], r["doc_b"]
+        if (a in new_ids) != (b in new_ids):  # cross pairs only
+            old_id, new_id = (b, a) if a in new_ids else (a, b)
+            expected[(old_id, new_id)] = round(r["jaccard"], 9)
+    assert inc == expected and expected, (
+        f"inc={len(inc)} expected={len(expected)}"
+    )
+    # plan contract: no Exchange on the index side of the candidate join
+    plan = (
+        incremental_dedup_pairs(new, "incdedup_t")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    n_exchanges = len(re.findall(r"Exchange hashpartitioning\(bkey", plan))
+    assert n_exchanges <= 1, f"index side reshuffled: {n_exchanges} bkey exchanges"
+
+
+def test_incremental_dedup_reingested_id_excluded(spark):
+    """Re-ingesting a document under its OWN id must not pair it with
+    itself (old_id != new_id), while a byte-identical copy under a NEW
+    id must surface at jaccard 1.0."""
+    from distributed_graph_db_c_spark.operators.dedup import (
+        incremental_dedup_pairs,
+        minhash_index_build,
+    )
+
+    base = [(i, " ".join(f"w{j+i}" for j in range(30))) for i in range(40)]
+    old = spark.createDataFrame(base, "doc_id long, text string")
+    minhash_index_build(old, "incdedup_t2")
+    new = spark.createDataFrame(
+        [(7, base[7][1]), (999, base[3][1])], "doc_id long, text string"
+    )
+    got = {
+        (r["old_id"], r["new_id"]): r["jaccard"]
+        for r in incremental_dedup_pairs(new, "incdedup_t2").collect()
+    }
+    assert (7, 7) not in got
+    assert got.get((3, 999)) == 1.0
