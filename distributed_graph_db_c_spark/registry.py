@@ -216,10 +216,13 @@ _REGRESSION: list[str] = []
 # text_char_ngram_entropy, text_sentence_stats.
 #
 # Surface candidates banked for round 8 (AWAITING cap was reached):
-# source_xml_roundtrip (Spark 4 ships a built-in XML source — the one
-# mainstream text format the sources/ family lacks; DuckDB has no XML
-# reader, so the oracle states the roundtrip against the parquet
-# original, the CSV/JSONL gate pattern), and an incremental-dedup gate:
+# source_xml_roundtrip — the SOURCE landed this round
+# (sources/text_formats.py read_xml/write_xml/read_xml_permissive over
+# Spark 4's built-in XML source, strict + quarantine modes, roundtrip
+# and dead-letter pytests); round 8 only wires the oracle gate (DuckDB
+# has no XML reader, so the oracle states the roundtrip against the
+# parquet original, the CSV/JSONL gate pattern).  And an
+# incremental-dedup gate:
 # the OPERATOR already landed this round (operators/dedup.py
 # minhash_index_build / incremental_dedup_pairs — bucketed band + shingle
 # stores, delta-only shuffle, pytest-pinned exact equality with the

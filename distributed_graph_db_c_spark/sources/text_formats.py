@@ -70,3 +70,64 @@ def read_jsonl_permissive(
         .option("columnNameOfCorruptRecord", "_corrupt")
         .json(path)
     )
+
+
+# -- round 7: XML (Spark 4 built-in source) --------------------------------
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    row_tag: str = "row",
+) -> DataFrame:
+    """Strict XML scan via Spark 4's built-in XML source: explicit
+    schema (never inferred — the same two-pass/type-flip argument as
+    CSV/JSONL), FAILFAST on malformed rows.  Unlike CSV/JSONL an XML
+    FILE is not line-splittable (a row element may span lines), so at
+    100 TB the input should arrive as MANY files — the source
+    parallelizes across files; one giant XML document serializes into
+    one task and is the anti-pattern to reject at ingest."""
+    return (
+        spark.read.schema(schema)
+        .option("rowTag", row_tag)
+        .option("mode", "FAILFAST")
+        .format("xml")
+        .load(path)
+    )
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+) -> None:
+    """XML sink: one <row_tag> element per row under <root_tag>, one
+    file per partition (each a complete standalone document)."""
+    (
+        df.write.mode("overwrite")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .format("xml")
+        .save(path)
+    )
+
+
+def read_xml_permissive(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    row_tag: str = "row",
+) -> DataFrame:
+    """Quarantine-mode XML scan: malformed row elements land in the
+    ``_corrupt`` column instead of failing the job — the same
+    dead-letter routing contract as read_jsonl_permissive."""
+    return (
+        spark.read.schema(_with_corrupt(schema, spark))
+        .option("rowTag", row_tag)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .format("xml")
+        .load(path)
+    )

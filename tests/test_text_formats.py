@@ -74,3 +74,54 @@ def test_permissive_quarantines_malformed(spark):
         assert len(dirty) == 1 and dirty[0]["_corrupt"] == "THIS IS NOT JSON"
     finally:
         cleanup(scratch)
+
+
+def test_xml_roundtrip_preserves_values_and_types(spark, tmp_path):
+    """XML write -> strict read roundtrip over a typed slice of nation:
+    values and dtypes survive, schema is enforced (never inferred)."""
+    from distributed_graph_db_c_spark.sources.tables import load_table
+    from distributed_graph_db_c_spark.sources.text_formats import (
+        read_xml,
+        write_xml,
+    )
+
+    nation = load_table(spark, "/root/testdata/sf0.01", "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    path = str(tmp_path / "nation_xml")
+    write_xml(nation, path, row_tag="nation")
+    back = read_xml(
+        spark, path, "n_nationkey int, n_name string, n_regionkey int",
+        row_tag="nation",
+    )
+    orig = sorted(tuple(r) for r in nation.collect())
+    got = sorted(tuple(r) for r in back.collect())
+    assert got == orig
+    assert dict(back.dtypes) == dict(nation.dtypes)
+
+
+def test_xml_permissive_quarantines_malformed_rows(spark, tmp_path):
+    """A malformed row element must land in _corrupt (dead-letter
+    contract), never silently drop, while good rows parse."""
+    import os
+
+    from distributed_graph_db_c_spark.sources.text_formats import (
+        read_xml_permissive,
+    )
+
+    d = tmp_path / "dirty"
+    os.makedirs(d)
+    (d / "part.xml").write_text(
+        "<rows>"
+        "<row><id>1</id><name>ok</name></row>"
+        "<row><id>not_a_number</id><name>bad</name></row>"
+        "<row><id>3</id><name>ok2</name></row>"
+        "</rows>"
+    )
+    got = read_xml_permissive(
+        spark, str(d), "id long, name string"
+    ).collect()
+    good = [r for r in got if r["_corrupt"] is None]
+    bad = [r for r in got if r["_corrupt"] is not None]
+    assert {r["id"] for r in good} == {1, 3}
+    assert len(bad) == 1 and bad[0]["id"] is None
