@@ -420,17 +420,35 @@ def minhash_index_build(
     writes; each incremental batch then shuffles only ITSELF.  The
     64-bit band-fold collision argument is the minhash gates' standing
     one (~pairs^2/2^64 — nil)."""
+    from ..sinks import _hadoop_fs, claim_marker
     from .bucketing import write_bucketed
 
-    hs = shingle_hash_sets(docs, k, id_col, text_col).persist()
-    sig = minhash_signatures(docs, num_perm, k, id_col, text_col, hs_df=hs)
-    bk = minhash_band_buckets(sig, bands, rows)
-    bkeyed = bk.select(
-        "id", F.xxhash64(F.col("band"), F.col("bucket")).alias("bkey")
-    )
-    write_bucketed(bkeyed, f"{table_prefix}_bands", key="bkey", n_buckets=n_buckets)
-    write_bucketed(hs, f"{table_prefix}_shingles", key="id", n_buckets=n_buckets)
-    hs.unpersist()
+    # Two racing nightly rebuilds would interleave the DROP+recreate of
+    # the two catalog tables — same atomic claim discipline as
+    # sinks.replace_table (one builder wins, the loser raises
+    # ConcurrentCommitError loudly; a crashed builder's marker names
+    # itself).  The claim spans BOTH tables so readers of a finished
+    # build never see a bands/shingles snapshot mismatch from two
+    # different builders.
+    spark = docs.sparkSession
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    fs, jpath = _hadoop_fs(spark, warehouse)
+    claim = f"{warehouse.rstrip('/')}/_{table_prefix}__index_build__"
+    claim_marker(fs, jpath, claim, f"minhash_index_build({table_prefix})")
+    try:
+        hs = shingle_hash_sets(docs, k, id_col, text_col).persist()
+        sig = minhash_signatures(docs, num_perm, k, id_col, text_col, hs_df=hs)
+        bk = minhash_band_buckets(sig, bands, rows)
+        bkeyed = bk.select(
+            "id", F.xxhash64(F.col("band"), F.col("bucket")).alias("bkey")
+        )
+        write_bucketed(
+            bkeyed, f"{table_prefix}_bands", key="bkey", n_buckets=n_buckets
+        )
+        write_bucketed(hs, f"{table_prefix}_shingles", key="id", n_buckets=n_buckets)
+        hs.unpersist()
+    finally:
+        fs.delete(jpath(claim), False)
 
 
 def incremental_dedup_pairs(

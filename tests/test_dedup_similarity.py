@@ -685,3 +685,29 @@ def test_incremental_dedup_reingested_id_excluded(spark):
     }
     assert (7, 7) not in got
     assert got.get((3, 999)) == 1.0
+
+
+def test_incremental_index_build_claims_against_racing_builders(spark):
+    """The index rebuild carries the sinks claim discipline: a standing
+    claim marker (a crashed builder) makes a second build raise
+    ConcurrentCommitError BEFORE touching either catalog table, and a
+    completed build releases its claim so the next rebuild proceeds."""
+    import os
+
+    from distributed_graph_db_c_spark.operators.dedup import minhash_index_build
+    from distributed_graph_db_c_spark.sinks import ConcurrentCommitError
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j+i}" for j in range(20))) for i in range(30)],
+        "doc_id long, text string",
+    )
+    minhash_index_build(docs, "incdedup_claimed")  # clean build, claim released
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    marker = f"{warehouse.rstrip('/')}/_incdedup_claimed__index_build__"
+    open(marker, "w").close()  # a dead builder's leftover claim
+    before = spark.table("incdedup_claimed_bands").count()
+    with pytest.raises(ConcurrentCommitError, match="index_build"):
+        minhash_index_build(docs, "incdedup_claimed")
+    assert spark.table("incdedup_claimed_bands").count() == before  # untouched
+    os.remove(marker)
+    minhash_index_build(docs, "incdedup_claimed")  # operator cleared it
