@@ -497,7 +497,7 @@ def incremental_dedup_pairs(
     )
     inter = F.size(F.array_intersect("hs_old", "hs_new"))
     union = F.size("hs_old") + F.size("hs_new") - inter
-    return (
+    result = (
         cand.join(
             idx_sh.select(F.col("id").alias("old_id"), F.col("hs").alias("hs_old")),
             "old_id",
@@ -513,3 +513,10 @@ def incremental_dedup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    # Same release discipline as minhash_dedup_pairs: materialize the
+    # (small) surviving-pair set eagerly, then drop the cached batch
+    # shingles — a nightly loop must not accumulate one cached delta per
+    # run for the session lifetime.
+    result = result.localCheckpoint(eager=True)
+    hs_new.unpersist(blocking=False)
+    return result
