@@ -461,6 +461,7 @@ def incremental_dedup_pairs(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """(old_id, new_id, jaccard) pairs between a NEW batch and the
     indexed corpus snapshot, at Jaccard >= ``threshold``.
@@ -516,7 +517,9 @@ def incremental_dedup_pairs(
     # Same release discipline as minhash_dedup_pairs: materialize the
     # (small) surviving-pair set eagerly, then drop the cached batch
     # shingles — a nightly loop must not accumulate one cached delta per
-    # run for the session lifetime.
-    result = result.localCheckpoint(eager=True)
-    hs_new.unpersist(blocking=False)
+    # run for the session lifetime.  ``materialize=False`` returns the
+    # lazy plan instead (the cache stays held) — for plan inspection.
+    if materialize:
+        result = result.localCheckpoint(eager=True)
+        hs_new.unpersist(blocking=False)
     return result

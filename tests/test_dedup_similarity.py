@@ -652,8 +652,10 @@ def test_incremental_dedup_matches_full_batch_cross_pairs(spark):
         f"inc={len(inc)} expected={len(expected)}"
     )
     # plan contract: no Exchange on the index side of the candidate join
+    # (materialize=False: a checkpointed frame's plan is just a scan and
+    # would make this pin vacuous)
     plan = (
-        incremental_dedup_pairs(new, "incdedup_t")
+        incremental_dedup_pairs(new, "incdedup_t", materialize=False)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
