@@ -68,3 +68,42 @@ def bucketed_join(
     plan is Catalyst's doing once the bucketed scans report their
     distribution; this wrapper only documents the contract."""
     return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
+
+
+def attach_bucketed(
+    spark: SparkSession,
+    table: str,
+    schema_ddl: str,
+    key: str | list[str],
+    n_buckets: int = 32,
+    location: str | None = None,
+    sorted_buckets: bool = True,
+) -> None:
+    """RE-ATTACH bucketing metadata to an existing bucketed-parquet
+    directory (round 7).  Spark's default in-memory catalog forgets
+    every table at session end, but the FILES a bucketed write produced
+    persist — including the bucket id encoded in each file name — so a
+    restarted driver (the nightly incremental-dedup job) can recover
+    the zero-shuffle join property by recreating the catalog entry over
+    the same directory with the same CLUSTERED BY spec.  With a real
+    metastore (production) this is a no-op; locally it is the
+    difference between an index that survives restarts and one that
+    silently does not.
+
+    ``location`` defaults to the managed-warehouse path the original
+    ``write_bucketed``/saveAsTable used.  The spec (key, n_buckets,
+    sort) MUST match the writing spec — a mismatch mislabels bucket
+    membership and corrupts join results, so callers should treat these
+    as part of the index's on-disk contract (e.g. constants next to the
+    index builder)."""
+    keys = [key] if isinstance(key, str) else key
+    if location is None:
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+        location = f"{warehouse.path}/{table.split('.')[-1]}"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    sort_clause = f"SORTED BY ({', '.join(keys)} ASC) " if sorted_buckets else ""
+    spark.sql(
+        f"CREATE TABLE {table} ({schema_ddl}) USING parquet "
+        f"CLUSTERED BY ({', '.join(keys)}) {sort_clause}"
+        f"INTO {n_buckets} BUCKETS LOCATION '{location}'"
+    )

@@ -523,3 +523,26 @@ def incremental_dedup_pairs(
         result = result.localCheckpoint(eager=True)
         hs_new.unpersist(blocking=False)
     return result
+
+
+# On-disk contract of the minhash index (see attach_bucketed: the
+# re-attach spec must match the writing spec exactly).
+INDEX_N_BUCKETS = 16
+INDEX_BANDS_DDL = "id bigint, bkey bigint"
+INDEX_SHINGLES_DDL = "id bigint, hs array<bigint>"
+
+
+def minhash_index_attach(spark, table_prefix: str, n_buckets: int = INDEX_N_BUCKETS) -> None:
+    """Recover a persisted minhash index's catalog entries in a FRESH
+    session (the restarted nightly driver): re-attach both bucketed
+    tables over their existing warehouse directories so
+    :func:`incremental_dedup_pairs` keeps its zero-index-shuffle plan.
+    No data is read or written — catalog metadata only."""
+    from .bucketing import attach_bucketed
+
+    attach_bucketed(
+        spark, f"{table_prefix}_bands", INDEX_BANDS_DDL, "bkey", n_buckets
+    )
+    attach_bucketed(
+        spark, f"{table_prefix}_shingles", INDEX_SHINGLES_DDL, "id", n_buckets
+    )

@@ -713,3 +713,51 @@ def test_incremental_index_build_claims_against_racing_builders(spark):
     assert spark.table("incdedup_claimed_bands").count() == before  # untouched
     os.remove(marker)
     minhash_index_build(docs, "incdedup_claimed")  # operator cleared it
+
+
+def test_index_attach_recovers_catalog_and_bucketed_plan(spark):
+    """The restarted-nightly-driver path: DROPPING the catalog entries
+    (metadata loss — the in-memory catalog's behavior at session end)
+    and re-attaching over the surviving files must (a) restore the
+    exact incremental result and (b) keep the bucketed scan — the
+    zero-index-shuffle plan — not silently degrade to a plain scan."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from distributed_graph_db_c_spark.operators.dedup import (
+        incremental_dedup_pairs,
+        minhash_index_attach,
+        minhash_index_build,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j + i}" for j in range(25))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    old = docs.filter(F.col("doc_id") < 40)
+    new = docs.filter(F.col("doc_id") >= 40)
+    minhash_index_build(old, "attach_idx")
+    before = {
+        (r["old_id"], r["new_id"]): round(r["jaccard"], 9)
+        for r in incremental_dedup_pairs(new, "attach_idx").collect()
+    }
+    # simulate session loss: copy files aside, drop managed tables
+    # (which purges them), restore files, re-attach metadata
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for t in ("attach_idx_bands", "attach_idx_shingles"):
+        shutil.copytree(f"{warehouse}/{t}", f"{warehouse}/_keep_{t}")
+        spark.sql(f"DROP TABLE {t}")
+        shutil.move(f"{warehouse}/_keep_{t}", f"{warehouse}/{t}")
+    minhash_index_attach(spark, "attach_idx")
+    after = {
+        (r["old_id"], r["new_id"]): round(r["jaccard"], 9)
+        for r in incremental_dedup_pairs(new, "attach_idx").collect()
+    }
+    assert after == before and before  # exact recovery, non-empty
+    plan = (
+        incremental_dedup_pairs(new, "attach_idx", materialize=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SelectedBucketsCount" in plan, plan[:1500]
