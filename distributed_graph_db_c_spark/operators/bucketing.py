@@ -100,6 +100,25 @@ def attach_bucketed(
     if location is None:
         warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
         location = f"{warehouse.path}/{table.split('.')[-1]}"
+    # DROP of a MANAGED table PURGES its data directory — if this
+    # session already holds the table from a write_bucketed/saveAsTable
+    # (the build-then-attach-in-one-session flow), an unconditional
+    # drop would destroy the files and silently re-attach over an empty
+    # location (every later read returns zero rows).  A managed entry
+    # already carries the bucketing metadata the attach exists to
+    # recover, so attaching over it is at best redundant and at worst
+    # destructive: refuse loudly.  An EXTERNAL entry (a prior attach)
+    # drops safely — DROP on external removes metadata only.
+    if spark.catalog.tableExists(table):
+        ttype = spark.catalog.getTable(table).tableType
+        if ttype != "EXTERNAL":
+            raise ValueError(
+                f"attach_bucketed({table}): table exists as {ttype} in "
+                "this session's catalog — dropping it would purge the "
+                "data directory. The managed entry already has bucketing "
+                "metadata; attach is only for FRESH sessions recovering "
+                "a persisted directory."
+            )
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     sort_clause = f"SORTED BY ({', '.join(keys)} ASC) " if sorted_buckets else ""
     spark.sql(

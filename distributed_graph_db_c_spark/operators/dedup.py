@@ -427,28 +427,34 @@ def minhash_index_build(
     # the two catalog tables — same atomic claim discipline as
     # sinks.replace_table (one builder wins, the loser raises
     # ConcurrentCommitError loudly; a crashed builder's marker names
-    # itself).  The claim spans BOTH tables so readers of a finished
-    # build never see a bands/shingles snapshot mismatch from two
-    # different builders.
+    # itself).  The claim spans BOTH tables, and is released ONLY on
+    # success: a build that dies between the two write_bucketed calls
+    # (bands rewritten, shingles stale) leaves the marker behind, so
+    # the next builder AND every reader (incremental_dedup_pairs checks
+    # the marker) fail loudly instead of joining a mismatched
+    # bands/shingles snapshot.  Repair = rerun the build (the rewrite
+    # is idempotent) after removing the dead marker.
     spark = docs.sparkSession
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
     fs, jpath = _hadoop_fs(spark, warehouse)
-    claim = f"{warehouse.rstrip('/')}/_{table_prefix}__index_build__"
+    claim = _index_claim(warehouse, table_prefix)
     claim_marker(fs, jpath, claim, f"minhash_index_build({table_prefix})")
-    try:
-        hs = shingle_hash_sets(docs, k, id_col, text_col).persist()
-        sig = minhash_signatures(docs, num_perm, k, id_col, text_col, hs_df=hs)
-        bk = minhash_band_buckets(sig, bands, rows)
-        bkeyed = bk.select(
-            "id", F.xxhash64(F.col("band"), F.col("bucket")).alias("bkey")
-        )
-        write_bucketed(
-            bkeyed, f"{table_prefix}_bands", key="bkey", n_buckets=n_buckets
-        )
-        write_bucketed(hs, f"{table_prefix}_shingles", key="id", n_buckets=n_buckets)
-        hs.unpersist()
-    finally:
-        fs.delete(jpath(claim), False)
+    hs = shingle_hash_sets(docs, k, id_col, text_col).persist()
+    sig = minhash_signatures(docs, num_perm, k, id_col, text_col, hs_df=hs)
+    bk = minhash_band_buckets(sig, bands, rows)
+    bkeyed = bk.select(
+        "id", F.xxhash64(F.col("band"), F.col("bucket")).alias("bkey")
+    )
+    write_bucketed(
+        bkeyed, f"{table_prefix}_bands", key="bkey", n_buckets=n_buckets
+    )
+    write_bucketed(hs, f"{table_prefix}_shingles", key="id", n_buckets=n_buckets)
+    hs.unpersist()
+    fs.delete(jpath(claim), False)
+
+
+def _index_claim(warehouse: str, table_prefix: str) -> str:
+    return f"{warehouse.rstrip('/')}/_{table_prefix}__index_build__"
 
 
 def incremental_dedup_pairs(
@@ -479,7 +485,22 @@ def incremental_dedup_pairs(
     no Exchange on the corpus side), and verification joins the slim
     candidate ids against the bucketed shingle store the same way.
     Re-ingested identical ids are excluded (old_id != new_id)."""
+    from ..sinks import ConcurrentCommitError, _hadoop_fs
+
     spark = new_docs.sparkSession
+    # A build claim still standing means the index is mid-rebuild or a
+    # builder died between the two table rewrites — either way the
+    # bands/shingles snapshot may be mismatched; refuse to read it.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    fs, jpath = _hadoop_fs(spark, warehouse)
+    claim = _index_claim(warehouse, table_prefix)
+    if fs.exists(jpath(claim)):
+        raise ConcurrentCommitError(
+            f"incremental_dedup_pairs({table_prefix}): index build claim "
+            f"{claim} is held — the bands/shingles snapshot may be "
+            "mismatched. Wait for the build, or rerun it if its builder "
+            "is known dead."
+        )
     idx_bands = spark.table(f"{table_prefix}_bands")
     idx_sh = spark.table(f"{table_prefix}_shingles")
     hs_new = shingle_hash_sets(new_docs, k, id_col, text_col).persist()

@@ -57,6 +57,21 @@ def _hash64(values: pd.Series) -> np.ndarray:
     )
 
 
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Leading-zero count of nonzero uint64 values, pure integer ops
+    (binary search on shifts).  float64 log2 is off-by-one near powers
+    of two above 2^53 and rounds values within 2^11 of 2^64 up to
+    exactly 2^64 (rank 0 — a silently dropped register update); the
+    module advertises bit-exact determinism, so no floats here."""
+    x = x.copy()
+    n = np.zeros(len(x), dtype=np.uint8)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = x < (np.uint64(1) << np.uint64(64 - s))  # top s bits all zero
+        n[m] += s
+        x[m] = x[m] << np.uint64(s)
+    return n
+
+
 def _registers_for(values: pd.Series, p: int) -> np.ndarray:
     m = 1 << p
     regs = np.zeros(m, dtype=np.uint8)
@@ -70,8 +85,7 @@ def _registers_for(values: pd.Series, p: int) -> np.ndarray:
     nbits = 64 - p
     rank = np.full(len(h), nbits + 1, dtype=np.uint8)
     nz = rest != 0
-    # leading zeros of a 64-bit int x: 63 - floor(log2(x))
-    rank[nz] = (64 - np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64) - 1 + 1).astype(np.uint8)
+    rank[nz] = _clz64(rest[nz]) + 1
     np.maximum.at(regs, idx, rank)
     return regs
 

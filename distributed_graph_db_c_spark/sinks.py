@@ -14,6 +14,7 @@ one unsplittable giant.
 from __future__ import annotations
 
 import logging
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -35,20 +36,35 @@ def claim_marker(fs, jpath_cls, claim: str, what: str) -> None:
     Existence is checked BEFORE the create attempt so a later create
     failure can be classified: a marker that already existed is another
     committer's claim; one that appears only after our create raised is
-    OUR OWN partially-created marker (create succeeded, close/flush
-    raised) and must not masquerade as a lost race — nor survive to
-    wedge the path forever.  The create remains the atomic arbiter; the
-    pre-check only classifies.  Only a genuine lost race may wear the
-    ConcurrentCommitError label — a transient IO fault (namenode
-    failover, permissions, quota) must surface as itself, or an
-    operator hunts for a phantom marker.  A committer that crashes
-    while holding a claim leaves its marker behind and the next writer
-    fails LOUDLY, naming the marker — lost work is never silent (the
-    same discipline as ``versioned.commit_version``, extended to the
-    non-versioned path per the r6 verdict)."""
+    either OUR OWN partially-created marker (create succeeded,
+    write/close raised) or — in the narrow window between the pre-check
+    and a create that failed WITHOUT touching the path — another
+    writer's brand-new live claim.  The two are distinguished by an
+    OWNERSHIP TOKEN: the marker body carries a per-attempt unique
+    string (writeUTF), and the failure path deletes the marker only
+    after reading back its own token — deleting an unverified marker
+    here would release the *other* writer's live claim and let a third
+    writer in while the second is mid-commit, breaking exactly the
+    mutual exclusion the marker exists for.  When ownership cannot be
+    confirmed (token mismatch, or our own marker is truncated and
+    unreadable) the marker is left in place and the surfaced error
+    names its path — a possibly-wedged path an operator can inspect
+    beats a silently broken lock.  The create remains the atomic
+    arbiter; only a genuine lost race wears the ConcurrentCommitError
+    label — a transient IO fault (namenode failover, permissions,
+    quota) surfaces as itself.  A committer that crashes while holding
+    a claim leaves its marker behind and the next writer fails LOUDLY,
+    naming the marker — lost work is never silent (the same discipline
+    as ``versioned.commit_version``, extended to the non-versioned
+    path per the r6 verdict)."""
+    token = f"{what}#{uuid.uuid4().hex}"
     pre_existed = fs.exists(jpath_cls(claim))
     try:
-        fs.create(jpath_cls(claim), False).close()
+        out = fs.create(jpath_cls(claim), False)
+        try:
+            out.writeUTF(token)
+        finally:
+            out.close()
     except Exception as exc:
         if pre_existed or "FileAlreadyExists" in type(
             exc
@@ -58,15 +74,34 @@ def claim_marker(fs, jpath_cls, claim: str, what: str) -> None:
                 f"{claim}) — retry after it completes, or remove the "
                 "marker if its writer is known dead"
             ) from exc
-        # Non-race failure: release any marker our own failed attempt
-        # left behind, then surface the real fault.
+        # Non-race failure: release the marker ONLY if it is verifiably
+        # ours (token match); otherwise leave it and name it.
+        owned = False
         try:
-            fs.delete(jpath_cls(claim), False)
+            if fs.exists(jpath_cls(claim)):
+                inp = fs.open(jpath_cls(claim))
+                try:
+                    owned = inp.readUTF() == token
+                finally:
+                    inp.close()
         except Exception:
             log.warning(
-                "%s: could not release own marker %s after failed claim",
+                "%s: could not verify ownership of marker %s after "
+                "failed claim; leaving it in place",
                 what, claim, exc_info=True,
             )
+        if owned:
+            try:
+                fs.delete(jpath_cls(claim), False)
+            except Exception:
+                log.warning(
+                    "%s: could not release own marker %s after failed "
+                    "claim", what, claim, exc_info=True,
+                )
+        exc.add_note(
+            f"{what}: claim attempt failed (not a lost race); marker "
+            f"{claim} was {'released' if owned else 'left for inspection'}"
+        )
         raise
 
 

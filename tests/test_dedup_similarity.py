@@ -761,3 +761,75 @@ def test_index_attach_recovers_catalog_and_bucketed_plan(spark):
         .toString()
     )
     assert "SelectedBucketsCount" in plan, plan[:1500]
+
+
+def test_attach_refuses_managed_table_instead_of_purging(spark):
+    """ADVICE r7: attach_bucketed over a table that is still MANAGED in
+    this session's catalog (same-session build) must raise instead of
+    DROP-purging the data directory and re-attaching over an empty
+    location (which silently returned zero pairs)."""
+    from distributed_graph_db_c_spark.operators.dedup import (
+        incremental_dedup_pairs,
+        minhash_index_attach,
+        minhash_index_build,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j + i}" for j in range(25))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    minhash_index_build(docs.filter(F.col("doc_id") < 30), "attach_guard")
+    with pytest.raises(ValueError, match="MANAGED"):
+        minhash_index_attach(spark, "attach_guard")
+    # the data survived the refused attach
+    new = docs.filter(F.col("doc_id") >= 30)
+    assert incremental_dedup_pairs(new, "attach_guard").count() > 0
+
+
+def test_failed_index_build_leaves_claim_and_blocks_readers(spark, monkeypatch):
+    """ADVICE r7: a build that dies between the two bucketed writes
+    (bands rewritten, shingles stale) must LEAVE its claim marker so
+    both the next builder and incremental_dedup_pairs readers fail
+    loudly on the possibly-mismatched snapshot; a rebuild after
+    operator repair clears it."""
+    import os
+
+    from distributed_graph_db_c_spark.operators import bucketing
+    from distributed_graph_db_c_spark.operators.dedup import (
+        incremental_dedup_pairs,
+        minhash_index_build,
+    )
+    from distributed_graph_db_c_spark.sinks import ConcurrentCommitError
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j + i}" for j in range(20))) for i in range(30)],
+        "doc_id long, text string",
+    )
+    old = docs.filter(F.col("doc_id") < 20)
+    new = docs.filter(F.col("doc_id") >= 20)
+    minhash_index_build(old, "failed_build")  # healthy baseline
+
+    real = bucketing.write_bucketed
+    calls = {"n": 0}
+
+    def dies_on_second(df, table, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("executor lost mid-rewrite")
+        return real(df, table, **kw)
+
+    monkeypatch.setattr(bucketing, "write_bucketed", dies_on_second)
+    with pytest.raises(OSError, match="executor lost"):
+        minhash_index_build(old, "failed_build")
+    monkeypatch.setattr(bucketing, "write_bucketed", real)
+
+    # marker still standing: builder AND reader both refuse
+    with pytest.raises(ConcurrentCommitError):
+        minhash_index_build(old, "failed_build")
+    with pytest.raises(ConcurrentCommitError, match="mismatched"):
+        incremental_dedup_pairs(new, "failed_build")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    marker = f"{warehouse.rstrip('/')}/_failed_build__index_build__"
+    os.remove(marker)  # operator repair
+    minhash_index_build(old, "failed_build")
+    assert incremental_dedup_pairs(new, "failed_build").count() >= 0

@@ -150,35 +150,73 @@ class _FakePath:
 
 class _FakeFS:
     """Pure-python FileSystem stub for exercising _claim_marker's
-    classification branches without a JVM failure injector."""
+    classification branches without a JVM failure injector.  Models the
+    ownership-token protocol: files carry content, create returns a
+    writeUTF-able stream, open a readUTF-able one.
 
-    def __init__(self, existing=(), create_error=None, fail_on_close=False):
-        self.files = set(existing)
+    ``create_error_leaves_foreign``: the create raises WITHOUT touching
+    the path, and a racing writer's marker lands in the same instant —
+    the window the token check exists for."""
+
+    def __init__(
+        self,
+        existing=(),
+        create_error=None,
+        fail_on_close=False,
+        create_error_leaves_foreign=False,
+    ):
+        self.contents = {p: "pre-existing" for p in existing}
         self.create_error = create_error
         self.fail_on_close = fail_on_close
+        self.create_error_leaves_foreign = create_error_leaves_foreign
         self.deleted = []
 
+    @property
+    def files(self):
+        return set(self.contents)
+
     def exists(self, jp):
-        return jp.p in self.files
+        return jp.p in self.contents
 
     def create(self, jp, overwrite):
-        if jp.p in self.files:
+        if jp.p in self.contents:
             raise OSError("FileAlreadyExistsException: " + jp.p)
         if self.create_error is not None:
+            if self.create_error_leaves_foreign:
+                self.contents[jp.p] = "another-writers-token"
             raise self.create_error
-        self.files.add(jp.p)
+        self.contents[jp.p] = ""
         fs = self
 
         class _Out:
+            def writeUTF(self, s):
+                fs.contents[jp.p] = s
+
             def close(self):
                 if fs.fail_on_close:
                     raise OSError("flush failed")
 
         return _Out()
 
+    def open(self, jp):
+        if jp.p not in self.contents:
+            raise OSError("FileNotFoundException: " + jp.p)
+        fs = self
+
+        class _In:
+            def readUTF(self):
+                if fs.contents[jp.p] == "":
+                    raise OSError("EOFException: truncated marker")
+                return fs.contents[jp.p]
+
+            def close(self):
+                pass
+
+        return _In()
+
     def delete(self, jp, recursive=False):
         self.deleted.append(jp.p)
-        self.files.discard(jp.p)
+        self.contents.pop(jp.p, None)
         return True
 
 
@@ -217,3 +255,23 @@ def test_claim_marker_transient_create_fault_surfaces_itself():
     fs = _FakeFS(create_error=OSError("quota exceeded"))
     with pytest.raises(OSError, match="quota exceeded"):
         _claim_marker(fs, _FakePath, "/t/__claim_v00000003__", 3)
+
+
+def test_claim_marker_never_deletes_foreign_marker_in_race_window(caplog):
+    """ADVICE r7: our create fails transiently WITHOUT touching the
+    path, and another writer's marker lands in the same window.  The
+    cleanup must verify ownership via the token before deleting —
+    deleting the foreign marker would release the other writer's live
+    claim and break mutual exclusion."""
+    from distributed_graph_db_c_spark.versioned import _claim_marker
+
+    fs = _FakeFS(
+        create_error=OSError("transient namenode fault"),
+        create_error_leaves_foreign=True,
+    )
+    with pytest.raises(OSError, match="transient namenode fault"):
+        _claim_marker(fs, _FakePath, "/t/__claim_v00000004__", 4)
+    # the foreign marker survives: token mismatch forbids the delete
+    assert fs.deleted == []
+    assert "/t/__claim_v00000004__" in fs.files
+    assert fs.contents["/t/__claim_v00000004__"] == "another-writers-token"

@@ -584,10 +584,8 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         ("partial agg", r"partial_", True),
         ("no raw-row window", r"RunningWindowFunction", False),
         ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
-        ("column pruning", r"ReadSchema: [^
-]*doc_id", True),
-        ("no text payload scan", r"ReadSchema: [^
-]*text", False),
+        ("column pruning", r"ReadSchema: [^\n]*doc_id", True),
+        ("no text payload scan", r"ReadSchema: [^\n]*text", False),
     ],
     "dedup_minhash_survivors_quality": [
         # survivor election is a partial-agg max_by over the cluster
