@@ -136,6 +136,9 @@ HEADLINE = [
     "sample_reservoir_per_group",
     "mm_wav_spectral",
     "sketch_hll_corpus_overlap",
+    # round 8: the banked round-7 candidates, wired as oracle gates
+    "source_xml_roundtrip",
+    "dedup_incremental_pairs",
 ]
 
 

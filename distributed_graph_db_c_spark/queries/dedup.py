@@ -96,6 +96,65 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs(docs, threshold=0.8)
 
 
+_INCREMENTAL_SQL = rf"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(t) >= 3
+                   THEN list_distinct(list_transform(generate_series(0, len(t)-3),
+                                                     i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                   ELSE [] END AS s
+       FROM toks),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+j AS (SELECT doc_a, doc_b,
+             CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8)
+SELECT CASE WHEN doc_a % 4 = 0 THEN doc_b ELSE doc_a END AS old_id,
+       CASE WHEN doc_a % 4 = 0 THEN doc_a ELSE doc_b END AS new_id,
+       jaccard
+FROM j
+WHERE (doc_a % 4 = 0) <> (doc_b % 4 = 0)
+"""
+
+
+@register("dedup_incremental_pairs", oracle=_INCREMENTAL_SQL)
+def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup (round 8 — the banked round-7
+    candidate): the corpus's doc_id%4!=0 rows play the indexed 100 TB
+    snapshot (minhash_index_build: bucketed band + shingle stores), the
+    %4==0 rows play tonight's delta batch; incremental_dedup_pairs then
+    finds every cross pair at Jaccard >= 0.8 shuffling only the delta.
+    The oracle is the full-batch exact-Jaccard SQL restricted to cross
+    pairs — the pytest pin (test_incremental_dedup_matches_full_batch
+    _cross_pairs) states the decomposition exactness this relies on,
+    and the minhash gates' corpus-contingent total-recall argument
+    carries over unchanged (same signatures, same banding).  The index
+    build rides THIS round's claim-semantics rework (release on success
+    only; readers check the marker), giving the rework driver evidence.
+    Unique table prefix + finally-drop keeps the gate re-runnable."""
+    import uuid as _uuid
+
+    from ..operators.dedup import incremental_dedup_pairs, minhash_index_build
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    prefix = f"incgate_{_uuid.uuid4().hex[:8]}"
+    try:
+        minhash_index_build(old, prefix)
+        result = incremental_dedup_pairs(new, prefix, threshold=0.8)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_bands")
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_shingles")
+    return result
+
+
 @register("dedup_simhash", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash sketch per document (rows-only check; Hamming-pair

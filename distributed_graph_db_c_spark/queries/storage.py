@@ -193,6 +193,56 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+_XML_SQL = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+       COUNT(DISTINCT md5(text)) AS n_distinct_fp
+FROM documents GROUP BY lang
+"""
+
+
+@register("source_xml_roundtrip", oracle=_XML_SQL)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict XML codec round trip (round 8 — the banked round-7
+    candidate): documents exported as <doc> row elements via Spark 4's
+    built-in XML source, re-read with the enforced schema + FAILFAST
+    (sources/text_formats.py), aggregated.  DuckDB has no XML reader,
+    so the oracle states the roundtrip invariant against the parquet
+    original — the CSV/JSONL gate pattern; the distinct-fingerprint
+    count proves the text bodies survived entity-escaping round trips
+    byte-for-byte.  Scale note (read_xml docstring): XML files are not
+    line-splittable, so parallelism comes from file count — the export
+    keeps Spark's one-file-per-partition layout."""
+    from ..sources.text_formats import read_xml, write_xml
+    from ..streaming.sources import cleanup, scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    scratch = scratch_dir("xmlgate")
+    try:
+        write_xml(docs, f"{scratch}/docs", row_tag="doc")
+        back = read_xml(
+            spark,
+            f"{scratch}/docs",
+            "doc_id long, lang string, source string, text string",
+            row_tag="doc",
+        )
+        result = (
+            back.groupBy("lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("doc_id").alias("id_checksum"),
+                F.countDistinct(F.md5("text")).alias("n_distinct_fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        cleanup(scratch)
+    return result
+
+
 _N_CORRUPT = 7
 
 _QUARANTINE_SQL = f"""

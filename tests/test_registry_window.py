@@ -105,27 +105,29 @@ def test_window_order_fills_window_exactly():
 
 
 def test_changed_code_leads_window():
-    # round-7 policy: the window leads with the queries whose operator
-    # code changed this round — evidence follows the diff (IVF fetch
-    # rework, commit-path claim markers, MG error channel, kcore
-    # max_iter, array-HOF null hardening, AWAITING drain).
+    # round-8 policy: the window leads with the queries whose operator
+    # code changed this round — evidence follows the diff (the
+    # claim-marker ownership-token rework rides every replace_table /
+    # replace_partitions / commit_version commit).
     w = window()
-    assert w[:7] == [
-        "sim_ann_ivf_persisted",
-        "storage_time_travel",
-        "sketch_freq_items_brand",
-        "rel_array_hof",
+    assert w[:3] == [
         "storage_upsert_partitioned",
         "storage_compact_roundtrip",
-        "graph_kcore_copurchase",
+        "storage_time_travel",
     ]
-    assert w[-1] == "stream_freq_items_incremental"
+    assert w[-1] == "stream_dedup_exact"
     streaming_tail = [n for n in w if n.startswith("stream_")]
-    # r7: 11 of 12 streaming gates are r06-green (fresh through round
-    # 9); only the stalest one plus the MG-rework re-pin hold slots
+    # r8: 11 of the 13 streaming gates are r06-latest and age out at
+    # r09 — this round carries six (the four bench-headline r09-due
+    # plus the reference-parity dispatch loop and the exact-dedup
+    # representative), halving the r09 streaming debt
     assert streaming_tail == [
-        "stream_tumbling_hour",
-        "stream_freq_items_incremental",
+        "stream_checkpoint_recovery",
+        "stream_foreachbatch_upsert",
+        "stream_stream_interval_join",
+        "stream_watermark_late_drop",
+        "stream_requests_dispatch",
+        "stream_dedup_exact",
     ], streaming_tail
 
 
@@ -137,11 +139,12 @@ def test_window_fully_oracle_backed():
 
 
 def test_awaiting_first_slot_drained():
-    """The r6 verdict's drain contract: the three gates that registered
-    after the round-6 window filled hold round-7 slots."""
-    for name in ("graph_kcore_copurchase", "dedup_embedding_groups",
-                 "mm_ahash_groups_from_hashes"):
-        assert name in window(), f"{name} did not drain into the r7 window"
+    """The drain contract (r6 verdict, standing): gates that registered
+    after a round's window filled hold slots in the NEXT round's window.
+    Round 8 drains the three round-7 mid-round registrations."""
+    for name in ("text_bm25_topk", "dedup_minhash_survivors_quality",
+                 "sample_reservoir_per_group"):
+        assert name in window(), f"{name} did not drain into the r8 window"
     assert len(AWAITING_FIRST_SLOT) <= 3, "awaiting list growing: widen rotation"
     assert not set(AWAITING_FIRST_SLOT) & set(window()), (
         "AWAITING_FIRST_SLOT may never hide a query that has a slot"
@@ -180,43 +183,44 @@ def test_cumulative_driver_evidence_covers_all_oracle_backed():
     assert not missing, f"oracle-backed queries with no driver evidence: {missing}"
 
 
-def test_round7_new_gates_inside_window():
-    from distributed_graph_db_c_spark.registry import _ROUND7_NEW
+def test_round8_new_gates_inside_window():
+    from distributed_graph_db_c_spark.registry import _ROUND8_NEW
 
-    out = set(_ROUND7_NEW) - set(window())
-    assert not out, f"round-7 gates without a driver slot: {out}"
+    out = set(_ROUND8_NEW) - set(window())
+    assert not out, f"round-8 gates without a driver slot: {out}"
 
 
-def test_stale_rotation_matches_r6_failure_list():
-    """The r6 verdict directed building this window from the failing
-    tests' own output — pin that the 28-entry stale list is exactly the
-    set lacking evidence in rounds 5 and 6 (recomputed, not trusted)."""
-    from distributed_graph_db_c_spark.registry import _STALE_ROTATION
-
-    import bench
-
-    r5r6 = [p for p in _records() if p.endswith(("r05.json", "r06.json"))]
-    assert len(r5r6) == 2
-    oracle_backed = {n for n in bench.HEADLINE if REGISTRY[n].oracle is not None}
-    # restrict to queries that existed before round 7 (new gates have
-    # their own pool) and were stale at r6 judge time
+def test_due_rotation_matches_lookahead():
+    """The pinned _DUE_ROTATION list must be exactly the recomputed
+    look-ahead set: bench-headline oracle-backed queries lacking driver
+    evidence in the two latest PRE-ROUND records (r06, r07) — the
+    entries whose evidence exceeds the three-round horizon the moment
+    the r08 record lands.  Recomputed from the JSON records, not
+    trusted; new-gate pools and the AWAITING drain are excluded (they
+    hold their own slots)."""
     from distributed_graph_db_c_spark.registry import (
         _AWAITING_DRAIN,
-        _ROUND7_NEW,
+        _DUE_ROTATION,
+        _ROUND8_NEW,
         _WINDOW_HEAD,
     )
 
+    import bench
+
+    pre = [p for p in _records() if p.endswith(("r06.json", "r07.json"))]
+    assert len(pre) == 2
+    oracle_backed = {n for n in bench.HEADLINE if REGISTRY[n].oracle is not None}
     expected = (
         oracle_backed
-        - _green(r5r6)
-        - set(_ROUND7_NEW)
+        - _green(pre)
+        - set(_ROUND8_NEW)
         - set(_AWAITING_DRAIN)
         - set(_WINDOW_HEAD)
-        - set(AWAITING_FIRST_SLOT)  # mid-round additions queue for r8
+        - set(AWAITING_FIRST_SLOT)  # mid-round additions queue for r9
     )
-    assert set(_STALE_ROTATION) == expected, (
-        f"missing={sorted(expected - set(_STALE_ROTATION))} "
-        f"extra={sorted(set(_STALE_ROTATION) - expected)}"
+    assert set(_DUE_ROTATION) == expected, (
+        f"missing={sorted(expected - set(_DUE_ROTATION))} "
+        f"extra={sorted(set(_DUE_ROTATION) - expected)}"
     )
 
 
