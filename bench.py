@@ -139,6 +139,11 @@ HEADLINE = [
     # round 8: the banked round-7 candidates, wired as oracle gates
     "source_xml_roundtrip",
     "dedup_incremental_pairs",
+    # round 8 second wave: cohort analytics, one-pass moment matrix,
+    # corpus n-gram stats
+    "rel_events_cohort_retention",
+    "rel_corr_matrix",
+    "text_ngram_topk",
 ]
 
 

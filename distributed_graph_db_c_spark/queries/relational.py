@@ -2293,3 +2293,161 @@ def rel_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         "new_users",
         F.sum("new_users").over(w).alias("cum_users"),
     )
+
+
+# -- round 8: cohort retention -----------------------------------------------
+
+_COHORT_SQL = """
+WITH fs AS (SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+            FROM events GROUP BY user_id),
+aw AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week
+       FROM events),
+j AS (SELECT cohort_week, active_week, COUNT(*) AS n_active
+      FROM fs JOIN aw USING (user_id) GROUP BY 1, 2)
+SELECT CAST(cohort_week AS VARCHAR) AS cohort_week,
+       CAST(date_diff('day', cohort_week, active_week) // 7 AS BIGINT) AS week_index,
+       n_active,
+       MAX(CASE WHEN active_week = cohort_week THEN n_active END)
+         OVER (PARTITION BY cohort_week) AS cohort_n,
+       round(CAST(n_active AS DOUBLE)
+             / MAX(CASE WHEN active_week = cohort_week THEN n_active END)
+                 OVER (PARTITION BY cohort_week), 9) AS retention
+FROM j
+"""
+
+
+@register("rel_events_cohort_retention", oracle=_COHORT_SQL)
+def rel_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT RETENTION matrix (round 8): users grouped by first-seen
+    ISO week, counted in every week they were active — the
+    product-analytics staple behind every retention curve.
+
+    Scale shape: ONE shuffle on user_id computes the whole per-user
+    fact (cohort week = min-ts week AND the distinct active-week set,
+    in the same hash aggregate — no self-join of events against a
+    first-seen table, which would scan and shuffle the fact twice);
+    exploding the bounded week set (|weeks| <= calendar span) and
+    re-aggregating on (cohort, week) touches only |users| x |weeks|
+    rows.  The cohort size needs no separate scan either: every user
+    is by construction active in their first week, so cohort_n is the
+    matrix's own diagonal, read back with a window over the final
+    ~|weeks|^2-row aggregate (tiny by construction — this is the one
+    place a window is free)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wk = lambda c: F.date_trunc("week", c).cast("date")  # noqa: E731
+    per_user = ev.groupBy("user_id").agg(
+        wk(F.min("ts")).alias("cohort_week"),
+        F.collect_set(wk(F.col("ts"))).alias("weeks"),
+    )
+    matrix = (
+        per_user.select(
+            "cohort_week", F.explode("weeks").alias("active_week")
+        )
+        .groupBy("cohort_week", "active_week")
+        .agg(F.count("*").alias("n_active"))
+    )
+    diag = F.max(
+        F.when(F.col("active_week") == F.col("cohort_week"), F.col("n_active"))
+    ).over(Window.partitionBy("cohort_week"))
+    return matrix.select(
+        F.col("cohort_week").cast("string").alias("cohort_week"),
+        F.expr("datediff(active_week, cohort_week) div 7")
+        .cast("long")
+        .alias("week_index"),
+        "n_active",
+        diag.alias("cohort_n"),
+        F.round(F.col("n_active").cast("double") / diag, 9).alias("retention"),
+    )
+
+
+# -- round 8: one-pass correlation matrix ------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_matrix_sql() -> str:
+    """One-pass moment sums (decimal ladder — the rel_corr idiom) for
+    every column pair, then the closed-form Pearson per pair."""
+    sums = ["COUNT(*) AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"SUM(CAST({c} AS DECIMAL(18,2))) AS s_{c}")
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            sums.append(
+                f"SUM(CAST(CAST({a} AS DECIMAL(18,2))"
+                f" * CAST({b} AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS s_{a}_{b}"
+            )
+        sums.append(
+            f"SUM(CAST(CAST({a} AS DECIMAL(18,2))"
+            f" * CAST({a} AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS s_{a}_{a}"
+        )
+    pair_rows = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            corr = (
+                f"(CAST(s_{a}_{b} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE) / n)"
+                f" / sqrt((CAST(s_{a}_{a} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE) / n)"
+                f" * (CAST(s_{b}_{b} AS DOUBLE) - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE) / n))"
+            )
+            pair_rows.append(
+                f"SELECT '{a}' AS col_x, '{b}' AS col_y, CAST(n AS BIGINT) AS n,"
+                f" round({corr}, 9) AS corr FROM m"
+            )
+    return (
+        "WITH m AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n"
+        + "\nUNION ALL ".join(pair_rows)
+    )
+
+
+_CORR_MATRIX_SQL = _corr_matrix_sql()
+
+
+@register("rel_corr_matrix", oracle=_CORR_MATRIX_SQL)
+def rel_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Pearson CORRELATION MATRIX over the lineitem measures in
+    ONE pass (round 8): all 4 column sums, 4 squares, and 6 cross
+    products ride a single map-side-partial aggregate to one moment
+    row; the 6 pair rows are then pure projection.  The naive form —
+    corr() once per pair — scans the fact 6 times and uses
+    Welford-style accumulators whose low bits depend on partitioning;
+    explicit decimal moments are exact and partitioning-independent
+    (the rel_corr_quantity_price argument, generalized to the k^2
+    matrix, k scans -> 1).  At 100 TB this is the difference between
+    one fact pass and a pass per matrix cell."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = {c: F.col(c).cast("decimal(18,2)") for c in _CORR_COLS}
+    aggs = [F.count("*").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(dec[c]).alias(f"s_{c}"))
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i:]:
+            aggs.append(
+                F.sum((dec[a] * dec[b]).cast("decimal(38,4)")).alias(f"s_{a}_{b}")
+            )
+    m = li.agg(*aggs)
+    n = F.col("n")
+    dbl = lambda name: F.col(name).cast("double")  # noqa: E731
+    # one row per pair via explode-of-structs over the single moment
+    # row — NOT a union of per-pair selects, which would plant six
+    # copies of the aggregate subtree (Catalyst does not dedupe common
+    # subtrees across union branches) and scan the fact six times
+    pair_structs = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            corr = (dbl(f"s_{a}_{b}") - dbl(f"s_{a}") * dbl(f"s_{b}") / n) / F.sqrt(
+                (dbl(f"s_{a}_{a}") - dbl(f"s_{a}") * dbl(f"s_{a}") / n)
+                * (dbl(f"s_{b}_{b}") - dbl(f"s_{b}") * dbl(f"s_{b}") / n)
+            )
+            pair_structs.append(
+                F.struct(
+                    F.lit(a).alias("col_x"),
+                    F.lit(b).alias("col_y"),
+                    n.cast("long").alias("n"),
+                    F.round(corr, 9).alias("corr"),
+                )
+            )
+    return m.select(F.explode(F.array(*pair_structs)).alias("r")).select(
+        "r.col_x", "r.col_y", "r.n", "r.corr"
+    )

@@ -1215,3 +1215,73 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("it.doc_id").alias("doc_id"),
         (F.col("pos") + 1).cast("long").alias("rk"),
     )
+
+
+# -- round 8: corpus-level n-gram statistics ---------------------------------
+
+_NGRAM_TOPK_SQL = rf"""
+WITH toks AS (SELECT lang, {_TOKS_SQL} AS t FROM documents),
+bg AS (SELECT lang,
+              unnest(CASE WHEN len(t) >= 2
+                          THEN list_transform(generate_series(0, len(t)-2),
+                                              i -> t[i+1] || ' ' || t[i+2])
+                          ELSE [] END) AS bigram
+       FROM toks),
+c AS (SELECT lang, bigram, COUNT(*) AS n FROM bg GROUP BY 1, 2)
+SELECT lang, bigram, n, CAST(rk AS BIGINT) AS rk
+FROM (SELECT lang, bigram, n,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n DESC, bigram) AS rk
+      FROM c)
+WHERE rk <= 10
+"""
+
+_NGRAM_K = 10
+
+
+@register("text_ngram_topk", oracle=_NGRAM_TOPK_SQL)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 token BIGRAMS per language by occurrence count (round 8)
+    — the corpus-statistics primitive behind boilerplate detection,
+    stop-phrase lists, and n-gram LM vocabularies.
+
+    Scale shape: bigram construction is a codegen transform over the
+    token array (no Python); the (lang, bigram) count is one map-side-
+    partial aggregate whose shuffle key is well-spread (vocabulary^2,
+    not |langs|); the per-language top-10 then reuses the skew-proof
+    two-stage partial top-k (pipeline_topk_per_domain): each partition
+    reduces to its local top-10 per lang, so no window ever shuffles
+    the full n-gram distribution to one executor per language.
+    Ordering key (count DESC, bigram ASC) is total -> unique result,
+    window-based oracle agrees exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens()
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(t, i + 1), F.element_at(t, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        docs.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    item = F.struct((-F.col("n")).alias("neg_n"), F.col("bigram").alias("bigram"))
+    local = (
+        counts.withColumn("pid", F.spark_partition_id())
+        .groupBy("lang", "pid")
+        .agg(F.slice(F.array_sort(F.collect_list(item)), 1, _NGRAM_K).alias("top"))
+    )
+    merged = (
+        local.select("lang", F.explode("top").alias("it"))
+        .groupBy("lang")
+        .agg(F.slice(F.array_sort(F.collect_list("it")), 1, _NGRAM_K).alias("top"))
+    )
+    return merged.select("lang", F.posexplode("top").alias("pos", "it")).select(
+        "lang",
+        F.col("it.bigram").alias("bigram"),
+        (-F.col("it.neg_n")).alias("n"),
+        (F.col("pos") + 1).cast("long").alias("rk"),
+    )

@@ -118,6 +118,9 @@ _AWAITING_DRAIN: list[str] = [
 _ROUND8_NEW: list[str] = [
     "source_xml_roundtrip",
     "dedup_incremental_pairs",
+    "rel_events_cohort_retention",  # single-shuffle cohort matrix r8
+    "rel_corr_matrix",  # one-pass k^2 moment matrix r8
+    "text_ngram_topk",  # bigram corpus stats, two-stage top-k r8
 ]
 
 # Registered after this round's window filled: local strict evidence

@@ -1,0 +1,126 @@
+"""Round-8 operator property pins: cohort-retention invariants, the
+one-pass correlation matrix vs numpy, and the two-stage n-gram top-k vs
+the window form it replaces."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_cohort_diagonal_is_cohort_size_and_retention_one(spark):
+    """Every user is active in their first week by construction, so the
+    matrix diagonal (week_index 0) must carry n_active == cohort_n and
+    retention exactly 1.0 — the invariant the no-second-scan cohort_n
+    derivation relies on.  Cohort sizes must also sum to the distinct
+    user count (each user in exactly one cohort)."""
+    from distributed_graph_db_c_spark.queries.relational import (
+        rel_events_cohort_retention,
+    )
+    from distributed_graph_db_c_spark.sources.tables import load_table
+
+    m = rel_events_cohort_retention(spark, SF_DIR).collect()
+    assert m, "empty retention matrix"
+    diag = [r for r in m if r["week_index"] == 0]
+    assert {r["cohort_week"] for r in diag} == {r["cohort_week"] for r in m}
+    for r in diag:
+        assert r["n_active"] == r["cohort_n"]
+        assert r["retention"] == 1.0
+    n_users = (
+        load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    assert sum(r["n_active"] for r in diag) == n_users
+    # off-diagonal retention is a consistent ratio and never exceeds 1
+    for r in m:
+        assert 0 < r["retention"] <= 1.0
+        assert r["retention"] == pytest.approx(
+            round(r["n_active"] / r["cohort_n"], 9), abs=0
+        )
+
+
+def test_corr_matrix_matches_numpy(spark):
+    """The decimal moment sums + closed form must agree with numpy's
+    corrcoef over the identical rows to float tolerance (numpy uses a
+    different summation order, so exact equality is not expected —
+    determinism across partitionings IS, and is asserted)."""
+    from distributed_graph_db_c_spark.queries.relational import (
+        _CORR_COLS,
+        rel_corr_matrix,
+    )
+    from distributed_graph_db_c_spark.sources.tables import load_table
+
+    got = {
+        (r["col_x"], r["col_y"]): r["corr"]
+        for r in rel_corr_matrix(spark, SF_DIR).collect()
+    }
+    pdf = load_table(spark, SF_DIR, "lineitem").select(*_CORR_COLS).toPandas()
+    ref = np.corrcoef(pdf.to_numpy(dtype=np.float64), rowvar=False)
+    idx = {c: i for i, c in enumerate(_CORR_COLS)}
+    assert len(got) == len(_CORR_COLS) * (len(_CORR_COLS) - 1) // 2
+    for (a, b), v in got.items():
+        assert v == pytest.approx(ref[idx[a], idx[b]], abs=1e-6), (a, b)
+
+    # partitioning independence: decimal moments make the result
+    # bit-identical regardless of the input split
+    from distributed_graph_db_c_spark.queries import relational as R
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    orig_loader = R.load_table
+    try:
+        R.load_table = lambda s, d, t: li.repartition(17) if t == "lineitem" else orig_loader(s, d, t)
+        got2 = {
+            (r["col_x"], r["col_y"]): r["corr"]
+            for r in rel_corr_matrix(spark, SF_DIR).collect()
+        }
+    finally:
+        R.load_table = orig_loader
+    assert got2 == got
+
+
+def test_ngram_topk_matches_window_form(spark):
+    """The skew-proof two-stage partial top-k must return exactly the
+    rows the straightforward row_number-window form produces — the
+    (count DESC, bigram ASC) key is total, so the answer is unique."""
+    from pyspark.sql import Window
+
+    from distributed_graph_db_c_spark.queries.text import text_ngram_topk
+
+    got = text_ngram_topk(spark, SF_DIR)
+
+    # window reference over the same bigram counts
+    from distributed_graph_db_c_spark.functions.text import tokens
+    from distributed_graph_db_c_spark.sources.tables import load_table
+
+    t = tokens()
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i + 1), F.element_at(t, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        load_table(spark, SF_DIR, "documents")
+        .select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    ref = (
+        counts.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 10)
+    )
+    assert {tuple(r) for r in got.collect()} == {
+        tuple(r) for r in ref.select("lang", "bigram", "n", "rk").collect()
+    }
+    # and every lang with >= 1 bigram is present with exactly min(10, |vocab|)
+    sizes = {r["lang"]: r["cnt"] for r in counts.groupBy("lang").agg(F.countDistinct("bigram").alias("cnt")).collect()}
+    per_lang = {}
+    for r in got.collect():
+        per_lang[r["lang"]] = per_lang.get(r["lang"], 0) + 1
+    assert per_lang == {lang: min(10, n) for lang, n in sizes.items()}

@@ -594,6 +594,37 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
     # contract is pinned in tests/test_dedup_similarity.py, and the XML
     # scan has no pruning surface to pin — the roundtrip reads the whole
     # exported row element by design.)
+    "rel_events_cohort_retention": [
+        # one hash-agg pass on user_id computes cohort AND active weeks
+        # together — no events-vs-first-seen self-join, no fact rescan
+        ("no join", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", False),
+        ("partial agg", r"partial_", True),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("column pruning", r"ReadSchema: [^\n]*user_id", True),
+        ("no props payload scan", r"ReadSchema: [^\n]*props", False),
+    ],
+    "rel_corr_matrix": [
+        # ONE moment pass: a single partial+final aggregate subtree,
+        # pair rows by explode — never a union of six aggregate scans
+        ("partial agg", r"partial_", True),
+        # numbered-node form: the audit text concatenates formatted +
+        # simple explains, and simple's "FileScan parquet" would false-
+        # positive a bare "Scan parquet.*Scan parquet" pattern
+        ("single scan", r"(?s)\(\d+\) Scan parquet.*\(\d+\) Scan parquet", False),
+        ("no union", r"Union", False),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("column pruning", r"ReadSchema: [^\n]*l_quantity", True),
+        ("no full-width scan", r"ReadSchema: [^\n]*l_comment", False),
+    ],
+    "text_ngram_topk": [
+        # codegen bigram transform; count is map-side partial; top-10
+        # per lang is the two-stage slice merge — no raw-row window
+        ("partial agg", r"partial_", True),
+        ("no raw-row window", r"RunningWindowFunction", False),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("column pruning", r"ReadSchema: [^\n]*text", True),
+        ("no doc_id scan", r"ReadSchema: [^\n]*doc_id", False),
+    ],
     "dedup_minhash_survivors_quality": [
         # survivor election is a partial-agg max_by over the cluster
         # mapping plus a broadcast join back — never a cartesian, never
