@@ -144,6 +144,10 @@ HEADLINE = [
     "rel_events_cohort_retention",
     "rel_corr_matrix",
     "text_ngram_topk",
+    # round 8 third wave: PCA lifecycle + telemetry TWA
+    "sim_covariance_matrix",
+    "sim_pca_project",
+    "ts_time_weighted_avg",
 ]
 
 

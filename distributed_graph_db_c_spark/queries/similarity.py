@@ -318,3 +318,87 @@ def sim_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         cleanup(scratch)
     return result
+
+
+# -- round 8: PCA over the embedding corpus ----------------------------------
+
+_COV_SQL = """
+WITH e AS (SELECT list_transform(embedding,
+                                 x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0 + 0.5)
+                                           AS BIGINT)) AS w
+           FROM embeddings),
+idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+px AS (SELECT i.i AS dim_i, j.i AS dim_j,
+              e.w[i.i + 1] AS wi, e.w[j.i + 1] AS wj
+       FROM e, idx i, idx j WHERE i.i <= j.i),
+agg AS (SELECT dim_i, dim_j, COUNT(*) AS n,
+               SUM(wi) AS sx, SUM(wj) AS sy, SUM(wi * wj) AS sxy
+        FROM px GROUP BY 1, 2)
+SELECT CAST(dim_i AS BIGINT) AS dim_i, CAST(dim_j AS BIGINT) AS dim_j,
+       CAST(n AS BIGINT) AS n,
+       ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+        / (n - 1)) / 1099511627776.0 AS cov
+FROM agg
+"""
+
+
+@register("sim_covariance_matrix", oracle=_COV_SQL)
+def sim_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COVARIANCE MATRIX of the embedding corpus in one pass (round 8)
+    — the summary under PCA, whitening, Mahalanobis gates, and drift
+    monitors.  operators/pca.py: each partition emits exact integer
+    moment sums of the 2^-20-quantized components (products block-summed
+    where float64 is exact, accumulated in arbitrary-precision ints,
+    shipped as strings so NO row count can overflow the transfer); the
+    driver merges the bounded moment rows and evaluates the closed form
+    ONCE on exact integers — bit-identical under any partitioning, which
+    is what lets a DuckDB oracle replay the identical arithmetic.  NO
+    final rounding: both engines perform the same IEEE ops on the same
+    exact integers, so the doubles already match bitwise.  Scale: the
+    corpus pass moves d + d(d+1)/2 integers per partition (d=64: 2,144
+    values) — the sketch class; the d x d result is driver-tiny."""
+    from ..operators.pca import (
+        _SCALE,
+        covariance_merge,
+        covariance_moments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n, s, m = covariance_merge(covariance_moments(emb, dim=EMBED_DIM), dim=EMBED_DIM)
+    import numpy as np
+
+    iu = np.triu_indices(EMBED_DIM)
+    rows = []
+    for k in range(len(m)):
+        i, j = int(iu[0][k]), int(iu[1][k])
+        cov = ((float(m[k]) - float(s[i]) * float(s[j]) / n) / (n - 1)) / (
+            _SCALE * _SCALE
+        )
+        rows.append((i, j, n, cov))
+    return spark.createDataFrame(
+        rows, "dim_i long, dim_j long, n long, cov double"
+    )
+
+
+@register("sim_pca_project", oracle=None)
+def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full PCA lifecycle (round 8): one-pass exact covariance ->
+    driver-side eigh of the 64x64 matrix (microseconds; components
+    sign-normalized so the factorization is unique) -> distributed
+    projection of every embedding onto the top-2 components as a pure
+    codegen map stage (broadcast-as-literal weights, zero shuffle).
+    Rows-only gate: the oracle would need the eigendecomposition;
+    correctness is pytest-pinned against numpy PCA end-to-end plus a
+    determinism re-run (tests/test_round8_properties.py)."""
+    from ..operators.pca import (
+        covariance_matrix,
+        covariance_merge,
+        covariance_moments,
+        pca_components,
+        pca_project,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n, s, m = covariance_merge(covariance_moments(emb, dim=EMBED_DIM), dim=EMBED_DIM)
+    comps = pca_components(covariance_matrix(n, s, m, dim=EMBED_DIM), k=2)
+    return pca_project(emb, comps)

@@ -335,3 +335,61 @@ def ts_ewma8_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         num = t_num if num is None else num + t_num
         den = t_den if den is None else den + t_den
     return ev.select("event_id", "user_id", (num / den).alias("ewma8"))
+
+
+# -- round 8: time-weighted average ------------------------------------------
+
+_TWA_SQL = """
+WITH iv AS (
+  SELECT user_id,
+         CAST(value AS DECIMAL(18,6)) AS v,
+         epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS dt_us
+  FROM events)
+SELECT user_id,
+       COUNT(*) AS n_intervals,
+       CAST(SUM(dt_us) AS BIGINT) AS span_us,
+       round(CAST(SUM(CAST(v * dt_us AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(CAST(SUM(dt_us) AS BIGINT) AS DOUBLE), 9) AS twa
+FROM iv WHERE dt_us IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@register("ts_time_weighted_avg", oracle=_TWA_SQL)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED AVERAGE per user (round 8): each observation holds
+    its value until the next one (step interpolation), so the mean is
+    sum(value * dt) / sum(dt) — the correct average for irregular
+    telemetry, where the naive row mean over-weights chatty periods.
+    The sensor/metrics aggregate every monitoring stack keys on.
+
+    Bit-exactness: dt rides EXACT integer microseconds (epoch_us of a
+    LEAD over the total (ts, event_id) order), the weighted sum rides
+    the decimal ladder (DECIMAL(18,6) value x BIGINT dt, summed at
+    (38,6)); the one engine seam is the ~20-significant-digit
+    decimal -> double conversion (not correctly rounded identically on
+    both engines — observed one-ULP drift), so the quotient is rounded
+    to 9 decimals on BOTH sides.  Scale: one per-user window
+    sort plus a partial-agg groupBy, the per-entity-window class every
+    ts_ gate shares; users with a single event carry no interval and
+    drop out on both sides."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt_us = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    iv = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        dt_us.alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    return iv.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum("dt_us").alias("span_us"),
+        F.round(
+            F.sum((F.col("v") * F.col("dt_us")).cast("decimal(38,6)")).cast("double")
+            / F.sum("dt_us").cast("double"),
+            9,
+        ).alias("twa"),
+    )

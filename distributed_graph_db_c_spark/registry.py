@@ -121,7 +121,11 @@ _ROUND8_NEW: list[str] = [
     "rel_events_cohort_retention",  # single-shuffle cohort matrix r8
     "rel_corr_matrix",  # one-pass k^2 moment matrix r8
     "text_ngram_topk",  # bigram corpus stats, two-stage top-k r8
+    "sim_covariance_matrix",  # exact-integer one-pass d x d moments r8
+    "ts_time_weighted_avg",  # step-interpolated telemetry mean r8
 ]
+# (sim_pca_project registered rows-only — the oracle would need the
+# eigendecomposition; numpy differential + determinism pytest instead.)
 
 # Registered after this round's window filled: local strict evidence
 # only (ORACLE_LOCAL.md), first in line for round-9 driver slots.

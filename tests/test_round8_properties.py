@@ -124,3 +124,95 @@ def test_ngram_topk_matches_window_form(spark):
     for r in got.collect():
         per_lang[r["lang"]] = per_lang.get(r["lang"], 0) + 1
     assert per_lang == {lang: min(10, n) for lang, n in sizes.items()}
+
+
+def test_covariance_matches_numpy_and_moment_shape(spark):
+    """The exact-integer covariance must agree with numpy's ddof=1
+    covariance of the identically quantized data to float tolerance,
+    the distributed moment pass must emit ONE summary row per input
+    partition (the sketch shape), and the merged result must be
+    bit-identical under a different partitioning (exactness claim)."""
+    from distributed_graph_db_c_spark.operators.pca import (
+        _SCALE,
+        covariance_matrix,
+        covariance_merge,
+        covariance_moments,
+    )
+    from distributed_graph_db_c_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    mom = covariance_moments(emb)
+    assert mom.count() == emb.rdd.getNumPartitions()
+    n, s, m = covariance_merge(mom)
+    cov = covariance_matrix(n, s, m)
+
+    x = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in emb.collect()]
+    )
+    w = np.floor(x * _SCALE + 0.5) / _SCALE
+    ref = np.cov(w, rowvar=False, ddof=1)
+    assert cov.shape == ref.shape
+    assert np.allclose(cov, ref, atol=1e-12)
+
+    n2, s2, m2 = covariance_merge(covariance_moments(emb.repartition(13)))
+    assert (n2, s2, m2) == (n, s, m)  # exact integers: partition-proof
+
+
+def test_pca_project_matches_numpy_end_to_end(spark):
+    """Full-lifecycle differential: the gate's top-2 projection must
+    match numpy PCA (eigh of the same quantized covariance, same
+    sign normalization) to float tolerance, and re-running the gate
+    must reproduce itself exactly."""
+    from distributed_graph_db_c_spark.operators.pca import _SCALE, pca_components
+    from distributed_graph_db_c_spark.queries.similarity import sim_pca_project
+    from distributed_graph_db_c_spark.sources.tables import load_table
+
+    got = {r["vec_id"]: (r["pc0"], r["pc1"]) for r in sim_pca_project(spark, SF_DIR).collect()}
+    again = {r["vec_id"]: (r["pc0"], r["pc1"]) for r in sim_pca_project(spark, SF_DIR).collect()}
+    assert got == again  # deterministic end to end
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    x = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    ids = [r["vec_id"] for r in rows]
+    w = np.floor(x * _SCALE + 0.5) / _SCALE
+    comps = pca_components(np.cov(w, rowvar=False, ddof=1), k=2)
+    # projection uses the RAW (unquantized) embeddings, like the gate
+    ref = x @ comps.T
+    for i, vid in enumerate(ids):
+        assert got[vid][0] == pytest.approx(ref[i, 0], abs=1e-6)
+        assert got[vid][1] == pytest.approx(ref[i, 1], abs=1e-6)
+    # the two components are orthonormal and variance-ordered
+    assert np.allclose(comps @ comps.T, np.eye(2), atol=1e-9)
+    assert ref[:, 0].var() >= ref[:, 1].var()
+
+
+def test_time_weighted_avg_bounds_and_span(spark):
+    """TWA must sit inside [min(value), max(value)] per user, and the
+    summed interval span must equal last_ts - first_ts exactly (step
+    interpolation covers the observation window with no gaps)."""
+    import pyspark.sql.functions as F2
+
+    from distributed_graph_db_c_spark.queries.temporal import ts_time_weighted_avg
+    from distributed_graph_db_c_spark.sources.tables import load_table
+
+    got = {r["user_id"]: r for r in ts_time_weighted_avg(spark, SF_DIR).collect()}
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F2.count("*").alias("n_events"),
+            F2.min("value").alias("vmin"),
+            F2.max("value").alias("vmax"),
+            (F2.unix_micros(F2.max("ts")) - F2.unix_micros(F2.min("ts"))).alias("span"),
+        )
+    )
+    for r in ev.collect():
+        uid = r["user_id"]
+        if r["n_events"] < 2:
+            assert uid not in got
+            continue
+        g = got[uid]
+        assert g["n_intervals"] == r["n_events"] - 1
+        assert g["span_us"] == r["span"]
+        assert r["vmin"] - 1e-9 <= g["twa"] <= r["vmax"] + 1e-9

@@ -625,6 +625,27 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         ("column pruning", r"ReadSchema: [^\n]*text", True),
         ("no doc_id scan", r"ReadSchema: [^\n]*doc_id", False),
     ],
+    # (sim_covariance_matrix: the returned DF is the driver-merged
+    # 2,080-row matrix (LocalTableScan) — the distributed moment pass's
+    # shape (mapInPandas over a pruned scan, one row per partition) is
+    # asserted in tests/test_round8_properties.py.)
+    "sim_pca_project": [
+        # projection is a pure broadcast-literal map stage: codegen dot
+        # products over the scan — no shuffle, no Python in the plan
+        ("no exchange", r"Exchange", False),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("column pruning", r"ReadSchema: [^\n]*embedding", True),
+        ("no label scan", r"ReadSchema: [^\n]*label", False),
+    ],
+    "ts_time_weighted_avg": [
+        # one per-user window sort then a partial-agg groupBy; exact
+        # integer microsecond deltas, decimal weighted sums — no python
+        ("partial agg", r"partial_", True),
+        ("window", r"Window", True),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("column pruning", r"ReadSchema: [^\n]*value", True),
+        ("no props payload scan", r"ReadSchema: [^\n]*props", False),
+    ],
     "dedup_minhash_survivors_quality": [
         # survivor election is a partial-agg max_by over the cluster
         # mapping plus a broadcast join back — never a cartesian, never
