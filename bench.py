@@ -148,6 +148,9 @@ HEADLINE = [
     "sim_covariance_matrix",
     "sim_pca_project",
     "ts_time_weighted_avg",
+    # round 8 fourth wave: attribution + vocabulary coverage
+    "rel_events_attribution",
+    "text_oov_rate",
 ]
 
 

@@ -2451,3 +2451,61 @@ def rel_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(F.explode(F.array(*pair_structs)).alias("r")).select(
         "r.col_x", "r.col_y", "r.n", "r.corr"
     )
+
+
+# -- round 8: last-touch attribution -----------------------------------------
+
+_ATTRIB_SQL = """
+WITH w AS (
+  SELECT event_id, user_id, event_type, ts,
+         max(CASE WHEN event_type = 'click'
+                  THEN struct_pack(ts := ts, id := event_id) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lc
+  FROM events)
+SELECT event_id, user_id,
+       lc.id AS click_id,
+       epoch_us(ts) - epoch_us(lc.ts) AS gap_us
+FROM w WHERE event_type = 'purchase'
+"""
+
+
+@register("rel_events_attribution", oracle=_ATTRIB_SQL)
+def rel_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH ATTRIBUTION (round 8): every purchase attributed to
+    the user's most recent preceding click — the marketing-analytics
+    join behind conversion reporting, expressed as a running max of
+    (ts, event_id) structs over the per-user event stream instead of a
+    purchases-to-clicks range self-join (which would shuffle the fact
+    twice and build an O(clicks x purchases) intermediate per user).
+
+    One per-user window sort; the struct max carries the attributed
+    click's identity THROUGH the window (no second join to recover the
+    id), nulls propagate for never-clicked purchasers, and the
+    (ts, event_id) key is total so the attribution is unique.  Both
+    engines compare structs field-lexicographically; the gap rides
+    exact integer microseconds."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lc = F.max(
+        F.when(
+            F.col("event_type") == "click",
+            F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("id")),
+        )
+    ).over(w)
+    return (
+        ev.withColumn("lc", lc)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("lc.id").alias("click_id"),
+            (F.unix_micros("ts") - F.unix_micros("lc.ts")).alias("gap_us"),
+        )
+    )

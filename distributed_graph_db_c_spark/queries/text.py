@@ -1285,3 +1285,68 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("it.neg_n")).alias("n"),
         (F.col("pos") + 1).cast("long").alias("rk"),
     )
+
+
+# -- round 8: vocabulary-coverage (OOV) scoring ------------------------------
+
+_OOV_V = 1000  # vocabulary size: corpus top-V terms by (count DESC, term ASC)
+
+_OOV_SQL = rf"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+tc AS (SELECT unnest(t) AS term FROM toks),
+vocab AS (SELECT term FROM (
+            SELECT term, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS rk
+            FROM tc GROUP BY term) WHERE rk <= {_OOV_V}),
+x AS (SELECT doc_id, unnest(t) AS term FROM toks)
+SELECT x.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       (1000 * CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT))
+         // COUNT(*) AS oov_milli
+FROM x LEFT JOIN vocab v USING (term)
+GROUP BY x.doc_id
+"""
+
+
+@register("text_oov_rate", oracle=_OOV_SQL)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-VOCABULARY rate per document against the corpus's own
+    top-1000 term vocabulary (round 8) — the lexicon-coverage quality
+    signal: gibberish, code dumps, and wrong-language text all surface
+    as high OOV against the corpus head, and the same shape scores
+    against an external tokenizer vocab.
+
+    Scale shape: the vocabulary is distilled by the two-stage partial
+    top-k (never a global window over raw term counts), collected
+    bounded (V=1000 strings), and applied as a BROADCAST hash set via a
+    literal-array membership test in the scoring pass — so the scoring
+    join never shuffles by term (term frequency is maximally skewed:
+    'the' would hot-spot any shuffle join; a broadcast probe has no hot
+    keys).  Integer outputs only (count, OOV count, milli-rate) — no
+    float seam."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens()
+    tc = (
+        docs.select(F.explode(t).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    item = F.struct((-F.col("n")).alias("neg_n"), F.col("term").alias("term"))
+    local = (
+        tc.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.slice(F.array_sort(F.collect_list(item)), 1, _OOV_V).alias("top"))
+    )
+    merged = (
+        local.select(F.explode("top").alias("it"))
+        .agg(F.slice(F.array_sort(F.collect_list("it")), 1, _OOV_V).alias("top"))
+    )
+    vocab = [r["it"]["term"] for r in merged.select(F.explode("top").alias("it")).collect()]
+    vlit = F.array(*[F.lit(v) for v in sorted(vocab)])
+    hits = F.size(F.filter(t, lambda tok: F.array_contains(vlit, tok)))
+    base = docs.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        (F.size(t) - hits).cast("long").alias("n_oov"),
+    ).filter(F.col("n_tokens") > 0)
+    return base.withColumn("oov_milli", F.expr("(1000 * n_oov) div n_tokens"))

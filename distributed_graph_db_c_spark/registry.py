@@ -123,6 +123,8 @@ _ROUND8_NEW: list[str] = [
     "text_ngram_topk",  # bigram corpus stats, two-stage top-k r8
     "sim_covariance_matrix",  # exact-integer one-pass d x d moments r8
     "ts_time_weighted_avg",  # step-interpolated telemetry mean r8
+    "rel_events_attribution",  # last-touch struct-max, no self-join r8
+    "text_oov_rate",  # broadcast-vocab OOV scoring, skew-free r8
 ]
 # (sim_pca_project registered rows-only — the oracle would need the
 # eigendecomposition; numpy differential + determinism pytest instead.)

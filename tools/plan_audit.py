@@ -637,6 +637,25 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         ("column pruning", r"ReadSchema: [^\n]*embedding", True),
         ("no label scan", r"ReadSchema: [^\n]*label", False),
     ],
+    "rel_events_attribution": [
+        # running struct-max over the per-user stream — one window, no
+        # purchases-to-clicks self-join, no second scan of events
+        ("window", r"Window", True),
+        ("no join", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", False),
+        ("single scan", r"(?s)\(\d+\) Scan parquet.*\(\d+\) Scan parquet", False),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("no props payload scan", r"ReadSchema: [^\n]*props", False),
+    ],
+    "text_oov_rate": [
+        # scoring pass probes a broadcast literal vocabulary — the term
+        # join would hot-spot on stopwords; there must be NO join and no
+        # raw-term shuffle in the returned plan
+        ("no join", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", False),
+        ("no exchange", r"Exchange", False),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("column pruning", r"ReadSchema: [^\n]*text", True),
+        ("no source scan", r"ReadSchema: [^\n]*source", False),
+    ],
     "ts_time_weighted_avg": [
         # one per-user window sort then a partial-agg groupBy; exact
         # integer microsecond deltas, decimal weighted sums — no python
