@@ -148,9 +148,10 @@ HEADLINE = [
     "sim_covariance_matrix",
     "sim_pca_project",
     "ts_time_weighted_avg",
-    # round 8 fourth wave: attribution + vocabulary coverage
+    # round 8 fourth wave: attribution + vocabulary coverage + skew
     "rel_events_attribution",
     "text_oov_rate",
+    "skew_key_profile",
 ]
 
 

@@ -2509,3 +2509,68 @@ def rel_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("ts") - F.unix_micros("lc.ts")).alias("gap_us"),
         )
     )
+
+
+# -- round 8: join-key skew diagnostics --------------------------------------
+
+_SKEWPROF_SQL = """
+WITH c AS (SELECT o_custkey AS key, COUNT(*) AS key_count
+           FROM orders GROUP BY o_custkey),
+stats AS (SELECT CAST(SUM(key_count) AS BIGINT) AS n_rows,
+                 COUNT(*) AS n_keys,
+                 CAST(MAX(key_count) AS BIGINT) AS max_count
+          FROM c),
+topk AS (SELECT key, key_count,
+                ROW_NUMBER() OVER (ORDER BY key_count DESC, key) AS rk
+         FROM c)
+SELECT CAST(t.rk AS BIGINT) AS rk, t.key, CAST(t.key_count AS BIGINT) AS key_count,
+       s.n_rows, s.n_keys, s.max_count,
+       (1000 * CAST(t.key_count AS BIGINT) * s.n_keys) // s.n_rows AS skew_milli
+FROM topk t, stats s
+WHERE t.rk <= 5
+"""
+
+
+@register("skew_key_profile", oracle=_SKEWPROF_SQL)
+def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-KEY SKEW PROFILE (round 8): the diagnostic that decides
+    whether a join needs `salted_join`, AQE skew splitting, or nothing
+    — per-key counts of the customer key in orders, the 5 heaviest
+    keys, and each key's skew factor (its count relative to the
+    uniform share, in millis: 1000 = perfectly uniform; a key at
+    50,000 means one reducer gets 50x its share and the stage runs at
+    the straggler's pace).
+
+    Scale shape: the per-key count is one map-side-partial aggregate;
+    the global stats reduce to ONE row (broadcast back); the heavy-key
+    list is the skew-proof two-stage partial top-k — profiling a
+    maximally skewed distribution must not itself hot-spot, so no
+    row_number window ever sees the full key spectrum.  Integer
+    outputs only."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = (
+        orders.groupBy(F.col("o_custkey").alias("key"))
+        .agg(F.count("*").alias("key_count"))
+    )
+    stats = counts.agg(
+        F.sum("key_count").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("key_count").alias("max_count"),
+    )
+    item = F.struct((-F.col("key_count")).alias("neg_n"), F.col("key").alias("key"))
+    local = (
+        counts.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.slice(F.array_sort(F.collect_list(item)), 1, 5).alias("top"))
+    )
+    merged = local.select(F.explode("top").alias("it")).agg(
+        F.slice(F.array_sort(F.collect_list("it")), 1, 5).alias("top")
+    )
+    topk = merged.select(F.posexplode("top").alias("pos", "it")).select(
+        (F.col("pos") + 1).cast("long").alias("rk"),
+        F.col("it.key").alias("key"),
+        (-F.col("it.neg_n")).alias("key_count"),
+    )
+    return topk.crossJoin(F.broadcast(stats)).withColumn(
+        "skew_milli", F.expr("(1000 * key_count * n_keys) div n_rows")
+    )

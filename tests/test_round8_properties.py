@@ -284,3 +284,35 @@ def test_oov_rate_exact_on_tiny_vocab(spark):
     )
     for r in rows:
         assert r["n_tokens"] > 0
+
+
+def test_skew_profile_matches_naive(spark):
+    """The two-stage heavy-key distillation + broadcast stats must equal
+    the naive groupBy-count + window form exactly, and skew_milli must
+    be 1000 * count * n_keys // n_rows."""
+    import pyspark.sql.functions as F2
+    from pyspark.sql import Window
+
+    from distributed_graph_db_c_spark.queries.relational import skew_key_profile
+    from distributed_graph_db_c_spark.sources.tables import load_table
+
+    got = {r["rk"]: r for r in skew_key_profile(spark, SF_DIR).collect()}
+    counts = (
+        load_table(spark, SF_DIR, "orders")
+        .groupBy(F2.col("o_custkey").alias("key"))
+        .agg(F2.count("*").alias("n"))
+    )
+    w = Window.orderBy(F2.desc("n"), F2.asc("key"))
+    ref = {
+        r["rk"]: r
+        for r in counts.withColumn("rk", F2.row_number().over(w).cast("long"))
+        .filter(F2.col("rk") <= 5)
+        .collect()
+    }
+    rows = counts.agg(F2.sum("n")).collect()[0][0]
+    keys = counts.count()
+    assert set(got) == {1, 2, 3, 4, 5}
+    for rk, g in got.items():
+        assert (g["key"], g["key_count"]) == (ref[rk]["key"], ref[rk]["n"])
+        assert g["n_rows"] == rows and g["n_keys"] == keys
+        assert g["skew_milli"] == (1000 * g["key_count"] * keys) // rows

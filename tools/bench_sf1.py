@@ -97,6 +97,19 @@ QUERIES = [
     "sample_reservoir_per_group",
     "mm_wav_spectral",
     "sketch_hll_corpus_overlap",
+    # round-8 gates: every new operator gets its 10x point in the same
+    # round it ships
+    "source_xml_roundtrip",
+    "dedup_incremental_pairs",
+    "rel_events_cohort_retention",
+    "rel_corr_matrix",
+    "text_ngram_topk",
+    "sim_covariance_matrix",
+    "sim_pca_project",
+    "ts_time_weighted_avg",
+    "rel_events_attribution",
+    "text_oov_rate",
+    "skew_key_profile",
 ]
 
 # Round-7 extension (r6 verdict item 5): the 12 streaming gates at 10x

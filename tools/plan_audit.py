@@ -656,6 +656,17 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         ("column pruning", r"ReadSchema: [^\n]*text", True),
         ("no source scan", r"ReadSchema: [^\n]*source", False),
     ],
+    "skew_key_profile": [
+        # profiling a skewed distribution must not itself hot-spot: the
+        # heavy-key list is the two-stage slice merge, the stats row is
+        # a broadcast back — no row_number window over the key spectrum
+        ("partial agg", r"partial_", True),
+        ("no raw-row window", r"RunningWindowFunction", False),
+        ("broadcast stats", r"BroadcastNestedLoopJoin", True),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("column pruning", r"ReadSchema: [^\n]*o_custkey", True),
+        ("no comment scan", r"ReadSchema: [^\n]*o_comment", False),
+    ],
     "ts_time_weighted_avg": [
         # one per-user window sort then a partial-agg groupBy; exact
         # integer microsecond deltas, decimal weighted sums — no python
