@@ -152,6 +152,7 @@ HEADLINE = [
     "rel_events_attribution",
     "text_oov_rate",
     "skew_key_profile",
+    "stream_attribution_last_touch",
 ]
 
 

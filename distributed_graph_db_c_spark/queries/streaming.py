@@ -33,6 +33,7 @@ from ..streaming.sources import (
 from ..streaming.stateful import user_running_totals
 from ..streaming.windows import session_stats, sliding_counts, tumbling_counts
 from .dedup import _JACCARD_SQL as _MINHASH_STREAM_SQL
+from .relational import _ATTRIB_SQL as _ATTRIB_STREAM_SQL
 
 # ---------------------------------------------------------------------------
 # window builders, batch mode (streaming twin: tests/test_streaming.py)
@@ -691,6 +692,46 @@ def stream_freq_items_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
             .limit(5)
             .localCheckpoint(eager=True)
         )
+    finally:
+        cleanup(scratch)
+    return result
+
+
+# -- round 8: streaming last-touch attribution -------------------------------
+
+
+@register("stream_attribution_last_touch", oracle=_ATTRIB_STREAM_SQL)
+def stream_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING last-touch attribution across 3 event-time-ordered
+    micro-batches (round 8) — the real-time twin of
+    rel_events_attribution.  Per-user state is one (last_click_ts, id)
+    pair: CONSTANT state per user where a stream-stream interval join
+    holds every click inside the horizon — this is the state-store
+    shape to reach for when the semantics is 'latest preceding', not
+    'all within range'.  Each purchase is emitted exactly once, in its
+    arrival batch; with time-ordered arrival the union of emissions
+    equals the batch window form row for row — so the batch SQL IS the
+    oracle, the same deterministic-final-state argument as the stateful
+    totals and request-loop gates, and the pytest differential
+    (tests/test_streaming.py) asserts it against the batch gate too."""
+    from ..streaming.stateful import attribution_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    scratch = scratch_dir("attrib")
+    try:
+        d = F.dayofmonth("ts")
+        batches = [
+            ev.filter(d <= 10),
+            ev.filter((d > 10) & (d <= 20)),
+            ev.filter(d > 20),
+        ]
+        in_dir = stage_stream_dir(batches, f"{scratch}/in")
+        sev = read_file_stream(spark, in_dir, ev.schema)
+        name = f"attrib_{uuid.uuid4().hex[:8]}"
+        run_available_now(
+            attribution_stream(sev), f"{scratch}/ckpt", query_name=name
+        )
+        result = spark.table(name).localCheckpoint(eager=True)
     finally:
         cleanup(scratch)
     return result

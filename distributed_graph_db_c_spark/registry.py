@@ -238,6 +238,9 @@ _WINDOW_TAIL_STREAMING = [
     "stream_watermark_late_drop",
     "stream_requests_dispatch",
     "stream_dedup_exact",
+    # round-8 NEW streaming gate (first driver evidence; rides last with
+    # its class): constant-per-user-state last-touch attribution
+    "stream_attribution_last_touch",
 ]
 
 

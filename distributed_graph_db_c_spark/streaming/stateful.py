@@ -48,3 +48,69 @@ def user_running_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- round 8: streaming last-touch attribution -------------------------------
+
+ATTRIB_OUTPUT = "event_id long, user_id long, click_id long, gap_us long"
+ATTRIB_STATE = "last_ts_us long, last_id long"
+
+
+def _update_attribution(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    last_ts, last_id = state.get if state.exists else (None, None)
+    out: list[tuple] = []
+    changed = False
+    for pdf in pdfs:
+        # total (ts, event_id) order inside the batch; batches arrive in
+        # event-time order (the gate stages them that way), so the state
+        # from earlier batches is always strictly older
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for r in pdf.itertuples():
+            ts_us = r.ts.value // 1000  # pandas ns -> exact integer us
+            if r.event_type == "click":
+                if last_ts is None or (ts_us, r.event_id) > (last_ts, last_id):
+                    last_ts, last_id = int(ts_us), int(r.event_id)
+                    changed = True
+            elif r.event_type == "purchase":
+                out.append(
+                    (
+                        int(r.event_id),
+                        int(key[0]),
+                        last_id,
+                        None if last_ts is None else int(ts_us) - last_ts,
+                    )
+                )
+    if changed:
+        state.update((last_ts, last_id))
+    yield pd.DataFrame(
+        {
+            "event_id": pd.array([o[0] for o in out], dtype="Int64"),
+            "user_id": pd.array([o[1] for o in out], dtype="Int64"),
+            "click_id": pd.array([o[2] for o in out], dtype="Int64"),
+            "gap_us": pd.array([o[3] for o in out], dtype="Int64"),
+        }
+    )
+
+
+def attribution_stream(events: DataFrame) -> DataFrame:
+    """Streaming last-touch attribution: per-user state is the single
+    (last_click_ts_us, last_click_id) pair — CONSTANT per user, the
+    smallest possible state for this semantics (contrast a
+    stream-stream interval join, whose click-side state grows with the
+    attribution horizon) — and every purchase is emitted exactly once,
+    in the micro-batch it arrives in.  With event-time-ordered batch
+    arrival the emissions equal the batch window form
+    (rel_events_attribution) row for row: within a batch the rows are
+    processed in total (ts, event_id) order, and across batches the
+    state is strictly older than everything in the current batch.  The
+    per-row Python loop runs per user-batch group (tens of rows) inside
+    the Arrow-transferred block."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_attribution,
+        outputStructType=ATTRIB_OUTPUT,
+        stateStructType=ATTRIB_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -115,7 +115,7 @@ def test_changed_code_leads_window():
         "storage_compact_roundtrip",
         "storage_time_travel",
     ]
-    assert w[-1] == "stream_dedup_exact"
+    assert w[-1] == "stream_attribution_last_touch"
     streaming_tail = [n for n in w if n.startswith("stream_")]
     # r8: 11 of the 13 streaming gates are r06-latest and age out at
     # r09 — this round carries six (the four bench-headline r09-due
@@ -128,6 +128,7 @@ def test_changed_code_leads_window():
         "stream_watermark_late_drop",
         "stream_requests_dispatch",
         "stream_dedup_exact",
+        "stream_attribution_last_touch",  # r8 new gate, rides with its class
     ], streaming_tail
 
 
@@ -203,6 +204,7 @@ def test_due_rotation_matches_lookahead():
         _DUE_ROTATION,
         _ROUND8_NEW,
         _WINDOW_HEAD,
+        _WINDOW_TAIL_STREAMING,
     )
 
     import bench
@@ -216,6 +218,7 @@ def test_due_rotation_matches_lookahead():
         - set(_ROUND8_NEW)
         - set(_AWAITING_DRAIN)
         - set(_WINDOW_HEAD)
+        - set(_WINDOW_TAIL_STREAMING)  # slot-holders are never "due"
         - set(AWAITING_FIRST_SLOT)  # mid-round additions queue for r9
     )
     assert set(_DUE_ROTATION) == expected, (

@@ -316,3 +316,20 @@ def test_skew_profile_matches_naive(spark):
         assert (g["key"], g["key_count"]) == (ref[rk]["key"], ref[rk]["n"])
         assert g["n_rows"] == rows and g["n_keys"] == keys
         assert g["skew_milli"] == (1000 * g["key_count"] * keys) // rows
+
+
+def test_stream_attribution_equals_batch_gate(spark):
+    """The stateful streaming attribution (3 event-time-ordered
+    micro-batches, constant per-user state) must emit exactly the batch
+    window gate's rows — every purchase once, identical attribution and
+    gaps, including NULLs for never-clicked purchasers."""
+    from distributed_graph_db_c_spark.queries.relational import (
+        rel_events_attribution,
+    )
+    from distributed_graph_db_c_spark.queries.streaming import (
+        stream_attribution_last_touch,
+    )
+
+    got = {tuple(r) for r in stream_attribution_last_touch(spark, SF_DIR).collect()}
+    ref = {tuple(r) for r in rel_events_attribution(spark, SF_DIR).collect()}
+    assert got == ref and got

@@ -132,6 +132,7 @@ STREAM_QUERIES = [
     "stream_checkpoint_recovery",
     "stream_dedup_minhash_incremental",
     "stream_freq_items_incremental",
+    "stream_attribution_last_touch",  # round 8
 ]
 
 N_PASSES = 2
