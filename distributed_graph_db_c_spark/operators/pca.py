@@ -71,12 +71,24 @@ def covariance_moments(df: DataFrame, col: str = "embedding", dim: int = 64) -> 
             # the one form every engine computes identically (ties are
             # real: float32 * 2^20 is exact in float64 and can land on
             # .5 exactly)
-            w = np.floor(w * _SCALE + 0.5)  # exact float64 integers, |w| < 2^23
+            w = np.floor(w * _SCALE + 0.5)  # exact float64 integers
             n += w.shape[0]
-            for lo in range(0, w.shape[0], _BLOCK):
-                blk = w[lo : lo + _BLOCK]
-                bs = blk.sum(axis=0)  # <= 256 * 2^23 : exact
-                bm = (blk.T @ blk)[iu]  # <= 256 * 2^44 < 2^53 : exact
+            # exactness BY CONSTRUCTION, not by data luck: block sums
+            # must stay under 2^53 where float64 is exact, so the block
+            # size adapts to the observed magnitude (unit-scale
+            # embeddings give |w| <= 2^20 -> the full 256-row block;
+            # pathological inputs just get smaller blocks, never a
+            # silently inexact sum)
+            wmax = float(np.abs(w).max()) if w.size else 0.0
+            nrows = (
+                _BLOCK
+                if wmax <= 1.0
+                else max(1, min(_BLOCK, int((2.0**53) // (wmax * wmax))))
+            )
+            for lo in range(0, w.shape[0], nrows):
+                blk = w[lo : lo + nrows]
+                bs = blk.sum(axis=0)  # <= nrows * wmax : exact
+                bm = (blk.T @ blk)[iu]  # <= nrows * wmax^2 < 2^53 : exact
                 for k in range(dim):
                     s[k] += int(bs[k])
                 for k in range(len(m)):

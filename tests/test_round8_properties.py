@@ -333,3 +333,35 @@ def test_stream_attribution_equals_batch_gate(spark):
     got = {tuple(r) for r in stream_attribution_last_touch(spark, SF_DIR).collect()}
     ref = {tuple(r) for r in rel_events_attribution(spark, SF_DIR).collect()}
     assert got == ref and got
+
+
+def test_covariance_exact_for_large_magnitude_vectors(spark):
+    """Exactness by construction, not data luck: components far above
+    unit scale (|x| ~ 3000, so |w| ~ 2^31.5 and a 256-row block of
+    products would blow past 2^53) must still produce EXACT integer
+    moments — the adaptive block size shrinks instead of silently
+    summing inexactly.  Verified against arbitrary-precision Python
+    int arithmetic over the identical quantized rows."""
+    from distributed_graph_db_c_spark.operators.pca import (
+        _SCALE,
+        covariance_merge,
+        covariance_moments,
+    )
+
+    rng = np.random.default_rng(7)
+    dim = 8
+    data = [(int(i), (rng.standard_normal(dim) * 3000.0).astype(np.float32).tolist()) for i in range(600)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    n, s, m = covariance_merge(covariance_moments(df, dim=dim), dim=dim)
+
+    w = [
+        [int(np.floor(np.float64(np.float32(x)) * _SCALE + 0.5)) for x in row]
+        for _, row in data
+    ]
+    iu = np.triu_indices(dim)
+    exp_s = [sum(r[k] for r in w) for k in range(dim)]
+    exp_m = [
+        sum(r[int(iu[0][k])] * r[int(iu[1][k])] for r in w)
+        for k in range(len(iu[0]))
+    ]
+    assert n == 600 and s == exp_s and m == exp_m
