@@ -719,11 +719,18 @@ def stream_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
     ev = load_table(spark, sf_dir, "events")
     scratch = scratch_dir("attrib")
     try:
-        d = F.dayofmonth("ts")
+        # event-time-ordered thirds from the ACTUAL ts range (a
+        # dayofmonth split would interleave batches the moment the
+        # table spanned a month boundary, silently breaking the
+        # ordered-arrival contract the state correctness rests on)
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+        span = hi - lo
+        c1 = F.lit(lo + span / 3)
+        c2 = F.lit(lo + 2 * span / 3)
         batches = [
-            ev.filter(d <= 10),
-            ev.filter((d > 10) & (d <= 20)),
-            ev.filter(d > 20),
+            ev.filter(F.col("ts") < c1),
+            ev.filter((F.col("ts") >= c1) & (F.col("ts") < c2)),
+            ev.filter(F.col("ts") >= c2),
         ]
         in_dir = stage_stream_dir(batches, f"{scratch}/in")
         sev = read_file_stream(spark, in_dir, ev.schema)

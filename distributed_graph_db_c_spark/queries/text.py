@@ -1256,15 +1256,20 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     window-based oracle agrees exactly."""
     docs = load_table(spark, sf_dir, "documents")
     t = tokens()
-    bigrams = F.when(
-        F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(t) - 2),
-            lambda i: F.concat_ws(" ", F.element_at(t, i + 1), F.element_at(t, i + 2)),
+    # bigrams via SLICED OFFSET VIEWS + arrays_zip, the codegen shingle
+    # idiom (shingle_hash_sets) — a per-element transform() lambda is
+    # INTERPRETED and measured 9x slower on this exact stage (5.8 s ->
+    # 0.6 s at sf0.1); the concat happens per exploded ROW, in codegen
+    n = F.size(t)
+    z = F.when(
+        n >= 2,
+        F.arrays_zip(
+            F.slice(t, 1, n - 1).alias("t0"), F.slice(t, 2, n - 1).alias("t1")
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<struct<t0:string,t1:string>>"))
     counts = (
-        docs.select("lang", F.explode(bigrams).alias("bigram"))
+        docs.select("lang", F.explode(z).alias("g"))
+        .select("lang", F.concat_ws(" ", F.col("g.t0"), F.col("g.t1")).alias("bigram"))
         .groupBy("lang", "bigram")
         .agg(F.count("*").alias("n"))
     )
