@@ -153,6 +153,7 @@ HEADLINE = [
     "text_oov_rate",
     "skew_key_profile",
     "stream_attribution_last_touch",
+    "sim_knn_gather_mean",
 ]
 
 

@@ -402,3 +402,102 @@ def sim_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, s, m = covariance_merge(covariance_moments(emb, dim=EMBED_DIM), dim=EMBED_DIM)
     comps = pca_components(covariance_matrix(n, s, m, dim=EMBED_DIM), k=2)
     return pca_project(emb, comps)
+
+
+# -- round 8: kNN gather-aggregate (message passing) -------------------------
+
+_KNN_Q = 20
+_KNN_K = 10
+
+_KNN_GATHER_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {_KNN_Q}),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         {dot_sql('e.embedding', 'q.qe')}
+           / (sqrt({dot_sql('e.embedding', 'e.embedding')})
+              * sqrt({dot_sql('q.qe', 'q.qe')})) AS cosine
+  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+ranked AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored),
+nn AS (SELECT qid, vec_id FROM ranked WHERE rn <= {_KNN_K}),
+px AS (
+  SELECT nn.qid, i.i AS dim_pos, e.embedding[i.i + 1] AS v
+  FROM nn JOIN embeddings e USING (vec_id)
+  JOIN (SELECT unnest(generate_series(0, 255)) AS i) i ON i.i < len(e.embedding))
+SELECT CAST(qid AS BIGINT) AS qid, CAST(dim_pos AS BIGINT) AS dim_pos,
+       CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+       round(CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(20,10))) AS DOUBLE)
+             / COUNT(*), 8) AS mean_v
+FROM px GROUP BY 1, 2
+"""
+
+
+@register("sim_knn_gather_mean", oracle=_KNN_GATHER_SQL)
+def sim_knn_gather_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN GATHER-AGGREGATE (round 8): for each of 20 query vectors,
+    the per-dimension MEAN of its exact top-10 cosine neighbours — one
+    message-passing layer over the kNN graph, the primitive under
+    label propagation on embeddings, retrieval-augmented features, and
+    GNN-style neighbourhood encoding (search -> gather -> aggregate in
+    one plan).
+
+    Scale shape: queries BROADCAST onto the corpus scan (scoring is
+    embarrassingly parallel, no corpus shuffle); top-10 per query via
+    the skew-proof two-stage partial top-k (a row_number window would
+    funnel the whole scored stream into |queries| tasks); the gather
+    is a slim (qid, vec_id) broadcast join back to the corpus; the
+    per-dim mean rides the centroid gate's DECIMAL(20,10) ladder in
+    long form — |queries| x dims rows through the final shuffle,
+    independent of corpus size.  Cosines are the shared left-fold
+    (bit-identical both engines), so the neighbour SETS match exactly
+    and the means hash-match; at 100 TB the brute-force scorer swaps
+    for the IVF/LSH candidate generators upstream, same gather tail."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from ..functions.vectors import cosine_seq
+
+    q = emb.filter(F.col("vec_id") < _KNN_Q).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine_seq(F.col("embedding"), F.col("qvec")).alias("cosine"),
+        )
+    )
+    item = F.struct((-F.col("cosine")).alias("neg_c"), F.col("vec_id").alias("vec_id"))
+    local = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .groupBy("qid", "pid")
+        .agg(F.slice(F.array_sort(F.collect_list(item)), 1, _KNN_K).alias("top"))
+    )
+    merged = (
+        local.select("qid", F.explode("top").alias("it"))
+        .groupBy("qid")
+        .agg(F.slice(F.array_sort(F.collect_list("it")), 1, _KNN_K).alias("top"))
+    )
+    nn = merged.select("qid", F.explode("top").alias("it")).select(
+        "qid", F.col("it.vec_id").alias("vec_id")
+    )
+    px = nn.join(emb.select("vec_id", "embedding"), "vec_id").select(
+        "qid", F.posexplode("embedding").alias("dim_pos", "v")
+    )
+    return (
+        px.groupBy("qid", "dim_pos")
+        .agg(
+            F.count("*").alias("n_neighbors"),
+            F.sum(F.col("v").cast("double").cast("decimal(20,10)")).alias("s"),
+        )
+        .select(
+            F.col("qid").cast("long").alias("qid"),
+            F.col("dim_pos").cast("long").alias("dim_pos"),
+            "n_neighbors",
+            F.round(F.col("s").cast("double") / F.col("n_neighbors"), 8).alias(
+                "mean_v"
+            ),
+        )
+    )

@@ -126,6 +126,7 @@ _ROUND8_NEW: list[str] = [
     "rel_events_attribution",  # last-touch struct-max, no self-join r8
     "text_oov_rate",  # broadcast-vocab OOV scoring, skew-free r8
     "skew_key_profile",  # heavy-key diagnostic, self-skew-proof r8
+    "sim_knn_gather_mean",  # kNN search->gather->aggregate layer r8
 ]
 # (sim_pca_project registered rows-only — the oracle would need the
 # eigendecomposition; numpy differential + determinism pytest instead.)

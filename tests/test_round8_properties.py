@@ -365,3 +365,52 @@ def test_covariance_exact_for_large_magnitude_vectors(spark):
         for k in range(len(iu[0]))
     ]
     assert n == 600 and s == exp_s and m == exp_m
+
+
+def test_knn_gather_mean_matches_window_form(spark):
+    """The two-stage top-k + decimal gather must equal the naive
+    row_number-window kNN + plain per-dim mean to float tolerance, with
+    exactly K neighbours per query and the query itself excluded."""
+    from pyspark.sql import Window
+
+    from distributed_graph_db_c_spark.functions.vectors import cosine_seq
+    from distributed_graph_db_c_spark.queries.similarity import (
+        _KNN_K,
+        _KNN_Q,
+        sim_knn_gather_mean,
+    )
+    from distributed_graph_db_c_spark.sources.tables import load_table
+
+    got = {
+        (r["qid"], r["dim_pos"]): (r["n_neighbors"], r["mean_v"])
+        for r in sim_knn_gather_mean(spark, SF_DIR).collect()
+    }
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < _KNN_Q).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    scored = (
+        emb.crossJoin(q)
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id",
+            cosine_seq(F.col("embedding"), F.col("qvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    nn = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= _KNN_K
+    )
+    px = nn.join(emb, "vec_id").select(
+        "qid", F.posexplode("embedding").alias("dim_pos", "v")
+    )
+    ref = {
+        (r["qid"], r["dim_pos"]): (r["n"], r["m"])
+        for r in px.groupBy("qid", "dim_pos")
+        .agg(F.count("*").alias("n"), F.avg(F.col("v").cast("double")).alias("m"))
+        .collect()
+    }
+    assert set(got) == set(ref) and len(got) == _KNN_Q * 64
+    for k, (n, m) in got.items():
+        assert n == _KNN_K == ref[k][0]
+        assert m == pytest.approx(ref[k][1], abs=1e-7)

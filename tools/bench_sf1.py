@@ -110,6 +110,7 @@ QUERIES = [
     "rel_events_attribution",
     "text_oov_rate",
     "skew_key_profile",
+    "sim_knn_gather_mean",
 ]
 
 # Round-7 extension (r6 verdict item 5): the 12 streaming gates at 10x

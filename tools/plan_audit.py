@@ -667,6 +667,16 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         ("column pruning", r"ReadSchema: [^\n]*o_custkey", True),
         ("no comment scan", r"ReadSchema: [^\n]*o_comment", False),
     ],
+    "sim_knn_gather_mean": [
+        # queries broadcast onto the corpus scan; top-k per query is the
+        # two-stage slice merge; the per-dim mean is a partial agg —
+        # never a row_number window over the scored stream
+        ("broadcast queries", r"BroadcastNestedLoopJoin|BroadcastHashJoin", True),
+        ("no raw-row window", r"RunningWindowFunction|\bWindow\b", False),
+        ("partial agg", r"partial_", True),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("no label scan", r"ReadSchema: [^\n]*label", False),
+    ],
     "ts_time_weighted_avg": [
         # one per-user window sort then a partial-agg groupBy; exact
         # integer microsecond deltas, decimal weighted sums — no python
