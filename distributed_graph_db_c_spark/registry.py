@@ -210,19 +210,21 @@ _REGRESSION: list[str] = []
 # ROUND-9 HANDOFF (computed against the published r07 record with a
 # synthetic r08 = this window all-green; the strict look-ahead test
 # recomputes and enforces it at r9 build time): the round-9 window owes
-# (1) these 16 bench-headline entries whose newest evidence leaves the
+# (1) these 18 bench-headline entries whose newest evidence leaves the
 # horizon when r09 publishes — dedup_embedding_cosine_pairs,
 # graph_chain_roots, graph_toposort_levels, mm_ahash_pairs_from_hashes,
 # pipeline_domain_mixture, pipeline_topk_per_domain,
-# rel_cumulative_distinct_users, rel_skyline_parts, sample_weighted_pps,
+# rel_cumulative_distinct_users, rel_mode_order_priority,
+# rel_price_histogram, rel_skyline_parts, sample_weighted_pps,
 # sim_ann_batch_topk, storage_constraint_audit, storage_merge_cdc_batch,
 # storage_table_checksum, storage_zonemap_incremental,
-# storage_zonemap_stats, text_clean_normalize (the first four _NEXT_DUE
-# entries below ride the r8 window and drop off this list); (2) the
+# storage_zonemap_stats, text_clean_normalize (only the first two
+# _NEXT_DUE entries below still ride the r8 window — each round-8 gate
+# registration displaced one filler, the intended priority); (2) the
 # remaining five r06-latest streaming rotations (stream_session_window,
 # stream_sliding_30m, stream_stateful_user_totals,
 # stream_static_join_enrich, stream_dedup_minhash_incremental); (3)
-# family pins recheck; (4) r9 new gates.  ~30 fixed + new: comfortable.
+# family pins recheck; (4) r9 new gates.  ~32 fixed + new: comfortable.
 
 # Streaming events consumers LAST inside the window: each runs a real
 # micro-batch stream and is the slowest gate class — if the driver's
