@@ -154,6 +154,7 @@ HEADLINE = [
     "skew_key_profile",
     "stream_attribution_last_touch",
     "sim_knn_gather_mean",
+    "rel_events_transition_matrix",
 ]
 
 

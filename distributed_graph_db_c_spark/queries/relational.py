@@ -2574,3 +2574,54 @@ def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.crossJoin(F.broadcast(stats)).withColumn(
         "skew_milli", F.expr("(1000 * key_count * n_keys) div n_rows")
     )
+
+
+# -- round 8: event-type transition matrix -----------------------------------
+
+_TRANSITION_SQL = """
+WITH nxt AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events),
+c AS (SELECT from_type, to_type, COUNT(*) AS n
+      FROM nxt WHERE to_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n,
+       CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+       CAST((1000 * n) // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+         AS p_milli
+FROM c
+"""
+
+
+@register("rel_events_transition_matrix", oracle=_TRANSITION_SQL)
+def rel_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TYPE TRANSITION MATRIX (round 8): first-order Markov
+    transition counts and milli-probabilities over each user's event
+    stream — the behavioural-model summary under funnel diagnosis,
+    anomaly scoring ("error->error loops"), and session simulation.
+
+    Scale shape: ONE per-user window sort produces the (from, to)
+    pairs; the count is a map-side-partial aggregate whose output is
+    |event_types|^2 rows (25 here) — the row normalisation window runs
+    over THAT tiny matrix, never over raw events.  Integer counts and
+    milli-probabilities only: no float seam."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    c = pairs.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    wf = Window.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.sum("n").over(wf).alias("n_from"),
+        F.expr("(1000 * n) div sum(n) over (partition by from_type)").alias(
+            "p_milli"
+        ),
+    )

@@ -127,6 +127,7 @@ _ROUND8_NEW: list[str] = [
     "text_oov_rate",  # broadcast-vocab OOV scoring, skew-free r8
     "skew_key_profile",  # heavy-key diagnostic, self-skew-proof r8
     "sim_knn_gather_mean",  # kNN search->gather->aggregate layer r8
+    "rel_events_transition_matrix",  # Markov summary, types^2 rows r8
 ]
 # (sim_pca_project registered rows-only — the oracle would need the
 # eigendecomposition; numpy differential + determinism pytest instead.)
@@ -225,6 +226,17 @@ _REGRESSION: list[str] = []
 # stream_sliding_30m, stream_stateful_user_totals,
 # stream_static_join_enrich, stream_dedup_minhash_incremental); (3)
 # family pins recheck; (4) r9 new gates.  ~32 fixed + new: comfortable.
+#
+# Surface candidates banked for round 9 (beyond the rotation): (a)
+# per-group mergeable quantile sketches (the GK gate is corpus-global;
+# per-(lang|source) quantiles of doc length/quality are the curation
+# ask); (b) second-order transition analysis (the r8 matrix is
+# first-order; bigram-of-types with the same types^3-bounded shape);
+# (c) IVF-backed kNN gather (swap sim_knn_gather_mean's brute-force
+# scorer for the persisted-IVF candidate path — same gather tail, the
+# 100 TB form of the message-passing layer); (d) tokenizer-scale OOV
+# (the V~10^5 regime where the measured crossover flips to the
+# broadcast-join probe).
 
 # Streaming events consumers LAST inside the window: each runs a real
 # micro-batch stream and is the slowest gate class — if the driver's

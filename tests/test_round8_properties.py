@@ -414,3 +414,33 @@ def test_knn_gather_mean_matches_window_form(spark):
     for k, (n, m) in got.items():
         assert n == _KNN_K == ref[k][0]
         assert m == pytest.approx(ref[k][1], abs=1e-7)
+
+
+def test_transition_matrix_row_stochastic_and_conserving(spark):
+    """Transition counts must conserve events (sum over the matrix =
+    n_events - n_users-with-events), every row's n_from must equal the
+    sum of its cells, and milli-probabilities must floor-sum to within
+    |cells| of 1000 per row."""
+    import pyspark.sql.functions as F2
+
+    from distributed_graph_db_c_spark.queries.relational import (
+        rel_events_transition_matrix,
+    )
+    from distributed_graph_db_c_spark.sources.tables import load_table
+
+    rows = rel_events_transition_matrix(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n"] for r in rows) == n_events - n_users
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], []).append(r)
+    for ft, cells in by_from.items():
+        n_from = cells[0]["n_from"]
+        assert all(c["n_from"] == n_from for c in cells)
+        assert sum(c["n"] for c in cells) == n_from
+        milli = sum(c["p_milli"] for c in cells)
+        assert 1000 - len(cells) < milli <= 1000
+        for c in cells:
+            assert c["p_milli"] == (1000 * c["n"]) // n_from

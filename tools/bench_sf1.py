@@ -111,6 +111,7 @@ QUERIES = [
     "text_oov_rate",
     "skew_key_profile",
     "sim_knn_gather_mean",
+    "rel_events_transition_matrix",
 ]
 
 # Round-7 extension (r6 verdict item 5): the 12 streaming gates at 10x

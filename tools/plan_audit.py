@@ -677,6 +677,15 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
         ("no label scan", r"ReadSchema: [^\n]*label", False),
     ],
+    "rel_events_transition_matrix": [
+        # one per-user window; count is map-side partial; the row
+        # normalisation runs over the |types|^2 matrix, never raw rows
+        ("window", r"Window", True),
+        ("partial agg", r"partial_", True),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("no props payload scan", r"ReadSchema: [^\n]*props", False),
+        ("no value scan", r"ReadSchema: [^\n]*value", False),
+    ],
     "ts_time_weighted_avg": [
         # one per-user window sort then a partial-agg groupBy; exact
         # integer microsecond deltas, decimal weighted sums — no python
