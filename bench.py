@@ -155,6 +155,7 @@ HEADLINE = [
     "stream_attribution_last_touch",
     "sim_knn_gather_mean",
     "rel_events_transition_matrix",
+    "sim_knn_gather_mean_ann",
 ]
 
 

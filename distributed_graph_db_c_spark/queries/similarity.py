@@ -483,6 +483,13 @@ def sim_knn_gather_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = merged.select("qid", F.explode("top").alias("it")).select(
         "qid", F.col("it.vec_id").alias("vec_id")
     )
+    return _gather_mean(nn, emb)
+
+
+def _gather_mean(nn: DataFrame, emb: DataFrame) -> DataFrame:
+    """Shared gather tail: (qid, vec_id) neighbour lists -> per-dim
+    decimal mean in long form.  Both the brute-force and the ANN-backed
+    kNN gates end here — the scorer is the swappable half."""
     px = nn.join(emb.select("vec_id", "embedding"), "vec_id").select(
         "qid", F.posexplode("embedding").alias("dim_pos", "v")
     )
@@ -501,3 +508,39 @@ def sim_knn_gather_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_KNN_ANN_TABLES = 12  # measured total top-10 recall at all three SFs
+
+
+@register("sim_knn_gather_mean_ann", oracle=_KNN_GATHER_SQL)
+def sim_knn_gather_mean_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of the message-passing layer (round 8): the same
+    gather tail as sim_knn_gather_mean fed by the LSH BATCH ANN scorer
+    (bucket-equijoin candidates, full Hamming-1 multiprobe, 12 tables)
+    instead of the brute-force cross product — candidates come from
+    bucket collisions, so scoring cost follows collision counts, not
+    |queries| x |corpus|.
+
+    CORPUS-CONTINGENT ORACLE, the standing ANN contract: with measured
+    candidate recall 1.0 for every query's exact top-10 at sf0.001,
+    sf0.01 AND sf0.1 (pytest-pinned equality with the brute-force gate),
+    the neighbour sets — and therefore the decimal means — are
+    bit-identical to the exact SQL.  A corpus/seed/scale change that
+    flips this red is recall loss on some query; diagnose with the
+    pytest pin."""
+    from ..operators.similarity import N_PLANES, ann_batch_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_Q).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    ann = ann_batch_topk(
+        emb,
+        queries,
+        dim=EMBED_DIM,
+        top_k=_KNN_K,
+        multiprobe=N_PLANES,
+        n_tables=_KNN_ANN_TABLES,
+    )
+    return _gather_mean(ann.select("qid", "vec_id"), emb)

@@ -136,7 +136,10 @@ _ROUND8_NEW: list[str] = [
 # only (ORACLE_LOCAL.md), first in line for round-9 driver slots.
 # test_registry_window.py asserts this list stays small (<=3) and
 # drains.
-AWAITING_FIRST_SLOT: list[str] = []
+AWAITING_FIRST_SLOT: list[str] = [
+    "sim_knn_gather_mean_ann",  # ANN-scored gather twin (r8 late; the
+    # window closed exactly full — first in line for an r9 slot)
+]
 
 # (d) the recomputed due list: the 21 bench-headline oracle-backed
 # queries lacking driver evidence in the two latest published records

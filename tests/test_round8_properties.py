@@ -444,3 +444,17 @@ def test_transition_matrix_row_stochastic_and_conserving(spark):
         assert 1000 - len(cells) < milli <= 1000
         for c in cells:
             assert c["p_milli"] == (1000 * c["n"]) // n_from
+
+
+def test_knn_gather_ann_equals_bruteforce(spark):
+    """The ANN-scored gather (12-table full-multiprobe LSH) must be
+    BIT-IDENTICAL to the brute-force gate — the measured total-recall
+    contract its shared oracle rests on."""
+    from distributed_graph_db_c_spark.queries.similarity import (
+        sim_knn_gather_mean,
+        sim_knn_gather_mean_ann,
+    )
+
+    brute = {tuple(r) for r in sim_knn_gather_mean(spark, SF_DIR).collect()}
+    ann = {tuple(r) for r in sim_knn_gather_mean_ann(spark, SF_DIR).collect()}
+    assert ann == brute and len(ann) == 20 * 64

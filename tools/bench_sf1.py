@@ -112,6 +112,7 @@ QUERIES = [
     "skew_key_profile",
     "sim_knn_gather_mean",
     "rel_events_transition_matrix",
+    "sim_knn_gather_mean_ann",
 ]
 
 # Round-7 extension (r6 verdict item 5): the 12 streaming gates at 10x
