@@ -677,6 +677,16 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
         ("no label scan", r"ReadSchema: [^\n]*label", False),
     ],
+    "sim_knn_gather_mean_ann": [
+        # candidates from bucket EQUIJOINS (never a cartesian scorer);
+        # same window-free partial-agg tail as the brute gate.  (The
+        # LSH bucket-assignment Arrow kernel IS in this plan — one of
+        # the documented deliberate pandas kernels — so no no-python
+        # pin here, unlike the expression-only gates.)
+        ("no cartesian", r"CartesianProduct", False),
+        ("hash join candidates", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True),
+        ("partial agg", r"partial_", True),
+    ],
     "rel_events_transition_matrix": [
         # one per-user window; count is map-side partial; the row
         # normalisation runs over the |types|^2 matrix, never raw rows
