@@ -440,16 +440,21 @@ def minhash_index_build(
     claim = _index_claim(warehouse, table_prefix)
     claim_marker(fs, jpath, claim, f"minhash_index_build({table_prefix})")
     hs = shingle_hash_sets(docs, k, id_col, text_col).persist()
-    sig = minhash_signatures(docs, num_perm, k, id_col, text_col, hs_df=hs)
-    bk = minhash_band_buckets(sig, bands, rows)
-    bkeyed = bk.select(
-        "id", F.xxhash64(F.col("band"), F.col("bucket")).alias("bkey")
-    )
-    write_bucketed(
-        bkeyed, f"{table_prefix}_bands", key="bkey", n_buckets=n_buckets
-    )
-    write_bucketed(hs, f"{table_prefix}_shingles", key="id", n_buckets=n_buckets)
-    hs.unpersist()
+    try:
+        sig = minhash_signatures(docs, num_perm, k, id_col, text_col, hs_df=hs)
+        bk = minhash_band_buckets(sig, bands, rows)
+        bkeyed = bk.select(
+            "id", F.xxhash64(F.col("band"), F.col("bucket")).alias("bkey")
+        )
+        write_bucketed(
+            bkeyed, f"{table_prefix}_bands", key="bkey", n_buckets=n_buckets
+        )
+        write_bucketed(hs, f"{table_prefix}_shingles", key="id", n_buckets=n_buckets)
+    finally:
+        # the persist must not outlive the build on ANY exit path; the
+        # claim marker, by contrast, is released ONLY on success (a
+        # half-built index must keep failing loudly) — see docstring
+        hs.unpersist()
     fs.delete(jpath(claim), False)
 
 

@@ -80,6 +80,33 @@ def covariance_moments(df: DataFrame, col: str = "embedding", dim: int = 64) -> 
             # pathological inputs just get smaller blocks, never a
             # silently inexact sum)
             wmax = float(np.abs(w).max()) if w.size else 0.0
+            # The adaptive block bounds the SUM of products under 2^53,
+            # but floors at 1 row — and a SINGLE product w_i*w_j is
+            # itself inexact in float64 once the factors' SIGNIFICANT
+            # bits total > 53.  Magnitude alone doesn't decide this:
+            # float32-derived columns carry <= 24-bit significands, so
+            # their products stay exact (<= 48 bits) at ANY |x| — the
+            # large-magnitude pytest's regime — while a double-typed
+            # column with |w| > 2^26 of FULL significance breaks
+            # silently.  Shrinking the block can't save that case, so
+            # measure the widest significand in the batch and refuse
+            # loudly instead of violating the "never a silently inexact
+            # sum" / partitioning-independence contract (r9 advisory).
+            if w.size:
+                v = np.abs(w[w != 0.0])
+                if v.size:
+                    mant, exp = np.frexp(v)  # v = mant * 2^exp, mant in [0.5,1)
+                    m53 = (mant * (2.0**53)).astype(np.int64)  # exact: 53-bit ints
+                    tz = np.log2((m53 & -m53).astype(np.float64)).astype(np.int64)
+                    max_sig = int((53 - tz).max())
+                    if 2 * max_sig > 53:
+                        raise ValueError(
+                            f"covariance_moments: a quantized component carries"
+                            f" {max_sig} significant bits; a single product"
+                            " would exceed float64's 53-bit exact range. The"
+                            " column must be float32-derived or unit-scale"
+                            " (<= 26 significant bits after 2^20 quantization)."
+                        )
             nrows = (
                 _BLOCK
                 if wmax <= 1.0

@@ -152,6 +152,15 @@ def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_bands")
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_shingles")
+        # a failed build leaves its claim marker by design (durable
+        # indexes must fail loudly until repaired) — but THIS prefix is
+        # a random throwaway, so an orphaned marker would just litter
+        # the shared warehouse forever (round-9 advisory): drop it too
+        from ..operators.dedup import _index_claim
+        from ..sinks import _hadoop_fs
+
+        fs, jpath = _hadoop_fs(spark, spark.conf.get("spark.sql.warehouse.dir"))
+        fs.delete(jpath(_index_claim(spark.conf.get("spark.sql.warehouse.dir"), prefix)), False)
     return result
 
 

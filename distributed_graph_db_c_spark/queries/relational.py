@@ -571,17 +571,36 @@ def rel_anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataF
 _EXCEPT_SQL = """
 SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
 EXCEPT
-SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+SELECT CAST(s_nationkey AS BIGINT) AS nationkey
+FROM supplier
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE r_name = 'EUROPE'
 """
 
 
 @register("rel_except_nations", oracle=_EXCEPT_SQL)
 def rel_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer nations minus EUROPEAN-supplier nations.  Round-9 rework
+    of a vacuous gate: the original unfiltered form returned 0 rows at
+    sf0.01 (every customer nation also has a supplier), proving only
+    that both engines return empty — it would have stayed green with
+    the EXCEPT inverted.  Restricting the subtracted side to one region
+    makes the difference provably nonempty (every non-European customer
+    nation survives; test_except_nations_nonvacuous pins rows > 0 and
+    keeps the original full-overlap form as a pytest).  The subtracted
+    side is dims-only (supplier x nation x region), so both joins
+    broadcast; the EXCEPT itself hash-aggregates on the single key."""
     c = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").cast("long").alias("nationkey")
     )
-    s = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").cast("long").alias("nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select(F.col("s_nationkey").cast("long").alias("nationkey"))
     )
     return c.subtract(s)  # EXCEPT = set difference (distinct), not exceptAll
 
