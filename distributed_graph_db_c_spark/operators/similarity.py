@@ -702,3 +702,81 @@ def ivf_query_persisted(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(top_k)
     )
+
+
+def ivf_batch_query_persisted(
+    spark,
+    path: str,
+    queries: list[tuple[int, list[float]]],
+    top_k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """BATCH query a persisted IVF index: the round-9 disk-pruning form
+    of the ANN scorer.  ``queries`` is a driver-held list of (qid,
+    vector) pairs — bounded (the retrieval batch), like every query-side
+    broadcast in this engine.
+
+    Plan shape: cell ranking happens on the DRIVER against the tiny
+    collected centroid table (|queries| x n_cells dot products); the
+    probe plan — one (qid, cell) row per probe, carrying the query
+    vector — broadcasts onto the inverted lists, which are read with a
+    `cell IN (union of probed cells)` filter that prunes whole
+    partition directories at file-listing time.  Disk bytes therefore
+    scale with |probed cells| / n_cells of the corpus, NEVER the
+    corpus: the property the persisted index exists for.  Scoring
+    reuses the exact left-fold cosine; per-query top-k rides the
+    skew-proof two-stage partial pattern (no global window).  Each
+    vector lives in exactly one cell, so the cell-equijoin generates
+    each (query, candidate) pair at most once — no dedup stage.
+
+    Whenever the probed cells contain a query's true top-k, its result
+    rows are bit-identical to the brute-force scorer's (same fold, same
+    tie order); gates pin that operating point per corpus."""
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    cmat = np.vstack(
+        [
+            np.asarray(r["centroid"], dtype=np.float64)
+            for r in sorted(cents, key=lambda r: r["cell"])
+        ]
+    )
+    probe_rows = []
+    for qid, vec in queries:
+        qv = np.asarray(vec, dtype=np.float64)
+        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        for c in np.argsort(-(cmat @ qn))[:nprobe]:
+            probe_rows.append((int(qid), int(c), [float(x) for x in vec]))
+    probes = spark.createDataFrame(
+        probe_rows, "qid long, cell int, _qvec array<double>"
+    )
+    union_cells = sorted({c for _, c, _ in probe_rows})
+    lists = spark.read.parquet(f"{path}/lists")
+    scored = (
+        lists.filter(F.col("cell").isin(union_cells))
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col("qid"))
+        .select(
+            "qid",
+            id_col,
+            cosine_seq(F.col(vec_col), F.col("_qvec")).alias("cosine"),
+        )
+    )
+    item = F.struct(
+        (-F.col("cosine")).alias("neg_c"), F.col(id_col).alias(id_col)
+    )
+    local = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .groupBy("qid", "pid")
+        .agg(F.slice(F.array_sort(F.collect_list(item)), 1, top_k).alias("top"))
+    )
+    merged = (
+        local.select("qid", F.explode("top").alias("it"))
+        .groupBy("qid")
+        .agg(F.slice(F.array_sort(F.collect_list("it")), 1, top_k).alias("top"))
+    )
+    return merged.select("qid", F.explode("top").alias("it")).select(
+        "qid",
+        F.col(f"it.{id_col}").alias(id_col),
+        (-F.col("it.neg_c")).alias("cosine"),
+    )
