@@ -2644,3 +2644,60 @@ def rel_events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_milli"
         ),
     )
+
+
+_TRANSITION2_SQL = """
+WITH seq AS (
+  SELECT event_type AS from_a,
+         LEAD(event_type) OVER w AS from_b,
+         LEAD(event_type, 2) OVER w AS to_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+c AS (SELECT from_a, from_b, to_type, COUNT(*) AS n
+      FROM seq WHERE from_b IS NOT NULL AND to_type IS NOT NULL
+      GROUP BY 1, 2, 3)
+SELECT from_a, from_b, to_type, n,
+       CAST(SUM(n) OVER (PARTITION BY from_a, from_b) AS BIGINT) AS n_from,
+       CAST((1000 * n) // SUM(n) OVER (PARTITION BY from_a, from_b) AS BIGINT)
+         AS p_milli
+FROM c
+"""
+
+
+@register("rel_events_transition_bigram", oracle=_TRANSITION2_SQL)
+def rel_events_transition_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND-ORDER transition analysis (round 9 — the banked r8
+    candidate b): P(next | previous TWO event types).  The first-order
+    matrix answers "what follows an error?"; this one separates
+    "error after error" from "error after purchase" — the state-pair
+    conditioning behavioural models actually need (loop detection,
+    2-step funnel leaks, Markov-order diagnostics against the
+    first-order gate).
+
+    Scale shape identical to the first-order gate: the SAME single
+    per-user window sort feeds both LEAD(1) and LEAD(2) (one Exchange +
+    one Sort, plan-audited), the count is a map-side partial aggregate,
+    and the output is bounded by |event_types|^3 rows (125 here) — the
+    normalisation window runs over that tiny cube, never raw events.
+    Integer counts and milli-probabilities only: no float seam."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_a"),
+        F.lead("event_type", 1).over(w).alias("from_b"),
+        F.lead("event_type", 2).over(w).alias("to_type"),
+    ).filter(F.col("from_b").isNotNull() & F.col("to_type").isNotNull())
+    c = seq.groupBy("from_a", "from_b", "to_type").agg(F.count("*").alias("n"))
+    wf = Window.partitionBy("from_a", "from_b")
+    return c.select(
+        "from_a",
+        "from_b",
+        "to_type",
+        "n",
+        F.sum("n").over(wf).alias("n_from"),
+        F.expr(
+            "(1000 * n) div sum(n) over (partition by from_a, from_b)"
+        ).alias("p_milli"),
+    )

@@ -76,6 +76,68 @@ def sketch_quantiles_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- round 9: per-group mergeable quantile sketches --------------------------
+
+_DOCLEN_Q_SQL = r"""
+WITH b AS (SELECT lang, n_chars,
+                  CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                       x -> x <> '')) AS BIGINT) AS n_toks
+           FROM documents)
+SELECT lang,
+       quantile_disc(n_chars, 0.25) AS chars_p25,
+       quantile_disc(n_chars, 0.50) AS chars_p50,
+       quantile_disc(n_chars, 0.75) AS chars_p75,
+       quantile_disc(n_chars, 0.95) AS chars_p95,
+       quantile_disc(n_toks, 0.50) AS toks_p50,
+       quantile_disc(n_toks, 0.95) AS toks_p95,
+       COUNT(*) AS n_docs
+FROM b GROUP BY lang
+"""
+
+
+@register("sketch_quantiles_doclen_by_lang", oracle=_DOCLEN_Q_SQL)
+def sketch_quantiles_doclen_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP mergeable quantile sketches (round 9 — the banked r8
+    candidate a): per-language document-length quantiles (chars AND
+    whitespace tokens) — the corpus-curation question the global GK
+    gate doesn't answer ("is the French slice full of stubs?"), asked
+    per language so filtering thresholds can be set per language.
+
+    Scale shape: one GK sketch per (partition, lang) in the map-side
+    partial aggregate — a few KB each — merged associatively in the
+    shuffle; values never funnel through a sort, and group skew is
+    bounded by sketch size, not group size.  Per-partition merge-order
+    invariance is pytest-pinned (5 vs 32 partitions), as is the rank
+    error bound in the lossy regime.
+
+    CORPUS-CONTINGENT ORACLE: every language group holds fewer rows
+    than the sketch accuracy (10,000) at the driver SFs, so GK runs in
+    its EXACT regime, where Spark's query rank (the smallest element
+    whose rank covers ceil(p*n)) coincides with DuckDB's
+    quantile_disc — probed over mixed multisets, pinned by
+    test_quantiles_exact_regime_matches_rank.  At sf1+ group sizes
+    exceed the accuracy and the gate's values become estimates with
+    rank error <= n/10000 (the bench path; no oracle claim there)."""
+    from ..functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.groupBy("lang").agg(
+        F.percentile_approx("n_chars", [0.25, 0.5, 0.75, 0.95], 10000).alias("cq"),
+        F.percentile_approx(token_count(), [0.5, 0.95], 10000).alias("tq"),
+        F.count("*").alias("n_docs"),
+    )
+    return q.select(
+        "lang",
+        F.element_at("cq", 1).alias("chars_p25"),
+        F.element_at("cq", 2).alias("chars_p50"),
+        F.element_at("cq", 3).alias("chars_p75"),
+        F.element_at("cq", 4).alias("chars_p95"),
+        F.element_at("tq", 1).alias("toks_p50"),
+        F.element_at("tq", 2).alias("toks_p95"),
+        "n_docs",
+    )
+
+
 _FREQ_SQL = """
 SELECT CAST(p_brand AS VARCHAR) AS item,
        COUNT(*) AS est_count,

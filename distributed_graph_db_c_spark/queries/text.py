@@ -1361,3 +1361,73 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(t) - hits).cast("long").alias("n_oov"),
     ).filter(F.col("n_tokens") > 0)
     return base.withColumn("oov_milli", F.expr("(1000 * n_oov) div n_tokens"))
+
+
+# -- round 9: tokenizer-scale OOV (the join side of the crossover) -----------
+
+_OOV_AUG_V = 100_000  # synthetic vocab floor: the tokenizer-scale regime
+
+_OOV_TOKENIZER_SQL = rf"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+vocab AS (
+  SELECT DISTINCT unnest(t) AS term FROM toks WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 'aug ' || CAST(i AS VARCHAR) AS term
+  FROM generate_series(0, {_OOV_AUG_V - 1}) s(i)),
+x AS (SELECT doc_id, unnest(t) AS term FROM toks WHERE doc_id % 2 = 1)
+SELECT x.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       (1000 * CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT))
+         // COUNT(*) AS oov_milli
+FROM x LEFT JOIN vocab v USING (term)
+GROUP BY x.doc_id
+"""
+
+
+@register("text_oov_rate_tokenizer", oracle=_OOV_TOKENIZER_SQL)
+def text_oov_rate_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER-SCALE OOV scoring (round 9 — the banked r8 candidate
+    d): per-document out-of-vocabulary rate of the EVAL split (odd
+    doc_ids) against a V > 10^5 vocabulary — the train split's distinct
+    tokens plus 100k synthetic tokenizer entries ('aug <i>': the
+    embedded space makes collision with whitespace tokens impossible by
+    construction, so the augmentation changes join SIZE, never
+    results).  This is the decontamination-style eval-coverage check at
+    the vocabulary size real BPE tokenizers carry.
+
+    Scale shape — the OTHER side of text_oov_rate's measured crossover:
+    at V=1000 a literal-array membership loop beat the join 9x, but a
+    10^5-literal expression is past codegen's practical limits and the
+    O(V) per-token compare loop inverts the trade, so THIS regime uses
+    the O(1)-probe form: explode eval tokens, BROADCAST-hash-join the
+    vocab (a few MB at V~10^5 — broadcastable at any corpus size since
+    vocab scales with the tokenizer, not the corpus), re-aggregate per
+    doc.  Token traffic is one explode + one map-side join + one
+    partial agg keyed by doc_id (never by term — term frequency is
+    maximally skewed; doc_id is not).  Integer outputs only."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens()
+    train_vocab = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode(t).alias("term"))
+        .distinct()
+    )
+    aug = spark.range(_OOV_AUG_V).select(
+        F.format_string("aug %d", F.col("id")).alias("term")
+    )
+    vocab = train_vocab.unionAll(aug).withColumn("_inv", F.lit(1))
+    x = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.explode(t).alias("term")
+    )
+    joined = x.join(F.broadcast(vocab), "term", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .withColumn("oov_milli", F.expr("(1000 * n_oov) div n_tokens"))
+    )

@@ -210,3 +210,127 @@ def test_knn_gather_ivf_recall_prune_determinism(spark):
     a = sorted(map(tuple, sim_knn_gather_mean_ivf(spark, SF_DIR).collect()))
     b = sorted(map(tuple, sim_knn_gather_mean_ivf(spark, SF_DIR).collect()))
     assert a == b
+
+
+# -- per-group quantile sketches (round 9) ------------------------------------
+
+
+def test_quantiles_exact_regime_matches_rank(spark):
+    """In the exact regime (group rows < accuracy) the per-lang GK gate
+    must return, for each p, the smallest element whose 1-based rank
+    >= ceil(p*n) — the semantics DuckDB's quantile_disc shares (the
+    oracle's contingency).  Verified against sorted numpy ranks per
+    language, and pinned PARTITIONING-INVARIANT: the sketch's partial
+    merges must not change results between 2 and 32 input partitions."""
+    import math
+
+    from distributed_graph_db_c_spark.queries.sketches import (
+        sketch_quantiles_doclen_by_lang,
+    )
+    from distributed_graph_db_c_spark.sources.tables import load_table
+
+    got = {r["lang"]: r for r in sketch_quantiles_doclen_by_lang(spark, SF01_DIR).collect()}
+    pdf = load_table(spark, SF01_DIR, "documents").select("lang", "n_chars").toPandas()
+    for lang, grp in pdf.groupby("lang"):
+        sv = sorted(grp["n_chars"])
+        for p, col in ((0.25, "chars_p25"), (0.5, "chars_p50"), (0.75, "chars_p75"), (0.95, "chars_p95")):
+            assert got[lang][col] == sv[max(0, math.ceil(p * len(sv)) - 1)], (lang, col)
+        assert got[lang]["n_docs"] == len(sv)
+
+    from distributed_graph_db_c_spark.sources.tables import load_table as _lt
+
+    base = _lt(spark, SF01_DIR, "documents")
+    import pyspark.sql.functions as F2
+
+    def run(df):
+        q = df.groupBy("lang").agg(
+            F2.percentile_approx("n_chars", [0.25, 0.5, 0.75, 0.95], 10000).alias("cq")
+        )
+        return sorted(map(tuple, q.select("lang", F2.explode("cq")).collect()))
+
+    assert run(base.repartition(2)) == run(base.repartition(32))
+
+
+def test_quantiles_lossy_rank_error_bound(spark):
+    """The lossy regime's contract: with accuracy A, the returned value's
+    true rank is within n/A of the target rank (GK guarantee).  30k rows
+    through accuracy=100 must land within 1.5 * n/A (slack for the
+    merge path's bound constant)."""
+    import pyspark.sql.functions as F2
+
+    n = 30_000
+    df = spark.range(n).select((F2.col("id") * 7919 % n).alias("x"))
+    est = df.agg(F2.percentile_approx("x", 0.5, 100)).head()[0]
+    # x is a permutation of 0..n-1, so rank(v) == v+1
+    assert abs((est + 1) - 0.5 * n) <= 1.5 * n / 100
+
+
+# -- second-order transitions (round 9) ---------------------------------------
+
+
+def test_transition_bigram_conserves_and_row_stochastic(spark):
+    """The bigram matrix must conserve mass — total transitions equal
+    sum over users of max(0, events-2) — and each (from_a, from_b) row
+    must sum its counts to n_from with milli-probabilities summing to
+    <= 1000 (integer floor) and > 1000 - n_states."""
+    import pyspark.sql.functions as F2
+
+    from distributed_graph_db_c_spark.queries.relational import (
+        rel_events_transition_bigram,
+    )
+    from distributed_graph_db_c_spark.sources.tables import load_table
+
+    m = rel_events_transition_bigram(spark, SF_DIR).collect()
+    total = sum(r["n"] for r in m)
+    per_user = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F2.count("*").alias("c"))
+        .collect()
+    )
+    assert total == sum(max(0, r["c"] - 2) for r in per_user)
+    rows: dict[tuple, list] = {}
+    for r in m:
+        rows.setdefault((r["from_a"], r["from_b"]), []).append(r)
+    for key, rs in rows.items():
+        n_from = rs[0]["n_from"]
+        assert all(r["n_from"] == n_from for r in rs)
+        assert sum(r["n"] for r in rs) == n_from
+        pm = sum(r["p_milli"] for r in rs)
+        assert 1000 - len(rs) < pm <= 1000, (key, pm)
+
+
+# -- tokenizer-scale OOV (round 9) ---------------------------------------------
+
+
+def test_oov_tokenizer_matches_naive_and_aug_is_inert(spark):
+    """Differential pin: the broadcast-join OOV gate must equal a naive
+    Python set computation (train-split vocab, eval-split scoring), and
+    the 100k synthetic vocab entries must be provably inert — every
+    real token is whitespace-split so none can contain the space the
+    synthetic entries embed."""
+    from distributed_graph_db_c_spark.queries.text import text_oov_rate_tokenizer
+    from distributed_graph_db_c_spark.sources.tables import load_table
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_milli"])
+        for r in text_oov_rate_tokenizer(spark, SF_DIR).collect()
+    }
+    pdf = load_table(spark, SF_DIR, "documents").select("doc_id", "text").toPandas()
+    vocab: set[str] = set()
+    evals = {}
+    for _, row in pdf.iterrows():
+        toks = [t for t in row["text"].lower().split() if t]
+        if row["doc_id"] % 2 == 0:
+            vocab.update(toks)
+        else:
+            evals[row["doc_id"]] = toks
+    assert not any(" " in t for ts in evals.values() for t in ts)
+    exp = {
+        d: (len(ts), sum(t not in vocab for t in ts))
+        for d, ts in evals.items()
+        if ts
+    }
+    assert set(got) == set(exp)
+    for d, (nt, no) in exp.items():
+        assert got[d] == (nt, no, (1000 * no) // nt), d
