@@ -628,3 +628,74 @@ def audio_spectral_features(
             "centroid_hz double, bandwidth_hz double, rolloff85_hz double"
         ),
     )
+
+
+# -- round 9: capability-probed compressed-codec seam -------------------------
+
+
+def pil_available() -> bool:
+    """Capability probe for the Pillow decode path in decode_image —
+    queries/multimodal.py registers the JPEG gate only when this
+    succeeds, so the gate exercises the probe-SUCCESS branch on
+    clusters that ship Pillow and stays honestly absent (not silently
+    green) where it can't run."""
+    try:
+        from PIL import Image  # noqa: F401, PLC0415
+
+        return True
+    except ImportError:
+        return False
+
+
+def soundfile_available() -> bool:
+    """Capability probe for the soundfile decode path in decode_audio
+    (same registration discipline as :func:`pil_available`)."""
+    try:
+        import soundfile  # noqa: F401, PLC0415
+
+        return True
+    except ImportError:
+        return False
+
+
+def synth_jpeg(doc_id: int, quality: int = 90) -> bytes:
+    """Deterministic JPEG blob via Pillow (capability-gated — callers
+    must have passed :func:`pil_available`).  A smooth per-doc gradient
+    rather than synth_bmp's mod-256 ramps: JPEG is lossy, so the gate's
+    pytest pins decoded DIMENSIONS exactly and channel means within a
+    tolerance, never exact pixels."""
+    import io as _io
+
+    from PIL import Image  # noqa: PLC0415
+
+    w = 16 + doc_id % 13
+    h = 16 + doc_id % 11
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    r = np.clip(40 + x * 2 + doc_id % 64, 0, 255)
+    g = np.clip(60 + y * 3 + (2 * doc_id) % 64, 0, 255)
+    b = np.clip(80 + x + y + (3 * doc_id) % 64, 0, 255)
+    rgb = np.stack(np.broadcast_arrays(r, g, b), axis=-1).astype(np.uint8)
+    buf = _io.BytesIO()
+    Image.fromarray(rgb).save(buf, format="JPEG", quality=quality)
+    return buf.getvalue()
+
+
+def synth_flac(doc_id: int) -> bytes:
+    """Deterministic FLAC blob via soundfile (capability-gated): the
+    SAME square wave as synth_wav.  FLAC is lossless, but decode_audio's
+    soundfile branch reads dtype='int32', which left-shifts 16-bit
+    samples by 16 — so the pytest differential pins the EXACT scaling
+    relation to the WAV gate (max_abs x 2^16, wsum x 2^16, rms_sq x
+    2^32), integer-exact, not a tolerance."""
+    import io as _io
+
+    import soundfile as sf  # noqa: PLC0415
+
+    a = 100 + doc_id % 900
+    n = 200 + doc_id % 64
+    rate = 8000 + (doc_id % 4) * 4000
+    samples = np.where(np.arange(n) % 2 == 0, a, -a).astype(np.int16)
+    buf = _io.BytesIO()
+    sf.write(buf, samples, rate, format="FLAC", subtype="PCM_16")
+    return buf.getvalue()

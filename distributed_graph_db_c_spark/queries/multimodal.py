@@ -395,3 +395,45 @@ def mm_wav_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return audio_spectral_features(_with_synth_blob(docs, synth_wav))
+
+
+# -- round 9: compressed-codec gates behind the capability probes -------------
+#
+# Registered ONLY when the optional codec lib is importable, so the
+# registry is honest per environment: on a cluster shipping Pillow /
+# soundfile these run the probe-SUCCESS branch of the decode seams
+# (operators/multimodal.decode_image / decode_audio); in a container
+# without them the gates are absent — never silently green, never a
+# guaranteed-red err row.  Rows-only by design (a lossy JPEG's pixels
+# aren't SQL-derivable; the FLAC path needs the decoder): correctness is
+# pinned by tests/test_round9_properties.py's capability-skipped pins.
+from ..operators.multimodal import pil_available, soundfile_available
+
+if pil_available():
+
+    @register("mm_jpeg_decode_stats", oracle=None)
+    def mm_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """JPEG decode through the Pillow capability seam: per doc a
+        deterministic smooth-gradient JPEG (synth_jpeg) decoded by
+        decode_image's probe-success branch, reduced by the same
+        image_decode_stats stage as the BMP/PNG gates.  Pytest pins
+        decoded dimensions exactly and channel means within JPEG
+        tolerance of the source gradient."""
+        from ..operators.multimodal import synth_jpeg
+
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+        return image_decode_stats(_with_synth_blob(docs, synth_jpeg))
+
+
+if soundfile_available():
+
+    @register("mm_flac_decode_features", oracle=None)
+    def mm_flac_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """FLAC decode through the soundfile capability seam: the same
+        square wave as the WAV gate, compressed losslessly; pytest pins
+        the exact integer scaling relation to mm_wav_features (the
+        int32 read left-shifts 16-bit samples by 16)."""
+        from ..operators.multimodal import synth_flac
+
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+        return audio_decode_features(_with_synth_blob(docs, synth_flac))
