@@ -156,6 +156,11 @@ HEADLINE = [
     "sim_knn_gather_mean",
     "rel_events_transition_matrix",
     "sim_knn_gather_mean_ann",
+    # round 9: the banked round-8 candidates, wired as oracle gates
+    "sim_knn_gather_mean_ivf",
+    "rel_events_transition_bigram",
+    "text_oov_rate_tokenizer",
+    "sketch_quantiles_doclen_by_lang",
 ]
 
 

@@ -105,31 +105,27 @@ def test_window_order_fills_window_exactly():
 
 
 def test_changed_code_leads_window():
-    # round-8 policy: the window leads with the queries whose operator
-    # code changed this round — evidence follows the diff (the
-    # claim-marker ownership-token rework rides every replace_table /
-    # replace_partitions / commit_version commit).
+    # round-9 policy: the window leads with the queries whose operator
+    # code changed this round — evidence follows the diff (the EXCEPT
+    # restatement, the incremental-dedup claim/persist hygiene, the
+    # covariance significand guard).
     w = window()
     assert w[:3] == [
-        "storage_upsert_partitioned",
-        "storage_compact_roundtrip",
-        "storage_time_travel",
+        "rel_except_nations",
+        "dedup_incremental_pairs",
+        "sim_covariance_matrix",
     ]
-    assert w[-1] == "stream_attribution_last_touch"
     streaming_tail = [n for n in w if n.startswith("stream_")]
-    # r8: 11 of the 13 streaming gates are r06-latest and age out at
-    # r09 — this round carries six (the four bench-headline r09-due
-    # plus the reference-parity dispatch loop and the exact-dedup
-    # representative), halving the r09 streaming debt
+    # r9 carries the five remaining r06-latest streaming rotations (r8
+    # carried six of the thirteen; the two r07-latest fall due at r10)
     assert streaming_tail == [
-        "stream_checkpoint_recovery",
-        "stream_foreachbatch_upsert",
-        "stream_stream_interval_join",
-        "stream_watermark_late_drop",
-        "stream_requests_dispatch",
-        "stream_dedup_exact",
-        "stream_attribution_last_touch",  # r8 new gate, rides with its class
+        "stream_session_window",
+        "stream_sliding_30m",
+        "stream_stateful_user_totals",
+        "stream_static_join_enrich",
+        "stream_dedup_minhash_incremental",
     ], streaming_tail
+    assert w[-1] == streaming_tail[-1]
 
 
 def test_window_fully_oracle_backed():
@@ -142,10 +138,11 @@ def test_window_fully_oracle_backed():
 def test_awaiting_first_slot_drained():
     """The drain contract (r6 verdict, standing): gates that registered
     after a round's window filled hold slots in the NEXT round's window.
-    Round 8 drains the three round-7 mid-round registrations."""
-    for name in ("text_bm25_topk", "dedup_minhash_survivors_quality",
-                 "sample_reservoir_per_group"):
-        assert name in window(), f"{name} did not drain into the r8 window"
+    Round 9 drains sim_knn_gather_mean_ann — the one oracle-backed query
+    with zero driver evidence in any published record — FIRST."""
+    assert "sim_knn_gather_mean_ann" in window(), (
+        "sim_knn_gather_mean_ann did not drain into the r9 window"
+    )
     assert len(AWAITING_FIRST_SLOT) <= 3, "awaiting list growing: widen rotation"
     assert not set(AWAITING_FIRST_SLOT) & set(window()), (
         "AWAITING_FIRST_SLOT may never hide a query that has a slot"
@@ -184,46 +181,137 @@ def test_cumulative_driver_evidence_covers_all_oracle_backed():
     assert not missing, f"oracle-backed queries with no driver evidence: {missing}"
 
 
-def test_round8_new_gates_inside_window():
-    from distributed_graph_db_c_spark.registry import _ROUND8_NEW
+def test_round9_new_gates_inside_window():
+    from distributed_graph_db_c_spark.registry import _ROUND9_NEW
 
-    out = set(_ROUND8_NEW) - set(window())
-    assert not out, f"round-8 gates without a driver slot: {out}"
+    out = set(_ROUND9_NEW) - set(window())
+    assert not out, f"round-9 gates without a driver slot: {out}"
 
 
 def test_due_rotation_matches_lookahead():
     """The pinned _DUE_ROTATION list must be exactly the recomputed
     look-ahead set: bench-headline oracle-backed queries lacking driver
-    evidence in the two latest PRE-ROUND records (r06, r07) — the
+    evidence in the two latest PRE-ROUND records (r07, r08) — the
     entries whose evidence exceeds the three-round horizon the moment
-    the r08 record lands.  Recomputed from the JSON records, not
+    the r09 record lands.  Recomputed from the JSON records, not
     trusted; new-gate pools and the AWAITING drain are excluded (they
     hold their own slots)."""
     from distributed_graph_db_c_spark.registry import (
         _AWAITING_DRAIN,
         _DUE_ROTATION,
-        _ROUND8_NEW,
+        _ROUND9_NEW,
         _WINDOW_HEAD,
         _WINDOW_TAIL_STREAMING,
     )
 
     import bench
 
-    pre = [p for p in _records() if p.endswith(("r06.json", "r07.json"))]
+    pre = [p for p in _records() if p.endswith(("r07.json", "r08.json"))]
     assert len(pre) == 2
     oracle_backed = {n for n in bench.HEADLINE if REGISTRY[n].oracle is not None}
     expected = (
         oracle_backed
         - _green(pre)
-        - set(_ROUND8_NEW)
+        - set(_ROUND9_NEW)
         - set(_AWAITING_DRAIN)
         - set(_WINDOW_HEAD)
         - set(_WINDOW_TAIL_STREAMING)  # slot-holders are never "due"
-        - set(AWAITING_FIRST_SLOT)  # mid-round additions queue for r9
+        - set(AWAITING_FIRST_SLOT)  # mid-round additions queue for r10
     )
     assert set(_DUE_ROTATION) == expected, (
         f"missing={sorted(expected - set(_DUE_ROTATION))} "
         f"extra={sorted(set(_DUE_ROTATION) - expected)}"
+    )
+
+
+def _latest_green_rounds() -> dict[str, int]:
+    """newest published round with a hash-match row, per query."""
+    latest: dict[str, int] = {}
+    for path in _records():
+        rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
+        for n, r in json.load(open(path)).items():
+            if r.get("hash_match"):
+                latest[n] = max(latest.get(n, 0), rnd)
+    return latest
+
+
+def test_stale_ramp_is_greedy_oldest_first():
+    """The round-9 whole-registry policy (r8 verdict item 2), enforced
+    two-sided: (a) every residual window slot — what's left after the
+    fixed pools — must go to the STALEST oracle-backed queries, oldest
+    newest-evidence round first, ties by name (no cherry-picking the
+    easy ones); (b) while stale debt exists, the ramp must fill the
+    window to exactly DRIVER_WINDOW (no slot may idle or pre-pay
+    instead).  Recomputed from the published records, never trusted
+    from the pinned list."""
+    from distributed_graph_db_c_spark.registry import (
+        _AWAITING_DRAIN,
+        _DUE_ROTATION,
+        _FAMILY_PINS,
+        _REGRESSION,
+        _ROUND9_NEW,
+        _STALE_RAMP,
+        _WINDOW_HEAD,
+        _WINDOW_TAIL_STREAMING,
+    )
+
+    fixed = (
+        set(_WINDOW_HEAD)
+        | set(_AWAITING_DRAIN)
+        | set(_ROUND9_NEW)
+        | set(_DUE_ROTATION)
+        | set(_FAMILY_PINS)
+        | set(_REGRESSION)
+        | set(_WINDOW_TAIL_STREAMING)
+    )
+    residual = DRIVER_WINDOW - len(fixed)
+    assert residual >= 0, "fixed pools overflow the window"
+    latest = _latest_green_rounds()
+    # candidates: oracle-backed, not already slot-holders, not awaiting
+    candidates = sorted(
+        (
+            n
+            for n, s in REGISTRY.items()
+            if s.oracle is not None
+            and n not in fixed
+            and n not in AWAITING_FIRST_SLOT
+        ),
+        key=lambda n: (latest.get(n, -1), n),
+    )
+    expected = candidates[:residual]
+    assert list(_STALE_RAMP) == expected, (
+        f"ramp must be the greedy-oldest prefix; "
+        f"missing={sorted(set(expected) - set(_STALE_RAMP))} "
+        f"extra={sorted(set(_STALE_RAMP) - set(expected))}"
+    )
+    if len(candidates) >= residual:
+        assert len(_STALE_RAMP) == residual, (
+            "stale debt remains but the window isn't full-ramped"
+        )
+
+
+def test_whole_registry_evidence_ceiling():
+    """The hard backstop behind the greedy ramp: NO oracle-backed query
+    may sit more than TWELVE published rounds without driver evidence
+    (arrival-robust: a window slot counts before this round's record
+    lands).  Vacuous until r13 by construction — the greedy ramp clears
+    the r01 debt by ~r11, staying well ahead — but a future round that
+    starves the ramp (too many new gates, an exploding due list) hits
+    this wall instead of deferring forever."""
+    records = _records()
+    newest = int(records[-1].rsplit("_r", 1)[1].split(".")[0])
+    latest = _latest_green_rounds()
+    threshold = newest - 12
+    over = {
+        n
+        for n, s in REGISTRY.items()
+        if s.oracle is not None
+        and latest.get(n, 0) <= threshold
+        and n not in window()
+        and n not in AWAITING_FIRST_SLOT
+    }
+    assert not over, (
+        f"queries past the 12-published-round evidence ceiling: {sorted(over)}"
     )
 
 
