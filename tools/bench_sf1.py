@@ -113,6 +113,11 @@ QUERIES = [
     "sim_knn_gather_mean",
     "rel_events_transition_matrix",
     "sim_knn_gather_mean_ann",
+    # round-9 gates: same-round 10x points
+    "sim_knn_gather_mean_ivf",
+    "rel_events_transition_bigram",
+    "text_oov_rate_tokenizer",
+    "sketch_quantiles_doclen_by_lang",
 ]
 
 # Round-7 extension (r6 verdict item 5): the 12 streaming gates at 10x

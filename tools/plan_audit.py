@@ -714,6 +714,42 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         ("broadcast survivors", r"BroadcastHashJoin", True),
         ("no raw-row window", r"RunningWindowFunction", False),
     ],
+    # -- round 9 -------------------------------------------------------------
+    "rel_events_transition_bigram": [
+        # the SAME single per-user window sort feeds LEAD(1) and
+        # LEAD(2): exactly one Window over raw events; count is a
+        # map-side partial; normalisation runs over the types^3 cube
+        ("window", r"Window", True),
+        ("partial agg", r"partial_", True),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("no props payload scan", r"ReadSchema: [^\n]*props", False),
+        ("no value scan", r"ReadSchema: [^\n]*value", False),
+    ],
+    "text_oov_rate_tokenizer": [
+        # tokenizer-scale V: the vocab probe MUST be a broadcast hash
+        # join (the measured crossover from text_oov_rate's literal
+        # loop) — never a shuffled term join (term frequency is
+        # maximally skewed) — and the re-agg keys on doc_id
+        ("broadcast vocab join", r"BroadcastHashJoin", True),
+        ("no shuffled term join", r"SortMergeJoin|ShuffledHashJoin", False),
+        ("partial agg", r"partial_", True),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("column pruning", r"ReadSchema: [^\n]*text", True),
+        ("no source scan", r"ReadSchema: [^\n]*source", False),
+    ],
+    "sketch_quantiles_doclen_by_lang": [
+        # one GK sketch per (partition, lang) merged in the partial
+        # aggregate: values never funnel through a global sort
+        ("partial sketch agg", r"partial_percentile_approx|partial_", True),
+        ("no global sort", r"\bSort \[n_chars", False),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("column pruning", r"ReadSchema: [^\n]*n_chars", True),
+        ("no doc_id scan", r"ReadSchema: [^\n]*doc_id", False),
+    ],
+    # (sim_knn_gather_mean_ivf returns a localCheckpoint — its
+    # partition-pruned scan is plan-pinned in
+    # tests/test_round9_properties.py instead, the standing rule for
+    # checkpoint-returning gates.)
 }
 
 
