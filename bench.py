@@ -161,6 +161,7 @@ HEADLINE = [
     "rel_events_transition_bigram",
     "text_oov_rate_tokenizer",
     "sketch_quantiles_doclen_by_lang",
+    "sim_kmeans_clusters",
 ]
 
 

@@ -666,3 +666,30 @@ def sim_knn_gather_mean_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         cleanup(scratch)
     return result
+
+
+@register("sim_kmeans_clusters", oracle=None)
+def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-INTEGER k-means over the embedding corpus (round 9) — the
+    clustering primitive under cluster-balanced sampling, SemDeDup-style
+    cluster-then-dedup, and IVF quantizer training.  operators/kmeans.py:
+    inputs quantize once to 2^-20 integers in codegen; ASSIGNMENT is
+    exact int64 squared-euclidean argmin (ties to lowest index);
+    CENTROID UPDATES merge per-partition arbitrary-precision integer
+    sums on the driver and re-quantize with one integer rule — no float
+    touches cross-iteration state, so the entire fixed point
+    (assignments, centroids, inertia) is bit-identical under ANY
+    partitioning, pinned at two partition counts and against a
+    pure-Python replica of the same arithmetic.
+
+    Rows-only BY DESIGN: an iterative fixpoint is not SQL-expressible
+    (the k-core/BFS lane); correctness is the pytest differential +
+    invariance pins (tests/test_round9_properties.py).  Scale shape:
+    each Lloyd iteration is one scan emitting a k x d integer summary
+    per partition (the sketch class); the driver merge is k-bounded;
+    per-cluster output carries the exact membership-set checksum."""
+    from ..operators.kmeans import kmeans_fit, kmeans_summary
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _iters, _inertia = kmeans_fit(emb, k=8, dim=EMBED_DIM)
+    return kmeans_summary(emb, cents)

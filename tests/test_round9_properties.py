@@ -430,3 +430,99 @@ def test_flac_decode_matches_wav_scaled(spark):
         assert fr["max_abs"] == wr["max_abs"] * 65536
         assert fr["wsum"] == wr["wsum"] * 65536
         assert fr["rms_sq"] == wr["rms_sq"] * 65536 * 65536
+
+
+# -- exact-integer k-means (round 9) -------------------------------------------
+
+
+def _python_kmeans(sf_dir, k=8, max_iters=8):
+    """Pure-Python replica of operators/kmeans.py's integer arithmetic —
+    the differential oracle for an op SQL can't express."""
+    import hashlib
+
+    ids, E = _load_embeddings_numpy(sf_dir)
+    W = np.floor(E * float(1 << 20) + 0.5).astype(np.int64)
+    order = sorted(range(len(ids)), key=lambda i: (hashlib.md5(str(int(ids[i])).encode()).hexdigest(), ids[i]))
+    cents = [ [int(v) for v in W[i]] for i in order[:k] ]
+    last_inertia = None
+    for _ in range(max_iters):
+        C = np.asarray(cents, dtype=np.int64)
+        d2 = ((W[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        am = np.argmin(d2, axis=1)
+        inertia = int(d2[np.arange(len(am)), am].sum())
+        new_cents = list(cents)
+        for cl in range(k):
+            mask = am == cl
+            n = int(mask.sum())
+            if n > 0:
+                s = W[mask].sum(axis=0)
+                new_cents[cl] = [(2 * int(sv) + n) // (2 * n) for sv in s]
+        if new_cents == cents and last_inertia == inertia:
+            break
+        cents, last_inertia = new_cents, inertia
+    fit_inertia = int(last_inertia if last_inertia is not None else inertia)
+    C = np.asarray(cents, dtype=np.int64)
+    d2 = ((W[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    am = np.argmin(d2, axis=1)
+    summary = {}
+    for cl in np.unique(am):
+        mask = am == cl
+        summary[int(cl)] = (
+            int(mask.sum()),
+            int(ids[mask].sum()),
+            int(d2[mask, cl].sum()),
+        )
+    return cents, summary, fit_inertia
+
+
+def test_kmeans_matches_python_replica_and_partitioning(spark):
+    """Two pins on the exact-integer k-means: (a) the distributed fixed
+    point equals a pure-Python replica of the same integer arithmetic —
+    centroids, cluster sizes, exact membership checksums, integer
+    inertia, all equal, no tolerance; (b) the whole computation is
+    PARTITIONING-INVARIANT: 3 vs 17 input partitions produce identical
+    results (the property the arbitrary-precision integer merge buys —
+    a float implementation fails this)."""
+    from distributed_graph_db_c_spark.operators.kmeans import (
+        kmeans_fit,
+        kmeans_summary,
+    )
+    from distributed_graph_db_c_spark.sources.tables import load_table
+
+    exp_cents, exp_summary, exp_fit_inertia = _python_kmeans(SF_DIR)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    results = []
+    for parts in (3, 17):
+        df = emb.repartition(parts)
+        cents, iters, inertia = kmeans_fit(df, k=8)
+        got = {
+            int(r["cluster"]): (r["n_vecs"], r["id_checksum"], int(r["inertia_q"]))
+            for r in kmeans_summary(df, cents).collect()
+        }
+        results.append((cents, got, inertia))
+    assert results[0] == results[1], "k-means is partitioning-dependent"
+    cents, got, inertia = results[0]
+    assert cents == exp_cents
+    assert got == exp_summary
+    # fit-returned inertia is ASSIGNMENT-TIME (under the pre-update
+    # centroids of the last Lloyd step) — compare to the replica's, not
+    # to the summary's final-centroid recomputation
+    assert inertia == exp_fit_inertia
+
+
+def test_kmeans_gate_shape(spark):
+    """Gate-level sanity: every vector lands in exactly one cluster
+    (sizes sum to the corpus), the membership checksum partitions the
+    id space, and a repeated run is identical (fresh init included)."""
+    import pyspark.sql.functions as F2
+
+    from distributed_graph_db_c_spark.queries.similarity import sim_kmeans_clusters
+    from distributed_graph_db_c_spark.sources.tables import load_table
+
+    a = sorted(map(tuple, sim_kmeans_clusters(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, sim_kmeans_clusters(spark, SF_DIR).collect()))
+    assert a == b
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n, id_sum = emb.agg(F2.count("*"), F2.sum("vec_id")).first()
+    assert sum(r[1] for r in a) == n
+    assert sum(r[2] for r in a) == id_sum

@@ -118,6 +118,7 @@ QUERIES = [
     "rel_events_transition_bigram",
     "text_oov_rate_tokenizer",
     "sketch_quantiles_doclen_by_lang",
+    "sim_kmeans_clusters",
 ]
 
 # Round-7 extension (r6 verdict item 5): the 12 streaming gates at 10x
