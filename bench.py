@@ -162,6 +162,7 @@ HEADLINE = [
     "text_oov_rate_tokenizer",
     "sketch_quantiles_doclen_by_lang",
     "sim_kmeans_clusters",
+    "dedup_semantic_survivors",
 ]
 
 

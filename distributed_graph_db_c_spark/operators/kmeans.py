@@ -183,6 +183,22 @@ def kmeans_fit(
         q.unpersist()
 
 
+def kmeans_assign(
+    df: DataFrame,
+    cents: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One assignment pass against fitted integer centroids ->
+    (id, cluster).  Pure integer per-row function: deterministic on any
+    partitioning and engine."""
+    q = quantized(df, id_col, vec_col)
+    return q.mapInPandas(
+        _assign_with_d2(cents),
+        schema=f"{id_col} long, w array<long>, cluster int, d2 long",
+    ).select(id_col, "cluster")
+
+
 def kmeans_summary(
     df: DataFrame,
     cents: list[list[int]],

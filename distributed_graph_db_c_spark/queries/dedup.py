@@ -666,3 +666,74 @@ def dedup_minhash_survivors_quality(spark: SparkSession, sf_dir: str) -> DataFra
     return with_q.select("doc_id", "canonical_id").join(
         F.broadcast(survivors), "canonical_id"
     ).select("doc_id", "canonical_id", "survivor_id")
+
+
+@register("dedup_semantic_survivors", oracle=None)
+def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC cluster-then-dedup (round 9) — the SemDeDup recipe
+    (public: Abbas et al. 2023) composed from this engine's own
+    primitives: integer k-means over NORMALIZED embeddings partitions
+    the corpus into k semantic cells, exact cosine near-dup pairs are
+    scored ONLY within cells, and survivorship is the shared min-label
+    CC tail (pairs_to_canonical).  Corpus = the planted-near-dup grade
+    corpus, so the 0.8-pair set is nonvacuous and known.
+
+    Why this exists at 100 TB: all-pairs scoring is n^2/2; LSH bounds
+    it by collision counts; CLUSTERING bounds it by sum_k |cell|^2/2
+    ~ n^2/(2k) while keeping exact scoring inside cells AND giving the
+    curation pipeline its cluster structure for free (cluster-balanced
+    sampling, per-cell quotas).  The honest cost is boundary recall:
+    pairs straddling two cells are never scored — measured co-clustered
+    fractions of the exact 0.8-pair set are 0.958 / 0.889 / 0.794 at
+    sf0.001 / 0.01 / 0.1 (k=8 at all three; pytest-pinned >= 0.9 at
+    sf0.001); k trades recall against the n^2/k pair bound, and the
+    LSH gates remain the high-recall path.  Wall: 10.2 s -> 23.4 s at
+    10x (2.3x, BENCH_SF1.md) — the adaptive k keeps cells ~256 rows so
+    the within-cell join grows linearly, not quadratically.
+
+    Rows-only BY DESIGN (the k-means fixpoint is not SQL-expressible);
+    precision is exact by construction — every emitted pair was
+    re-scored with the left-fold cosine — and the pytest pins subset-of-
+    exact-pairs, planted recall, and repeat-run identity.  Clustering
+    normalizes (cosine geometry: planted mixtures have sqrt(5)x norms);
+    pair scoring uses the ORIGINAL vectors, same as the grade gates."""
+    from ..functions.vectors import cosine_seq, norm2_seq
+    from ..operators.kmeans import kmeans_assign, kmeans_fit
+    from ..operators.traversal import pairs_to_canonical
+
+    corpus = _grade_corpus(spark, sf_dir).persist()
+    try:
+        # k scales with the corpus so CELLS stay ~constant-sized (the
+        # paper's regime): fixed k would let the n^2/k pair bound creep
+        # back toward n^2 as the corpus grows.  256-row cells keep the
+        # within-cell join ~linear in n; k=8 floor preserves the pinned
+        # sf0.001/sf0.01 operating point.
+        k = max(8, corpus.count() // 256)
+        unit = corpus.withColumn("_n", norm2_seq(F.col("v"))).select(
+            "vec_id", F.transform("v", lambda x: x / F.col("_n")).alias("nv")
+        )
+        cents, _iters, _inertia = kmeans_fit(unit, k=k, vec_col="nv", dim=64)
+        asg = kmeans_assign(unit, cents, vec_col="nv")
+        withc = corpus.join(asg, "vec_id")
+        a = withc.select(
+            F.col("vec_id").alias("id_a"), F.col("v").alias("_va"), "cluster"
+        )
+        b = withc.select(
+            F.col("vec_id").alias("id_b"), F.col("v").alias("_vb"), "cluster"
+        )
+        pairs = (
+            a.join(b, "cluster")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                cosine_seq(F.col("_va"), F.col("_vb")).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= _GRADE_THRESHOLD)
+            # CC iterates over the pair frame — cut the cluster-join
+            # lineage once instead of re-executing it per superstep
+            .localCheckpoint(eager=True)
+        )
+        return pairs_to_canonical(pairs, corpus, ("id_a", "id_b"), "vec_id")
+    finally:
+        corpus.unpersist()

@@ -526,3 +526,120 @@ def test_kmeans_gate_shape(spark):
     n, id_sum = emb.agg(F2.count("*"), F2.sum("vec_id")).first()
     assert sum(r[1] for r in a) == n
     assert sum(r[2] for r in a) == id_sum
+
+
+# -- SemDeDup cluster-then-dedup (round 9) -------------------------------------
+
+
+def _semantic_replica(sf_dir, k=8, threshold=0.8):
+    """Pure-Python replica of dedup_semantic_survivors: same corpus
+    planting, same LEFT-FOLD norms (not numpy sums — the quantization
+    must see identical doubles), same integer k-means, same within-
+    cluster exact pairs, same min-label components."""
+    import hashlib
+
+    ids, E = _load_embeddings_numpy(sf_dir)
+    idx = {int(i): j for j, i in enumerate(ids)}
+    corpus = {int(i): [float(x) for x in E[j]] for j, i in enumerate(ids)}
+    for i in sorted(idx):
+        if i % 7 == 0 and i + 1 in idx:
+            corpus[i + 1_000_000] = [
+                2.0 * a + b for a, b in zip(corpus[i], corpus[i + 1])
+            ]
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    import math
+
+    unit = {
+        i: [x / math.sqrt(fold_dot(v, v)) for x in v] for i, v in corpus.items()
+    }
+    W = {i: [int(np.floor(x * (1 << 20) + 0.5)) for x in u] for i, u in unit.items()}
+    order = sorted(W, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cents = [list(W[i]) for i in order[:k]]
+    last_inertia = None
+    for _ in range(8):
+        am, inertia = {}, 0
+        for i, w in W.items():
+            best, bd = 0, None
+            for c, cw in enumerate(cents):
+                d = sum((a - b) ** 2 for a, b in zip(w, cw))
+                if bd is None or d < bd:
+                    best, bd = c, d
+            am[i] = best
+            inertia += bd
+        new = [list(c) for c in cents]
+        for c in range(k):
+            members = [i for i, a in am.items() if a == c]
+            n = len(members)
+            if n:
+                sums = [sum(W[i][d] for i in members) for d in range(64)]
+                new[c] = [(2 * s + n) // (2 * n) for s in sums]
+        if new == cents and last_inertia == inertia:
+            break
+        cents, last_inertia = new, inertia
+    # final assignment under the FINAL centroids (kmeans_assign's view —
+    # the in-loop `am` is one update behind when max_iters exhausts)
+    am = {}
+    for i, w in W.items():
+        best, bd = 0, None
+        for c, cw in enumerate(cents):
+            d = sum((a - b) ** 2 for a, b in zip(w, cw))
+            if bd is None or d < bd:
+                best, bd = c, d
+        am[i] = best
+    # within-cluster exact pairs on ORIGINAL vectors
+    pairs = []
+    all_pairs = []
+    items = sorted(corpus)
+    for x in range(len(items)):
+        for y in range(x + 1, len(items)):
+            i, j = items[x], items[y]
+            c = fold_dot(corpus[i], corpus[j]) / (
+                math.sqrt(fold_dot(corpus[i], corpus[i]))
+                * math.sqrt(fold_dot(corpus[j], corpus[j]))
+            )
+            if c >= threshold:
+                all_pairs.append((i, j))
+                if am[i] == am[j]:
+                    pairs.append((i, j))
+    # min-label components over within-cluster pairs
+    canon = {i: i for i in corpus}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in pairs:
+            m = min(canon[a], canon[b])
+            for v in (a, b):
+                if canon[v] != m:
+                    canon[v] = m
+                    changed = True
+    return canon, pairs, all_pairs
+
+
+def test_semantic_survivors_matches_replica(spark):
+    """Full differential for the SemDeDup gate: the distributed
+    (normalize -> integer k-means -> within-cluster exact pairs ->
+    min-label CC) pipeline must equal the pure-Python replica of the
+    identical arithmetic — every (vec_id, canonical_id) row, no
+    tolerance.  Also pins the honest boundary-recall trade: >= 90% of
+    the exact 0.8-pairs are co-clustered at sf0.001 (measured 0.958),
+    and every emitted pair is a true pair (precision exact)."""
+    from distributed_graph_db_c_spark.queries.dedup import dedup_semantic_survivors
+
+    canon, within, all_pairs = _semantic_replica(SF_DIR)
+    assert len(within) / len(all_pairs) >= 0.9, (len(within), len(all_pairs))
+    got = {
+        r["vec_id"]: r["canonical_id"]
+        for r in dedup_semantic_survivors(spark, SF_DIR).collect()
+    }
+    assert got == canon
+    again = {
+        r["vec_id"]: r["canonical_id"]
+        for r in dedup_semantic_survivors(spark, SF_DIR).collect()
+    }
+    assert again == canon

@@ -119,6 +119,7 @@ QUERIES = [
     "text_oov_rate_tokenizer",
     "sketch_quantiles_doclen_by_lang",
     "sim_kmeans_clusters",
+    "dedup_semantic_survivors",
 ]
 
 # Round-7 extension (r6 verdict item 5): the 12 streaming gates at 10x
