@@ -163,6 +163,7 @@ HEADLINE = [
     "sketch_quantiles_doclen_by_lang",
     "sim_kmeans_clusters",
     "dedup_semantic_survivors",
+    "sample_cluster_balanced",
 ]
 
 

@@ -693,3 +693,61 @@ def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cents, _iters, _inertia = kmeans_fit(emb, k=8, dim=EMBED_DIM)
     return kmeans_summary(emb, cents)
+
+
+_BALANCED_QUOTA = 32
+
+
+@register("sample_cluster_balanced", oracle=None)
+def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTER-BALANCED SAMPLING (round 9) — the curation step after
+    clustering: an equal deterministic quota from every semantic
+    cluster, so a fine-tuning mix can't be silently dominated by the
+    corpus's densest region.  Composition: the exact-integer k-means
+    fit (same k=8 operating point as sim_kmeans_clusters, so its
+    partitioning-invariance pins carry over) -> per-cluster selection
+    of the 32 members with smallest md5(vec_id) — content-hash
+    membership, the hash_split discipline: stable under repartitioning,
+    engines, and incremental corpus growth, never a seeded RNG.
+
+    Scale shape: selection rides the skew-proof two-stage partial
+    top-k (per-partition slice, then per-cluster merge — never a
+    window over raw corpus rows), so the shuffle carries <= k x quota
+    struct rows.  Rows-only BY DESIGN (the k-means fixpoint upstream);
+    the pytest differential replicates fit + md5 ranking in pure
+    Python and pins the output exactly; per-cluster output carries the
+    exact sample-membership checksum."""
+    from ..operators.kmeans import kmeans_assign, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _iters, _inertia = kmeans_fit(emb, k=8, dim=EMBED_DIM)
+    asg = kmeans_assign(emb, cents)
+    item = F.struct(
+        F.md5(F.col("vec_id").cast("string")).alias("h"),
+        F.col("vec_id").alias("vec_id"),
+    )
+    counts = asg.groupBy("cluster").agg(F.count("*").alias("n_candidates"))
+    local = (
+        asg.withColumn("pid", F.spark_partition_id())
+        .groupBy("cluster", "pid")
+        .agg(
+            F.slice(F.array_sort(F.collect_list(item)), 1, _BALANCED_QUOTA).alias("top"),
+        )
+    )
+    merged = (
+        local.select("cluster", F.explode("top").alias("it"))
+        .groupBy("cluster")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list("it")), 1, _BALANCED_QUOTA
+            ).alias("top"),
+        )
+    ).join(counts, "cluster")
+    return merged.select(
+        F.col("cluster").cast("long").alias("cluster"),
+        "n_candidates",
+        F.size("top").cast("long").alias("n_sampled"),
+        F.aggregate(
+            "top", F.lit(0).cast("long"), lambda acc, x: acc + x["vec_id"]
+        ).alias("sample_checksum"),
+    )

@@ -643,3 +643,38 @@ def test_semantic_survivors_matches_replica(spark):
         for r in dedup_semantic_survivors(spark, SF_DIR).collect()
     }
     assert again == canon
+
+
+def test_cluster_balanced_sample_matches_replica(spark):
+    """Differential for the balanced-sampling composition: per cluster,
+    the 32 smallest-md5 members of the replica's k-means assignment —
+    counts, quotas, and exact sample checksums must match, and the
+    quota must bind (min(n_candidates, 32)) with equal quotas across
+    all clusters large enough."""
+    import hashlib
+
+    from distributed_graph_db_c_spark.queries.similarity import (
+        sample_cluster_balanced,
+    )
+
+    cents, _summary, _fi = _python_kmeans(SF_DIR)
+    ids, E = _load_embeddings_numpy(SF_DIR)
+    W = np.floor(E * float(1 << 20) + 0.5).astype(np.int64)
+    C = np.asarray(cents, dtype=np.int64)
+    d2 = ((W[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    am = np.argmin(d2, axis=1)
+    exp = {}
+    for cl in np.unique(am):
+        members = sorted(
+            (int(i) for i in ids[am == cl]),
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+        )
+        take = members[:32]
+        exp[int(cl)] = (int((am == cl).sum()), len(take), sum(take))
+    got = {
+        r["cluster"]: (r["n_candidates"], r["n_sampled"], r["sample_checksum"])
+        for r in sample_cluster_balanced(spark, SF_DIR).collect()
+    }
+    assert got == exp
+    for n_cand, n_samp, _ck in got.values():
+        assert n_samp == min(n_cand, 32)

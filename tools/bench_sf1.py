@@ -120,6 +120,7 @@ QUERIES = [
     "sketch_quantiles_doclen_by_lang",
     "sim_kmeans_clusters",
     "dedup_semantic_survivors",
+    "sample_cluster_balanced",
 ]
 
 # Round-7 extension (r6 verdict item 5): the 12 streaming gates at 10x
