@@ -750,6 +750,31 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
     # partition-pruned scan is plan-pinned in
     # tests/test_round9_properties.py instead, the standing rule for
     # checkpoint-returning gates.)
+    "sim_kmeans_clusters": [
+        # the returned plan is the final assignment scan + summary: one
+        # Arrow-batched integer-assignment kernel (a documented
+        # deliberate pandas kernel), then a map-side partial aggregate
+        # — never a window or join over corpus rows
+        ("partial agg", r"partial_", True),
+        ("no join", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", False),
+        ("no raw-row window", r"RunningWindowFunction|\bWindow\b", False),
+        ("column pruning", r"ReadSchema: [^\n]*embedding", True),
+        ("no label scan", r"ReadSchema: [^\n]*label", False),
+    ],
+    "sample_cluster_balanced": [
+        # per-cluster quota selection rides the two-stage slice merge:
+        # partial aggregates only, no window over raw corpus rows; the
+        # count side joins back on the 8-row cluster summary
+        ("partial agg", r"partial_", True),
+        ("no raw-row window", r"RunningWindowFunction|\bWindow\b", False),
+        ("no cartesian", r"CartesianProduct", False),
+    ],
+    "dedup_semantic_survivors": [
+        # within-CELL pair join only: an equi-join on cluster, never a
+        # cartesian; exact cosine rescoring stays in codegen
+        ("no cartesian", r"CartesianProduct|BroadcastNestedLoopJoin", False),
+        ("cluster equijoin", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True),
+    ],
 }
 
 
