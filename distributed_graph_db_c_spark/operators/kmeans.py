@@ -103,7 +103,11 @@ def _moments(assigned: DataFrame, dim: int) -> list:
                 cs = w.sum(axis=0)
                 for i in range(dim):
                     a[1][i] += int(cs[i])
-                a[2] += int(grp["d2"].sum())
+                # row-wise into Python ints: per-row d2 < 2^50, so a
+                # numpy int64 sum can silently wrap past ~8k same-
+                # cluster rows in one Arrow batch (the kmeans_summary
+                # decimal(38,0) guard, applied to the fit path too)
+                a[2] += int(grp["d2"].astype(object).sum())
         yield pd.DataFrame(
             [
                 (cl, a[0], [str(v) for v in a[1]], str(a[2]))
@@ -145,12 +149,22 @@ def kmeans_fit(
     dim: int = 64,
 ) -> tuple[list[list[int]], int, int]:
     """Lloyd iterations to a fixed point or ``max_iters``.  Returns
-    (quantized integer centroids, iterations run, final exact integer
+    (quantized integer centroids, iterations run, exact integer
     inertia).  Each iteration is one scan emitting k x n_partitions
     summary rows; the update happens ONCE on the driver from exact
     integers, so the centroid state is engine- and partitioning-
     independent.  Empty clusters keep their previous centroid (the
-    deterministic convention)."""
+    deterministic convention).
+
+    Inertia semantics: the returned inertia is ASSIGNMENT-TIME — the
+    objective of the LAST assignment pass, measured against the
+    centroids that produced it.  At a fixed point the two coincide; if
+    ``max_iters`` is exhausted first, the returned centroids are the
+    post-update state while the inertia is pre-update (one assignment
+    pass behind).  Callers needing the post-update objective run
+    kmeans_summary against the returned centroids."""
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     q = quantized(df, id_col, vec_col).persist()
     try:
         cents = init_centroids(df, k, id_col, vec_col)

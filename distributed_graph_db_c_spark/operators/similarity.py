@@ -509,6 +509,15 @@ def cosine_lsh_pairs(
     )
 
 
+def _probe_cells(cmat: np.ndarray, qn: np.ndarray, nprobe: int) -> list[int]:
+    """Rank cells by centroid cosine, ties to the LOWEST cell index.
+    np.argsort's default quicksort is NOT stable, so an exact score tie
+    would break by array order and diverge from the SQL oracle's
+    'cosine DESC, crk' tie rule (r9 advisory); kind="stable" makes the
+    tie-break deterministic and oracle-matching."""
+    return [int(c) for c in np.argsort(-(cmat @ qn), kind="stable")[:nprobe]]
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_cells: int = 16,
@@ -561,7 +570,7 @@ def ivf_topk(
     qrow = embeddings.filter(F.col(id_col) == query_id).select(vec_col).head()
     qv = np.asarray(qrow[0], dtype=np.float64)
     qn = qv / max(np.linalg.norm(qv), 1e-12)
-    probe = np.argsort(-(cnorm @ qn))[:nprobe].tolist()
+    probe = _probe_cells(cnorm, qn, nprobe)
     q = embeddings.filter(F.col(id_col) == query_id).select(
         F.col(vec_col).alias("_qvec")
     )
@@ -626,15 +635,27 @@ def _write_centroids(spark, cent_path: str, cnorm) -> None:
     driver writes the parquet directly with pyarrow (milliseconds,
     byte-compatible with spark.read.parquet); remote stores (hdfs/s3)
     keep the Spark write — there the cluster filesystem is the point
-    and the job overhead is amortized by the real build around it."""
-    local = "://" not in cent_path or cent_path.startswith("file:")
+    and the job overhead is amortized by the real build around it.
+
+    "Local" is decided by resolving the path through the Hadoop
+    filesystem API (the sinks._hadoop_fs discipline), NOT by substring-
+    matching the raw string: a scheme-less path on a cluster whose
+    defaultFS is HDFS (or a single-slash hdfs:/ URI) must take the
+    Spark write, or the centroids would land on the driver's local
+    disk while lists/ids go through defaultFS and the later
+    spark.read.parquet of centroids silently reads nothing."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(cent_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    qualified = fs.makeQualified(jpath)
+    local = qualified.toUri().getScheme() == "file"
     if local:
         import os as _os
 
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        p = cent_path.removeprefix("file:")
+        p = qualified.toUri().getPath()
         import shutil as _shutil
 
         _shutil.rmtree(p, ignore_errors=True)  # mode("overwrite") parity
@@ -727,7 +748,7 @@ def ivf_query_persisted(
         query_vec = list(qrow[0])
     qv = np.asarray(query_vec, dtype=np.float64)
     qn = qv / max(np.linalg.norm(qv), 1e-12)
-    probe = [int(c) for c in np.argsort(-(cmat @ qn))[:nprobe]]
+    probe = _probe_cells(cmat, qn, nprobe)
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     out = lists.filter(F.col("cell").isin(probe))
     if query_id is not None:
@@ -780,8 +801,8 @@ def ivf_batch_query_persisted(
     for qid, vec in queries:
         qv = np.asarray(vec, dtype=np.float64)
         qn = qv / max(np.linalg.norm(qv), 1e-12)
-        for c in np.argsort(-(cmat @ qn))[:nprobe]:
-            probe_rows.append((int(qid), int(c), [float(x) for x in vec]))
+        for c in _probe_cells(cmat, qn, nprobe):
+            probe_rows.append((int(qid), c, [float(x) for x in vec]))
     probes = spark.createDataFrame(
         probe_rows, "qid long, cell int, _qvec array<double>"
     )

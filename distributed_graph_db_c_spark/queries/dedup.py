@@ -684,12 +684,18 @@ def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation pipeline its cluster structure for free (cluster-balanced
     sampling, per-cell quotas).  The honest cost is boundary recall:
     pairs straddling two cells are never scored — measured co-clustered
-    fractions of the exact 0.8-pair set are 0.958 / 0.889 / 0.794 at
-    sf0.001 / 0.01 / 0.1 (k=8 at all three; pytest-pinned >= 0.9 at
-    sf0.001); k trades recall against the n^2/k pair bound, and the
-    LSH gates remain the high-recall path.  Wall: 10.2 s -> 23.4 s at
-    10x (2.3x, BENCH_SF1.md) — the adaptive k keeps cells ~256 rows so
-    the within-cell join grows linearly, not quadratically.
+    fractions of the exact 0.8-pair set at the SHIPPED adaptive
+    k = max(8, count // 256): 0.958 / 0.889 / 0.794 at
+    sf0.001 / 0.01 / 0.1 (corpus 571 / 571 / 2286 rows, so the
+    adaptive rule floors to k=8 at all three — pinned by
+    test_semantic_adaptive_k_operating_point; recall pytest-pinned
+    >= 0.9 at sf0.001), and 0.65 at the 10x corpus (22,857 rows,
+    adaptive k=89 — numpy replica of the identical integer
+    arithmetic, r10).  k trades recall against the n^2/k pair bound,
+    and the LSH gates remain the high-recall path.  Wall:
+    10.2 s -> 23.4 s at 10x (2.3x, BENCH_SF1.md) — the adaptive k
+    keeps cells ~256 rows so the within-cell join grows linearly,
+    not quadratically.
 
     Rows-only BY DESIGN (the k-means fixpoint is not SQL-expressible);
     precision is exact by construction — every emitted pair was

@@ -510,6 +510,57 @@ def test_kmeans_matches_python_replica_and_partitioning(spark):
     assert inertia == exp_fit_inertia
 
 
+def test_kmeans_rejects_zero_iters(spark):
+    """kmeans_fit(max_iters=0) used to die with NameError on an unbound
+    `inertia` (r10 advisory); it now refuses loudly — the returned
+    (centroids, iters, inertia) triple is only meaningful after at
+    least one assignment pass."""
+    from distributed_graph_db_c_spark.operators.kmeans import kmeans_fit
+    from distributed_graph_db_c_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    with pytest.raises(ValueError, match="max_iters"):
+        kmeans_fit(emb, k=4, max_iters=0)
+
+
+def test_kmeans_moments_inertia_survives_int64_overflow():
+    """The fit path's per-cluster inertia accumulates row-wise into
+    Python ints (r10 advisory): per-row d2 < 2^50, so a numpy int64
+    block sum wraps once ~8k max-magnitude rows share a cluster in one
+    Arrow batch.  Feed the summarize kernel a synthetic batch whose
+    true inertia exceeds int64 and assert the exact value comes back
+    through the string transfer."""
+    import pandas as pd
+
+    from distributed_graph_db_c_spark.operators.kmeans import _moments
+
+    d2 = (1 << 50) - 1
+    n_rows = 10_000  # n_rows * d2 ~ 2^63.3 > int64 max
+    pdf = pd.DataFrame(
+        {
+            "vec_id": range(n_rows),
+            "w": [[0, 0] for _ in range(n_rows)],
+            "cluster": [0] * n_rows,
+            "d2": np.full(n_rows, d2, dtype=np.int64),
+        }
+    )
+    # drive the mapInPandas kernel directly (same code path, no Spark)
+    class _FakeDF:
+        def mapInPandas(self, fn, schema):
+            rows = list(fn(iter([pdf])))[0].to_dict("records")
+
+            class _Collected:
+                def collect(self_inner):
+                    return rows
+
+            return _Collected()
+
+    rows = _moments(_FakeDF(), dim=2)
+    expected = n_rows * d2
+    assert expected > np.iinfo(np.int64).max
+    assert int(rows[0]["inertia"]) == expected
+
+
 def test_kmeans_gate_shape(spark):
     """Gate-level sanity: every vector lands in exactly one cluster
     (sizes sum to the corpus), the membership checksum partitions the
@@ -643,6 +694,33 @@ def test_semantic_survivors_matches_replica(spark):
         for r in dedup_semantic_survivors(spark, SF_DIR).collect()
     }
     assert again == canon
+
+
+def test_semantic_adaptive_k_operating_point():
+    """The docstring's boundary-recall figures (0.958/0.889/0.794) were
+    measured at k=8; this pins that the SHIPPED adaptive rule
+    k = max(8, corpus_count // 256) actually floors to 8 at all three
+    correctness SFs (r10 advisory: the documented operating point must
+    match the code).  A testdata regeneration that grows the corpus
+    past 2304 rows shifts k and re-flags the figures here."""
+    import duckdb
+
+    for sf in ("0.001", "0.01", "0.1"):
+        n_emb = duckdb.sql(
+            f"SELECT count(*) FROM '/root/testdata/sf{sf}/embeddings.parquet'"
+        ).fetchone()[0]
+        n_plants = duckdb.sql(
+            f"""SELECT count(*) FROM '/root/testdata/sf{sf}/embeddings.parquet' a
+                WHERE a.vec_id % 7 = 0 AND EXISTS (
+                  SELECT 1 FROM '/root/testdata/sf{sf}/embeddings.parquet' b
+                  WHERE b.vec_id = a.vec_id + 1)"""
+        ).fetchone()[0]
+        corpus = n_emb + n_plants
+        assert max(8, corpus // 256) == 8, (
+            f"sf{sf}: corpus {corpus} -> adaptive k "
+            f"{max(8, corpus // 256)} != 8; re-measure the docstring's "
+            "boundary-recall figures at the new operating point"
+        )
 
 
 def test_cluster_balanced_sample_matches_replica(spark):
