@@ -544,6 +544,17 @@ def ivf_assign(
     cent_ids = [r[id_col] for r in cents]
     cmat = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in cents])
     cnorm = cmat / np.maximum(np.linalg.norm(cmat, axis=1, keepdims=True), 1e-12)
+    assign_udf = _cell_assigner(cnorm)
+    return embeddings.withColumn("cell", assign_udf(F.col(vec_col))), cnorm, cent_ids
+
+
+def _cell_assigner(cnorm: np.ndarray):
+    """Arrow-batched cell assignment against a FIXED normalized centroid
+    matrix — argmax of cosine, ties to the lowest cell (np.argmax takes
+    the first maximum).  Shared by the build-time assignment scan and
+    ivf_append's delta routing so the two are the same arithmetic by
+    construction: an appended vector lands in exactly the cell a rebuild
+    with the same quantizer would put it in."""
 
     @pandas_udf("int")
     def assign_udf(vecs: pd.Series) -> pd.Series:
@@ -551,7 +562,7 @@ def ivf_assign(
         mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         return pd.Series(np.argmax(mn @ cnorm.T, axis=1).astype("int32"))
 
-    return embeddings.withColumn("cell", assign_udf(F.col(vec_col))), cnorm, cent_ids
+    return assign_udf
 
 
 def ivf_topk(
@@ -625,6 +636,20 @@ def ivf_build(
     )
     spark = embeddings.sparkSession
     _write_centroids(spark, f"{path}/centroids", cnorm)
+    # Build-size meta: the denominator of ivf_append's retrain trigger.
+    # Counted from the ids sidecar's parquet footers (metadata-only, no
+    # row scan); immutable after build — appends never rewrite it.
+    n_base = spark.read.parquet(f"{path}/ids").count()
+    _write_meta(spark, path, n_base)
+
+
+def _write_meta(spark, path: str, n_base: int) -> None:
+    import pyarrow as pa
+
+    table = pa.table({"n_base": pa.array([int(n_base)], type=pa.int64())})
+    _write_small_parquet(
+        spark, f"{path}/meta", table, [(int(n_base),)], "n_base long"
+    )
 
 
 def _write_centroids(spark, cent_path: str, cnorm) -> None:
@@ -644,39 +669,185 @@ def _write_centroids(spark, cent_path: str, cnorm) -> None:
     Spark write, or the centroids would land on the driver's local
     disk while lists/ids go through defaultFS and the later
     spark.read.parquet of centroids silently reads nothing."""
+    import pyarrow as pa
+
+    table = pa.table(
+        {
+            "cell": pa.array(range(cnorm.shape[0]), type=pa.int32()),
+            "centroid": pa.array(
+                [[float(x) for x in row] for row in cnorm],
+                type=pa.list_(pa.float64()),
+            ),
+        }
+    )
+    rows = [(int(i), [float(x) for x in cnorm[i]]) for i in range(cnorm.shape[0])]
+    _write_small_parquet(
+        spark, cent_path, table, rows, "cell int, centroid array<double>"
+    )
+
+
+def _local_fs_path(spark, path: str) -> str | None:
+    """The driver-local filesystem path for ``path``, or None when the
+    Hadoop-qualified scheme is not ``file:`` — the _write_centroids
+    discipline: resolve through the filesystem API, never substring-
+    match the raw string (a scheme-less path on an HDFS-defaultFS
+    cluster is NOT local)."""
     jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(cent_path)
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     qualified = fs.makeQualified(jpath)
-    local = qualified.toUri().getScheme() == "file"
-    if local:
-        import os as _os
+    return qualified.toUri().getPath() if qualified.toUri().getScheme() == "file" else None
 
-        import pyarrow as pa
+
+def _write_small_parquet(
+    spark, path: str, pa_table, rows: list, ddl: str, append: bool = False
+) -> None:
+    """Write a DRIVER-LOCAL handful of rows as a parquet directory.  On
+    a local filesystem the driver writes with pyarrow directly — a
+    Spark job for n_cells tiny rows costs ~4.5 s of pure scheduling
+    (measured, see _write_centroids) — while Hadoop-remote paths keep
+    the Spark write, where the cluster filesystem is the point."""
+    local = _local_fs_path(spark, path)
+    if local is not None:
+        import os as _os
+        import shutil as _shutil
+        import uuid as _uuid
+
         import pyarrow.parquet as pq
 
-        p = qualified.toUri().getPath()
-        import shutil as _shutil
-
-        _shutil.rmtree(p, ignore_errors=True)  # mode("overwrite") parity
-        _os.makedirs(p, exist_ok=True)
-        table = pa.table(
-            {
-                "cell": pa.array(range(cnorm.shape[0]), type=pa.int32()),
-                "centroid": pa.array(
-                    [[float(x) for x in row] for row in cnorm],
-                    type=pa.list_(pa.float64()),
-                ),
-            }
+        if not append:
+            _shutil.rmtree(local, ignore_errors=True)  # mode("overwrite") parity
+        _os.makedirs(local, exist_ok=True)
+        name = (
+            f"part-{_uuid.uuid4().hex}.parquet" if append else "part-00000.parquet"
         )
-        pq.write_table(table, _os.path.join(p, "part-00000.parquet"))
+        pq.write_table(pa_table, _os.path.join(local, name))
         return
-    cent_rows = [
-        (int(i), [float(x) for x in cnorm[i]]) for i in range(cnorm.shape[0])
-    ]
-    spark.createDataFrame(
-        cent_rows, "cell int, centroid array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(cent_path)
+    spark.createDataFrame(rows, ddl).coalesce(1).write.mode(
+        "append" if append else "overwrite"
+    ).parquet(path)
+
+
+IVF_RETRAIN_FRAC = 0.25
+
+
+def _append_claim(path: str) -> str:
+    # underscore prefix: Spark's file listing ignores the marker, so a
+    # reader that slipped past the quiescence check still parses clean
+    return f"{path.rstrip('/')}/_ivf_append__"
+
+
+def _check_index_quiescent(spark, path: str) -> None:
+    """Refuse to read an index mid-append: a standing append claim
+    means lists may hold the delta the ids sidecar doesn't yet (or an
+    appender died between the two writes) — the minhash-index
+    discipline (operators/dedup.py incremental_dedup_pairs) applied to
+    the IVF lifecycle."""
+    from ..sinks import ConcurrentCommitError, _hadoop_fs
+
+    fs, jpath = _hadoop_fs(spark, path)
+    claim = _append_claim(path)
+    if fs.exists(jpath(claim)):
+        raise ConcurrentCommitError(
+            f"IVF index {path}: append claim {claim} is held — the "
+            "lists/ids snapshot may be mismatched. Wait for the append, "
+            "or rerun it if its appender is known dead."
+        )
+
+
+def ivf_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    retrain_frac: float = IVF_RETRAIN_FRAC,
+) -> dict:
+    """INCREMENTAL IVF index maintenance (round 10 — the banked r9
+    handoff candidate b, the lifecycle counterpart of the minhash
+    index's nightly contract): route a delta batch to the EXISTING
+    cells via the persisted quantizer and append it to the lists and
+    ids sidecars — work sized by the DELTA, never a corpus rebuild.
+
+    Semantics: the quantizer is FROZEN — assignment reuses the exact
+    _cell_assigner arithmetic of the build scan against the persisted
+    centroid table, so after an append the index holds exactly what a
+    rebuild WITH THE SAME CENTROIDS over base ∪ delta would hold
+    (pytest-pinned: one append vs split appends vs frozen-quantizer
+    rebuild, identical lists and query results).  What appends CANNOT
+    do is retrain the quantizer: as the appended fraction grows, cell
+    balance drifts from what md5-seeding over the full corpus would
+    choose.  That drift is the RETRAIN TRIGGER, recorded on every
+    append: appended_rows / base_rows >= ``retrain_frac`` flips
+    ``retrain_due`` in the returned audit and in the persisted
+    ``append_log`` (one row per append — the months-lived index's
+    maintenance ledger).  Retraining itself is ivf_build again, a
+    write-new-then-swap rebuild.
+
+    Scale shape: one delta-sized assignment scan + an append write that
+    touches ONLY the cell directories receiving delta rows; existing
+    files are never rewritten (pytest-pinned byte-for-byte).  The
+    mutation is guarded by the engine's O_EXCL claim marker — concurrent
+    appends refuse loudly, and both persisted-query paths refuse while
+    a claim stands (a mid-append index is a mismatched snapshot);
+    the claim is released only on success, so a dead appender leaves a
+    loud wedge, never silent partial state."""
+    from ..sinks import claim_marker, _hadoop_fs
+
+    fs, jpath = _hadoop_fs(spark, path)
+    claim = _append_claim(path)
+    claim_marker(fs, jpath, claim, f"ivf_append({path})")
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    cnorm = np.vstack(
+        [
+            np.asarray(r["centroid"], dtype=np.float64)
+            for r in sorted(cents, key=lambda r: r["cell"])
+        ]
+    )
+    n_before = spark.read.parquet(f"{path}/ids").count()  # footer-only
+    n_base = spark.read.parquet(f"{path}/meta").head()["n_base"]
+    assigned = new_vectors.select(id_col, vec_col).withColumn(
+        "cell", _cell_assigner(cnorm)(F.col(vec_col))
+    )
+    # same layout discipline as the build: cluster by cell so each
+    # touched cell directory gains one contiguous file, not one sliver
+    # per shuffle partition
+    assigned.repartition("cell").write.mode("append").partitionBy(
+        "cell"
+    ).parquet(f"{path}/lists")
+    assigned.select(id_col, "cell").repartitionByRange(
+        id_col
+    ).sortWithinPartitions(id_col).write.mode("append").parquet(f"{path}/ids")
+    n_total = spark.read.parquet(f"{path}/ids").count()
+    batch_rows = n_total - n_before
+    frac = (n_total - n_base) / n_base
+    audit = {
+        "batch_rows": int(batch_rows),
+        "total_rows": int(n_total),
+        "appended_frac": float(frac),
+        "retrain_due": bool(frac >= retrain_frac),
+    }
+    import pyarrow as pa
+
+    log_table = pa.table(
+        {
+            "batch_rows": pa.array([audit["batch_rows"]], type=pa.int64()),
+            "total_rows": pa.array([audit["total_rows"]], type=pa.int64()),
+            "appended_frac": pa.array([audit["appended_frac"]], type=pa.float64()),
+            "retrain_due": pa.array([audit["retrain_due"]], type=pa.bool_()),
+        }
+    )
+    _write_small_parquet(
+        spark,
+        f"{path}/append_log",
+        log_table,
+        [tuple(audit.values())],
+        "batch_rows long, total_rows long, appended_frac double, retrain_due boolean",
+        append=True,
+    )
+    # released ONLY on success — see docstring
+    fs.delete(jpath(claim), False)
+    return audit
 
 
 def ivf_query_persisted(
@@ -710,6 +881,7 @@ def ivf_query_persisted(
       from that ONE cell partition — the fetch is partition-pruned
       exactly like the probe.  Indexes built before the sidecar
       existed raise loudly (rebuild, or pass ``query_vec``)."""
+    _check_index_quiescent(spark, path)
     cents = spark.read.parquet(f"{path}/centroids").collect()
     cmat = np.vstack(
         [np.asarray(r["centroid"], dtype=np.float64) for r in sorted(
@@ -790,6 +962,7 @@ def ivf_batch_query_persisted(
     Whenever the probed cells contain a query's true top-k, its result
     rows are bit-identical to the brute-force scorer's (same fold, same
     tie order); gates pin that operating point per corpus."""
+    _check_index_quiescent(spark, path)
     cents = spark.read.parquet(f"{path}/centroids").collect()
     cmat = np.vstack(
         [

@@ -1,0 +1,301 @@
+"""Round-10 property pins: IVF index maintenance (ivf_append) and the
+two-level quantile rollup.
+
+The append contract under test (operators/similarity.py ivf_append):
+frozen-quantizer routing (append == rebuild with the same centroids),
+delta-sized mutation (pre-existing index files byte-identical), the
+claim-marker commit path (concurrent/mid-append refusal), and the
+recorded retrain trigger.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+SF01_DIR = "/root/testdata/sf0.01"
+
+
+def _emb(spark, sf_dir=SF_DIR):
+    from distributed_graph_db_c_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _file_digests(root: str) -> dict[str, str]:
+    out = {}
+    for p in glob.glob(os.path.join(root, "**", "*"), recursive=True):
+        if os.path.isfile(p) and not os.path.basename(p).startswith(("_", ".")):
+            with open(p, "rb") as f:
+                out[os.path.relpath(p, root)] = hashlib.md5(f.read()).hexdigest()
+    return out
+
+
+def test_ivf_append_equals_frozen_rebuild_and_splits(spark):
+    """Three-way equivalence on the maintained index: (a) the appended
+    index's (vec_id, cell) contents equal an independent recomputation
+    of the frozen-quantizer assignment over base ∪ delta (what a
+    rebuild with the SAME centroids would store); (b) appending the
+    delta in one call equals appending it in two splits (associativity
+    of maintenance); (c) batch query results over both maintained
+    indexes are identical."""
+    from distributed_graph_db_c_spark.operators.similarity import (
+        ivf_append,
+        ivf_batch_query_persisted,
+        ivf_build,
+    )
+    from distributed_graph_db_c_spark.streaming.sources import cleanup, scratch_dir
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    d1 = delta.filter(F.col("vec_id") % 2 == 0)
+    d2 = delta.filter(F.col("vec_id") % 2 != 0)
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    ]
+    s1, s2 = scratch_dir("ivfapp1"), scratch_dir("ivfapp2")
+    try:
+        ivf_build(base, f"{s1}/idx", n_cells=24)
+        ivf_append(spark, f"{s1}/idx", delta)
+        ivf_build(base, f"{s2}/idx", n_cells=24)
+        ivf_append(spark, f"{s2}/idx", d1)
+        ivf_append(spark, f"{s2}/idx", d2)
+
+        lists1 = {
+            (r["vec_id"], r["cell"])
+            for r in spark.read.parquet(f"{s1}/idx/lists").collect()
+        }
+        lists2 = {
+            (r["vec_id"], r["cell"])
+            for r in spark.read.parquet(f"{s2}/idx/lists").collect()
+        }
+        assert lists1 == lists2, "split appends diverge from one append"
+
+        # (a) frozen-quantizer recomputation: every vector (base AND
+        # delta) must sit in the argmax cell of the persisted centroids
+        cents = spark.read.parquet(f"{s1}/idx/centroids").collect()
+        C = np.vstack(
+            [
+                np.asarray(r["centroid"], dtype=np.float64)
+                for r in sorted(cents, key=lambda r: r["cell"])
+            ]
+        )
+        rows = emb.collect()
+        expected = set()
+        for r in rows:
+            v = np.asarray(r["embedding"], dtype=np.float64)
+            vn = v / max(np.linalg.norm(v), 1e-12)
+            expected.add((r["vec_id"], int(np.argmax(vn @ C.T))))
+        assert lists1 == expected, "append placement != frozen-quantizer rebuild"
+
+        # ids sidecar mirrors lists exactly
+        ids1 = {
+            (r["vec_id"], r["cell"])
+            for r in spark.read.parquet(f"{s1}/idx/ids").collect()
+        }
+        assert ids1 == lists1
+
+        q1 = sorted(
+            map(
+                tuple,
+                ivf_batch_query_persisted(
+                    spark, f"{s1}/idx", queries, top_k=3, nprobe=8
+                ).collect(),
+            )
+        )
+        q2 = sorted(
+            map(
+                tuple,
+                ivf_batch_query_persisted(
+                    spark, f"{s2}/idx", queries, top_k=3, nprobe=8
+                ).collect(),
+            )
+        )
+        assert q1 == q2
+    finally:
+        cleanup(s1)
+        cleanup(s2)
+
+
+def test_ivf_append_is_delta_sized_and_immutable(spark):
+    """The maintenance cost contract: an append NEVER rewrites existing
+    index bytes — every pre-append file is byte-identical after — and
+    new list files appear only under cell directories that actually
+    received delta rows (work sized by the delta, not the corpus)."""
+    from distributed_graph_db_c_spark.operators.similarity import (
+        _cell_assigner,
+        ivf_append,
+        ivf_build,
+    )
+    from distributed_graph_db_c_spark.streaming.sources import cleanup, scratch_dir
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    s = scratch_dir("ivfappdelta")
+    try:
+        ivf_build(base, f"{s}/idx", n_cells=24)
+        before = _file_digests(f"{s}/idx")
+        ivf_append(spark, f"{s}/idx", delta)
+        after = _file_digests(f"{s}/idx")
+        changed = {
+            p for p in before if p not in after or after[p] != before[p]
+        }
+        assert not changed, f"append rewrote existing index files: {changed}"
+
+        cents = spark.read.parquet(f"{s}/idx/centroids").collect()
+        C = np.vstack(
+            [
+                np.asarray(r["centroid"], dtype=np.float64)
+                for r in sorted(cents, key=lambda r: r["cell"])
+            ]
+        )
+        delta_cells = {
+            r["cell"]
+            for r in delta.withColumn(
+                "cell", _cell_assigner(C)(F.col("embedding"))
+            ).collect()
+        }
+        new_list_files = [
+            p
+            for p in set(after) - set(before)
+            if p.startswith("lists" + os.sep)
+        ]
+        assert new_list_files, "append added no list files"
+        for p in new_list_files:
+            cell = int(p.split("cell=")[1].split(os.sep)[0])
+            assert cell in delta_cells, (
+                f"append touched cell {cell} that received no delta rows"
+            )
+    finally:
+        cleanup(s)
+
+
+def test_ivf_append_claim_blocks_writers_and_readers(spark):
+    """The commit-path contract: a standing append claim makes a second
+    append AND both persisted-query paths refuse loudly (mid-append
+    lists/ids may be mismatched), and the claim marker is invisible to
+    Spark's file listing (underscore prefix)."""
+    from distributed_graph_db_c_spark.operators.similarity import (
+        _append_claim,
+        ivf_append,
+        ivf_batch_query_persisted,
+        ivf_build,
+        ivf_query_persisted,
+    )
+    from distributed_graph_db_c_spark.sinks import ConcurrentCommitError
+    from distributed_graph_db_c_spark.streaming.sources import cleanup, scratch_dir
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    s = scratch_dir("ivfappclaim")
+    try:
+        ivf_build(base, f"{s}/idx", n_cells=24)
+        claim = _append_claim(f"{s}/idx")
+        with open(claim, "w") as f:
+            f.write("wedged-appender")
+        with pytest.raises(ConcurrentCommitError):
+            ivf_append(spark, f"{s}/idx", delta)
+        with pytest.raises(ConcurrentCommitError):
+            ivf_batch_query_persisted(
+                spark, f"{s}/idx", [(0, [0.0] * 64)], top_k=3, nprobe=8
+            )
+        with pytest.raises(ConcurrentCommitError):
+            ivf_query_persisted(spark, f"{s}/idx", query_vec=[0.0] * 64)
+        # the marker never leaks into query results once released
+        os.remove(claim)
+        got = ivf_query_persisted(
+            spark, f"{s}/idx", query_vec=[1.0] + [0.0] * 63, top_k=3, nprobe=24
+        )
+        assert got.count() == 3
+    finally:
+        cleanup(s)
+
+
+def test_ivf_append_retrain_audit_and_log(spark):
+    """The recorded retrain trigger: the gate corpus's delta is exactly
+    25% of base, so the default threshold (0.25) flips retrain_due on
+    the first append; a higher threshold does not; a second append
+    accumulates the fraction; and the persisted append_log carries one
+    row per append with the same numbers."""
+    from distributed_graph_db_c_spark.operators.similarity import (
+        ivf_append,
+        ivf_build,
+    )
+    from distributed_graph_db_c_spark.streaming.sources import cleanup, scratch_dir
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    n_base, n_delta = base.count(), delta.count()
+    s = scratch_dir("ivfappaudit")
+    try:
+        ivf_build(base, f"{s}/idx", n_cells=24)
+        audit = ivf_append(spark, f"{s}/idx", delta)
+        assert audit["batch_rows"] == n_delta
+        assert audit["total_rows"] == n_base + n_delta
+        assert audit["appended_frac"] == pytest.approx(n_delta / n_base)
+        assert audit["retrain_due"] is (n_delta / n_base >= 0.25)
+        assert audit["retrain_due"] is True  # 100/400 on the gate corpus
+
+        # second append (re-using delta ids is fine for accounting —
+        # placement/query equivalence is the other tests' job)
+        audit2 = ivf_append(spark, f"{s}/idx", delta, retrain_frac=0.6)
+        assert audit2["appended_frac"] == pytest.approx(2 * n_delta / n_base)
+        assert audit2["retrain_due"] is (2 * n_delta / n_base >= 0.6)
+
+        log = spark.read.parquet(f"{s}/idx/append_log").orderBy("total_rows")
+        rows = log.collect()
+        assert len(rows) == 2
+        assert rows[0]["batch_rows"] == n_delta
+        assert rows[0]["retrain_due"] == audit["retrain_due"]
+        assert rows[1]["total_rows"] == n_base + 2 * n_delta
+    finally:
+        cleanup(s)
+
+
+def test_ivf_append_rankings_have_margin():
+    """sim_ivf_index_append's oracle contingency, the twin of
+    test_ivf_rankings_have_margin with BASE-corpus centroids: Spark
+    ranks cells/assignments via numpy while DuckDB folds
+    dot/(norm*norm) — the oracle is exact only while no assignment and
+    no probe-boundary ranking sits inside float noise.  Fails loudly if
+    a corpus change pushes any margin within 1e-9."""
+    import pyarrow.parquet as pq
+
+    from distributed_graph_db_c_spark.queries.similarity import (
+        _APPEND_BASE_MOD,
+        _APPEND_CELLS,
+        _APPEND_NPROBE,
+        _APPEND_Q,
+    )
+
+    for sf in (SF_DIR, SF01_DIR):
+        t = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+        ids = t["vec_id"].to_numpy()
+        E = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+        bmask = ids % _APPEND_BASE_MOD != 0
+        bids, BE = ids[bmask], E[bmask]
+        h = np.array(
+            [hashlib.md5(str(int(i)).encode()).hexdigest() for i in bids]
+        )
+        cidx = np.lexsort((bids, h))[:_APPEND_CELLS]
+        C = BE[cidx]
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+        S = En @ Cn.T
+        Ss = np.sort(S, axis=1)
+        assert (Ss[:, -1] - Ss[:, -2]).min() > 1e-9, f"assignment margin at {sf}"
+        Q = np.sort(S[ids < _APPEND_Q], axis=1)[:, ::-1]
+        assert (
+            Q[:, _APPEND_NPROBE - 1] - Q[:, _APPEND_NPROBE]
+        ).min() > 1e-9, f"probe boundary margin at {sf}"
