@@ -221,3 +221,128 @@ def sketch_hll_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("intersection", float(hll_intersect_estimate(ra, rb))),
     ]
     return spark.createDataFrame(rows, "set_name string, est_cardinality double")
+
+
+# -- round 10: two-level quantile rollup (lang x source) ----------------------
+
+ROLLUP_ALL = "<ALL>"
+
+_ROLLUP_PS = (0.25, 0.50, 0.75, 0.95)
+
+# The oracle mirrors the histogram-merge computation cell for cell: the
+# same three-level UNION ALL, the same cumulative-rank rule
+# (smallest value whose running count reaches ceil(p*n)) — no
+# quantile_disc, so there is NO rank-convention seam between engines.
+_ROLLUP_Q_SQL = """
+WITH hist AS (
+  SELECT lang, source, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1, 2, 3),
+lang_hist AS (
+  SELECT lang, n_chars, CAST(SUM(cnt) AS BIGINT) AS cnt
+  FROM hist GROUP BY 1, 2),
+global_hist AS (
+  SELECT n_chars, CAST(SUM(cnt) AS BIGINT) AS cnt
+  FROM lang_hist GROUP BY 1),
+lvl AS (
+  SELECT lang, source, n_chars, cnt FROM hist
+  UNION ALL
+  SELECT lang, '<ALL>' AS source, n_chars, cnt FROM lang_hist
+  UNION ALL
+  SELECT '<ALL>' AS lang, '<ALL>' AS source, n_chars, cnt FROM global_hist),
+cum AS (
+  SELECT lang, source, n_chars, cnt,
+         SUM(cnt) OVER (PARTITION BY lang, source ORDER BY n_chars) AS c,
+         SUM(cnt) OVER (PARTITION BY lang, source) AS n
+  FROM lvl)
+SELECT lang, source,
+       MIN(CASE WHEN c >= CAST(ceil(0.25 * n) AS BIGINT) THEN n_chars END) AS chars_p25,
+       MIN(CASE WHEN c >= CAST(ceil(0.50 * n) AS BIGINT) THEN n_chars END) AS chars_p50,
+       MIN(CASE WHEN c >= CAST(ceil(0.75 * n) AS BIGINT) THEN n_chars END) AS chars_p75,
+       MIN(CASE WHEN c >= CAST(ceil(0.95 * n) AS BIGINT) THEN n_chars END) AS chars_p95,
+       CAST(MAX(n) AS BIGINT) AS n_docs
+FROM cum GROUP BY 1, 2
+"""
+
+
+def _hist_quantiles(hist: DataFrame, lang_col, source_col) -> DataFrame:
+    """Per-group quantiles FROM A HISTOGRAM: running count over the
+    value axis, then the smallest value whose running count reaches
+    ceil(p*n).  The window partitions by group and orders by value, so
+    the shuffle carries histogram CELLS (bounded by the value domain),
+    never raw rows."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("lang", "source")
+    h = (
+        hist.select(
+            lang_col.alias("lang"), source_col.alias("source"), "n_chars", "cnt"
+        )
+        .withColumn("c", F.sum("cnt").over(w))
+        .withColumn("n", F.sum("cnt").over(wt))
+    )
+
+    def q(p: float):
+        rank = F.ceil(F.lit(p) * F.col("n")).cast("long")
+        return F.min(F.when(F.col("c") >= rank, F.col("n_chars")))
+
+    return h.groupBy("lang", "source").agg(
+        q(0.25).alias("chars_p25"),
+        q(0.50).alias("chars_p50"),
+        q(0.75).alias("chars_p75"),
+        q(0.95).alias("chars_p95"),
+        F.max("n").alias("n_docs"),
+    )
+
+
+@register("sketch_quantiles_rollup_lang_source", oracle=_ROLLUP_Q_SQL)
+def sketch_quantiles_rollup_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-LEVEL quantile rollup (round 10 — the banked r9 handoff
+    candidate a): document-length quantiles at (lang, source), per-lang,
+    and global, where each rollup level is computed by MERGING the
+    level below's summaries — raw rows are scanned exactly once
+    (pytest plan-pinned), the sketch-rollup pattern the HLL union gate
+    established, applied to quantiles.  The curation ask this answers:
+    "which SOURCE within a language is full of stubs?" — per-source
+    thresholds need the leaf level; per-language context needs the
+    rollup beside it.
+
+    The mergeable summary here is a VALUE HISTOGRAM, not GK: document
+    length is a bounded integer domain (every corpus: n_chars <= a few
+    million distinct values), so (value, count) cells are a summary
+    that (a) merges associatively by addition — the lang level is a
+    re-agg of leaf cells, the global level a re-agg of lang cells,
+    neither touching documents — and (b) is EXACT at every scale, not
+    just below a sketch accuracy: unlike the per-lang GK gate, this
+    oracle is NOT corpus-contingent (no lossy regime exists; the
+    sf1-and-beyond story is the same arithmetic).  Memory per group is
+    bounded by the value domain, never group size.  Quantile rule on
+    both engines: smallest value whose running count reaches ceil(p*n)
+    — stated identically in the SQL, so no rank-convention seam.
+
+    Scale shape: one raw scan builds the leaf histogram (map-side
+    partial combine on (lang, source, value)); every later exchange
+    carries histogram cells.  The cumulative window partitions by
+    group, so skew is bounded by domain size.  Merge-path invariance
+    (leaf cells -> lang -> global vs direct computation) and the
+    single-scan plan are pytest-pinned."""
+    docs = load_table(spark, sf_dir, "documents")
+    hist = (
+        docs.groupBy("lang", "source", "n_chars")
+        .agg(F.count("*").alias("cnt"))
+        # one raw scan feeds three levels: materialize the (domain-
+        # bounded) leaf histogram instead of re-reading documents
+        .localCheckpoint(eager=True)
+    )
+    lang_hist = hist.groupBy("lang", "n_chars").agg(F.sum("cnt").alias("cnt"))
+    global_hist = lang_hist.groupBy("n_chars").agg(F.sum("cnt").alias("cnt"))
+    leaf = _hist_quantiles(hist, F.col("lang"), F.col("source"))
+    lang_lvl = _hist_quantiles(lang_hist, F.col("lang"), F.lit(ROLLUP_ALL))
+    global_lvl = _hist_quantiles(
+        global_hist, F.lit(ROLLUP_ALL), F.lit(ROLLUP_ALL)
+    )
+    return leaf.unionByName(lang_lvl).unionByName(global_lvl)

@@ -299,3 +299,85 @@ def test_ivf_append_rankings_have_margin():
         assert (
             Q[:, _APPEND_NPROBE - 1] - Q[:, _APPEND_NPROBE]
         ).min() > 1e-9, f"probe boundary margin at {sf}"
+
+
+# -- two-level quantile rollup -------------------------------------------------
+
+
+def test_rollup_merge_path_equals_direct(spark):
+    """Merge-path invariance: the lang and global levels — computed by
+    re-aggregating the LEAF HISTOGRAM's cells — must equal the same
+    quantiles computed directly from raw documents (the histogram
+    summary is exact, so merging loses nothing).  This is the property
+    that makes the rollup safe at 100 TB: tier-2 never needs the raw
+    rows back."""
+    from distributed_graph_db_c_spark.queries.sketches import (
+        ROLLUP_ALL,
+        _hist_quantiles,
+        sketch_quantiles_rollup_lang_source,
+    )
+    from distributed_graph_db_c_spark.sources.tables import load_table
+
+    got = {
+        (r["lang"], r["source"]): tuple(r)[2:]
+        for r in sketch_quantiles_rollup_lang_source(spark, SF01_DIR).collect()
+    }
+    docs = load_table(spark, SF01_DIR, "documents")
+    direct_lang = _hist_quantiles(
+        docs.groupBy("lang", "n_chars").agg(F.count("*").alias("cnt")),
+        F.col("lang"),
+        F.lit(ROLLUP_ALL),
+    )
+    for r in direct_lang.collect():
+        assert got[(r["lang"], ROLLUP_ALL)] == tuple(r)[2:], r["lang"]
+    direct_global = _hist_quantiles(
+        docs.groupBy("n_chars").agg(F.count("*").alias("cnt")),
+        F.lit(ROLLUP_ALL),
+        F.lit(ROLLUP_ALL),
+    ).collect()
+    assert got[(ROLLUP_ALL, ROLLUP_ALL)] == tuple(direct_global[0])[2:]
+    # level row counts: leaves + langs + 1 global
+    n_leaf = docs.select("lang", "source").distinct().count()
+    n_lang = docs.select("lang").distinct().count()
+    assert len(got) == n_leaf + n_lang + 1
+
+
+def test_rollup_scans_raw_rows_once(spark):
+    """The single-scan contract: the leaf histogram is checkpointed, so
+    the three quantile levels read summary cells — the composed plan
+    contains NO scan of the documents parquet (the one raw scan
+    happened at checkpoint materialization)."""
+    from distributed_graph_db_c_spark.queries.sketches import (
+        sketch_quantiles_rollup_lang_source,
+    )
+
+    df = sketch_quantiles_rollup_lang_source(spark, SF01_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "documents" not in plan, "a rollup level re-scanned raw rows"
+
+
+def test_rollup_partitioning_invariance(spark):
+    """The histogram merge is addition — associative and commutative —
+    so the whole rollup is partitioning-invariant: 3 vs 17 input
+    partitions produce identical rows (the determinism contract every
+    oracle-backed gate carries)."""
+    from distributed_graph_db_c_spark.queries.sketches import (
+        ROLLUP_ALL,
+        _hist_quantiles,
+    )
+    from distributed_graph_db_c_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    results = []
+    for parts in (3, 17):
+        hist = (
+            docs.repartition(parts)
+            .groupBy("lang", "source", "n_chars")
+            .agg(F.count("*").alias("cnt"))
+        )
+        lang_hist = hist.groupBy("lang", "n_chars").agg(
+            F.sum("cnt").alias("cnt")
+        )
+        lvl = _hist_quantiles(lang_hist, F.col("lang"), F.lit(ROLLUP_ALL))
+        results.append(sorted(map(tuple, lvl.collect())))
+    assert results[0] == results[1]
