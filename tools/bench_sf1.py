@@ -121,6 +121,9 @@ QUERIES = [
     "sim_kmeans_clusters",
     "dedup_semantic_survivors",
     "sample_cluster_balanced",
+    # round-10 gates: same-round 10x points
+    "sim_ivf_index_append",
+    "sketch_quantiles_rollup_lang_source",
 ]
 
 # Round-7 extension (r6 verdict item 5): the 12 streaming gates at 10x

@@ -775,6 +775,20 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         ("no cartesian", r"CartesianProduct|BroadcastNestedLoopJoin", False),
         ("cluster equijoin", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True),
     ],
+    # (sim_ivf_index_append returns a localCheckpoint — the maintained
+    # index's partition-pruned probe scan and delta-sized append are
+    # pinned in tests/test_round10_properties.py instead, the standing
+    # rule for checkpoint-returning gates.)
+    "sketch_quantiles_rollup_lang_source": [
+        # every rollup level reads the CHECKPOINTED leaf histogram:
+        # no parquet scan of documents survives in the composed plan,
+        # no python boundary anywhere, windows partition by group over
+        # histogram cells (domain-bounded, never raw rows)
+        ("no raw documents scan", r"Scan parquet[^\n]*documents", False),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("grouped window", r"\bWindow\b", True),
+        ("partial agg", r"partial_", True),
+    ],
 }
 
 
