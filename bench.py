@@ -167,6 +167,7 @@ HEADLINE = [
     # round 10: the banked round-9 candidates, wired as oracle gates
     "sim_ivf_index_append",
     "sketch_quantiles_rollup_lang_source",
+    "sim_ivf_retrain_swap",
 ]
 
 

@@ -738,21 +738,28 @@ def _append_claim(path: str) -> str:
 
 
 def _check_index_quiescent(spark, path: str) -> None:
-    """Refuse to read an index mid-append: a standing append claim
+    """Refuse to read an index mid-mutation: a standing APPEND claim
     means lists may hold the delta the ids sidecar doesn't yet (or an
-    appender died between the two writes) — the minhash-index
-    discipline (operators/dedup.py incremental_dedup_pairs) applied to
-    the IVF lifecycle."""
-    from ..sinks import ConcurrentCommitError, _hadoop_fs
+    appender died between the two writes); a standing RETRAIN claim
+    means the whole directory may swap between this reader's centroid
+    collect and its lazy lists scan — frozen centroids probing
+    retrained lists would be SILENTLY wrong, which is worse than the
+    loud refusal here.  The minhash-index discipline
+    (operators/dedup.py incremental_dedup_pairs) applied to the IVF
+    lifecycle."""
+    from ..sinks import ConcurrentCommitError, _commit_claim, _hadoop_fs
 
     fs, jpath = _hadoop_fs(spark, path)
-    claim = _append_claim(path)
-    if fs.exists(jpath(claim)):
-        raise ConcurrentCommitError(
-            f"IVF index {path}: append claim {claim} is held — the "
-            "lists/ids snapshot may be mismatched. Wait for the append, "
-            "or rerun it if its appender is known dead."
-        )
+    for claim, what in (
+        (_append_claim(path), "append"),
+        (_commit_claim(path), "retrain-swap"),
+    ):
+        if fs.exists(jpath(claim)):
+            raise ConcurrentCommitError(
+                f"IVF index {path}: {what} claim {claim} is held — the "
+                f"index snapshot may be mismatched. Wait for the {what}, "
+                "or rerun it if its writer is known dead."
+            )
 
 
 def ivf_append(
@@ -791,10 +798,19 @@ def ivf_append(
     appends refuse loudly, and both persisted-query paths refuse while
     a claim stands (a mid-append index is a mismatched snapshot);
     the claim is released only on success, so a dead appender leaves a
-    loud wedge, never silent partial state."""
-    from ..sinks import claim_marker, _hadoop_fs
+    loud wedge, never silent partial state.  A standing RETRAIN claim
+    makes the append refuse first: a delta written into a directory
+    that is about to be swapped away would be a silently lost update."""
+    from ..sinks import ConcurrentCommitError, _commit_claim, claim_marker, _hadoop_fs
 
     fs, jpath = _hadoop_fs(spark, path)
+    retrain = _commit_claim(path)
+    if fs.exists(jpath(retrain)):
+        raise ConcurrentCommitError(
+            f"ivf_append({path}): retrain-swap claim {retrain} is held — "
+            "an append now would land in the outgoing index generation "
+            "and be lost at the swap. Wait for the retrain."
+        )
     claim = _append_claim(path)
     claim_marker(fs, jpath, claim, f"ivf_append({path})")
     cents = spark.read.parquet(f"{path}/centroids").collect()
@@ -848,6 +864,63 @@ def ivf_append(
     # released ONLY on success — see docstring
     fs.delete(jpath(claim), False)
     return audit
+
+
+def ivf_retrain_swap(
+    spark,
+    path: str,
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """RETRAIN the coarse quantizer and atomically replace the index —
+    the maintenance step ivf_append's retrain_due trigger calls for
+    (round 10): md5-seed centroids over the CURRENT corpus, rebuild the
+    inverted lists, and swap the new generation in via the engine's
+    write-new-then-swap commit (sinks._swap_dir under the sibling
+    _commit_claim marker, the replace_table discipline).
+
+    Generation semantics: the swap starts a FRESH index generation —
+    meta.n_base becomes the retrain-time corpus count and the
+    append_log restarts empty (the retrain is the event the old log was
+    accumulating toward; the drift counter must reset with the
+    quantizer).  Mutual exclusion is two-sided: this refuses while an
+    append claim stands (swapping mid-append would lose the delta), and
+    ivf_append / both query paths refuse while the retrain claim stands
+    (a reader could otherwise collect old-generation centroids and
+    lazily scan new-generation lists — silently wrong).  A retrain that
+    fails before the swap leaves the old generation fully intact and
+    answering (pytest-pinned); the staging directory is a sibling,
+    never visible to index readers."""
+    from ..sinks import (
+        ConcurrentCommitError,
+        _commit_claim,
+        _hadoop_fs,
+        _swap_dir,
+        claim_marker,
+    )
+
+    fs, jpath = _hadoop_fs(spark, path)
+    append_claim = _append_claim(path)
+    if fs.exists(jpath(append_claim)):
+        raise ConcurrentCommitError(
+            f"ivf_retrain_swap({path}): append claim {append_claim} is "
+            "held — swapping now would lose the in-flight delta. Wait "
+            "for the append, or rerun it if its appender is known dead."
+        )
+    claim = _commit_claim(path)
+    claim_marker(fs, jpath, claim, f"ivf_retrain_swap({path})")
+    staging = path.rstrip("/") + "__staging__"
+    try:
+        fs.delete(jpath(staging), True)
+        ivf_build(corpus, staging, n_cells, id_col, vec_col)
+        _swap_dir(fs, jpath, staging, path)
+    finally:
+        # replace_table semantics (NOT the append's success-only rule):
+        # a failure before the swap leaves the old generation intact
+        # and valid, so holding the claim would wedge a healthy index.
+        fs.delete(jpath(claim), False)
 
 
 def ivf_query_persisted(

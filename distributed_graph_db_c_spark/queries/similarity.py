@@ -780,6 +780,112 @@ def sim_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+# The RETRAINED-index oracle: the same replay as _IVF_APPEND_SQL with
+# the base filter REMOVED — after ivf_retrain_swap the quantizer is
+# md5-seeded over the CURRENT (full) corpus, which is exactly the
+# fresh-build construction; the swap's whole contract is that the
+# served index is indistinguishable from that rebuild.
+_IVF_RETRAIN_SQL = f"""
+WITH cents AS (
+  SELECT cid, ce, crk FROM (
+    SELECT vec_id AS cid, embedding AS ce,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS crk
+    FROM embeddings)
+  WHERE crk <= {_APPEND_CELLS}),
+asgn AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.crk AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dot_sql('e.embedding', 'c.ce')}
+                                / (sqrt({dot_sql('e.embedding', 'e.embedding')})
+                                   * sqrt({dot_sql('c.ce', 'c.ce')})) DESC, c.crk) AS rn
+    FROM embeddings e, cents c) WHERE rn = 1),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {_APPEND_Q}),
+probes AS (
+  SELECT qid, cell FROM (
+    SELECT q.qid, c.crk AS cell,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY {dot_sql('q.qe', 'c.ce')}
+                                / (sqrt({dot_sql('q.qe', 'q.qe')})
+                                   * sqrt({dot_sql('c.ce', 'c.ce')})) DESC, c.crk) AS prk
+    FROM q, cents c) WHERE prk <= {_APPEND_NPROBE}),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         {dot_sql('e.embedding', 'q.qe')}
+           / (sqrt({dot_sql('e.embedding', 'e.embedding')})
+              * sqrt({dot_sql('q.qe', 'q.qe')})) AS cosine
+  FROM embeddings e
+  JOIN asgn a ON a.vec_id = e.vec_id
+  JOIN probes p ON p.cell = a.cell
+  JOIN q ON q.qid = p.qid
+  WHERE e.vec_id <> q.qid),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored)
+SELECT qid, vec_id, cosine FROM ranked WHERE rn <= {_APPEND_K}
+"""
+
+
+@register("sim_ivf_retrain_swap", oracle=_IVF_RETRAIN_SQL)
+def sim_ivf_retrain_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL IVF index lifecycle (round 10, registered after the
+    window filled — AWAITING_FIRST_SLOT, first in line for an r11
+    driver slot): build on the 80% base, ivf_append the 20% delta —
+    the gate corpus sits exactly at the default retrain threshold, so
+    the audit flips retrain_due — then act on the trigger:
+    ivf_retrain_swap re-seeds the quantizer over the CURRENT corpus
+    and atomically swaps the new generation in (write-new-then-swap
+    under the sibling commit claim, the replace_table discipline),
+    and the batch query runs against the RETRAINED index.
+
+    The oracle replays the retrained construction: centroids over the
+    full corpus — byte-for-byte the fresh-build rule — which is the
+    swap's contract (served index ≡ rebuild; pytest additionally pins
+    generation semantics: meta resets to the new corpus count, the
+    append_log restarts, old-generation bytes are gone, and a retrain
+    that fails pre-swap leaves the old generation answering
+    identically).  Mutual exclusion append↔retrain and the
+    reader-refusal window are pinned in
+    tests/test_round10_properties.py.  Float-seam contingency: the
+    full-corpus 24-cell construction at nprobe=8 over qids<5 is inside
+    the margins test_ivf_rankings_have_margin already pins (>= 1.8e-6
+    observed; loud failure below 1e-9)."""
+    from ..operators.similarity import (
+        ivf_append,
+        ivf_batch_query_persisted,
+        ivf_build,
+        ivf_retrain_swap,
+    )
+    from ..streaming.sources import cleanup, scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % _APPEND_BASE_MOD != 0)
+    delta = emb.filter(F.col("vec_id") % _APPEND_BASE_MOD == 0)
+    qrows = (
+        emb.filter(F.col("vec_id") < _APPEND_Q)
+        .select(F.col("vec_id").alias("qid"), "embedding")
+        .collect()
+    )  # bounded: the 5-vector retrieval batch
+    queries = [(r["qid"], list(r["embedding"])) for r in qrows]
+    scratch = scratch_dir("ivfrts")
+    try:
+        ivf_build(base, f"{scratch}/idx", n_cells=_APPEND_CELLS)
+        audit = ivf_append(spark, f"{scratch}/idx", delta)
+        assert audit["retrain_due"], "gate corpus must trip the trigger"
+        ivf_retrain_swap(spark, f"{scratch}/idx", emb, n_cells=_APPEND_CELLS)
+        result = ivf_batch_query_persisted(
+            spark,
+            f"{scratch}/idx",
+            queries,
+            top_k=_APPEND_K,
+            nprobe=_APPEND_NPROBE,
+        ).localCheckpoint(eager=True)
+    finally:
+        cleanup(scratch)
+    return result
+
+
 @register("sim_kmeans_clusters", oracle=None)
 def sim_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT-INTEGER k-means over the embedding corpus (round 9) — the

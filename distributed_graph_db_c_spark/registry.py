@@ -121,10 +121,16 @@ _ROUND_NEW: list[str] = [
 # out of the window by the standing no-oracle rule.)
 
 # Registered after this round's window filled: local strict evidence
-# only (ORACLE_LOCAL.md), first in line for round-10 driver slots.
+# only (ORACLE_LOCAL.md), first in line for round-11 driver slots.
 # test_registry_window.py asserts this list stays small (<=3) and
-# drains.
-AWAITING_FIRST_SLOT: list[str] = []
+# drains.  sim_ivf_retrain_swap is the banked r11 candidate (a) built
+# early — the retrain_due trigger the r10 append gate records needed
+# its acting counterpart in the same round for the lifecycle to be
+# complete; the rotation-heavy r10 window was already full, so it
+# queues here per the standing drain contract.
+AWAITING_FIRST_SLOT: list[str] = [
+    "sim_ivf_retrain_swap",
+]
 
 # (d) the recomputed due list: the 45 bench-headline oracle-backed
 # queries lacking driver evidence in the two latest published records

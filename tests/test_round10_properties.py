@@ -381,3 +381,154 @@ def test_rollup_partitioning_invariance(spark):
         lvl = _hist_quantiles(lang_hist, F.col("lang"), F.lit(ROLLUP_ALL))
         results.append(sorted(map(tuple, lvl.collect())))
     assert results[0] == results[1]
+
+
+# -- IVF retrain-then-swap (registered via AWAITING_FIRST_SLOT) ----------------
+
+
+def test_ivf_retrain_swap_equals_fresh_rebuild(spark):
+    """The swap contract: after build(base) -> append(delta) ->
+    retrain_swap(full), the served index equals a FRESH ivf_build over
+    the full corpus — identical lists contents, identical batch query
+    results — and generation semantics hold: meta.n_base resets to the
+    full count and the append_log restarts empty."""
+    from distributed_graph_db_c_spark.operators.similarity import (
+        ivf_append,
+        ivf_batch_query_persisted,
+        ivf_build,
+        ivf_retrain_swap,
+    )
+    from distributed_graph_db_c_spark.streaming.sources import cleanup, scratch_dir
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    ]
+    s1, s2 = scratch_dir("ivfrts1"), scratch_dir("ivfrts2")
+    try:
+        ivf_build(base, f"{s1}/idx", n_cells=24)
+        audit = ivf_append(spark, f"{s1}/idx", delta)
+        assert audit["retrain_due"]
+        ivf_retrain_swap(spark, f"{s1}/idx", emb, n_cells=24)
+        ivf_build(emb, f"{s2}/idx", n_cells=24)
+
+        lists1 = {
+            (r["vec_id"], r["cell"])
+            for r in spark.read.parquet(f"{s1}/idx/lists").collect()
+        }
+        lists2 = {
+            (r["vec_id"], r["cell"])
+            for r in spark.read.parquet(f"{s2}/idx/lists").collect()
+        }
+        assert lists1 == lists2, "retrained index != fresh full rebuild"
+
+        q1 = sorted(
+            map(
+                tuple,
+                ivf_batch_query_persisted(
+                    spark, f"{s1}/idx", queries, top_k=3, nprobe=8
+                ).collect(),
+            )
+        )
+        q2 = sorted(
+            map(
+                tuple,
+                ivf_batch_query_persisted(
+                    spark, f"{s2}/idx", queries, top_k=3, nprobe=8
+                ).collect(),
+            )
+        )
+        assert q1 == q2
+
+        # fresh generation: meta resets, ledger restarts
+        assert (
+            spark.read.parquet(f"{s1}/idx/meta").head()["n_base"] == emb.count()
+        )
+        assert not os.path.exists(f"{s1}/idx/append_log"), (
+            "append_log must restart with the new generation"
+        )
+        # staging fully consumed by the swap
+        assert not os.path.exists(f"{s1}/idx__staging__")
+    finally:
+        cleanup(s1)
+        cleanup(s2)
+
+
+def test_ivf_retrain_swap_mutual_exclusion_and_failure(spark):
+    """Two-sided exclusion: retrain refuses while an append claim
+    stands (a swap would lose the in-flight delta); append and both
+    query paths refuse while the retrain claim stands (a reader could
+    collect old centroids and scan new lists).  And a retrain that
+    fails BEFORE the swap leaves the old generation answering
+    identically, claim released."""
+    from distributed_graph_db_c_spark.operators.similarity import (
+        _append_claim,
+        ivf_append,
+        ivf_batch_query_persisted,
+        ivf_build,
+        ivf_query_persisted,
+        ivf_retrain_swap,
+    )
+    from distributed_graph_db_c_spark.sinks import ConcurrentCommitError, _commit_claim
+    from distributed_graph_db_c_spark.streaming.sources import cleanup, scratch_dir
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    s = scratch_dir("ivfrtsex")
+    try:
+        ivf_build(base, f"{s}/idx", n_cells=24)
+
+        # retrain refuses under a standing append claim
+        ap = _append_claim(f"{s}/idx")
+        with open(ap, "w") as f:
+            f.write("wedged-appender")
+        with pytest.raises(ConcurrentCommitError):
+            ivf_retrain_swap(spark, f"{s}/idx", emb, n_cells=24)
+        os.remove(ap)
+
+        # append + readers refuse under a standing retrain claim
+        rt = _commit_claim(f"{s}/idx")
+        with open(rt, "w") as f:
+            f.write("wedged-retrainer")
+        with pytest.raises(ConcurrentCommitError):
+            ivf_append(spark, f"{s}/idx", delta)
+        with pytest.raises(ConcurrentCommitError):
+            ivf_batch_query_persisted(
+                spark, f"{s}/idx", [(0, [0.0] * 64)], top_k=3, nprobe=8
+            )
+        with pytest.raises(ConcurrentCommitError):
+            ivf_query_persisted(spark, f"{s}/idx", query_vec=[0.0] * 64)
+        os.remove(rt)
+
+        # failure BEFORE the swap: old generation intact, claim released
+        before = sorted(
+            map(
+                tuple,
+                ivf_query_persisted(
+                    spark, f"{s}/idx", query_vec=[1.0] + [0.0] * 63,
+                    top_k=3, nprobe=24,
+                ).collect(),
+            )
+        )
+        with pytest.raises(Exception):
+            # empty corpus makes ivf_build fail (no centroid rows)
+            ivf_retrain_swap(
+                spark, f"{s}/idx", emb.filter(F.lit(False)), n_cells=24
+            )
+        assert not os.path.exists(rt), "failed retrain must release its claim"
+        after = sorted(
+            map(
+                tuple,
+                ivf_query_persisted(
+                    spark, f"{s}/idx", query_vec=[1.0] + [0.0] * 63,
+                    top_k=3, nprobe=24,
+                ).collect(),
+            )
+        )
+        assert before == after, "failed retrain disturbed the old generation"
+    finally:
+        cleanup(s)

@@ -124,6 +124,7 @@ QUERIES = [
     # round-10 gates: same-round 10x points
     "sim_ivf_index_append",
     "sketch_quantiles_rollup_lang_source",
+    "sim_ivf_retrain_swap",
 ]
 
 # Round-7 extension (r6 verdict item 5): the 12 streaming gates at 10x
