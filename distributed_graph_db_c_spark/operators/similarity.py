@@ -769,6 +769,7 @@ def ivf_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     retrain_frac: float = IVF_RETRAIN_FRAC,
+    check_duplicate_ids: bool = True,
 ) -> dict:
     """INCREMENTAL IVF index maintenance (round 10 — the banked r9
     handoff candidate b, the lifecycle counterpart of the minhash
@@ -800,7 +801,17 @@ def ivf_append(
     the claim is released only on success, so a dead appender leaves a
     loud wedge, never silent partial state.  A standing RETRAIN claim
     makes the append refuse first: a delta written into a directory
-    that is about to be swapped away would be a silently lost update."""
+    that is about to be swapped away would be a silently lost update.
+
+    Append means NEW ids: a re-ingested id would land as a duplicate
+    list row (the same candidate scored twice per query), so by default
+    the delta's ids are checked against the ids sidecar — one slim
+    semi-join against the 2-column table — and a collision refuses
+    loudly BEFORE any mutation (the claim is released on this path: the
+    index is untouched and valid; re-ingest means replacing the vector,
+    which is a rebuild — ivf_retrain_swap — not an append).  Callers
+    that guarantee disjoint ids upstream pass
+    ``check_duplicate_ids=False`` to skip the join."""
     from ..sinks import ConcurrentCommitError, _commit_claim, claim_marker, _hadoop_fs
 
     fs, jpath = _hadoop_fs(spark, path)
@@ -820,8 +831,27 @@ def ivf_append(
             for r in sorted(cents, key=lambda r: r["cell"])
         ]
     )
-    n_before = spark.read.parquet(f"{path}/ids").count()  # footer-only
+    ids_table = spark.read.parquet(f"{path}/ids")
+    n_before = ids_table.count()  # footer-only
     n_base = spark.read.parquet(f"{path}/meta").head()["n_base"]
+    if check_duplicate_ids:
+        dup = (
+            new_vectors.select(id_col)
+            .join(ids_table.select(id_col), id_col, "left_semi")
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            # precondition failure, zero mutation: release the claim
+            fs.delete(jpath(claim), False)
+            raise ValueError(
+                f"ivf_append({path}): {id_col}={dup[0][0]} is already in "
+                "the index — a duplicate list row would score the same "
+                "candidate twice per query. Re-ingest means rebuild "
+                "(ivf_retrain_swap), not append; pass "
+                "check_duplicate_ids=False only when ids are disjoint "
+                "by construction."
+            )
     assigned = new_vectors.select(id_col, vec_col).withColumn(
         "cell", _cell_assigner(cnorm)(F.col(vec_col))
     )

@@ -247,9 +247,27 @@ def test_ivf_append_retrain_audit_and_log(spark):
         assert audit["retrain_due"] is (n_delta / n_base >= 0.25)
         assert audit["retrain_due"] is True  # 100/400 on the gate corpus
 
-        # second append (re-using delta ids is fine for accounting —
-        # placement/query equivalence is the other tests' job)
-        audit2 = ivf_append(spark, f"{s}/idx", delta, retrain_frac=0.6)
+        # duplicate-id refusal: re-ingesting an indexed id must refuse
+        # loudly BEFORE mutation, with the claim released (index valid)
+        from distributed_graph_db_c_spark.operators.similarity import (
+            _append_claim,
+        )
+
+        with pytest.raises(ValueError, match="already in"):
+            ivf_append(spark, f"{s}/idx", delta)
+        assert not os.path.exists(_append_claim(f"{s}/idx")), (
+            "duplicate refusal must release the claim"
+        )
+        assert (
+            spark.read.parquet(f"{s}/idx/ids").count() == n_base + n_delta
+        ), "duplicate refusal must not mutate the index"
+
+        # second append with the check explicitly waived (accounting
+        # only — placement/query equivalence is the other tests' job)
+        audit2 = ivf_append(
+            spark, f"{s}/idx", delta, retrain_frac=0.6,
+            check_duplicate_ids=False,
+        )
         assert audit2["appended_frac"] == pytest.approx(2 * n_delta / n_base)
         assert audit2["retrain_due"] is (2 * n_delta / n_base >= 0.6)
 
