@@ -168,6 +168,7 @@ HEADLINE = [
     "sim_ivf_index_append",
     "sketch_quantiles_rollup_lang_source",
     "sim_ivf_retrain_swap",
+    "dedup_semantic_decontaminate",
 ]
 
 

@@ -509,6 +509,123 @@ def cosine_lsh_pairs(
     )
 
 
+def cosine_lsh_cross_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: int = 0,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """CROSS-corpus near-dup pairs (round 10): (id_a, id_b, cosine) for
+    left x right pairs with cosine >= threshold — the decontamination
+    shape ("which EVAL documents leak from the TRAIN corpus?"), where
+    :func:`cosine_lsh_pairs` answers the within-corpus dedup question.
+
+    Same recall model, same slim-candidates plan, same unpacked-column
+    rescoring as the within-corpus op (see cosine_lsh_pairs — this is
+    its two-frame form): both sides bucket under the SAME md5-derived
+    planes, candidates come from a bucket equijoin between the frames
+    (never a cross join), multiprobe widens the LEFT (query/eval) side,
+    and every candidate is re-scored exactly, so precision is exact and
+    only candidate recall is probabilistic.  Auto-sizing counts the
+    UNION corpus (bucket occupancy sees both frames).  Callers own id
+    disjointness across frames — a shared id would pair with itself at
+    cosine 1.0, which for decontamination is exactly the right answer.
+
+    At 100 TB the train side buckets once (in production: persist it —
+    the minhash index pattern applies verbatim) and each eval batch
+    shuffles only its own slim (table, bucket, id) rows into the join."""
+    if n_planes is None:
+        if n_rows is None:
+            n_rows = left.count() + right.count()
+        n_planes, auto_tables, auto_probe, _pred = lsh_params_for(
+            n_rows, threshold, min_multiprobe=multiprobe
+        )
+        if n_tables is None:
+            n_tables = auto_tables
+        multiprobe = max(multiprobe, auto_probe)
+    if n_tables is None:
+        n_tables = N_TABLES
+    la = with_lsh_buckets(
+        left, dim, n_planes=n_planes, n_tables=n_tables,
+        id_col=id_col, vec_col=vec_col,
+    ).select(
+        F.col(id_col).alias("id_a"),
+        F.posexplode("buckets").alias("table", "bucket"),
+    )
+    if multiprobe > 0:
+        la = la.select(
+            "id_a",
+            "table",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << b))
+                        for b in range(min(multiprobe, n_planes))
+                    ],
+                )
+            ).alias("bucket"),
+        )
+    rb = with_lsh_buckets(
+        right, dim, n_planes=n_planes, n_tables=n_tables,
+        id_col=id_col, vec_col=vec_col,
+    ).select(
+        F.col(id_col).alias("id_b"),
+        F.posexplode("buckets").alias("table", "bucket"),
+    )
+    cand = (
+        la.join(rb, on=["table", "bucket"])
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    def _unpacked(df: DataFrame, out_id: str, prefix: str, norm_alias: str):
+        checked_norm = F.when(
+            F.size(F.col(vec_col)) == dim, norm2_seq(F.col(vec_col))
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"cosine_lsh_cross_pairs: {vec_col} width != {dim}"
+                        " for id "
+                    ),
+                    F.col(id_col).cast("string"),
+                )
+            )
+        )
+        return df.select(
+            F.col(id_col).alias(out_id),
+            checked_norm.alias(norm_alias),
+            *[F.col(vec_col)[i].alias(f"{prefix}{i}") for i in range(dim)],
+        )
+
+    wa = _unpacked(left, "id_a", "_a", "_na")
+    wb = _unpacked(right, "id_b", "_b", "_nb")
+    dot = functools.reduce(
+        lambda acc, t: acc + t,
+        [
+            F.col(f"_a{i}").cast("double") * F.col(f"_b{i}").cast("double")
+            for i in range(dim)
+        ],
+    )
+    return (
+        cand.join(wa, "id_a")
+        .join(wb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (dot / (F.col("_na") * F.col("_nb"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def _probe_cells(cmat: np.ndarray, qn: np.ndarray, nprobe: int) -> list[int]:
     """Rank cells by centroid cosine, ties to the LOWEST cell index.
     np.argsort's default quicksort is NOT stable, so an exact score tie

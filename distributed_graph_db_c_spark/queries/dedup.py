@@ -743,3 +743,83 @@ def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pairs_to_canonical(pairs, corpus, ("id_a", "id_b"), "vec_id")
     finally:
         corpus.unpersist()
+
+
+def _decontaminate_sql() -> str:
+    from .similarity import dot_sql
+
+    return f"""
+WITH {_GRADE_CORPUS_SQL},
+ev AS (SELECT * FROM corpus WHERE vec_id >= {_PLANT_ID_OFFSET}),
+tr AS (SELECT * FROM corpus WHERE vec_id < {_PLANT_ID_OFFSET}),
+agg AS (
+    SELECT e.vec_id AS eval_id, t.vec_id AS train_id,
+           {dot_sql('e.v', 't.v')} AS dot,
+           {dot_sql('e.v', 'e.v')} AS ne,
+           {dot_sql('t.v', 't.v')} AS nt
+    FROM ev e, tr t
+),
+scored AS (
+    SELECT eval_id, train_id, dot / (sqrt(ne) * sqrt(nt)) AS cosine
+    FROM agg WHERE dot / (sqrt(ne) * sqrt(nt)) >= {_GRADE_THRESHOLD}
+),
+ranked AS (
+    SELECT eval_id, train_id, cosine,
+           row_number() OVER (PARTITION BY eval_id
+                              ORDER BY cosine DESC, train_id) AS rn
+    FROM scored)
+SELECT eval_id, train_id, cosine FROM ranked WHERE rn = 1
+"""
+
+
+@register("dedup_semantic_decontaminate", oracle=_decontaminate_sql())
+def dedup_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC DECONTAMINATION (round 10): for each EVAL document,
+    the strongest TRAIN near-duplicate at cosine >= 0.8 — the
+    cross-corpus companion of the SemDeDup and grade gates, and the
+    embedding-level form of text_decontaminate_overlap's n-gram check:
+    "which benchmark items leak from the training corpus, and from
+    where?"  Paraphrase-level leakage survives n-gram overlap checks;
+    it does not survive this one.
+
+    Corpus roles from the planted grade construction: eval = the
+    planted near-dups (vec_id >= offset), train = the originals — so
+    every eval doc leaks by construction and the gate is provably
+    nonvacuous (the EXCEPT-gate lesson).  Output is one row per
+    contaminated eval doc: (eval_id, the argmax train match with ties
+    to the lowest train_id, cosine).
+
+    Plan: operators/similarity.cosine_lsh_cross_pairs — both frames
+    bucket under the same md5 planes, candidates from a bucket
+    EQUIJOIN between the frames (never an eval x train cross join),
+    eval-side multiprobe widening, exact unpacked-column rescoring —
+    then a per-eval window over the surviving pairs (bounded by the
+    LSH candidate count, linear by construction).  At 100 TB the train
+    side buckets once and persists (the minhash-index pattern); each
+    eval batch shuffles only slim bucket rows.
+
+    CORPUS-CONTINGENT ORACLE, the grade-gate contract: the exact SQL
+    (eval x train replay + per-eval argmax) is valid because widened
+    candidate recall at 0.8 is total on this corpus — pinned by
+    test_decontaminate_matches_bruteforce, which compares the full
+    pair set AND the argmax selection against brute force at two SFs."""
+    from ..operators.similarity import cosine_lsh_cross_pairs
+    from pyspark.sql import Window
+
+    corpus = _grade_corpus(spark, sf_dir)
+    ev = corpus.filter(F.col("vec_id") >= _PLANT_ID_OFFSET)
+    tr = corpus.filter(F.col("vec_id") < _PLANT_ID_OFFSET)
+    pairs = cosine_lsh_cross_pairs(
+        ev, tr, threshold=_GRADE_THRESHOLD, dim=64,
+        vec_col="v", multiprobe=_GRADE_MULTIPROBE,
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("id_a").alias("eval_id"),
+            F.col("id_b").alias("train_id"),
+            "cosine",
+        )
+    )

@@ -130,6 +130,7 @@ _ROUND_NEW: list[str] = [
 # queues here per the standing drain contract.
 AWAITING_FIRST_SLOT: list[str] = [
     "sim_ivf_retrain_swap",
+    "dedup_semantic_decontaminate",  # cross-corpus eval-vs-train leakage
 ]
 
 # (d) the recomputed due list: the 45 bench-headline oracle-backed

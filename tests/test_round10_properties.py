@@ -550,3 +550,68 @@ def test_ivf_retrain_swap_mutual_exclusion_and_failure(spark):
         assert before == after, "failed retrain disturbed the old generation"
     finally:
         cleanup(s)
+
+
+# -- semantic decontamination (cross-corpus) -----------------------------------
+
+
+def _grade_corpus_numpy(sf_dir):
+    """The planted grade corpus, numpy replica (same 2a+b construction)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    ids = [int(i) for i in t["vec_id"]]
+    E = {i: np.asarray(v, dtype=np.float64) for i, v in zip(ids, t["embedding"])}
+    corpus = dict(E)
+    for i in ids:
+        if i % 7 == 0 and i + 1 in E:
+            corpus[i + 1_000_000] = 2.0 * E[i] + E[i + 1]
+    return corpus
+
+
+@pytest.mark.parametrize("sf_dir", [SF_DIR, SF01_DIR])
+def test_decontaminate_matches_bruteforce(spark, sf_dir):
+    """The gate's corpus-contingency pin: the LSH-candidate cross-pair
+    path must find EVERY eval-train pair at cosine >= 0.8 (total
+    candidate recall on this corpus — the exact SQL oracle is valid
+    only under this), and the per-eval argmax row must match the brute
+    force selection.  Cosine margins at the threshold are large (plants
+    sit ~0.89), so numpy doubles vs the engine's left fold cannot flip
+    a pair's membership."""
+    from distributed_graph_db_c_spark.queries.dedup import (
+        dedup_semantic_decontaminate,
+    )
+
+    corpus = _grade_corpus_numpy(sf_dir)
+    ev = {i: v for i, v in corpus.items() if i >= 1_000_000}
+    tr = {i: v for i, v in corpus.items() if i < 1_000_000}
+    expected = {}
+    for ei, evec in ev.items():
+        en = evec / np.linalg.norm(evec)
+        best = None
+        for ti, tvec in sorted(tr.items()):
+            c = float(en @ (tvec / np.linalg.norm(tvec)))
+            if c >= 0.8 and (best is None or c > best[1] + 1e-12):
+                best = (ti, c)
+        if best:
+            expected[ei] = best[0]
+    got = {
+        r["eval_id"]: r["train_id"]
+        for r in dedup_semantic_decontaminate(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert expected, "gate corpus must be contaminated by construction"
+
+
+def test_decontaminate_plan_has_no_cross_join(spark):
+    """The scale contract: candidates come from a bucket equijoin
+    between the frames — the plan must contain no cartesian/nested-loop
+    join of eval x train."""
+    from distributed_graph_db_c_spark.queries.dedup import (
+        dedup_semantic_decontaminate,
+    )
+
+    df = dedup_semantic_decontaminate(spark, SF01_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

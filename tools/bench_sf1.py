@@ -125,6 +125,7 @@ QUERIES = [
     "sim_ivf_index_append",
     "sketch_quantiles_rollup_lang_source",
     "sim_ivf_retrain_swap",
+    "dedup_semantic_decontaminate",
 ]
 
 # Round-7 extension (r6 verdict item 5): the 12 streaming gates at 10x

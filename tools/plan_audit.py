@@ -775,10 +775,21 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         ("no cartesian", r"CartesianProduct|BroadcastNestedLoopJoin", False),
         ("cluster equijoin", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True),
     ],
-    # (sim_ivf_index_append returns a localCheckpoint — the maintained
-    # index's partition-pruned probe scan and delta-sized append are
-    # pinned in tests/test_round10_properties.py instead, the standing
-    # rule for checkpoint-returning gates.)
+    # (sim_ivf_index_append / sim_ivf_retrain_swap return
+    # localCheckpoints — the maintained index's partition-pruned probe
+    # scan, delta-sized append, and swap semantics are pinned in
+    # tests/test_round10_properties.py instead, the standing rule for
+    # checkpoint-returning gates.)
+    "dedup_semantic_decontaminate": [
+        # candidates from a bucket equijoin between the frames — never
+        # an eval x train cartesian; exact rescoring stays in codegen
+        # (the bucketing pandas_udf is the documented Arrow kernel the
+        # LSH family shares — only row-at-a-time Python is banned)
+        ("no cartesian", r"CartesianProduct|BroadcastNestedLoopJoin", False),
+        ("bucket equijoin", r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", True),
+        ("no row-python udf", r"BatchEvalPython", False),
+        ("column pruning", r"ReadSchema: [^\n]*embedding", True),
+    ],
     "sketch_quantiles_rollup_lang_source": [
         # every rollup level reads the CHECKPOINTED leaf histogram:
         # no parquet scan of documents survives in the composed plan,
