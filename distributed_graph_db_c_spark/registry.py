@@ -220,25 +220,26 @@ _STALE_RAMP = [
 # ROUND-11 HANDOFF (computed against the published r09 record with a
 # synthetic r10 = this window all-green; the strict look-ahead test
 # recomputes and enforces it at r11 build time): the round-11 window
-# owes (1) the r08 cohort leaving the three-round horizon when r11
+# owes (1) the TWO AWAITING drains first (sim_ivf_retrain_swap,
+# dedup_semantic_decontaminate — both full local evidence, zero driver
+# rows); (2) the r08 cohort leaving the three-round horizon when r11
 # publishes — the r08 record minus what r09/r10 re-greened, ~23 wide;
-# (2) the r10 new gates' SECOND driver rows are NOT owed (three-round
-# horizon) but sim_knn_gather_mean_ivf-style changed-code re-pins are,
-# if r11 touches operator code; (3) family pins recheck; (4) the stale
-# ramp resumes at full width: ~12+ residual slots against the 30-query
-# r01-r05 debt (oldest first: text_term_frequency, text_token_stats at
-# r01, then the r02 cohort alphabetically).  Budget new gates normally
-# again (3-4).
+# (3) changed-code re-pins if r11 touches operator code; (4) family
+# pins recheck; (5) the stale ramp resumes at full width: ~10+
+# residual slots against the 30-query r01-r05 debt (oldest first:
+# text_term_frequency, text_token_stats at r01, then the r02 cohort
+# alphabetically).  Budget new gates normally again (3-4).
 #
-# Surface candidates banked for round 11: (a) IVF retrain-then-swap
-# composition (ivf_append until retrain_due, then rebuild via the
-# versioned write-new-then-swap path, proving query continuity across
-# the swap); (b) per-source rollup extended to token quantiles (the
-# histogram-merge shape generalizes to any bounded integer metric);
-# (c) capability-gated JPEG/FLAC differential rows in ORACLE_LOCAL
-# when a dep-present environment runs them; (d) transformWithState
-# migration A/B for the two applyInPandasWithState gates when Spark
-# ships the Python API.
+# Surface candidates banked for round 11: (a) per-source rollup
+# extended to token quantiles (the histogram-merge shape generalizes
+# to any bounded integer metric); (b) persisted TRAIN-side LSH bucket
+# table for decontamination (the minhash-index pattern applied to the
+# embedding cross-pairs — nightly eval batches without re-bucketing
+# the train corpus); (c) capability-gated JPEG/FLAC differential rows
+# in ORACLE_LOCAL when a dep-present environment runs them; (d)
+# transformWithState migration A/B for the two applyInPandasWithState
+# gates when Spark ships the Python API.  (The r9-banked IVF
+# retrain-then-swap shipped THIS round, early, as an AWAITING gate.)
 
 # Streaming events consumers LAST inside the window: each runs a real
 # micro-batch stream and is the slowest gate class — if the driver's
