@@ -169,6 +169,7 @@ HEADLINE = [
     "sketch_quantiles_rollup_lang_source",
     "sim_ivf_retrain_swap",
     "dedup_semantic_decontaminate",
+    "dedup_decontaminate_incremental",
 ]
 
 

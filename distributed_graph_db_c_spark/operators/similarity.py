@@ -626,6 +626,217 @@ def cosine_lsh_cross_pairs(
     )
 
 
+# On-disk contract of the persisted decontamination index (the
+# attach_bucketed rule: a re-attach spec must match the writing spec).
+LSH_INDEX_N_BUCKETS = 16
+LSH_INDEX_BUCKETS_DDL = "id bigint, bkey bigint"
+LSH_INDEX_VECTORS_DDL = "id bigint, nrm double, v array<double>"
+LSH_INDEX_META_DDL = (
+    "n_planes int, n_tables int, multiprobe int, threshold double,"
+    " dim int, n_rows bigint"
+)
+
+
+def _lsh_index_claim(warehouse: str, table_prefix: str) -> str:
+    return f"{warehouse.rstrip('/')}/_{table_prefix}__index_build__"
+
+
+def lsh_index_build(
+    train: DataFrame,
+    table_prefix: str,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: int = 0,
+    n_buckets: int = LSH_INDEX_N_BUCKETS,
+) -> None:
+    """PERSIST the train side of semantic decontamination (round 10 —
+    the minhash_index_build pattern applied to embedding cross-pairs):
+    the corpus is bucketed under auto-sized md5 planes ONCE, and three
+    tables land in the warehouse —
+
+    - ``{prefix}_buckets`` (id, bkey), bucketed+sorted on bkey: the
+      candidate join's index side, read co-located (no Exchange above
+      the bucketed scan, plan-pinned);
+    - ``{prefix}_vectors`` (id, nrm, v), bucketed on id: the rescore
+      side, with the norm precomputed at build (and the vector width
+      VALIDATED here — a short vector raises at build, not as a
+      silently dropped pair at query time);
+    - ``{prefix}_meta`` one row of the sizing parameters.  The planes
+      matrix itself is md5-derived from (dim, n_planes, n_tables), so
+      persisting the THREE INTEGERS pins the bucketing exactly; an
+      eval batch bucketed under different parameters would silently
+      miss every candidate, which is why
+      :func:`decontaminate_incremental` reads them from meta instead
+      of trusting its caller.
+
+    Nightly contract: the build is one bounded pass over the train
+    corpus under the engine's claim marker (success-only release — a
+    dead builder leaves a loud wedge); each eval batch then shuffles
+    ONLY its own slim (id, bkey) rows into the index's bucket layout."""
+    from .bucketing import write_bucketed
+    from ..sinks import _hadoop_fs, claim_marker
+
+    spark = train.sparkSession
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    fs, jpath = _hadoop_fs(spark, warehouse)
+    claim = _lsh_index_claim(warehouse, table_prefix)
+    claim_marker(fs, jpath, claim, f"lsh_index_build({table_prefix})")
+    n_rows = train.count()
+    n_planes, n_tables, probe, _pred = lsh_params_for(
+        n_rows, threshold, min_multiprobe=multiprobe
+    )
+    bt = with_lsh_buckets(
+        train, dim, n_planes=n_planes, n_tables=n_tables,
+        id_col=id_col, vec_col=vec_col,
+    ).select(
+        F.col(id_col).alias("id"),
+        F.posexplode("buckets").alias("table", "bucket"),
+    )
+    bkeyed = bt.select(
+        "id", F.xxhash64(F.col("table"), F.col("bucket")).alias("bkey")
+    )
+    write_bucketed(bkeyed, f"{table_prefix}_buckets", key="bkey", n_buckets=n_buckets)
+    checked_norm = F.when(
+        F.size(F.col(vec_col)) == dim, norm2_seq(F.col(vec_col))
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"lsh_index_build: {vec_col} width != {dim} for id "),
+                F.col(id_col).cast("string"),
+            )
+        )
+    )
+    vecs = train.select(
+        F.col(id_col).alias("id"),
+        checked_norm.alias("nrm"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    write_bucketed(vecs, f"{table_prefix}_vectors", key="id", n_buckets=n_buckets)
+    spark.createDataFrame(
+        [(int(n_planes), int(n_tables), int(probe), float(threshold), int(dim), int(n_rows))],
+        LSH_INDEX_META_DDL,
+    ).write.mode("overwrite").saveAsTable(f"{table_prefix}_meta")
+    fs.delete(jpath(claim), False)  # success-only, see docstring
+
+
+def decontaminate_incremental(
+    eval_batch: DataFrame,
+    table_prefix: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    multiprobe: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """(id_a, id_b, cosine) pairs between an EVAL batch and the indexed
+    TRAIN snapshot at cosine >= the index's threshold — the nightly
+    form of :func:`cosine_lsh_cross_pairs` (exactly the
+    incremental_dedup_pairs contract, for embeddings): a vector's
+    buckets depend only on itself and the persisted plane parameters,
+    so the candidate set decomposes exactly and batch-vs-index equals
+    one-shot cross pairs whenever both operating points have total
+    recall (gates pin equality with the one-shot gate's output).
+
+    Scale shape: the batch buckets itself (delta-sized), the candidate
+    join shuffles ONLY the batch's (id_a, bkey) rows into the index's
+    bucket layout (no Exchange above the index's bucketed scan —
+    plan-pinned), and rescoring joins the slim candidate ids against
+    the id-bucketed vectors table the same way.  Probe widening
+    defaults to the INDEX's recorded multiprobe (reading it from meta,
+    not trusting the caller — mismatched widening silently loses
+    recall, never raises)."""
+    from ..sinks import ConcurrentCommitError, _hadoop_fs
+
+    spark = eval_batch.sparkSession
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    fs, jpath = _hadoop_fs(spark, warehouse)
+    claim = _lsh_index_claim(warehouse, table_prefix)
+    if fs.exists(jpath(claim)):
+        raise ConcurrentCommitError(
+            f"decontaminate_incremental({table_prefix}): index build claim "
+            f"{claim} is held — the buckets/vectors snapshot may be "
+            "mismatched. Wait for the build, or rerun it if its builder "
+            "is known dead."
+        )
+    meta = spark.table(f"{table_prefix}_meta").head()
+    n_planes, n_tables = int(meta["n_planes"]), int(meta["n_tables"])
+    dim, threshold = int(meta["dim"]), float(meta["threshold"])
+    probe = int(meta["multiprobe"]) if multiprobe is None else max(
+        int(meta["multiprobe"]), multiprobe
+    )
+    ev = with_lsh_buckets(
+        eval_batch, dim, n_planes=n_planes, n_tables=n_tables,
+        id_col=id_col, vec_col=vec_col,
+    ).select(
+        F.col(id_col).alias("id_a"),
+        F.posexplode("buckets").alias("table", "bucket"),
+    )
+    if probe > 0:
+        ev = ev.select(
+            "id_a",
+            "table",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << b))
+                        for b in range(min(probe, n_planes))
+                    ],
+                )
+            ).alias("bucket"),
+        )
+    evk = ev.select(
+        "id_a", F.xxhash64(F.col("table"), F.col("bucket")).alias("bkey")
+    )
+    idx = spark.table(f"{table_prefix}_buckets")
+    cand = (
+        evk.join(idx.select(F.col("id").alias("id_b"), "bkey"), "bkey")
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    checked_norm = F.when(
+        F.size(F.col(vec_col)) == dim, norm2_seq(F.col(vec_col))
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"decontaminate_incremental: {vec_col} width != {dim}"
+                    " for id "
+                ),
+                F.col(id_col).cast("string"),
+            )
+        )
+    )
+    wa = eval_batch.select(
+        F.col(id_col).alias("id_a"),
+        checked_norm.alias("_na"),
+        *[F.col(vec_col)[i].cast("double").alias(f"_a{i}") for i in range(dim)],
+    )
+    wb = spark.table(f"{table_prefix}_vectors").select(
+        F.col("id").alias("id_b"),
+        F.col("nrm").alias("_nb"),
+        *[F.col("v")[i].alias(f"_b{i}") for i in range(dim)],
+    )
+    dot = functools.reduce(
+        lambda acc, t: acc + t,
+        [F.col(f"_a{i}") * F.col(f"_b{i}") for i in range(dim)],
+    )
+    result = (
+        cand.join(wa, "id_a")
+        .join(wb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (dot / (F.col("_na") * F.col("_nb"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    if materialize:
+        result = result.localCheckpoint(eager=True)
+    return result
+
+
 def _probe_cells(cmat: np.ndarray, qn: np.ndarray, nprobe: int) -> list[int]:
     """Rank cells by centroid cosine, ties to the LOWEST cell index.
     np.argsort's default quicksort is NOT stable, so an exact score tie

@@ -745,13 +745,29 @@ def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.unpersist()
 
 
+# Corpus-role rule for the decontamination gates, COPY-OFFSET-ROBUST:
+# a row is EVAL iff its id's position WITHIN its copy span is a plant
+# id (vec_id % span >= plant offset).  At the driver SFs every id is
+# < 1e6 so this is identical to a plain >= threshold; at the synthetic
+# sf1 fixture (tools/make_sf1.py offsets each corpus copy by 1e9) a
+# plain threshold would misclassify all 9 copies as eval — train would
+# stay at the sf0.1 size while eval ballooned 9x, inverting the
+# intended nightly shape (small eval batch vs large indexed train) and
+# the measured scaling.  Stated identically in Spark and the oracle.
+_COPY_SPAN = 1_000_000_000  # = tools/make_sf1.py KEY_OFF
+
+
+def _is_eval_col():
+    return (F.col("vec_id") % _COPY_SPAN) >= _PLANT_ID_OFFSET
+
+
 def _decontaminate_sql() -> str:
     from .similarity import dot_sql
 
     return f"""
 WITH {_GRADE_CORPUS_SQL},
-ev AS (SELECT * FROM corpus WHERE vec_id >= {_PLANT_ID_OFFSET}),
-tr AS (SELECT * FROM corpus WHERE vec_id < {_PLANT_ID_OFFSET}),
+ev AS (SELECT * FROM corpus WHERE vec_id % {_COPY_SPAN} >= {_PLANT_ID_OFFSET}),
+tr AS (SELECT * FROM corpus WHERE vec_id % {_COPY_SPAN} < {_PLANT_ID_OFFSET}),
 agg AS (
     SELECT e.vec_id AS eval_id, t.vec_id AS train_id,
            {dot_sql('e.v', 't.v')} AS dot,
@@ -807,8 +823,8 @@ def dedup_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     corpus = _grade_corpus(spark, sf_dir)
-    ev = corpus.filter(F.col("vec_id") >= _PLANT_ID_OFFSET)
-    tr = corpus.filter(F.col("vec_id") < _PLANT_ID_OFFSET)
+    ev = corpus.filter(_is_eval_col())
+    tr = corpus.filter(~_is_eval_col())
     pairs = cosine_lsh_cross_pairs(
         ev, tr, threshold=_GRADE_THRESHOLD, dim=64,
         vec_col="v", multiprobe=_GRADE_MULTIPROBE,
@@ -823,3 +839,71 @@ def dedup_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
     )
+
+
+@register("dedup_decontaminate_incremental", oracle=_decontaminate_sql())
+def dedup_decontaminate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NIGHTLY semantic decontamination (round 10): the persisted-index
+    form of dedup_semantic_decontaminate — lsh_index_build buckets the
+    TRAIN corpus once into the warehouse (bkey-bucketed candidates,
+    id-bucketed prenormed vectors, sizing meta), then the EVAL batch is
+    screened by decontaminate_incremental: it buckets only itself under
+    the index's recorded plane parameters, shuffles only its own slim
+    (id, bkey) rows into the index's bucket layout (no Exchange above
+    the index's bucketed scan — pytest plan-pinned), rescores
+    candidates exactly, and the gate applies the same per-eval argmax.
+    This is the shape a months-lived benchmark-protection job wants:
+    index the training corpus at snapshot time, screen each new eval
+    set as it arrives — the minhash incremental contract
+    (operators/dedup.py) applied to embeddings.
+
+    Same output contract and SAME ORACLE as the one-shot gate: a
+    vector's buckets depend only on itself and the persisted
+    parameters, so batch-vs-index decomposes exactly; pytest
+    additionally pins bit-exact output equality with
+    dedup_semantic_decontaminate at two SFs (both operating points have
+    total candidate recall on this corpus — the standing grade-gate
+    contingency).  Unique table prefix + finally-drop keeps the gate
+    re-runnable; a failed build leaves its claim by design, but the
+    throwaway prefix's marker is removed in the same finally (the
+    incremental-dedup gate's r9 hygiene rule)."""
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+
+    from ..operators.similarity import (
+        _lsh_index_claim,
+        decontaminate_incremental,
+        lsh_index_build,
+    )
+
+    corpus = _grade_corpus(spark, sf_dir)
+    ev = corpus.filter(_is_eval_col())
+    tr = corpus.filter(~_is_eval_col())
+    prefix = f"decongate_{_uuid.uuid4().hex[:8]}"
+    try:
+        lsh_index_build(
+            tr, prefix, threshold=_GRADE_THRESHOLD, dim=64,
+            vec_col="v", multiprobe=_GRADE_MULTIPROBE,
+        )
+        pairs = decontaminate_incremental(ev, prefix, vec_col="v")
+        w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+        result = (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("id_a").alias("eval_id"),
+                F.col("id_b").alias("train_id"),
+                "cosine",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for suffix in ("_buckets", "_vectors", "_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}{suffix}")
+        from ..sinks import _hadoop_fs
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        fs, jpath = _hadoop_fs(spark, warehouse)
+        fs.delete(jpath(_lsh_index_claim(warehouse, prefix)), False)
+    return result

@@ -131,6 +131,7 @@ _ROUND_NEW: list[str] = [
 AWAITING_FIRST_SLOT: list[str] = [
     "sim_ivf_retrain_swap",
     "dedup_semantic_decontaminate",  # cross-corpus eval-vs-train leakage
+    "dedup_decontaminate_incremental",  # persisted train-side index form
 ]
 
 # (d) the recomputed due list: the 45 bench-headline oracle-backed
@@ -232,14 +233,13 @@ _STALE_RAMP = [
 #
 # Surface candidates banked for round 11: (a) per-source rollup
 # extended to token quantiles (the histogram-merge shape generalizes
-# to any bounded integer metric); (b) persisted TRAIN-side LSH bucket
-# table for decontamination (the minhash-index pattern applied to the
-# embedding cross-pairs — nightly eval batches without re-bucketing
-# the train corpus); (c) capability-gated JPEG/FLAC differential rows
-# in ORACLE_LOCAL when a dep-present environment runs them; (d)
-# transformWithState migration A/B for the two applyInPandasWithState
-# gates when Spark ships the Python API.  (The r9-banked IVF
-# retrain-then-swap shipped THIS round, early, as an AWAITING gate.)
+# to any bounded integer metric); (b) capability-gated JPEG/FLAC
+# differential rows in ORACLE_LOCAL when a dep-present environment
+# runs them; (c) transformWithState migration A/B for the two
+# applyInPandasWithState gates when Spark ships the Python API.
+# (The r9-banked IVF retrain-then-swap AND the persisted train-side
+# decontamination index both shipped THIS round, early, as AWAITING
+# gates — r11 must drain all three before anything else.)
 
 # Streaming events consumers LAST inside the window: each runs a real
 # micro-batch stream and is the slowest gate class — if the driver's

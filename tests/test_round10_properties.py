@@ -615,3 +615,98 @@ def test_decontaminate_plan_has_no_cross_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_incremental_matches_oneshot(spark):
+    """Batch-vs-index decomposition exactness: the persisted-index
+    screening must produce BIT-IDENTICAL rows to the one-shot
+    cross-pairs gate at both SFs (ids and cosines — same fold, same
+    argmax, same tie rule), and the candidate join's INDEX side must
+    read co-located (no Exchange above the bucketed scan; the only
+    bkey Exchange hashes the eval batch)."""
+    import re
+    import uuid
+
+    from distributed_graph_db_c_spark.operators.similarity import (
+        decontaminate_incremental,
+        lsh_index_build,
+    )
+    from distributed_graph_db_c_spark.queries.dedup import (
+        _GRADE_MULTIPROBE,
+        _GRADE_THRESHOLD,
+        _PLANT_ID_OFFSET,
+        _grade_corpus,
+        dedup_decontaminate_incremental,
+        dedup_semantic_decontaminate,
+    )
+
+    for sf_dir in (SF_DIR, SF01_DIR):
+        one = sorted(
+            map(tuple, dedup_semantic_decontaminate(spark, sf_dir).collect())
+        )
+        inc = sorted(
+            map(tuple, dedup_decontaminate_incremental(spark, sf_dir).collect())
+        )
+        assert inc == one and one, sf_dir
+
+    # plan contract (materialize=False keeps the lazy plan inspectable)
+    corpus = _grade_corpus(spark, SF01_DIR)
+    ev = corpus.filter(F.col("vec_id") >= _PLANT_ID_OFFSET)
+    tr = corpus.filter(F.col("vec_id") < _PLANT_ID_OFFSET)
+    prefix = f"deconpin_{uuid.uuid4().hex[:8]}"
+    try:
+        lsh_index_build(
+            tr, prefix, threshold=_GRADE_THRESHOLD, dim=64,
+            vec_col="v", multiprobe=_GRADE_MULTIPROBE,
+        )
+        plan = (
+            decontaminate_incremental(ev, prefix, vec_col="v", materialize=False)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        n_exchanges = len(re.findall(r"Exchange hashpartitioning\(bkey", plan))
+        assert n_exchanges <= 1, f"index side reshuffled: {n_exchanges}"
+    finally:
+        for suffix in ("_buckets", "_vectors", "_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}{suffix}")
+
+
+def test_decontaminate_incremental_refuses_mid_build(spark):
+    """A standing index-build claim means the buckets/vectors/meta
+    snapshot may be mismatched — screening must refuse loudly."""
+    import uuid
+
+    from distributed_graph_db_c_spark.operators.similarity import (
+        _lsh_index_claim,
+        decontaminate_incremental,
+        lsh_index_build,
+    )
+    from distributed_graph_db_c_spark.queries.dedup import (
+        _GRADE_MULTIPROBE,
+        _GRADE_THRESHOLD,
+        _PLANT_ID_OFFSET,
+        _grade_corpus,
+    )
+    from distributed_graph_db_c_spark.sinks import ConcurrentCommitError
+
+    corpus = _grade_corpus(spark, SF_DIR)
+    ev = corpus.filter(F.col("vec_id") >= _PLANT_ID_OFFSET)
+    tr = corpus.filter(F.col("vec_id") < _PLANT_ID_OFFSET)
+    prefix = f"deconclaim_{uuid.uuid4().hex[:8]}"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    claim = _lsh_index_claim(warehouse, prefix)
+    try:
+        lsh_index_build(
+            tr, prefix, threshold=_GRADE_THRESHOLD, dim=64,
+            vec_col="v", multiprobe=_GRADE_MULTIPROBE,
+        )
+        with open(claim.replace("file:", ""), "w") as f:
+            f.write("wedged-builder")
+        with pytest.raises(ConcurrentCommitError):
+            decontaminate_incremental(ev, prefix, vec_col="v")
+    finally:
+        if os.path.exists(claim.replace("file:", "")):
+            os.remove(claim.replace("file:", ""))
+        for suffix in ("_buckets", "_vectors", "_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}{suffix}")

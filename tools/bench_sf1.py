@@ -126,6 +126,7 @@ QUERIES = [
     "sketch_quantiles_rollup_lang_source",
     "sim_ivf_retrain_swap",
     "dedup_semantic_decontaminate",
+    "dedup_decontaminate_incremental",
 ]
 
 # Round-7 extension (r6 verdict item 5): the 12 streaming gates at 10x
