@@ -714,6 +714,17 @@ def lsh_index_build(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
     write_bucketed(vecs, f"{table_prefix}_vectors", key="id", n_buckets=n_buckets)
+    # same dead-session hygiene as write_bucketed: an orphaned managed
+    # directory with no catalog entry (in-memory catalog, file
+    # warehouse) would fail the CREATE — clear both first
+    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_meta")
+    from urllib.parse import urlparse as _urlparse
+
+    wh = _urlparse(warehouse)
+    if wh.scheme in ("", "file"):
+        import shutil as _shutil
+
+        _shutil.rmtree(f"{wh.path}/{table_prefix}_meta", ignore_errors=True)
     spark.createDataFrame(
         [(int(n_planes), int(n_tables), int(probe), float(threshold), int(dim), int(n_rows))],
         LSH_INDEX_META_DDL,
