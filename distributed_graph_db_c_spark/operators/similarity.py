@@ -638,7 +638,14 @@ LSH_INDEX_META_DDL = (
 
 
 def _lsh_index_claim(warehouse: str, table_prefix: str) -> str:
-    return f"{warehouse.rstrip('/')}/_{table_prefix}__index_build__"
+    """Delegates to operators.dedup._index_claim: ONE claim-naming rule
+    for every warehouse index build.  Deliberate consequence: a minhash
+    index and an LSH index sharing a ``table_prefix`` contend on the
+    SAME marker — distinct indexes must use distinct prefixes (which
+    the table names already force: both suffix the same prefix)."""
+    from .dedup import _index_claim
+
+    return _index_claim(warehouse, table_prefix)
 
 
 def lsh_index_build(
@@ -730,6 +737,46 @@ def lsh_index_build(
         LSH_INDEX_META_DDL,
     ).write.mode("overwrite").saveAsTable(f"{table_prefix}_meta")
     fs.delete(jpath(claim), False)  # success-only, see docstring
+
+
+def lsh_index_attach(
+    spark, table_prefix: str, n_buckets: int = LSH_INDEX_N_BUCKETS
+) -> None:
+    """Recover a persisted decontamination index's catalog entries in a
+    FRESH session (the restarted nightly driver) — the
+    minhash_index_attach counterpart: re-attach both bucketed tables
+    over their existing warehouse directories (recovering the
+    zero-index-shuffle join property) and the plain-parquet meta table.
+    Catalog metadata only; no data is read or written.  The specs here
+    ARE the on-disk contract (LSH_INDEX_*_DDL) — they must match the
+    writing spec exactly or bucket membership is mislabeled."""
+    from urllib.parse import urlparse
+
+    from .bucketing import attach_bucketed
+
+    attach_bucketed(
+        spark, f"{table_prefix}_buckets", LSH_INDEX_BUCKETS_DDL, "bkey", n_buckets
+    )
+    attach_bucketed(
+        spark, f"{table_prefix}_vectors", LSH_INDEX_VECTORS_DDL, "id", n_buckets
+    )
+    meta = f"{table_prefix}_meta"
+    # same managed-entry guard as attach_bucketed: dropping a MANAGED
+    # table purges its directory — refuse rather than destroy
+    if spark.catalog.tableExists(meta):
+        ttype = spark.catalog.getTable(meta).tableType
+        if ttype != "EXTERNAL":
+            raise ValueError(
+                f"lsh_index_attach({meta}): table exists as {ttype} in "
+                "this session's catalog — attach is only for FRESH "
+                "sessions recovering a persisted directory."
+            )
+    spark.sql(f"DROP TABLE IF EXISTS {meta}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    spark.sql(
+        f"CREATE TABLE {meta} ({LSH_INDEX_META_DDL}) USING parquet "
+        f"LOCATION '{warehouse.path}/{meta}'"
+    )
 
 
 def decontaminate_incremental(
@@ -951,6 +998,12 @@ def ivf_build(
     table this engine writes, so rebuilds follow the same
     write-new-then-swap discipline as sinks.replace_table."""
     assigned, cnorm, _ = ivf_assign(embeddings, n_cells, id_col, vec_col)
+    # Lists carry exactly (id, vector, cell) — the columns the query
+    # paths read — and nothing else: ivf_append writes the same three,
+    # so an input frame with extra columns cannot produce mixed-schema
+    # parquet across generations (appended rows silently nulling a
+    # column the build had persisted).
+    assigned = assigned.select(id_col, vec_col, "cell")
     # Cluster rows by cell BEFORE the partitioned write: without this,
     # every shuffle partition holds a slice of every cell and the sink
     # emits partitions x cells tiny files; with it, each cell's inverted
@@ -1163,37 +1216,57 @@ def ivf_append(
         )
     claim = _append_claim(path)
     claim_marker(fs, jpath, claim, f"ivf_append({path})")
-    cents = spark.read.parquet(f"{path}/centroids").collect()
-    cnorm = np.vstack(
-        [
-            np.asarray(r["centroid"], dtype=np.float64)
-            for r in sorted(cents, key=lambda r: r["cell"])
-        ]
-    )
-    ids_table = spark.read.parquet(f"{path}/ids")
-    n_before = ids_table.count()  # footer-only
-    n_base = spark.read.parquet(f"{path}/meta").head()["n_base"]
-    if check_duplicate_ids:
-        dup = (
-            new_vectors.select(id_col)
-            .join(ids_table.select(id_col), id_col, "left_semi")
-            .limit(1)
-            .collect()
-        )
-        if dup:
-            # precondition failure, zero mutation: release the claim
-            fs.delete(jpath(claim), False)
-            raise ValueError(
-                f"ivf_append({path}): {id_col}={dup[0][0]} is already in "
-                "the index — a duplicate list row would score the same "
-                "candidate twice per query. Re-ingest means rebuild "
-                "(ivf_retrain_swap), not append; pass "
-                "check_duplicate_ids=False only when ids are disjoint "
-                "by construction."
+    # PRE-MUTATION SECTION: everything up to the first write runs under
+    # the claim but has touched nothing — ANY failure here (a pre-meta
+    # legacy index, a missing sidecar, the duplicate-id refusal)
+    # releases the claim and re-raises, because wedging a valid,
+    # untouched index behind a marker whose remedy is "rerun the
+    # append" would fail identically forever.  Only once mutation
+    # starts does the claim become success-only (a half-appended index
+    # must keep failing loudly).
+    try:
+        # close the check-then-act window against a concurrent retrain:
+        # our marker is now visible, so if the opposing claim ALSO
+        # exists, at least one of the two racers sees the other (each
+        # creates its own marker BEFORE re-checking) — abort ours.
+        if fs.exists(jpath(retrain)):
+            raise ConcurrentCommitError(
+                f"ivf_append({path}): lost the race with a retrain-swap "
+                f"({retrain} appeared after our claim) — aborting before "
+                "any mutation; retry after the retrain completes."
             )
-    assigned = new_vectors.select(id_col, vec_col).withColumn(
-        "cell", _cell_assigner(cnorm)(F.col(vec_col))
-    )
+        cents = spark.read.parquet(f"{path}/centroids").collect()
+        cnorm = np.vstack(
+            [
+                np.asarray(r["centroid"], dtype=np.float64)
+                for r in sorted(cents, key=lambda r: r["cell"])
+            ]
+        )
+        ids_table = spark.read.parquet(f"{path}/ids")
+        n_before = ids_table.count()  # footer-only
+        n_base = spark.read.parquet(f"{path}/meta").head()["n_base"]
+        if check_duplicate_ids:
+            dup = (
+                new_vectors.select(id_col)
+                .join(ids_table.select(id_col), id_col, "left_semi")
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"ivf_append({path}): {id_col}={dup[0][0]} is already "
+                    "in the index — a duplicate list row would score the "
+                    "same candidate twice per query. Re-ingest means "
+                    "rebuild (ivf_retrain_swap), not append; pass "
+                    "check_duplicate_ids=False only when ids are disjoint "
+                    "by construction."
+                )
+        assigned = new_vectors.select(id_col, vec_col).withColumn(
+            "cell", _cell_assigner(cnorm)(F.col(vec_col))
+        )
+    except BaseException:
+        fs.delete(jpath(claim), False)  # zero mutation: index still valid
+        raise
     # same layout discipline as the build: cluster by cell so each
     # touched cell directory gains one contiguous file, not one sliver
     # per shuffle partition
@@ -1282,6 +1355,17 @@ def ivf_retrain_swap(
     claim_marker(fs, jpath, claim, f"ivf_retrain_swap({path})")
     staging = path.rstrip("/") + "__staging__"
     try:
+        # close the check-then-act window against a concurrent append:
+        # each racer creates its own marker BEFORE re-checking the
+        # other's, so if both slipped past the pre-claim check, at
+        # least one re-check here or in ivf_append fires — the swap
+        # can never silently consume an in-flight delta.
+        if fs.exists(jpath(append_claim)):
+            raise ConcurrentCommitError(
+                f"ivf_retrain_swap({path}): lost the race with an append "
+                f"({append_claim} appeared after our claim) — aborting "
+                "before the rebuild; retry after the append completes."
+            )
         fs.delete(jpath(staging), True)
         ivf_build(corpus, staging, n_cells, id_col, vec_col)
         _swap_dir(fs, jpath, staging, path)
@@ -1325,6 +1409,14 @@ def ivf_query_persisted(
       existed raise loudly (rebuild, or pass ``query_vec``)."""
     _check_index_quiescent(spark, path)
     cents = spark.read.parquet(f"{path}/centroids").collect()
+    # re-check AFTER the eager centroid collect: a retrain-swap that
+    # claimed between the first check and the read would otherwise let
+    # this plan probe NEW-generation lists with OLD-generation
+    # centroids — silently wrong.  (The lists scan itself is lazy; a
+    # swap completing between here and the caller's action is the
+    # generic snapshot-less-rewrite reader race — callers wanting a
+    # pinned snapshot materialize while quiescent, as the gates do.)
+    _check_index_quiescent(spark, path)
     cmat = np.vstack(
         [np.asarray(r["centroid"], dtype=np.float64) for r in sorted(
             cents, key=lambda r: r["cell"]
@@ -1406,6 +1498,10 @@ def ivf_batch_query_persisted(
     tie order); gates pin that operating point per corpus."""
     _check_index_quiescent(spark, path)
     cents = spark.read.parquet(f"{path}/centroids").collect()
+    # post-collect re-check — same rationale as ivf_query_persisted:
+    # never rank probes with centroids from a generation the lazy lists
+    # scan will no longer see
+    _check_index_quiescent(spark, path)
     cmat = np.vstack(
         [
             np.asarray(r["centroid"], dtype=np.float64)

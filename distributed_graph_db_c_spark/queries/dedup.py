@@ -886,7 +886,13 @@ def dedup_decontaminate_incremental(spark: SparkSession, sf_dir: str) -> DataFra
             tr, prefix, threshold=_GRADE_THRESHOLD, dim=64,
             vec_col="v", multiprobe=_GRADE_MULTIPROBE,
         )
-        pairs = decontaminate_incremental(ev, prefix, vec_col="v")
+        # materialize=False: the gate's own eager checkpoint below (after
+        # the argmax window, before the finally drops the tables) is the
+        # single materialization — the operator's default would execute
+        # the full bucket-join/rescore plan to a checkpoint TWICE
+        pairs = decontaminate_incremental(
+            ev, prefix, vec_col="v", materialize=False
+        )
         w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
         result = (
             pairs.withColumn("rn", F.row_number().over(w))

@@ -227,8 +227,6 @@ def sketch_hll_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ROLLUP_ALL = "<ALL>"
 
-_ROLLUP_PS = (0.25, 0.50, 0.75, 0.95)
-
 # The oracle mirrors the histogram-merge computation cell for cell: the
 # same three-level UNION ALL, the same cumulative-rank rule
 # (smallest value whose running count reaches ceil(p*n)) — no

@@ -95,13 +95,17 @@ ROUND = 10
 DRIVER_WINDOW = 50
 
 # (b) changed-code re-pins — the round-10 diff: the r9 advisory fixes
-# (stable probe argsort, Hadoop-qualified centroid write, the new
-# append-claim quiescence check in both persisted-query paths) touch
-# the IVF query machinery — evidence follows the diff.  The OTHER two
-# queries on that diff (sim_ann_ivf_persisted, sim_ann_batch_topk) hold
-# due-rotation slots already.
+# (stable probe argsort via _probe_cells, Hadoop-qualified centroid
+# write, the claim quiescence checks in the persisted-query paths)
+# touch the IVF query machinery — evidence follows the diff.  Every
+# oracle-backed query on that diff holds a round-10 slot: these two
+# here (the in-memory ivf_topk gate and the batch persisted gather
+# both route probe selection through the new _probe_cells),
+# sim_ann_ivf_persisted and sim_topk_bruteforce in the due rotation,
+# and sim_ivf_index_append/sim_ivf_retrain_swap as new/AWAITING gates.
 _WINDOW_HEAD = [
     "sim_knn_gather_mean_ivf",  # stable argsort + quiescence check r10
+    "sim_ann_ivf_topk",  # ivf_topk probe selection -> _probe_cells r10
 ]
 
 # (a) nothing awaits a first slot this round: r9 closed its AWAITING
@@ -205,25 +209,24 @@ _REGRESSION: list[str] = []
 # queries, oldest round first, ties by name — the greedy rule that
 # bounds the whole registry's evidence age instead of only the bench
 # headliners'.  Round 10 is the rotation-heavy round the handoff
-# predicted (the 45-wide r07 cohort falls due at once), so the fixed
-# pools leave exactly ONE residual slot; it goes to the oldest debt —
-# the alphabetically-first of the three remaining r01-evidence
-# queries.  Remaining debt after this round: 30 queries at r01-r05
+# predicted (the 45-wide r07 cohort falls due at once) and the
+# changed-code head takes the last slot (head outranks ramp: evidence
+# follows the diff), so the ramp PAUSES at zero slots exactly as the
+# r9 handoff projected.  Remaining debt: 31 queries at r01-r05
 # evidence; the ramp resumes at full width at r11 (the r08 cohort due
 # then is only ~23 wide) and clears the debt by ~r12.  The rule stays
 # enforced two-sided by tests/test_registry_window.py, recomputed from
 # the PRE-ROUND records (the r9 judge-time arrival bug is fixed: the
 # build-time view never shifts when this round's record lands).
-_STALE_RAMP = [
-    "text_shingle_stats",
-]
+_STALE_RAMP: list[str] = []
 
 # ROUND-11 HANDOFF (computed against the published r09 record with a
 # synthetic r10 = this window all-green; the strict look-ahead test
 # recomputes and enforces it at r11 build time): the round-11 window
-# owes (1) the TWO AWAITING drains first (sim_ivf_retrain_swap,
-# dedup_semantic_decontaminate — both full local evidence, zero driver
-# rows); (2) the r08 cohort leaving the three-round horizon when r11
+# owes (1) the THREE AWAITING drains first (sim_ivf_retrain_swap,
+# dedup_semantic_decontaminate, dedup_decontaminate_incremental — all
+# full local evidence, zero driver rows); (2) the r08 cohort leaving
+# the three-round horizon when r11
 # publishes — the r08 record minus what r09/r10 re-greened, ~23 wide;
 # (3) changed-code re-pins if r11 touches operator code; (4) family
 # pins recheck; (5) the stale ramp resumes at full width: ~10+

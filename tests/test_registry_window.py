@@ -112,7 +112,7 @@ def test_changed_code_leads_window():
     # both persisted-query paths; the other two queries on that diff
     # hold due-rotation slots).
     w = window()
-    assert w[:1] == ["sim_knn_gather_mean_ivf"]
+    assert w[:2] == ["sim_knn_gather_mean_ivf", "sim_ann_ivf_topk"]
     streaming_tail = [n for n in w if n.startswith("stream_")]
     # r10 carries the two r07-latest rotations — the last of the
     # thirteen-gate streaming debt (r8 carried six, r9 five)

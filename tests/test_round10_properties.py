@@ -710,3 +710,111 @@ def test_decontaminate_incremental_refuses_mid_build(spark):
             os.remove(claim.replace("file:", ""))
         for suffix in ("_buckets", "_vectors", "_meta"):
             spark.sql(f"DROP TABLE IF EXISTS {prefix}{suffix}")
+
+
+def test_lsh_index_attach_recovers_catalog_and_result(spark):
+    """The restarted-nightly-driver path for the decontamination index
+    (the minhash attach test's twin): drop the catalog entries (the
+    in-memory catalog's behavior at session end), restore the surviving
+    files, lsh_index_attach, and require (a) the exact screening result
+    back, (b) the bucketed scan retained (zero-index-shuffle plan), and
+    (c) the managed-entry purge guard refusing a same-session attach."""
+    import shutil
+    import uuid
+    from urllib.parse import urlparse
+
+    from distributed_graph_db_c_spark.operators.similarity import (
+        decontaminate_incremental,
+        lsh_index_attach,
+        lsh_index_build,
+    )
+    from distributed_graph_db_c_spark.queries.dedup import (
+        _GRADE_MULTIPROBE,
+        _GRADE_THRESHOLD,
+        _grade_corpus,
+        _is_eval_col,
+    )
+
+    corpus = _grade_corpus(spark, SF_DIR)
+    ev = corpus.filter(_is_eval_col())
+    tr = corpus.filter(~_is_eval_col())
+    prefix = f"deconattach_{uuid.uuid4().hex[:8]}"
+    try:
+        lsh_index_build(
+            tr, prefix, threshold=_GRADE_THRESHOLD, dim=64,
+            vec_col="v", multiprobe=_GRADE_MULTIPROBE,
+        )
+        before = sorted(
+            map(
+                tuple,
+                decontaminate_incremental(ev, prefix, vec_col="v").collect(),
+            )
+        )
+        # (c) same-session attach must refuse, data surviving
+        with pytest.raises(ValueError, match="MANAGED|managed"):
+            lsh_index_attach(spark, prefix)
+        # simulate session loss: files aside, drop managed (purges), restore
+        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for t in (f"{prefix}_buckets", f"{prefix}_vectors", f"{prefix}_meta"):
+            shutil.copytree(f"{warehouse}/{t}", f"{warehouse}/_keep_{t}")
+            spark.sql(f"DROP TABLE {t}")
+            shutil.move(f"{warehouse}/_keep_{t}", f"{warehouse}/{t}")
+        lsh_index_attach(spark, prefix)
+        after = sorted(
+            map(
+                tuple,
+                decontaminate_incremental(ev, prefix, vec_col="v").collect(),
+            )
+        )
+        assert after == before and before
+        plan = (
+            decontaminate_incremental(ev, prefix, vec_col="v", materialize=False)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, (
+            plan[:1500]
+        )
+    finally:
+        for suffix in ("_buckets", "_vectors", "_meta"):
+            spark.sql(f"DROP TABLE IF EXISTS {prefix}{suffix}")
+
+
+def test_ivf_append_precondition_failures_release_claim(spark):
+    """An append that fails BEFORE any mutation — here: a legacy index
+    with no meta table — must release its claim instead of permanently
+    wedging a valid index behind a marker whose remedy ('rerun the
+    append') would fail identically forever."""
+    import shutil
+
+    from distributed_graph_db_c_spark.operators.similarity import (
+        _append_claim,
+        ivf_append,
+        ivf_build,
+        ivf_query_persisted,
+    )
+    from distributed_graph_db_c_spark.streaming.sources import cleanup, scratch_dir
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    s = scratch_dir("ivfappwedge")
+    try:
+        ivf_build(base, f"{s}/idx", n_cells=24)
+        shutil.rmtree(f"{s}/idx/meta")  # a pre-meta legacy index
+        with pytest.raises(Exception):
+            ivf_append(spark, f"{s}/idx", delta)
+        assert not os.path.exists(_append_claim(f"{s}/idx")), (
+            "pre-mutation failure left the claim standing"
+        )
+        # the untouched index still answers
+        assert (
+            ivf_query_persisted(
+                spark, f"{s}/idx", query_vec=[1.0] + [0.0] * 63,
+                top_k=3, nprobe=24,
+            ).count()
+            == 3
+        )
+    finally:
+        cleanup(s)
