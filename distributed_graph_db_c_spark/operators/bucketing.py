@@ -23,6 +23,21 @@ from urllib.parse import urlparse
 from pyspark.sql import DataFrame, SparkSession
 
 
+def warehouse_location(spark: SparkSession, name: str) -> str:
+    """The FULLY-QUALIFIED URI of warehouse entry ``name``, resolved
+    through the Hadoop filesystem (ADVICE r10): composing a LOCATION
+    from ``urlparse(warehouse).path`` drops the scheme/authority, so an
+    object-store warehouse (s3a://bucket/wh) silently resolved to a
+    defaultFS path.  ``fs.makeQualified`` preserves scheme + authority
+    and normalizes scheme-less paths against defaultFS — the same
+    resolve-don't-substring discipline as similarity._local_fs_path."""
+    from ..sinks import _hadoop_fs
+
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    fs, jpath = _hadoop_fs(spark, wh)
+    return fs.makeQualified(jpath(f"{wh.rstrip('/')}/{name}")).toString()
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -98,8 +113,7 @@ def attach_bucketed(
     index builder)."""
     keys = [key] if isinstance(key, str) else key
     if location is None:
-        warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
-        location = f"{warehouse.path}/{table.split('.')[-1]}"
+        location = warehouse_location(spark, table.split(".")[-1])
     # DROP of a MANAGED table PURGES its data directory — if this
     # session already holds the table from a write_bucketed/saveAsTable
     # (the build-then-attach-in-one-session flow), an unconditional

@@ -496,13 +496,15 @@ def test_ivf_persisted_query_vector_fetch_is_pruned_end_to_end(
     from distributed_graph_db_c_spark.operators.similarity import (
         ivf_build,
         ivf_query_persisted,
+        ivf_resolve,
     )
 
     idx = str(tmp_path / "idx")
     ivf_build(embeddings, idx, n_cells=24)
+    content = ivf_resolve(spark, idx)  # the published generation directory
 
     # (a) the sidecar read the fetch performs: id equality reaches the scan
-    ids = spark.read.parquet(f"{idx}/ids").filter(F.col("vec_id") == 0)
+    ids = spark.read.parquet(f"{content}/ids").filter(F.col("vec_id") == 0)
     ids_plan = ids._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in ids_plan and "EqualTo(vec_id,0)" in ids_plan, (
         ids_plan[:2000]
@@ -511,7 +513,7 @@ def test_ivf_persisted_query_vector_fetch_is_pruned_end_to_end(
 
     # (b) the single-cell vector fetch: cell is a PartitionFilter
     fetch = (
-        spark.read.parquet(f"{idx}/lists")
+        spark.read.parquet(f"{content}/lists")
         .filter(F.col("cell") == int(cell))
         .filter(F.col("vec_id") == 0)
     )
@@ -539,7 +541,7 @@ def test_ivf_persisted_query_vector_fetch_is_pruned_end_to_end(
     # (d) a pre-sidecar index raises loudly on the by-id path...
     import shutil
 
-    shutil.rmtree(f"{idx}/ids")
+    shutil.rmtree(f"{content}/ids")
     with pytest.raises(Exception, match="ids|PATH_NOT_FOUND"):
         ivf_query_persisted(spark, idx, query_id=0, top_k=10, nprobe=16)
     # ...while the query_vec path still works (no by-id access at all)

@@ -69,19 +69,22 @@ def test_ivf_append_equals_frozen_rebuild_and_splits(spark):
         ivf_append(spark, f"{s2}/idx", d1)
         ivf_append(spark, f"{s2}/idx", d2)
 
+        from distributed_graph_db_c_spark.operators.similarity import ivf_resolve
+
+        c1, c2 = ivf_resolve(spark, f"{s1}/idx"), ivf_resolve(spark, f"{s2}/idx")
         lists1 = {
             (r["vec_id"], r["cell"])
-            for r in spark.read.parquet(f"{s1}/idx/lists").collect()
+            for r in spark.read.parquet(f"{c1}/lists").collect()
         }
         lists2 = {
             (r["vec_id"], r["cell"])
-            for r in spark.read.parquet(f"{s2}/idx/lists").collect()
+            for r in spark.read.parquet(f"{c2}/lists").collect()
         }
         assert lists1 == lists2, "split appends diverge from one append"
 
         # (a) frozen-quantizer recomputation: every vector (base AND
         # delta) must sit in the argmax cell of the persisted centroids
-        cents = spark.read.parquet(f"{s1}/idx/centroids").collect()
+        cents = spark.read.parquet(f"{c1}/centroids").collect()
         C = np.vstack(
             [
                 np.asarray(r["centroid"], dtype=np.float64)
@@ -99,7 +102,7 @@ def test_ivf_append_equals_frozen_rebuild_and_splits(spark):
         # ids sidecar mirrors lists exactly
         ids1 = {
             (r["vec_id"], r["cell"])
-            for r in spark.read.parquet(f"{s1}/idx/ids").collect()
+            for r in spark.read.parquet(f"{c1}/ids").collect()
         }
         assert ids1 == lists1
 
@@ -151,7 +154,10 @@ def test_ivf_append_is_delta_sized_and_immutable(spark):
         }
         assert not changed, f"append rewrote existing index files: {changed}"
 
-        cents = spark.read.parquet(f"{s}/idx/centroids").collect()
+        from distributed_graph_db_c_spark.operators.similarity import ivf_resolve
+
+        content = ivf_resolve(spark, f"{s}/idx")
+        cents = spark.read.parquet(f"{content}/centroids").collect()
         C = np.vstack(
             [
                 np.asarray(r["centroid"], dtype=np.float64)
@@ -164,10 +170,11 @@ def test_ivf_append_is_delta_sized_and_immutable(spark):
                 "cell", _cell_assigner(C)(F.col("embedding"))
             ).collect()
         }
+        rel = os.path.relpath(content, f"{s}/idx")
         new_list_files = [
             p
             for p in set(after) - set(before)
-            if p.startswith("lists" + os.sep)
+            if p.startswith(os.path.join(rel, "lists") + os.sep)
         ]
         assert new_list_files, "append added no list files"
         for p in new_list_files:
@@ -258,8 +265,11 @@ def test_ivf_append_retrain_audit_and_log(spark):
         assert not os.path.exists(_append_claim(f"{s}/idx")), (
             "duplicate refusal must release the claim"
         )
+        from distributed_graph_db_c_spark.operators.similarity import ivf_resolve
+
+        content = ivf_resolve(spark, f"{s}/idx")
         assert (
-            spark.read.parquet(f"{s}/idx/ids").count() == n_base + n_delta
+            spark.read.parquet(f"{content}/ids").count() == n_base + n_delta
         ), "duplicate refusal must not mutate the index"
 
         # second append with the check explicitly waived (accounting
@@ -271,7 +281,7 @@ def test_ivf_append_retrain_audit_and_log(spark):
         assert audit2["appended_frac"] == pytest.approx(2 * n_delta / n_base)
         assert audit2["retrain_due"] is (2 * n_delta / n_base >= 0.6)
 
-        log = spark.read.parquet(f"{s}/idx/append_log").orderBy("total_rows")
+        log = spark.read.parquet(f"{content}/append_log").orderBy("total_rows")
         rows = log.collect()
         assert len(rows) == 2
         assert rows[0]["batch_rows"] == n_delta
@@ -433,13 +443,19 @@ def test_ivf_retrain_swap_equals_fresh_rebuild(spark):
         ivf_retrain_swap(spark, f"{s1}/idx", emb, n_cells=24)
         ivf_build(emb, f"{s2}/idx", n_cells=24)
 
+        from distributed_graph_db_c_spark.operators.similarity import ivf_resolve
+
+        c1, c2 = ivf_resolve(spark, f"{s1}/idx"), ivf_resolve(spark, f"{s2}/idx")
+        assert c1.endswith("g=00000002"), (
+            "retrain must publish a NEW generation (build=g1, retrain=g2)"
+        )
         lists1 = {
             (r["vec_id"], r["cell"])
-            for r in spark.read.parquet(f"{s1}/idx/lists").collect()
+            for r in spark.read.parquet(f"{c1}/lists").collect()
         }
         lists2 = {
             (r["vec_id"], r["cell"])
-            for r in spark.read.parquet(f"{s2}/idx/lists").collect()
+            for r in spark.read.parquet(f"{c2}/lists").collect()
         }
         assert lists1 == lists2, "retrained index != fresh full rebuild"
 
@@ -463,25 +479,35 @@ def test_ivf_retrain_swap_equals_fresh_rebuild(spark):
 
         # fresh generation: meta resets, ledger restarts
         assert (
-            spark.read.parquet(f"{s1}/idx/meta").head()["n_base"] == emb.count()
+            spark.read.parquet(f"{c1}/meta").head()["n_base"] == emb.count()
         )
-        assert not os.path.exists(f"{s1}/idx/append_log"), (
+        assert not os.path.exists(f"{c1}/append_log"), (
             "append_log must restart with the new generation"
         )
-        # staging fully consumed by the swap
-        assert not os.path.exists(f"{s1}/idx__staging__")
+        # staging fully consumed by the publish (hidden _g_stage_* gone)
+        assert not glob.glob(f"{s1}/idx/_g_stage_*"), (
+            "publish must consume the staging sibling"
+        )
+        # the PREVIOUS generation survives for pinned readers (vacuum is
+        # explicit) and still holds the pre-retrain meta
+        assert os.path.exists(f"{s1}/idx/g=00000001/meta")
+        assert (
+            spark.read.parquet(f"{s1}/idx/g=00000001/meta").head()["n_base"]
+            == base.count()
+        )
     finally:
         cleanup(s1)
         cleanup(s2)
 
 
 def test_ivf_retrain_swap_mutual_exclusion_and_failure(spark):
-    """Two-sided exclusion: retrain refuses while an append claim
-    stands (a swap would lose the in-flight delta); append and both
-    query paths refuse while the retrain claim stands (a reader could
-    collect old centroids and scan new lists).  And a retrain that
-    fails BEFORE the swap leaves the old generation answering
-    identically, claim released."""
+    """Two-sided WRITER exclusion: retrain refuses while an append
+    claim stands (a swap would lose the in-flight delta); append
+    refuses while the retrain claim stands.  Readers, by contrast,
+    keep answering during a retrain (round 11): generations make the
+    resolved directory immutable, so there is nothing to refuse.  And
+    a retrain that fails BEFORE the publish leaves the old generation
+    answering identically, claim released."""
     from distributed_graph_db_c_spark.operators.similarity import (
         _append_claim,
         ivf_append,
@@ -508,18 +534,27 @@ def test_ivf_retrain_swap_mutual_exclusion_and_failure(spark):
             ivf_retrain_swap(spark, f"{s}/idx", emb, n_cells=24)
         os.remove(ap)
 
-        # append + readers refuse under a standing retrain claim
+        # append refuses under a standing retrain claim; READERS NO
+        # LONGER DO (round 11): a retrain publishes a brand-new g=
+        # directory, so a reader pinned to the current generation stays
+        # consistent — it answers normally while the claim stands
         rt = _commit_claim(f"{s}/idx")
         with open(rt, "w") as f:
             f.write("wedged-retrainer")
         with pytest.raises(ConcurrentCommitError):
             ivf_append(spark, f"{s}/idx", delta)
-        with pytest.raises(ConcurrentCommitError):
+        assert (
             ivf_batch_query_persisted(
-                spark, f"{s}/idx", [(0, [0.0] * 64)], top_k=3, nprobe=8
-            )
-        with pytest.raises(ConcurrentCommitError):
-            ivf_query_persisted(spark, f"{s}/idx", query_vec=[0.0] * 64)
+                spark, f"{s}/idx", [(0, [1.0] + [0.0] * 63)], top_k=3, nprobe=8
+            ).count()
+            == 3
+        ), "generation-layout readers must keep answering during a retrain"
+        assert (
+            ivf_query_persisted(
+                spark, f"{s}/idx", query_vec=[1.0] + [0.0] * 63, top_k=3, nprobe=8
+            ).count()
+            == 3
+        )
         os.remove(rt)
 
         # failure BEFORE the swap: old generation intact, claim released
@@ -801,8 +836,11 @@ def test_ivf_append_precondition_failures_release_claim(spark):
     delta = emb.filter(F.col("vec_id") % 5 == 0)
     s = scratch_dir("ivfappwedge")
     try:
+        from distributed_graph_db_c_spark.operators.similarity import ivf_resolve
+
         ivf_build(base, f"{s}/idx", n_cells=24)
-        shutil.rmtree(f"{s}/idx/meta")  # a pre-meta legacy index
+        # a pre-meta legacy index (meta sidecar missing in the generation)
+        shutil.rmtree(f"{ivf_resolve(spark, f'{s}/idx')}/meta")
         with pytest.raises(Exception):
             ivf_append(spark, f"{s}/idx", delta)
         assert not os.path.exists(_append_claim(f"{s}/idx")), (

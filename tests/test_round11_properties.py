@@ -1,0 +1,299 @@
+"""Round-11 property pins: generation-versioned IVF index reads.
+
+The r10 verdict's residual race (a snapshot-less lazy-scan reader
+overlapping a retrain swap could read mixed generations) is closed by
+LAYOUT this round: versioned.py's numbered-generation directory pattern
+applied to the IVF index (operators/similarity.py).  These tests pin the
+whole lifecycle under the new layout:
+
+- ivf_build publishes ``g=00000001``; a rebuild publishes ``g=00000002``
+  and the resolver always binds to the newest;
+- a reader that resolved a generation BEFORE a retrain-swap keeps
+  answering from it, bit-identically, while a fresh reader sees the new
+  generation (the race, pinned dead);
+- ivf_vacuum_generations is the ONLY destroyer of a published
+  generation, and a reader pinned to a vacuumed one fails loudly;
+- ivf_index_attach (the lsh_index_attach twin for plain-path sidecars)
+  validates + describes a restarted index;
+- the legacy FLAT layout still reads/appends, and a retrain migrates it
+  into generations;
+- ADVICE r10: appending to an index whose meta records n_base == 0
+  refuses in the pre-mutation section (claim released, index untouched).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _emb(spark, sf_dir=SF_DIR):
+    from distributed_graph_db_c_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_ivf_build_publishes_generations_and_vacuum(spark):
+    """Builds are numbered generations: first build = g=00000001, a
+    rebuild on the same path = g=00000002 (resolver binds newest), and
+    vacuum deletes exactly the non-kept generations — a pinned read of
+    a vacuumed generation raises, never silently reads another."""
+    from distributed_graph_db_c_spark.operators.similarity import (
+        _ivf_generations,
+        ivf_build,
+        ivf_resolve,
+        ivf_vacuum_generations,
+    )
+    from distributed_graph_db_c_spark.streaming.sources import cleanup, scratch_dir
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    s = scratch_dir("ivfgen")
+    try:
+        g1 = ivf_build(base, f"{s}/idx", n_cells=24)
+        assert g1 == 1
+        assert ivf_resolve(spark, f"{s}/idx").endswith("g=00000001")
+        g2 = ivf_build(emb, f"{s}/idx", n_cells=24)
+        assert g2 == 2
+        assert _ivf_generations(spark, f"{s}/idx") == [1, 2]
+        assert ivf_resolve(spark, f"{s}/idx").endswith("g=00000002")
+        # explicit pinning works for both; staging siblings never leak
+        assert ivf_resolve(spark, f"{s}/idx", generation=1).endswith(
+            "g=00000001"
+        )
+        assert not [d for d in os.listdir(f"{s}/idx") if "stage" in d]
+
+        with pytest.raises(ValueError):
+            ivf_vacuum_generations(spark, f"{s}/idx", keep_last=0)
+        removed = ivf_vacuum_generations(spark, f"{s}/idx", keep_last=1)
+        assert removed == [1]
+        assert _ivf_generations(spark, f"{s}/idx") == [2]
+        with pytest.raises(FileNotFoundError, match="generation 1"):
+            ivf_resolve(spark, f"{s}/idx", generation=1)
+    finally:
+        cleanup(s)
+
+
+def test_ivf_reader_during_swap_pins_old_generation(spark):
+    """THE r10 residual race, pinned dead: a reader whose plan resolved
+    generation g=1 before a retrain-swap KEEPS answering g=1's results
+    bit-identically after the swap (the old directory is immutable and
+    survives until vacuum), while a fresh reader resolves g=2 and sees
+    the retrained corpus."""
+    from distributed_graph_db_c_spark.operators.similarity import (
+        ivf_build,
+        ivf_query_persisted,
+        ivf_retrain_swap,
+    )
+    from distributed_graph_db_c_spark.streaming.sources import cleanup, scratch_dir
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    # query with vec_id 0's own embedding — vec 0 is OUTSIDE the base
+    # corpus, so the old generation can never return it, and IN the
+    # retrained corpus, where it is its own nearest neighbor
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    s = scratch_dir("ivfpin")
+    try:
+        ivf_build(base, f"{s}/idx", n_cells=24)
+        reader = ivf_query_persisted(
+            spark, f"{s}/idx", query_vec=qvec, top_k=5, nprobe=24
+        )
+        before = sorted(map(tuple, reader.collect()))
+        assert 0 not in {vid for vid, _ in before}
+
+        gen = ivf_retrain_swap(spark, f"{s}/idx", emb, n_cells=24)
+        assert gen == 2
+
+        # the pre-swap reader re-executes over the SAME generation
+        pinned = sorted(map(tuple, reader.collect()))
+        assert pinned == before, "pre-swap reader leaked the new generation"
+
+        # a fresh reader resolves g=2: vec 0 is now its own top hit
+        fresh = ivf_query_persisted(
+            spark, f"{s}/idx", query_vec=qvec, top_k=5, nprobe=24
+        )
+        top = fresh.orderBy(F.desc("cosine"), F.asc("vec_id")).head()
+        assert top["vec_id"] == 0 and top["cosine"] == pytest.approx(1.0)
+    finally:
+        cleanup(s)
+
+
+def test_ivf_index_attach_recovers_descriptor_and_result(spark):
+    """The restarted-nightly-driver path for the IVF index (the
+    lsh_index_attach twin, r10 verdict item 6): after build + append, a
+    FRESH session attaches the plain-path sidecars and gets (a) the
+    maintenance descriptor back — generation, n_cells, dim, n_base,
+    total_rows, appended_frac, retrain_due — and (b) the exact query
+    results the building session saw.  A wedged index (standing append
+    claim) refuses at attach time; a damaged one names the missing
+    sidecar."""
+    from distributed_graph_db_c_spark.operators.similarity import (
+        _append_claim,
+        ivf_append,
+        ivf_build,
+        ivf_index_attach,
+        ivf_query_persisted,
+        ivf_resolve,
+    )
+    from distributed_graph_db_c_spark.sinks import ConcurrentCommitError
+    from distributed_graph_db_c_spark.streaming.sources import cleanup, scratch_dir
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    n_base, n_delta = base.count(), delta.count()
+    qvec = [1.0] + [0.0] * 63
+    s = scratch_dir("ivfattach")
+    try:
+        ivf_build(base, f"{s}/idx", n_cells=24)
+        audit = ivf_append(spark, f"{s}/idx", delta)
+        before = sorted(
+            map(
+                tuple,
+                ivf_query_persisted(
+                    spark, f"{s}/idx", query_vec=qvec, top_k=5, nprobe=24
+                ).collect(),
+            )
+        )
+
+        # simulated restart: a brand-new session state over the same files
+        fresh = spark.newSession()
+        desc = ivf_index_attach(fresh, f"{s}/idx")
+        assert desc == {
+            "generation": 1,
+            "n_cells": 24,
+            "dim": 64,
+            "n_base": n_base,
+            "total_rows": n_base + n_delta,
+            "appended_frac": pytest.approx(n_delta / n_base),
+            "retrain_due": True,  # 100/400 >= 0.25 on this corpus
+        }
+        after = sorted(
+            map(
+                tuple,
+                ivf_query_persisted(
+                    fresh, f"{s}/idx", query_vec=qvec, top_k=5, nprobe=24
+                ).collect(),
+            )
+        )
+        assert after == before and before
+
+        # wedged: a standing append claim refuses the attach
+        claim = _append_claim(f"{s}/idx")
+        with open(claim, "w") as f:
+            f.write("wedged-appender")
+        with pytest.raises(ConcurrentCommitError):
+            ivf_index_attach(fresh, f"{s}/idx")
+        os.remove(claim)
+
+        # damaged: a missing sidecar is named, not a deep query error
+        import shutil
+
+        shutil.rmtree(f"{ivf_resolve(spark, f'{s}/idx')}/meta")
+        with pytest.raises(IOError, match="meta"):
+            ivf_index_attach(fresh, f"{s}/idx")
+    finally:
+        cleanup(s)
+
+
+def test_ivf_legacy_flat_layout_reads_appends_and_migrates(spark):
+    """Pre-generation indexes (content at ``path`` itself) stay
+    serviceable: queries resolve the flat layout, appends mutate it in
+    place, readers still refuse under a retrain claim (the flat swap is
+    in-place, so the old refusal is the only safe answer there), and a
+    retrain-swap MIGRATES the index into generations — publishes
+    g=00000001 and retires the flat sidecars."""
+    from distributed_graph_db_c_spark.operators.similarity import (
+        _ivf_write_content,
+        ivf_append,
+        ivf_query_persisted,
+        ivf_resolve,
+        ivf_retrain_swap,
+    )
+    from distributed_graph_db_c_spark.sinks import ConcurrentCommitError, _commit_claim
+    from distributed_graph_db_c_spark.streaming.sources import cleanup, scratch_dir
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    qvec = [1.0] + [0.0] * 63
+    s = scratch_dir("ivfflat")
+    try:
+        # hand-build the legacy layout: content directly at the root
+        _ivf_write_content(base, f"{s}/idx", 24, "vec_id", "embedding")
+        assert ivf_resolve(spark, f"{s}/idx") == f"{s}/idx"
+        assert (
+            ivf_query_persisted(
+                spark, f"{s}/idx", query_vec=qvec, top_k=3, nprobe=24
+            ).count()
+            == 3
+        )
+        ivf_append(spark, f"{s}/idx", delta)
+        assert os.path.exists(f"{s}/idx/lists")  # still flat
+
+        # flat readers refuse under a retrain claim (in-place semantics)
+        rt = _commit_claim(f"{s}/idx")
+        with open(rt, "w") as f:
+            f.write("wedged-retrainer")
+        with pytest.raises(ConcurrentCommitError):
+            ivf_query_persisted(spark, f"{s}/idx", query_vec=qvec)
+        os.remove(rt)
+
+        # retrain migrates: g=00000001 published, flat sidecars retired
+        gen = ivf_retrain_swap(spark, f"{s}/idx", emb, n_cells=24)
+        assert gen == 1
+        assert os.path.isdir(f"{s}/idx/g=00000001")
+        for side in ("lists", "ids", "centroids", "meta", "append_log"):
+            assert not os.path.exists(f"{s}/idx/{side}"), side
+        got = ivf_query_persisted(
+            spark, f"{s}/idx", query_vec=qvec, top_k=3, nprobe=24
+        )
+        assert got.count() == 3
+    finally:
+        cleanup(s)
+
+
+def test_ivf_append_refuses_empty_base(spark):
+    """ADVICE r10: meta.n_base == 0 must refuse in the PRE-MUTATION
+    section — before this fix the ZeroDivisionError fired after the
+    data writes succeeded, wedging the success-only claim on an append
+    that had actually completed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from distributed_graph_db_c_spark.operators.similarity import (
+        _append_claim,
+        ivf_append,
+        ivf_build,
+        ivf_resolve,
+    )
+    from distributed_graph_db_c_spark.streaming.sources import cleanup, scratch_dir
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    s = scratch_dir("ivfzero")
+    try:
+        ivf_build(base, f"{s}/idx", n_cells=24)
+        content = ivf_resolve(spark, f"{s}/idx")
+        n_rows = spark.read.parquet(f"{content}/ids").count()
+        # simulate the pathological index: meta claims an empty build
+        pq.write_table(
+            pa.table({"n_base": pa.array([0], type=pa.int64())}),
+            f"{content}/meta/part-00000.parquet",
+        )
+        with pytest.raises(ValueError, match="EMPTY corpus"):
+            ivf_append(spark, f"{s}/idx", delta)
+        assert not os.path.exists(_append_claim(f"{s}/idx")), (
+            "pre-mutation refusal must release the claim"
+        )
+        assert spark.read.parquet(f"{content}/ids").count() == n_rows, (
+            "refusal must leave the index untouched"
+        )
+    finally:
+        cleanup(s)
