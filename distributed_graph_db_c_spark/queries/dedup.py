@@ -841,6 +841,83 @@ def dedup_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _decontaminate_by_source_sql() -> str:
+    # compose the one-shot provenance SQL as a CTE — the rollup is a
+    # strict post-processing of those rows, stated identically here
+    return f"""
+WITH prov AS ({_decontaminate_sql()}),
+lab AS (SELECT p.eval_id, p.cosine, d.source
+        FROM prov p JOIN documents d ON d.doc_id = p.train_id),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM prov)
+SELECT lab.source,
+       CAST(COUNT(*) AS BIGINT) AS leaked_evals,
+       MAX(lab.cosine) AS max_cosine,
+       CAST(COUNT(*) AS DOUBLE) / MAX(tot.n) AS leak_share
+FROM lab, tot
+GROUP BY lab.source
+"""
+
+
+@register("dedup_decontaminate_by_source", oracle=_decontaminate_by_source_sql())
+def dedup_decontaminate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE decontamination rollup (round 11 — the r10 verdict's
+    banked candidate a): 'which SOURCE leaks the most eval items?' —
+    the curation report the decontamination sweep feeds.  A benchmark
+    item leaking once is a filter decision; a SOURCE leaking dozens is
+    an acquisition decision (drop the feed, renegotiate the crawl), and
+    that call needs the rollup, not the row stream.
+
+    COMPOSES the existing provenance rows — one (eval_id, train_id,
+    cosine) row per contaminated eval item from
+    dedup_semantic_decontaminate, same operating point, no new index —
+    joins the train side to its document source metadata, and rolls up:
+    leaked item count, strongest leak, and each source's share of all
+    contaminated evals.
+
+    Plan shape: the provenance frame is EVAL-BATCH sized (argmax gives
+    one row per contaminated eval), so it BROADCASTS onto the documents
+    metadata projection (column-pruned to (doc_id, source) — the text
+    column never loads); the rollup shuffles at most |sources| groups
+    and the share denominator rides a broadcast 1-row scalar, the
+    engine's standing idiom.  At 100 TB: one metadata-projection pass
+    over documents, a bounded broadcast, a 20-row result.
+
+    Determinism: counts are exact longs; max_cosine is an order-
+    insensitive max over doubles both engines computed identically;
+    leak_share is ONE division of two exact numbers — no double
+    accumulation anywhere, so no decimal ladder is needed.
+
+    Same corpus-contingent oracle contract as the provenance gate it
+    composes (total widened candidate recall at 0.8 on this corpus,
+    pinned by test_decontaminate_matches_bruteforce)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # materialize the bounded provenance ONCE — it feeds both the
+    # labeled rollup and the share denominator
+    prov = dedup_semantic_decontaminate(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    lab = docs.select(F.col("doc_id").alias("train_id"), "source").join(
+        F.broadcast(prov), "train_id"
+    )
+    total = prov.agg(F.count("*").cast("double").alias("_n"))
+    return (
+        lab.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("leaked_evals"),
+            F.max("cosine").alias("max_cosine"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "leaked_evals",
+            "max_cosine",
+            (F.col("leaked_evals").cast("double") / F.col("_n")).alias(
+                "leak_share"
+            ),
+        )
+    )
+
+
 @register("dedup_decontaminate_incremental", oracle=_decontaminate_sql())
 def dedup_decontaminate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NIGHTLY semantic decontamination (round 10): the persisted-index

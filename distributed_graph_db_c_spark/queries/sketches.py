@@ -262,12 +262,14 @@ FROM cum GROUP BY 1, 2
 """
 
 
-def _hist_quantiles(hist: DataFrame, lang_col, source_col) -> DataFrame:
+def _hist_quantiles(hist: DataFrame, lang_col=None, source_col=None) -> DataFrame:
     """Per-group quantiles FROM A HISTOGRAM: running count over the
     value axis, then the smallest value whose running count reaches
     ceil(p*n).  The window partitions by group and orders by value, so
     the shuffle carries histogram CELLS (bounded by the value domain),
-    never raw rows."""
+    never raw rows.  Pass a pre-labeled (lang, source, n_chars, cnt)
+    frame with the column args omitted when the labels must survive as
+    REAL data columns (the global tier — see the gate)."""
     from pyspark.sql import Window
 
     w = (
@@ -276,12 +278,12 @@ def _hist_quantiles(hist: DataFrame, lang_col, source_col) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wt = Window.partitionBy("lang", "source")
-    h = (
-        hist.select(
+    if lang_col is not None:
+        hist = hist.select(
             lang_col.alias("lang"), source_col.alias("source"), "n_chars", "cnt"
         )
-        .withColumn("c", F.sum("cnt").over(w))
-        .withColumn("n", F.sum("cnt").over(wt))
+    h = hist.withColumn("c", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(wt)
     )
 
     def q(p: float):
@@ -340,7 +342,24 @@ def sketch_quantiles_rollup_lang_source(spark: SparkSession, sf_dir: str) -> Dat
     global_hist = lang_hist.groupBy("n_chars").agg(F.sum("cnt").alias("cnt"))
     leaf = _hist_quantiles(hist, F.col("lang"), F.col("source"))
     lang_lvl = _hist_quantiles(lang_hist, F.col("lang"), F.lit(ROLLUP_ALL))
-    global_lvl = _hist_quantiles(
-        global_hist, F.lit(ROLLUP_ALL), F.lit(ROLLUP_ALL)
+    # The global tier has ONE group; with literal '<ALL>' labels in the
+    # window's partitionBy, Catalyst constant-folds the spec away and
+    # WindowExec warns "No Partition Defined" — benign here (the input
+    # is the domain-bounded cell aggregate, never raw rows), but the
+    # warning would mask a REAL unpartitioned-window regression one
+    # day (r10 verdict item 7).  Bake the labels into a MATERIALIZED
+    # single-partition frame instead: folding cannot cross the RDD
+    # barrier, so the tier's window partitions by real data columns —
+    # one partition BY DATA, explicitly, and the run is warning-free.
+    global_labeled = (
+        global_hist.select(
+            F.lit(ROLLUP_ALL).alias("lang"),
+            F.lit(ROLLUP_ALL).alias("source"),
+            "n_chars",
+            "cnt",
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=True)
     )
+    global_lvl = _hist_quantiles(global_labeled)
     return leaf.unionByName(lang_lvl).unionByName(global_lvl)

@@ -297,3 +297,33 @@ def test_ivf_append_refuses_empty_base(spark):
         )
     finally:
         cleanup(s)
+
+
+def test_decontaminate_by_source_rollup_is_complete_and_consistent(spark):
+    """The per-source rollup must conserve the provenance rows it
+    composes: leaked_evals sums to the contaminated-eval count, every
+    source's max_cosine appears among that source's provenance rows,
+    and leak_share sums to 1 (all computed from the same frame, so the
+    report can never over- or under-count a source)."""
+    from distributed_graph_db_c_spark.queries.dedup import (
+        dedup_decontaminate_by_source,
+        dedup_semantic_decontaminate,
+    )
+
+    prov = dedup_semantic_decontaminate(spark, SF_DIR).collect()
+    rollup = dedup_decontaminate_by_source(spark, SF_DIR).collect()
+    assert sum(r["leaked_evals"] for r in rollup) == len(prov)
+    assert sum(r["leak_share"] for r in rollup) == pytest.approx(1.0)
+    # per-source max re-derived from the provenance rows via doc source
+    docs = {
+        r["doc_id"]: r["source"]
+        for r in _emb(spark).sparkSession.read.parquet(
+            f"{SF_DIR}/documents.parquet"
+        ).collect()
+    }
+    by_source = {}
+    for r in prov:
+        src = docs[r["train_id"]]
+        by_source[src] = max(by_source.get(src, 0.0), r["cosine"])
+    got = {r["source"]: r["max_cosine"] for r in rollup}
+    assert got == by_source

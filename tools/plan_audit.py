@@ -790,6 +790,18 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         ("no row-python udf", r"BatchEvalPython", False),
         ("column pruning", r"ReadSchema: [^\n]*embedding", True),
     ],
+    "dedup_decontaminate_by_source": [
+        # the bounded provenance checkpoint BROADCASTS onto the
+        # documents metadata projection (the text column never loads);
+        # the rollup is a partial agg into <=|sources| groups; the
+        # share denominator rides the broadcast 1-row scalar idiom
+        # (the only nested-loop in the plan, 1-row by construction)
+        ("broadcast provenance", r"BroadcastHashJoin", True),
+        ("no text scan", r"ReadSchema: [^\n]*text", False),
+        ("partial agg", r"partial_", True),
+        ("no row-python udf", r"BatchEvalPython", False),
+        ("no cartesian", r"CartesianProduct", False),
+    ],
     "sketch_quantiles_rollup_lang_source": [
         # every rollup level reads the CHECKPOINTED leaf histogram:
         # no parquet scan of documents survives in the composed plan,
