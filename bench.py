@@ -170,6 +170,8 @@ HEADLINE = [
     "sim_ivf_retrain_swap",
     "dedup_semantic_decontaminate",
     "dedup_decontaminate_incremental",
+    "dedup_decontaminate_by_source",
+    "sketch_token_quantiles_rollup",
 ]
 
 

@@ -262,25 +262,33 @@ FROM cum GROUP BY 1, 2
 """
 
 
-def _hist_quantiles(hist: DataFrame, lang_col=None, source_col=None) -> DataFrame:
+def _hist_quantiles(
+    hist: DataFrame,
+    lang_col=None,
+    source_col=None,
+    value_col: str = "n_chars",
+    prefix: str = "chars",
+) -> DataFrame:
     """Per-group quantiles FROM A HISTOGRAM: running count over the
     value axis, then the smallest value whose running count reaches
     ceil(p*n).  The window partitions by group and orders by value, so
     the shuffle carries histogram CELLS (bounded by the value domain),
-    never raw rows.  Pass a pre-labeled (lang, source, n_chars, cnt)
+    never raw rows.  Pass a pre-labeled (lang, source, value, cnt)
     frame with the column args omitted when the labels must survive as
-    REAL data columns (the global tier — see the gate)."""
+    REAL data columns (the global tier — see the gates).  ``value_col``
+    names the bounded-integer metric axis — the round-11 token rollup
+    reuses the identical machinery over a DERIVED metric."""
     from pyspark.sql import Window
 
     w = (
         Window.partitionBy("lang", "source")
-        .orderBy("n_chars")
+        .orderBy(value_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wt = Window.partitionBy("lang", "source")
     if lang_col is not None:
         hist = hist.select(
-            lang_col.alias("lang"), source_col.alias("source"), "n_chars", "cnt"
+            lang_col.alias("lang"), source_col.alias("source"), value_col, "cnt"
         )
     h = hist.withColumn("c", F.sum("cnt").over(w)).withColumn(
         "n", F.sum("cnt").over(wt)
@@ -288,13 +296,13 @@ def _hist_quantiles(hist: DataFrame, lang_col=None, source_col=None) -> DataFram
 
     def q(p: float):
         rank = F.ceil(F.lit(p) * F.col("n")).cast("long")
-        return F.min(F.when(F.col("c") >= rank, F.col("n_chars")))
+        return F.min(F.when(F.col("c") >= rank, F.col(value_col)))
 
     return h.groupBy("lang", "source").agg(
-        q(0.25).alias("chars_p25"),
-        q(0.50).alias("chars_p50"),
-        q(0.75).alias("chars_p75"),
-        q(0.95).alias("chars_p95"),
+        q(0.25).alias(f"{prefix}_p25"),
+        q(0.50).alias(f"{prefix}_p50"),
+        q(0.75).alias(f"{prefix}_p75"),
+        q(0.95).alias(f"{prefix}_p95"),
         F.max("n").alias("n_docs"),
     )
 
@@ -362,4 +370,105 @@ def sketch_quantiles_rollup_lang_source(spark: SparkSession, sf_dir: str) -> Dat
         .localCheckpoint(eager=True)
     )
     global_lvl = _hist_quantiles(global_labeled)
+    return leaf.unionByName(lang_lvl).unionByName(global_lvl)
+
+
+# The oracle mirrors the token rollup cell for cell — same tokenizer
+# fragment as the token-stats family (functions/text.tokens: trim,
+# lower, split on \s+), same three-level UNION ALL, same cumulative-
+# rank rule, no quantile_disc (no rank-convention seam).
+_TOKEN_ROLLUP_SQL = r"""
+WITH toks AS (
+  SELECT lang, source,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_toks
+  FROM documents),
+hist AS (
+  SELECT lang, source, n_toks, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY 1, 2, 3),
+lang_hist AS (
+  SELECT lang, n_toks, CAST(SUM(cnt) AS BIGINT) AS cnt
+  FROM hist GROUP BY 1, 2),
+global_hist AS (
+  SELECT n_toks, CAST(SUM(cnt) AS BIGINT) AS cnt
+  FROM lang_hist GROUP BY 1),
+lvl AS (
+  SELECT lang, source, n_toks, cnt FROM hist
+  UNION ALL
+  SELECT lang, '<ALL>' AS source, n_toks, cnt FROM lang_hist
+  UNION ALL
+  SELECT '<ALL>' AS lang, '<ALL>' AS source, n_toks, cnt FROM global_hist),
+cum AS (
+  SELECT lang, source, n_toks, cnt,
+         SUM(cnt) OVER (PARTITION BY lang, source ORDER BY n_toks) AS c,
+         SUM(cnt) OVER (PARTITION BY lang, source) AS n
+  FROM lvl)
+SELECT lang, source,
+       MIN(CASE WHEN c >= CAST(ceil(0.25 * n) AS BIGINT) THEN n_toks END) AS toks_p25,
+       MIN(CASE WHEN c >= CAST(ceil(0.50 * n) AS BIGINT) THEN n_toks END) AS toks_p50,
+       MIN(CASE WHEN c >= CAST(ceil(0.75 * n) AS BIGINT) THEN n_toks END) AS toks_p75,
+       MIN(CASE WHEN c >= CAST(ceil(0.95 * n) AS BIGINT) THEN n_toks END) AS toks_p95,
+       CAST(MAX(n) AS BIGINT) AS n_docs
+FROM cum GROUP BY 1, 2
+"""
+
+
+@register("sketch_token_quantiles_rollup", oracle=_TOKEN_ROLLUP_SQL)
+def sketch_token_quantiles_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-LEVEL TOKEN-COUNT quantile rollup (round 11 — the r10
+    handoff's banked candidate a): the histogram-merge machinery of
+    sketch_quantiles_rollup_lang_source generalized to a DERIVED
+    bounded-integer metric — whitespace token count — proving the
+    shape works for ANY such metric, not just a stored column.  The
+    curation ask: token budgets are what training mixtures are priced
+    in, so "which SOURCE within a language is full of token-starved
+    stubs?" wants TOKEN quantiles at (lang, source) with per-lang and
+    global rollups beside them.
+
+    Identical scale contract as the chars rollup (shared
+    _hist_quantiles): ONE raw scan computes the token count per doc
+    (pure codegen expression — functions/text.token_count, no Python
+    anywhere) and builds the leaf histogram via map-side partial
+    combine; the lang and global tiers MERGE histogram cells by
+    addition, never re-reading documents (plan-pinned); exact at every
+    scale — token count is a bounded integer domain, so no lossy
+    regime exists and the oracle is NOT corpus-contingent.  The global
+    tier rides the same materialized-label single-partition window as
+    the chars gate (windows always partition by real data columns)."""
+    from ..functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = (
+        docs.select("lang", "source", token_count().alias("n_toks"))
+        .groupBy("lang", "source", "n_toks")
+        .agg(F.count("*").alias("cnt"))
+        # one raw scan feeds three levels: materialize the (domain-
+        # bounded) leaf histogram instead of re-reading documents
+        .localCheckpoint(eager=True)
+    )
+    lang_hist = hist.groupBy("lang", "n_toks").agg(F.sum("cnt").alias("cnt"))
+    global_hist = lang_hist.groupBy("n_toks").agg(F.sum("cnt").alias("cnt"))
+    leaf = _hist_quantiles(
+        hist, F.col("lang"), F.col("source"), value_col="n_toks", prefix="toks"
+    )
+    lang_lvl = _hist_quantiles(
+        lang_hist, F.col("lang"), F.lit(ROLLUP_ALL),
+        value_col="n_toks", prefix="toks",
+    )
+    # same structural warning fix as the chars rollup: materialize the
+    # constant labels so the global tier's window partitions by real
+    # data columns (see sketch_quantiles_rollup_lang_source)
+    global_labeled = (
+        global_hist.select(
+            F.lit(ROLLUP_ALL).alias("lang"),
+            F.lit(ROLLUP_ALL).alias("source"),
+            "n_toks",
+            "cnt",
+        )
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    global_lvl = _hist_quantiles(
+        global_labeled, value_col="n_toks", prefix="toks"
+    )
     return leaf.unionByName(lang_lvl).unionByName(global_lvl)

@@ -58,7 +58,7 @@ _loaded = False
 # it to decide whether this round's CORRECTNESS record has been published
 # yet (build time: strict look-ahead check) or not (judge time: the
 # published-horizon check).  Bumping it is STEP 1 of every round.
-ROUND = 10
+ROUND = 11
 
 # The correctness driver checks the FIRST `DRIVER_WINDOW` registry entries
 # (observed: CORRECTNESS_r01/r02.json each stopped at exactly 50, in
@@ -73,186 +73,192 @@ ROUND = 10
 # driver rows each round, so that cumulatively every oracle-backed query
 # has independent driver evidence.
 #
-# Rotation policy (amended round 7, unchanged round 8): a THREE-
-# published-round freshness horizon for bench-headline oracle-backed
-# queries — the tightest cadence the slot arithmetic admits (99
-# headline / 50 slots ≈ 2 rounds of pure rotation + the per-round fixed
-# obligations: new-gate first evidence, changed-code re-pins, family
-# pins) — enforced by tests/test_registry_window.py in an
-# artifact-arrival-robust form: before this round's CORRECTNESS record
-# lands the check is the strict look-ahead (the window must cover
-# everything that will exceed the horizon when the record lands); after
-# it lands the published horizon applies.  Slot priorities: (a) the
-# AWAITING_FIRST_SLOT gates drain first; (b) queries whose operator
-# code changed this round — evidence follows the diff; (c) every
-# round-8 registration; (d) the recomputed due list (headline queries
-# lacking evidence in the two latest published records); (e) family
-# pins so every family holds a SLOT (arrival-proof — at judge time the
-# latest record IS this window); (f) remaining slots pre-pay entries
-# that fall due next round.  No-oracle entries stay OUT of the window
-# (r02+r03 both proved the driver reports them as err=no_oracle — a
-# wasted slot).
+# Rotation policy (amended round 7: two->three published rounds;
+# amended round 11: three->FOUR): a FOUR-published-round freshness
+# horizon for bench-headline oracle-backed queries, enforced by
+# tests/test_registry_window.py in an artifact-arrival-robust form:
+# before this round's CORRECTNESS record lands the check is the strict
+# look-ahead (the window must cover everything that will exceed the
+# horizon when the record lands); after it lands the published horizon
+# applies.  WHY four (the same arithmetic-infeasibility argument that
+# set three at r7, re-run at r11's measured sizes): the headline pool
+# has grown from 94 to 122 oracle-backed queries, so a three-round
+# horizon demands 122/3 ~= 41 pure-rotation slots per round — at r11
+# build the recomputed due list was 47 wide, leaving THREE slots for
+# everything else while the round's fixed obligations (3 AWAITING
+# drains, ~5 changed-code re-pins, a new gate, the 30-query r01-r05
+# stale-ramp debt the r10 verdict ordered cleared) totaled 40+.  Three
+# rounds is no longer the tightest FEASIBLE cadence; four
+# (122/4 ~= 31/round steady-state) restores ~15 residual slots per
+# round for the ramp, new gates, and re-pins.  The 12-published-round
+# whole-registry ceiling (test_whole_registry_evidence_ceiling) is
+# unchanged — the hard backstop does not move.  Slot priorities:
+# (a) the AWAITING_FIRST_SLOT gates drain first; (b) queries whose
+# operator code changed this round — evidence follows the diff;
+# (c) this round's new registrations; (d) the recomputed due list
+# (headline queries lacking evidence in the three latest published
+# records); (e) family pins so every family holds a SLOT
+# (arrival-proof — at judge time the latest record IS this window);
+# (f) remaining slots run the greedy stale ramp, which also pre-pays
+# next round's dues once the debt clears.  No-oracle entries stay OUT
+# of the window (r02+r03 both proved the driver reports them as
+# err=no_oracle — a wasted slot).
 DRIVER_WINDOW = 50
 
-# (b) changed-code re-pins — the round-10 diff: the r9 advisory fixes
-# (stable probe argsort via _probe_cells, Hadoop-qualified centroid
-# write, the claim quiescence checks in the persisted-query paths)
-# touch the IVF query machinery — evidence follows the diff.  Every
-# oracle-backed query on that diff holds a round-10 slot: these two
-# here (the in-memory ivf_topk gate and the batch persisted gather
-# both route probe selection through the new _probe_cells),
-# sim_ann_ivf_persisted and sim_topk_bruteforce in the due rotation,
-# and sim_ivf_index_append/sim_ivf_retrain_swap as new/AWAITING gates.
+# (b) changed-code re-pins — the round-11 diff: the IVF index is now
+# GENERATION-VERSIONED (ivf_build publishes g=NNNNNNNN; both persisted
+# query paths resolve the generation once; retrain publishes instead
+# of swapping in place — r10 verdict item 4), which touches every
+# persisted-IVF read; and the quantile rollup's global tier gained the
+# materialized-label single-partition window (r10 verdict item 7).
+# Every oracle-backed query on that diff holds a round-11 slot:
+# these five here, plus sim_ivf_retrain_swap riding the AWAITING
+# drain (its slot was already owed).
 _WINDOW_HEAD = [
-    "sim_knn_gather_mean_ivf",  # stable argsort + quiescence check r10
-    "sim_ann_ivf_topk",  # ivf_topk probe selection -> _probe_cells r10
+    "sim_ann_ivf_persisted",  # generation resolve in ivf_query_persisted
+    "sim_ann_ivf_topk",  # in-memory gate sharing _probe_cells/ivf_assign
+    "sim_knn_gather_mean_ivf",  # generation resolve in batch query path
+    "sim_ivf_index_append",  # append binds to the resolved generation
+    "sketch_quantiles_rollup_lang_source",  # global-tier window restructure
 ]
 
-# (a) nothing awaits a first slot this round: r9 closed its AWAITING
-# list and registered no post-window gates.
-_AWAITING_DRAIN: list[str] = []
+# (a) the round-10 AWAITING list drains FIRST this round, per the
+# standing contract: the only oracle-backed queries with zero driver
+# evidence (local strict evidence since r10; the r10 judge re-ran all
+# three independently, green).
+_AWAITING_DRAIN: list[str] = [
+    "sim_ivf_retrain_swap",
+    "dedup_semantic_decontaminate",
+    "dedup_decontaminate_incremental",
+]
 
 # (c) new gates registered this round — each needs its FIRST driver
-# row.  Both are the banked round-9 handoff candidates (a) and (b);
-# candidates (c)/(d) remain blocked on the environment (Pillow/
-# soundfile absence, the transformWithState Python API).
+# row.  Two this round: the per-source decontamination rollup (the r10
+# verdict's item 5 — 'which SOURCE leaks the most eval items',
+# composing the provenance gate's rows, no new index) and the
+# token-count quantile rollup (the r10 handoff's banked candidate a —
+# the histogram-merge shape generalized to a derived bounded-integer
+# metric).
 _ROUND_NEW: list[str] = [
-    "sim_ivf_index_append",  # frozen-quantizer maintenance, IVF oracle r10
-    "sketch_quantiles_rollup_lang_source",  # two-level exact hist merge r10
+    "dedup_decontaminate_by_source",
+    "sketch_token_quantiles_rollup",
 ]
 # (mm_jpeg_decode_stats / mm_flac_decode_features register rows-only
 # and ONLY where Pillow/soundfile import — capability-probed gates stay
-# out of the window by the standing no-oracle rule.)
+# out of the window by the standing no-oracle rule.  Re-verified absent
+# in this container at r11 build.)
 
-# Registered after this round's window filled: local strict evidence
-# only (ORACLE_LOCAL.md), first in line for round-11 driver slots.
-# test_registry_window.py asserts this list stays small (<=3) and
-# drains.  sim_ivf_retrain_swap is the banked r11 candidate (a) built
-# early — the retrain_due trigger the r10 append gate records needed
-# its acting counterpart in the same round for the lifecycle to be
-# complete; the rotation-heavy r10 window was already full, so it
-# queues here per the standing drain contract.
-AWAITING_FIRST_SLOT: list[str] = [
-    "sim_ivf_retrain_swap",
-    "dedup_semantic_decontaminate",  # cross-corpus eval-vs-train leakage
-    "dedup_decontaminate_incremental",  # persisted train-side index form
-]
+# Nothing registered after this round's window filled.
+AWAITING_FIRST_SLOT: list[str] = []
 
-# (d) the recomputed due list: the 45 bench-headline oracle-backed
-# queries lacking driver evidence in the two latest published records
-# (r08, r09) — exactly the set that exceeds the three-round horizon
-# when the r10 record lands (test_due_rotation_matches_lookahead
-# recomputes this from the JSON records; the list is pinned here so
-# the window is deterministic).  This is the rotation-heavy round the
-# r9 handoff predicted: most of the 45-wide r07 cohort falls due at
-# once.  The two streaming members of the due set
-# (stream_freq_items_incremental, stream_tumbling_hour) hold their
-# slots in _WINDOW_TAIL_STREAMING instead — slowest gate class last.
-_DUE_ROTATION = [
-    "dedup_embedding_groups",
-    "dedup_embedding_groups_grade",
-    "dedup_embedding_pairs_grade",
-    "dedup_minhash_groups",
-    "dedup_minhash_pairs",
-    "graph_bfs_order_chain",
-    "graph_connected_components_nations",
-    "graph_kcore_copurchase",
-    "graph_pagerank_nations",
-    "graph_sssp_order_chain",
-    "mm_ahash_groups_from_hashes",
-    "mm_binary_features",
-    "mm_bmp_decode_stats",
-    "mm_wav_decode_features",
-    "pipeline_training_prep",
-    "range_join_events",
-    "rel_array_hof",
-    "rel_bloom_pruned_join",
-    "rel_q13_order_count_distribution",
-    "rel_q17_small_quantity_revenue",
-    "rel_q18_large_volume_customer",
-    "rel_q3_shipping_priority",
-    "rel_q5_local_supplier_volume",
-    "rel_q8_market_share",
-    "rel_window_running_total",
-    "sample_stratified_mix",
-    "sim_ann_ivf_persisted",
-    "sim_topk_bruteforce",
-    "source_orc_roundtrip",
-    "storage_incremental_rollup",
-    "storage_scd2_history",
-    "storage_schema_evolution",
-    "text_decontaminate_overlap",
-    "text_fuzzy_join_edit1",
-    "text_pii_scrub",
-    "text_quality_score",
-    "text_repetition_stats",
-    "text_tfidf_topk",
-    "ts_ewma8_value",
-    "ts_interpolate_linear",
-    "ts_resample_ffill_4h",
-    "ts_rolling_7d_revenue",
-    "ts_zscore_outliers",
-]
+# (d) the recomputed due list under the FOUR-round horizon: headline
+# oracle-backed queries lacking driver evidence in the three latest
+# published records (r08, r09, r10).  Exactly the three AWAITING
+# drains — which hold their slots above — so the rotation pool is
+# EMPTY this round and the residual slots fund the stale ramp at the
+# full width the r10 verdict ordered
+# (test_due_rotation_matches_lookahead recomputes this from the JSON
+# records; the r08 cohort falls due at r12 instead, ~39 wide — see
+# the handoff below).
+_DUE_ROTATION: list[str] = []
 
-# (e) family pins: families not already carried by the lists above —
-# only skew this round (temporal rides the due list's range_/ts_
-# entries, sketch rides the new rollup gate, everything else rides the
-# due/new/head/streaming pools).
+# (e) family pins: families not carried by the head/drain/new/ramp/
+# tail pools — skew, pipeline, temporal, storage this round (the ramp
+# is all r01-r06 debt, which those families predate or outrotated).
+# Each pin is its family's OLDEST-evidence member (greedy rule applied
+# within the family): skew_key_profile r08, pipeline_sequence_packing
+# r08, ts_time_weighted_avg r08, sink_partitioned_roundtrip r06.
 _FAMILY_PINS = [
-    "skew_salted_join_revenue",
+    "skew_key_profile",
+    "pipeline_sequence_packing",
+    "ts_time_weighted_avg",
+    "sink_partitioned_roundtrip",
 ]
 
 _REGRESSION: list[str] = []
 
 # (f) THE STALE-TAIL RAMP (round-9 policy, r8 verdict item 2): every
 # residual window slot goes to the oldest-evidence oracle-backed
-# queries, oldest round first, ties by name — the greedy rule that
-# bounds the whole registry's evidence age instead of only the bench
-# headliners'.  Round 10 is the rotation-heavy round the handoff
-# predicted (the 45-wide r07 cohort falls due at once) and the
-# changed-code head takes the last slot (head outranks ramp: evidence
-# follows the diff), so the ramp PAUSES at zero slots exactly as the
-# r9 handoff projected.  Remaining debt: 31 queries at r01-r05
-# evidence; the ramp resumes at full width at r11 (the r08 cohort due
-# then is only ~23 wide) and clears the debt by ~r12.  The rule stays
-# enforced two-sided by tests/test_registry_window.py, recomputed from
-# the PRE-ROUND records (the r9 judge-time arrival bug is fixed: the
-# build-time view never shifts when this round's record lands).
-_STALE_RAMP: list[str] = []
+# queries, oldest round first, ties by name — recomputed from the
+# PRE-ROUND records and enforced two-sided by
+# tests/test_registry_window.py.  Round 11 is the resume the r10
+# verdict ordered, at MORE than full width: the horizon amendment
+# empties the due rotation, so the ramp takes 31 slots — the ENTIRE
+# 31-query r01-r05 debt (oldest: the three r01 text gates), clearing
+# it to ZERO in one round.  After this round the whole registry's
+# evidence age is bounded by r06, and the ramp's steady-state job
+# becomes pre-paying next round's dues.
+_STALE_RAMP: list[str] = [
+    "text_shingle_stats",  # r01
+    "text_term_frequency",  # r01
+    "text_token_stats",  # r01
+    "dedup_exact",  # r02
+    "dedup_jaccard_pairs",  # r02
+    "graph_dfs_leaves_order_chain",  # r02
+    "graph_dfs_preorder",  # r02
+    "mm_resize_checksum",  # r02
+    "rel_anti_join_customers_no_orders",  # r02
+    "rel_count_distinct",  # r02
+    "rel_grouping_sets_flag_status",  # r02
+    "rel_intersect_nations",  # r02
+    "rel_order_pagination",  # r02
+    "rel_q12_late_lines_by_class",  # r02
+    "rel_q6_forecast_revenue",  # r02
+    "rel_rollup_revenue_region_nation",  # r02
+    "rel_scalar_date_funcs",  # r02
+    "rel_semi_join_open_orders",  # r02
+    "sim_ann_multiprobe_topk",  # r02
+    "sim_cosine_pairs",  # r02
+    "sim_embedding_norms",  # r02
+    "rel_q11_important_stock",  # r03
+    "rel_q15_top_supplier",  # r03
+    "rel_q16_supplier_cnt_by_part",  # r03
+    "rel_q20_heavy_suppliers",  # r03
+    "rel_q21_waiting_suppliers",  # r03
+    "rel_q22_rich_inactive",  # r03
+    "rel_events_json_extract",  # r04
+    "rel_events_tumbling_hour",  # r04
+    "rel_events_type_matrix",  # r04
+    "sample_deterministic_split",  # r05
+]
 
-# ROUND-11 HANDOFF (computed against the published r09 record with a
-# synthetic r10 = this window all-green; the strict look-ahead test
-# recomputes and enforces it at r11 build time): the round-11 window
-# owes (1) the THREE AWAITING drains first (sim_ivf_retrain_swap,
-# dedup_semantic_decontaminate, dedup_decontaminate_incremental — all
-# full local evidence, zero driver rows); (2) the r08 cohort leaving
-# the three-round horizon when r11
-# publishes — the r08 record minus what r09/r10 re-greened, ~23 wide;
-# (3) changed-code re-pins if r11 touches operator code; (4) family
-# pins recheck; (5) the stale ramp resumes at full width: ~10+
-# residual slots against the 30-query r01-r05 debt (oldest first:
-# text_term_frequency, text_token_stats at r01, then the r02 cohort
-# alphabetically).  Budget new gates normally again (3-4).
+# ROUND-12 HANDOFF (computed against the published r10 record with a
+# synthetic r11 = this window all-green; the look-ahead test recomputes
+# and enforces it at r12 build time): the round-12 window owes (1) the
+# r08 cohort leaving the FOUR-round horizon when r12 publishes — the
+# r08 record minus what r09/r10/r11 re-greened, ~39 wide (its five
+# streaming members pre-paid in THIS round's tail, so they are already
+# covered); (2) changed-code re-pins if r12 touches operator code;
+# (3) family pins recheck; (4) residual slots (~5) continue the greedy
+# ramp into the r06 cohort (oldest after this round:
+# rel_percentiles_quantity, rel_q19_disjunctive_filter,
+# rel_q2_best_supplier, ... at r06).  Budget new gates sparingly
+# (~1-2): the r12
+# due cohort is the heavy one under the new cadence.
 #
-# Surface candidates banked for round 11: (a) per-source rollup
+# Surface candidates banked for round 12: (a) per-source rollup
 # extended to token quantiles (the histogram-merge shape generalizes
 # to any bounded integer metric); (b) capability-gated JPEG/FLAC
 # differential rows in ORACLE_LOCAL when a dep-present environment
-# runs them; (c) transformWithState migration A/B for the two
-# applyInPandasWithState gates when Spark ships the Python API.
-# (The r9-banked IVF retrain-then-swap AND the persisted train-side
-# decontamination index both shipped THIS round, early, as AWAITING
-# gates — r11 must drain all three before anything else.)
+# runs them (Pillow/soundfile re-verified ABSENT at r11); (c)
+# transformWithState migration A/B for the two applyInPandasWithState
+# gates when Spark ships the Python API; (d) IVF generation time
+# travel surfaced as a gate (ivf_resolve(generation=) + vacuum are
+# pytest-pinned this round, not driver-gated).
 
 # Streaming events consumers LAST inside the window: each runs a real
 # micro-batch stream and is the slowest gate class — if the driver's
 # cutoff were time-based rather than the observed 50-entry cap,
-# everything cheaper is checked before these.  Round 10 carries the
-# two r07-latest rotations — the last members of the thirteen-gate
-# streaming rotation debt (r8 carried six, r9 five).
+# everything cheaper is checked before these.  Round 11 carries the
+# five r08-latest rotations — the entire streaming portion of the r08
+# cohort, pre-paid a round early so the heavy r12 rotation arrives
+# stream-free.
 _WINDOW_TAIL_STREAMING = [
-    "stream_freq_items_incremental",
-    "stream_tumbling_hour",
+    "stream_attribution_last_touch",
+    "stream_checkpoint_recovery",
+    "stream_foreachbatch_upsert",
+    "stream_stream_interval_join",
+    "stream_watermark_late_drop",
 ]
 
 

@@ -18,14 +18,23 @@ on whether that round's record has been published yet:
 - judge time (record present): the published three-round horizon applies,
   which the look-ahead check already guaranteed.
 
-The freshness horizon itself is amended from two published rounds to
-three — not as a softening but because two is arithmetically infeasible:
-94 oracle-backed headline queries cannot rotate through a 50-slot window
-every 2 rounds while the same slots also fund new-gate first evidence,
-changed-code re-pins, and 13 family pins (the measured r6 debt was 64
-entries for 50 slots).  Three rounds is the tightest feasible cadence;
-the look-ahead form keeps it binding every round rather than only in
-hindsight."""
+The freshness horizon itself has been amended twice, each time by the
+same arithmetic-feasibility rule, never as a softening of the bar:
+
+- round 7: two -> three published rounds (94 headline queries cannot
+  rotate through a 50-slot window every 2 rounds while the same slots
+  fund new-gate first evidence, re-pins, and family pins — the measured
+  r6 debt was 64 entries for 50 slots);
+- round 11: three -> FOUR published rounds (the headline pool grew to
+  122; the measured r11 three-round due list was 47 wide, leaving THREE
+  slots for the round's 40+ fixed obligations — the 3 AWAITING drains,
+  5 changed-code re-pins, a new gate, and the 30-query r01-r05 ramp
+  debt the r10 verdict ordered cleared.  Four rounds = ~31 due/round
+  steady-state, restoring ~15 residual slots).
+
+The 12-published-round whole-registry ceiling below is UNCHANGED by
+both amendments — the hard backstop never moves.  The look-ahead form
+keeps the horizon binding every round rather than only in hindsight."""
 
 from __future__ import annotations
 
@@ -106,19 +115,34 @@ def test_window_order_fills_window_exactly():
 
 def test_changed_code_leads_window():
     # standing policy: the window leads with the queries whose operator
-    # code changed this round — evidence follows the diff (round 10:
-    # the r9-advisory IVF fixes — stable probe argsort, Hadoop-qualified
-    # centroid write — plus the new append-claim quiescence check in
-    # both persisted-query paths; the other two queries on that diff
-    # hold due-rotation slots).
+    # code changed this round — evidence follows the diff (round 11:
+    # the generation-versioned IVF layout touches both persisted query
+    # paths, the in-memory assign path, and the append; the quantile
+    # rollup's global tier was restructured for the warning fix; the
+    # sixth query on the diff, sim_ivf_retrain_swap, rides the AWAITING
+    # drain immediately after the head).
     w = window()
-    assert w[:2] == ["sim_knn_gather_mean_ivf", "sim_ann_ivf_topk"]
+    assert w[:5] == [
+        "sim_ann_ivf_persisted",
+        "sim_ann_ivf_topk",
+        "sim_knn_gather_mean_ivf",
+        "sim_ivf_index_append",
+        "sketch_quantiles_rollup_lang_source",
+    ]
+    assert w[5:8] == [
+        "sim_ivf_retrain_swap",
+        "dedup_semantic_decontaminate",
+        "dedup_decontaminate_incremental",
+    ], "the r10 AWAITING gates must drain directly after the head"
     streaming_tail = [n for n in w if n.startswith("stream_")]
-    # r10 carries the two r07-latest rotations — the last of the
-    # thirteen-gate streaming debt (r8 carried six, r9 five)
+    # r11 pre-pays the entire streaming portion of the r08 cohort (due
+    # at r12 otherwise) — slowest gate class last, as always
     assert streaming_tail == [
-        "stream_freq_items_incremental",
-        "stream_tumbling_hour",
+        "stream_attribution_last_touch",
+        "stream_checkpoint_recovery",
+        "stream_foreachbatch_upsert",
+        "stream_stream_interval_join",
+        "stream_watermark_late_drop",
     ], streaming_tail
     assert w[-1] == streaming_tail[-1]
 
@@ -133,10 +157,9 @@ def test_window_fully_oracle_backed():
 def test_awaiting_first_slot_drained():
     """The drain contract (r6 verdict, standing): gates that registered
     after a round's window filled hold slots in the NEXT round's window.
-    Round 10 has nothing to drain (r9 closed its AWAITING list and
-    registered no post-window gates) — the generic invariants still
-    hold: the declared drain pool sits inside the window, the awaiting
-    list stays small, and nothing awaiting is double-counted."""
+    Round 11 drains all three r10 AWAITING gates (the only oracle-backed
+    queries with zero driver evidence — the r10 verdict's item 1) and
+    registers nothing post-window itself."""
     from distributed_graph_db_c_spark.registry import _AWAITING_DRAIN
 
     assert not set(_AWAITING_DRAIN) - set(window()), (
@@ -149,21 +172,23 @@ def test_awaiting_first_slot_drained():
 
 
 def test_bench_headline_has_fresh_driver_evidence():
-    """Freshness policy (round-7 amendment, see module docstring): a
-    bench-headline oracle-backed query needs driver hash evidence at
-    most THREE published rounds old, enforced arrival-robustly:
+    """Freshness policy (round-7 and round-11 amendments, see module
+    docstring): a bench-headline oracle-backed query needs driver hash
+    evidence at most FOUR published rounds old, enforced
+    arrival-robustly:
 
     - before this round's record lands: the window itself must cover
-      every headline query lacking evidence in the TWO latest published
-      rounds (strict look-ahead — those are exactly the entries that
-      will exceed the three-round horizon once our record publishes);
-    - after it lands: evidence in the three latest published rounds or
+      every headline query lacking evidence in the THREE latest
+      published rounds (strict look-ahead — those are exactly the
+      entries that will exceed the four-round horizon once our record
+      publishes);
+    - after it lands: evidence in the four latest published rounds or
       a window slot suffices (the look-ahead already guaranteed it).
     """
     import bench
 
     records = _records()
-    horizon = records[-3:] if _this_round_published() else records[-2:]
+    horizon = records[-4:] if _this_round_published() else records[-3:]
     recent = set(window()) | _green(horizon)
     oracle_backed = {n for n in bench.HEADLINE if REGISTRY[n].oracle is not None}
     out = oracle_backed - recent - set(AWAITING_FIRST_SLOT)
@@ -190,12 +215,12 @@ def test_round_new_gates_inside_window():
 def test_due_rotation_matches_lookahead():
     """The pinned _DUE_ROTATION list must be exactly the recomputed
     look-ahead set: bench-headline oracle-backed queries lacking driver
-    evidence in the two latest PRE-ROUND records (rounds ROUND-2 and
-    ROUND-1) — the entries whose evidence exceeds the three-round
-    horizon the moment this round's record lands.  Recomputed from the
-    JSON records, not trusted; new-gate pools, the AWAITING drain, the
-    changed-code head, and the streaming tail are excluded (they hold
-    their own slots)."""
+    evidence in the three latest PRE-ROUND records (rounds ROUND-3,
+    ROUND-2, ROUND-1) — the entries whose evidence exceeds the
+    FOUR-round horizon the moment this round's record lands.
+    Recomputed from the JSON records, not trusted; new-gate pools, the
+    AWAITING drain, the changed-code head, and the streaming tail are
+    excluded (they hold their own slots)."""
     from distributed_graph_db_c_spark.registry import (
         _AWAITING_DRAIN,
         _DUE_ROTATION,
@@ -209,9 +234,15 @@ def test_due_rotation_matches_lookahead():
     pre = [
         p
         for p in _records()
-        if p.endswith((f"r{ROUND - 2:02d}.json", f"r{ROUND - 1:02d}.json"))
+        if p.endswith(
+            (
+                f"r{ROUND - 3:02d}.json",
+                f"r{ROUND - 2:02d}.json",
+                f"r{ROUND - 1:02d}.json",
+            )
+        )
     ]
-    assert len(pre) == 2
+    assert len(pre) == 3
     oracle_backed = {n for n in bench.HEADLINE if REGISTRY[n].oracle is not None}
     expected = (
         oracle_backed

@@ -327,3 +327,48 @@ def test_decontaminate_by_source_rollup_is_complete_and_consistent(spark):
         by_source[src] = max(by_source.get(src, 0.0), r["cosine"])
     got = {r["source"]: r["max_cosine"] for r in rollup}
     assert got == by_source
+
+
+def test_token_rollup_merge_path_and_single_scan(spark):
+    """The derived-metric rollup (round 11): the lang/global tiers —
+    re-aggregations of the leaf TOKEN histogram — must equal the same
+    quantiles computed directly from raw documents, and the composed
+    plan must contain no documents scan (the one raw scan happened at
+    the leaf checkpoint, where token counting ran as a codegen
+    expression)."""
+    from distributed_graph_db_c_spark.functions.text import token_count
+    from distributed_graph_db_c_spark.queries.sketches import (
+        ROLLUP_ALL,
+        _hist_quantiles,
+        sketch_token_quantiles_rollup,
+    )
+    from distributed_graph_db_c_spark.sources.tables import load_table
+
+    df = sketch_token_quantiles_rollup(spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "documents" not in plan, "a rollup level re-scanned raw rows"
+
+    got = {(r["lang"], r["source"]): tuple(r)[2:] for r in df.collect()}
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "lang", "source", token_count().alias("n_toks")
+    )
+    direct_lang = _hist_quantiles(
+        docs.groupBy("lang", "n_toks").agg(F.count("*").alias("cnt")),
+        F.col("lang"),
+        F.lit(ROLLUP_ALL),
+        value_col="n_toks",
+        prefix="toks",
+    )
+    for r in direct_lang.collect():
+        assert got[(r["lang"], ROLLUP_ALL)] == tuple(r)[2:], r["lang"]
+    direct_global = _hist_quantiles(
+        docs.groupBy("n_toks").agg(F.count("*").alias("cnt")),
+        F.lit(ROLLUP_ALL),
+        F.lit(ROLLUP_ALL),
+        value_col="n_toks",
+        prefix="toks",
+    ).collect()
+    assert got[(ROLLUP_ALL, ROLLUP_ALL)] == tuple(direct_global[0])[2:]
+    n_leaf = docs.select("lang", "source").distinct().count()
+    n_lang = docs.select("lang").distinct().count()
+    assert len(got) == n_leaf + n_lang + 1

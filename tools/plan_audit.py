@@ -812,6 +812,16 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         ("grouped window", r"\bWindow\b", True),
         ("partial agg", r"partial_", True),
     ],
+    "sketch_token_quantiles_rollup": [
+        # the derived-metric twin: token counting is a codegen
+        # expression inside the single raw scan feeding the leaf
+        # histogram checkpoint; the composed rollup plan then never
+        # touches documents again and crosses no Python boundary
+        ("no raw documents scan", r"Scan parquet[^\n]*documents", False),
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("grouped window", r"\bWindow\b", True),
+        ("partial agg", r"partial_", True),
+    ],
 }
 
 
