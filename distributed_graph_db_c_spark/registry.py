@@ -244,7 +244,17 @@ _STALE_RAMP: list[str] = [
 # transformWithState migration A/B for the two applyInPandasWithState
 # gates when Spark ships the Python API; (d) IVF generation time
 # travel surfaced as a gate (ivf_resolve(generation=) + vacuum are
-# pytest-pinned this round, not driver-gated).
+# pytest-pinned this round, not driver-gated); (e) the r11 sweep found
+# seven gates still emitting the benign unpartitioned-WindowExec
+# warning — rel_ntile_deciles / rel_skyline_parts /
+# rel_cumulative_distinct_users / ts_rolling_7d_revenue are GENUINE
+# global-order semantics (document the intent), but
+# pipeline_domain_mixture / sketch_freq_items_brand /
+# stream_freq_items_incremental use a global window only for a TOTAL,
+# which the broadcast-1-row-scalar idiom computes warning-free and
+# cheaper — NOT changed at r11 because evidence-follows-the-diff would
+# demand head slots the full window doesn't have; r12 should convert
+# them and head-pin the three.
 
 # Streaming events consumers LAST inside the window: each runs a real
 # micro-batch stream and is the slowest gate class — if the driver's

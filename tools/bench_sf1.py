@@ -127,6 +127,9 @@ QUERIES = [
     "sim_ivf_retrain_swap",
     "dedup_semantic_decontaminate",
     "dedup_decontaminate_incremental",
+    # round-11 gates: same-round 10x points
+    "dedup_decontaminate_by_source",
+    "sketch_token_quantiles_rollup",
 ]
 
 # Round-7 extension (r6 verdict item 5): the 12 streaming gates at 10x
