@@ -372,3 +372,73 @@ def test_token_rollup_merge_path_and_single_scan(spark):
     n_leaf = docs.select("lang", "source").distinct().count()
     n_lang = docs.select("lang").distinct().count()
     assert len(got) == n_leaf + n_lang + 1
+
+
+def test_ivf_publish_race_fails_loudly_and_discards_staging(spark, monkeypatch):
+    """The generation publish is exists-check + rename + nest-audit
+    (commit_version's discipline).  Two pins: (a) a directory that
+    appears BETWEEN the listing and the rename — the true race window,
+    simulated by pinning the listing — raises ConcurrentCommitError and
+    discards the staging, never nesting staged data inside the winner's
+    directory; (b) a directory that exists at listing time is simply
+    numbered past (numbering never reuses), leaving the foreign dir
+    untouched."""
+    import distributed_graph_db_c_spark.operators.similarity as sim
+    from distributed_graph_db_c_spark.sinks import ConcurrentCommitError
+    from distributed_graph_db_c_spark.streaming.sources import cleanup, scratch_dir
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    s = scratch_dir("ivfrace")
+    path = f"{s}/idx"
+    try:
+        sim.ivf_build(base, path, n_cells=24)
+
+        # (a) the race window: the listing said [1], but g=2 lands
+        # before our rename (the concurrent publisher won)
+        os.makedirs(f"{s}/idx/g=00000002")
+        staging = f"{s}/idx/_g_stage_racetest__"
+        os.makedirs(staging)
+        open(f"{staging}/marker", "w").write("staged")
+        real = sim._ivf_generations
+        monkeypatch.setattr(sim, "_ivf_generations", lambda sp, p: [1])
+        with pytest.raises(ConcurrentCommitError, match="generation 2"):
+            sim._ivf_publish_generation(spark, path, staging)
+        monkeypatch.setattr(sim, "_ivf_generations", real)
+        assert not os.path.exists(staging), "loser must discard its staging"
+        assert os.listdir(f"{s}/idx/g=00000002") == [], (
+            "loser must never write into the winner's directory"
+        )
+
+        # (b) a dir present at listing time: numbering skips past it
+        gen = sim.ivf_build(base, path, n_cells=24)
+        assert gen == 3
+        assert sim._ivf_generations(spark, path) == [1, 2, 3]
+        assert sim.ivf_resolve(spark, path).endswith("g=00000003")
+    finally:
+        cleanup(s)
+
+
+def test_ivf_index_attach_describes_legacy_flat_layout(spark):
+    """Attach on a pre-generation index reports generation 0 (the
+    legacy marker) with the same validated descriptor fields, so a
+    restarted scheduler can tell the layouts apart and plan the
+    migrating retrain."""
+    from distributed_graph_db_c_spark.operators.similarity import (
+        _ivf_write_content,
+        ivf_index_attach,
+    )
+    from distributed_graph_db_c_spark.streaming.sources import cleanup, scratch_dir
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    s = scratch_dir("ivfattflat")
+    try:
+        _ivf_write_content(base, f"{s}/idx", 24, "vec_id", "embedding")
+        desc = ivf_index_attach(spark, f"{s}/idx")
+        assert desc["generation"] == 0
+        assert desc["n_cells"] == 24 and desc["dim"] == 64
+        assert desc["n_base"] == desc["total_rows"] == base.count()
+        assert desc["retrain_due"] is False and desc["appended_frac"] == 0.0
+    finally:
+        cleanup(s)
