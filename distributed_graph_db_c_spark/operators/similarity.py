@@ -1028,7 +1028,12 @@ def _ivf_generations(spark, path: str) -> list[int]:
     return sorted(out)
 
 
-def ivf_resolve(spark, path: str, generation: int | None = None) -> str:
+def ivf_resolve(
+    spark,
+    path: str,
+    generation: int | None = None,
+    gens: list[int] | None = None,
+) -> str:
     """The content directory one index read (or in-place append) binds
     to, resolved ONCE per operation: ``path/g=NNNNNNNN`` for the newest
     published generation (or an explicitly pinned older one), falling
@@ -1040,8 +1045,12 @@ def ivf_resolve(spark, path: str, generation: int | None = None) -> str:
     consistent for its whole lifetime: the r10 snapshot-less-rewrite
     reader race is closed by LAYOUT, not by locking (readers pinned to
     the old generation keep answering from it until an explicit
-    :func:`ivf_vacuum_generations`)."""
-    gens = _ivf_generations(spark, path)
+    :func:`ivf_vacuum_generations`).  ``gens`` lets a caller that
+    already listed the directory skip the re-listing — LIST is the
+    slow, billed operation on object stores, and the hot query paths
+    resolve + quiescence-check from ONE listing (r11 review finding)."""
+    if gens is None:
+        gens = _ivf_generations(spark, path)
     if generation is not None:
         if generation not in gens:
             raise FileNotFoundError(
@@ -1055,16 +1064,29 @@ def ivf_resolve(spark, path: str, generation: int | None = None) -> str:
     return path.rstrip("/")
 
 
-def _ivf_publish_generation(spark, path: str, staging: str) -> int:
+def _ivf_publish_generation(
+    spark, path: str, staging: str, expected: int | None = None
+) -> int:
     """Publish a fully-written staging directory as the next index
     generation with ONE rename (commit_version's exists-check +
     nest-audit discipline): a concurrent reader's listing sees the new
     generation entirely or not at all, and two racing publishers can
-    never both believe they published the same number."""
+    never both believe they published the same number.
+
+    ``expected`` pins the generation number the CALLER planned for —
+    a claim-less fresh build passes 1, so that if any other writer
+    published meanwhile the publish collides LOUDLY on the existing
+    ``g=00000001`` instead of silently renumbering itself on top of an
+    index that may already be receiving appends (claim-holding callers
+    recompute under their claim and pass None)."""
     from ..sinks import ConcurrentCommitError, _hadoop_fs
 
     fs, jpath = _hadoop_fs(spark, path)
-    gen = (_ivf_generations(spark, path) or [0])[-1] + 1
+    gen = (
+        expected
+        if expected is not None
+        else (_ivf_generations(spark, path) or [0])[-1] + 1
+    )
     final = f"{path.rstrip('/')}/{_IVF_GEN_FMT % gen}"
     if fs.exists(jpath(final)) or not fs.rename(jpath(staging), jpath(final)):
         fs.delete(jpath(staging), True)
@@ -1109,21 +1131,36 @@ def ivf_build(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> int:
-    """PERSIST an IVF index as the NEXT numbered generation under
-    ``path`` (``path/g=00000001`` for a fresh index); returns the
+    """PERSIST an IVF index as ``path/g=00000001``; returns the
     published generation number.  The content is staged to a hidden
     ``_g_stage_*__`` sibling inside ``path`` and published with ONE
     rename, so readers enumerate either without the new generation or
     with all of it.  Build cost is one embarrassingly-parallel
     assignment scan + one partitioned write; a published generation is
     immutable under retrain (appends mutate it in place under the claim
-    marker — see ivf_append)."""
+    marker — see ivf_append).
+
+    LIVE-INDEX REBUILDS DELEGATE (r11 review finding): when ``path``
+    already holds an index — generations published, or legacy flat
+    content — this routes through :func:`ivf_retrain_swap`, which holds
+    the commit claim and enforces the append/retrain mutual exclusion.
+    A claim-less build publishing over a live index would silently
+    orphan an in-flight append's delta in the outgoing generation
+    (exactly the case retrain refuses loudly); there is no safe
+    claim-less rebuild, so there is no code path for one.  The fresh
+    path pins its publish to generation 1: if ANY other writer
+    published meanwhile, the publish collides loudly instead of
+    renumbering on top of an index that may already have appenders."""
     import uuid as _uuid
 
     from ..sinks import _hadoop_fs
 
     spark = embeddings.sparkSession
     fs, jpath = _hadoop_fs(spark, path)
+    if _ivf_generations(spark, path) or fs.exists(
+        jpath(f"{path.rstrip('/')}/centroids")
+    ):
+        return ivf_retrain_swap(spark, path, embeddings, n_cells, id_col, vec_col)
     fs.mkdirs(jpath(path))
     staging = f"{path.rstrip('/')}/_g_stage_{_uuid.uuid4().hex[:8]}__"
     try:
@@ -1131,7 +1168,7 @@ def ivf_build(
     except BaseException:
         fs.delete(jpath(staging), True)
         raise
-    return _ivf_publish_generation(spark, path, staging)
+    return _ivf_publish_generation(spark, path, staging, expected=1)
 
 
 def _ivf_write_content(
@@ -1148,7 +1185,6 @@ def _ivf_write_content(
     payoff IVF exists for) — the coarse quantizer at
     ``content``/centroids (n_cells tiny rows), the id->cell sidecar at
     ``content``/ids, and the build-size meta at ``content``/meta."""
-    path = content
     assigned, cnorm, _ = ivf_assign(embeddings, n_cells, id_col, vec_col)
     # Lists carry exactly (id, vector, cell) — the columns the query
     # paths read — and nothing else: ivf_append writes the same three,
@@ -1165,7 +1201,7 @@ def _ivf_write_content(
     # is the same.)
     assigned.repartition("cell").write.mode("overwrite").partitionBy(
         "cell"
-    ).parquet(f"{path}/lists")
+    ).parquet(f"{content}/lists")
     # id->cell SIDECAR (r6 verdict item 3): the query path's only
     # by-id access is "which cell holds this id?" — answered here from
     # a table of two integers per vector (~3% of the vector bytes),
@@ -1176,15 +1212,15 @@ def _ivf_write_content(
     assigned.select(id_col, "cell").repartitionByRange(
         id_col
     ).sortWithinPartitions(id_col).write.mode("overwrite").parquet(
-        f"{path}/ids"
+        f"{content}/ids"
     )
     spark = embeddings.sparkSession
-    _write_centroids(spark, f"{path}/centroids", cnorm)
+    _write_centroids(spark, f"{content}/centroids", cnorm)
     # Build-size meta: the denominator of ivf_append's retrain trigger.
     # Counted from the ids sidecar's parquet footers (metadata-only, no
     # row scan); immutable after build — appends never rewrite it.
-    n_base = spark.read.parquet(f"{path}/ids").count()
-    _write_meta(spark, path, n_base)
+    n_base = spark.read.parquet(f"{content}/ids").count()
+    _write_meta(spark, content, n_base)
 
 
 def _write_meta(spark, path: str, n_base: int) -> None:
@@ -1281,7 +1317,9 @@ def _append_claim(path: str) -> str:
     return f"{path.rstrip('/')}/_ivf_append__"
 
 
-def _check_index_quiescent(spark, path: str) -> None:
+def _check_index_quiescent(
+    spark, path: str, gens: list[int] | None = None
+) -> None:
     """Refuse to read an index mid-APPEND: a standing APPEND claim
     means the current generation's lists may hold the delta the ids
     sidecar doesn't yet (or an appender died between the two writes) —
@@ -1299,7 +1337,7 @@ def _check_index_quiescent(spark, path: str) -> None:
 
     fs, jpath = _hadoop_fs(spark, path)
     claims = [(_append_claim(path), "append")]
-    if not _ivf_generations(spark, path):
+    if not (_ivf_generations(spark, path) if gens is None else gens):
         claims.append((_commit_claim(path), "retrain-swap"))
     for claim, what in claims:
         if fs.exists(jpath(claim)):
@@ -1337,8 +1375,11 @@ def ivf_append(
     append: appended_rows / base_rows >= ``retrain_frac`` flips
     ``retrain_due`` in the returned audit and in the persisted
     ``append_log`` (one row per append — the months-lived index's
-    maintenance ledger).  Retraining itself is ivf_build again, a
-    write-new-then-swap rebuild.
+    maintenance ledger).  Retraining itself is :func:`ivf_retrain_swap`
+    — it holds the commit claim, enforces the append/retrain mutual
+    exclusion, and publishes the rebuilt index as the next generation
+    (a bare ivf_build on a live index DELEGATES there for exactly that
+    reason — there is no claim-less rebuild path).
 
     Scale shape: one delta-sized assignment scan + an append write that
     touches ONLY the cell directories receiving delta rows; existing
@@ -1609,8 +1650,9 @@ def ivf_query_persisted(
     new generation mid-query cannot mix centroids and lists from
     different generations (the directory this plan reads is immutable
     until an explicit vacuum)."""
-    _check_index_quiescent(spark, path)
-    content = ivf_resolve(spark, path)
+    gens = _ivf_generations(spark, path)  # ONE listing feeds both steps
+    _check_index_quiescent(spark, path, gens=gens)
+    content = ivf_resolve(spark, path, gens=gens)
     cents = spark.read.parquet(f"{content}/centroids").collect()
     cmat = np.vstack(
         [np.asarray(r["centroid"], dtype=np.float64) for r in sorted(
@@ -1695,8 +1737,9 @@ def ivf_batch_query_persisted(
     Snapshot isolation as in ivf_query_persisted: one up-front
     ivf_resolve pins every read of this query to ONE immutable
     generation directory."""
-    _check_index_quiescent(spark, path)
-    content = ivf_resolve(spark, path)
+    gens = _ivf_generations(spark, path)  # ONE listing feeds both steps
+    _check_index_quiescent(spark, path, gens=gens)
+    content = ivf_resolve(spark, path, gens=gens)
     cents = spark.read.parquet(f"{content}/centroids").collect()
     cmat = np.vstack(
         [
@@ -1769,12 +1812,28 @@ def ivf_index_attach(spark, path: str, id_col: str = "vec_id") -> dict:
     as they did in the building session (pytest-pinned against a
     simulated restart, mirroring
     test_lsh_index_attach_recovers_catalog_and_result)."""
-    from ..sinks import _hadoop_fs
+    from ..sinks import ConcurrentCommitError, _commit_claim, _hadoop_fs
 
-    _check_index_quiescent(spark, path)
-    gens = _ivf_generations(spark, path)
-    content = ivf_resolve(spark, path)
+    gens = _ivf_generations(spark, path)  # ONE listing feeds every step
+    _check_index_quiescent(spark, path, gens=gens)
     fs, jpath = _hadoop_fs(spark, path)
+    # Attach is the MAINTENANCE entry point, not a hot read: unlike the
+    # query paths (safe under a retrain because their resolved
+    # generation is immutable), a restarted scheduler needs to learn
+    # about a standing retrain claim HERE — a dead retrainer's leaked
+    # marker would otherwise surface later as a confusing
+    # mid-maintenance ConcurrentCommitError from ivf_append/retrain
+    # (r11 review finding: the docstring promised refusal on ANY
+    # mutation claim; the code now delivers it).
+    retrain = _commit_claim(path)
+    if fs.exists(jpath(retrain)):
+        raise ConcurrentCommitError(
+            f"ivf_index_attach({path}): retrain-swap claim {retrain} is "
+            "held — a retrain is in flight or its writer died holding "
+            "the claim. Wait for it, or remove the marker if the writer "
+            "is known dead, then re-attach."
+        )
+    content = ivf_resolve(spark, path, gens=gens)
     missing = [
         side
         for side in ("lists", "ids", "centroids", "meta")

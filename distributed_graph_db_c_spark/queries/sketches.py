@@ -431,10 +431,18 @@ def sketch_token_quantiles_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     anywhere) and builds the leaf histogram via map-side partial
     combine; the lang and global tiers MERGE histogram cells by
     addition, never re-reading documents (plan-pinned); exact at every
-    scale — token count is a bounded integer domain, so no lossy
-    regime exists and the oracle is NOT corpus-contingent.  The global
-    tier rides the same materialized-label single-partition window as
-    the chars gate (windows always partition by real data columns)."""
+    scale — token count is a bounded integer domain, so the MERGE has
+    no lossy regime.  Oracle contingency (narrower than the chars
+    rollup's none): the histogram arithmetic is exact on both engines,
+    but the DERIVED metric carries the token-stats family's
+    tokenizer-edge seam — Spark's trim-then-split strips only 0x20
+    spaces while the DuckDB mirror filters all-whitespace tokens, so a
+    document with a leading/trailing tab or newline would count one
+    token differently.  The driver corpus contains no such document
+    (the text gates' standing contract); aligning the tokenizers at
+    the edge is banked for r12.  The global tier rides the same
+    materialized-label single-partition window as the chars gate
+    (windows always partition by real data columns)."""
     from ..functions.text import token_count
 
     docs = load_table(spark, sf_dir, "documents")

@@ -254,7 +254,12 @@ _STALE_RAMP: list[str] = [
 # which the broadcast-1-row-scalar idiom computes warning-free and
 # cheaper — NOT changed at r11 because evidence-follows-the-diff would
 # demand head slots the full window doesn't have; r12 should convert
-# them and head-pin the three.
+# them and head-pin the three; (f) tokenizer-edge alignment: Spark's
+# functions/text.tokens trims only 0x20 spaces while the DuckDB
+# mirrors filter all-whitespace tokens — a doc with a leading tab/
+# newline would count differently (latent, corpus contains none);
+# aligning changes every token-counting gate's code, so it needs
+# head slots budgeted (r11 review finding).
 
 # Streaming events consumers LAST inside the window: each runs a real
 # micro-batch stream and is the slowest gate class — if the driver's

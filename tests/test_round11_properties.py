@@ -442,3 +442,70 @@ def test_ivf_index_attach_describes_legacy_flat_layout(spark):
         assert desc["retrain_due"] is False and desc["appended_frac"] == 0.0
     finally:
         cleanup(s)
+
+
+def test_ivf_build_on_live_index_delegates_to_retrain_exclusion(spark):
+    """r11 review finding, pinned: a rebuild over a LIVE index must run
+    under the retrain mutual exclusion — ivf_build delegates to
+    ivf_retrain_swap, so a standing append claim makes it refuse
+    loudly instead of publishing a new generation that silently orphans
+    the in-flight delta, and the old generation keeps answering."""
+    from distributed_graph_db_c_spark.operators.similarity import (
+        _append_claim,
+        _ivf_generations,
+        ivf_build,
+        ivf_query_persisted,
+    )
+    from distributed_graph_db_c_spark.sinks import ConcurrentCommitError
+    from distributed_graph_db_c_spark.streaming.sources import cleanup, scratch_dir
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    s = scratch_dir("ivfliveb")
+    try:
+        ivf_build(base, f"{s}/idx", n_cells=24)
+        ap = _append_claim(f"{s}/idx")
+        with open(ap, "w") as f:
+            f.write("in-flight appender")
+        with pytest.raises(ConcurrentCommitError):
+            ivf_build(emb, f"{s}/idx", n_cells=24)
+        assert _ivf_generations(spark, f"{s}/idx") == [1], (
+            "refused rebuild must not have published anything"
+        )
+        os.remove(ap)
+        # and a clean rebuild still works, claim-guarded, as generation 2
+        assert ivf_build(emb, f"{s}/idx", n_cells=24) == 2
+        got = ivf_query_persisted(
+            spark, f"{s}/idx", query_vec=[1.0] + [0.0] * 63, top_k=3, nprobe=24
+        )
+        assert got.count() == 3
+    finally:
+        cleanup(s)
+
+
+def test_ivf_index_attach_refuses_standing_retrain_claim(spark):
+    """r11 review finding, pinned: attach is the maintenance entry
+    point — a dead retrainer's leaked commit claim must surface AT
+    ATTACH TIME as a loud refusal naming the marker, not later as a
+    confusing mid-maintenance error from ivf_append/retrain."""
+    from distributed_graph_db_c_spark.operators.similarity import (
+        ivf_build,
+        ivf_index_attach,
+    )
+    from distributed_graph_db_c_spark.sinks import ConcurrentCommitError, _commit_claim
+    from distributed_graph_db_c_spark.streaming.sources import cleanup, scratch_dir
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    s = scratch_dir("ivfattrt")
+    try:
+        ivf_build(base, f"{s}/idx", n_cells=24)
+        rt = _commit_claim(f"{s}/idx")
+        with open(rt, "w") as f:
+            f.write("dead retrainer")
+        with pytest.raises(ConcurrentCommitError, match="retrain-swap claim"):
+            ivf_index_attach(spark, f"{s}/idx")
+        os.remove(rt)
+        assert ivf_index_attach(spark, f"{s}/idx")["generation"] == 1
+    finally:
+        cleanup(s)
