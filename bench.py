@@ -172,6 +172,8 @@ HEADLINE = [
     "dedup_decontaminate_incremental",
     "dedup_decontaminate_by_source",
     "sketch_token_quantiles_rollup",
+    "sim_ivf_time_travel",
+    "pipeline_token_budget_select",
 ]
 
 

@@ -1622,6 +1622,7 @@ def ivf_query_persisted(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_vec=None,
+    generation: int | None = None,
 ) -> DataFrame:
     """Query a persisted IVF index: rank cells by the (tiny, collected)
     centroid table, then scan ONLY the nprobe winning cell partitions —
@@ -1649,10 +1650,13 @@ def ivf_query_persisted(
     :func:`ivf_resolve` returns ONCE, up front — a retrain publishing a
     new generation mid-query cannot mix centroids and lists from
     different generations (the directory this plan reads is immutable
-    until an explicit vacuum)."""
+    until an explicit vacuum).  Pass ``generation`` to pin an OLDER
+    published generation instead of the newest — index time travel,
+    the read_version counterpart; a vacuumed generation raises
+    loudly."""
     gens = _ivf_generations(spark, path)  # ONE listing feeds both steps
     _check_index_quiescent(spark, path, gens=gens)
-    content = ivf_resolve(spark, path, gens=gens)
+    content = ivf_resolve(spark, path, generation=generation, gens=gens)
     cents = spark.read.parquet(f"{content}/centroids").collect()
     cmat = np.vstack(
         [np.asarray(r["centroid"], dtype=np.float64) for r in sorted(
@@ -1711,6 +1715,7 @@ def ivf_batch_query_persisted(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    generation: int | None = None,
 ) -> DataFrame:
     """BATCH query a persisted IVF index: the round-9 disk-pruning form
     of the ANN scorer.  ``queries`` is a driver-held list of (qid,
@@ -1736,10 +1741,11 @@ def ivf_batch_query_persisted(
 
     Snapshot isolation as in ivf_query_persisted: one up-front
     ivf_resolve pins every read of this query to ONE immutable
-    generation directory."""
+    generation directory; ``generation`` pins an older one (time
+    travel)."""
     gens = _ivf_generations(spark, path)  # ONE listing feeds both steps
     _check_index_quiescent(spark, path, gens=gens)
-    content = ivf_resolve(spark, path, gens=gens)
+    content = ivf_resolve(spark, path, generation=generation, gens=gens)
     cents = spark.read.parquet(f"{content}/centroids").collect()
     cmat = np.vstack(
         [

@@ -835,19 +835,23 @@ def sim_ivf_retrain_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the gate corpus sits exactly at the default retrain threshold, so
     the audit flips retrain_due — then act on the trigger:
     ivf_retrain_swap re-seeds the quantizer over the CURRENT corpus
-    and atomically swaps the new generation in (write-new-then-swap
-    under the sibling commit claim, the replace_table discipline),
-    and the batch query runs against the RETRAINED index.
+    and publishes the rebuilt index as the NEXT numbered generation
+    under the sibling commit claim (round 11: generation layout — the
+    pointer flip replaced the in-place directory swap), and the batch
+    query resolves and runs against the RETRAINED generation.
 
     The oracle replays the retrained construction: centroids over the
     full corpus — byte-for-byte the fresh-build rule — which is the
     swap's contract (served index ≡ rebuild; pytest additionally pins
     generation semantics: meta resets to the new corpus count, the
-    append_log restarts, old-generation bytes are gone, and a retrain
-    that fails pre-swap leaves the old generation answering
-    identically).  Mutual exclusion append↔retrain and the
-    reader-refusal window are pinned in
-    tests/test_round10_properties.py.  Float-seam contingency: the
+    append_log restarts, the PREVIOUS generation survives immutably
+    for pinned readers until an explicit vacuum, and a retrain that
+    fails pre-publish leaves the old generation answering
+    identically).  Writer mutual exclusion append↔retrain is pinned
+    in tests/test_round10_properties.py; readers no longer refuse
+    during a retrain (tests/test_round11_properties.py pins the
+    reader-during-swap old-generation result).  Float-seam
+    contingency: the
     full-corpus 24-cell construction at nprobe=8 over qids<5 is inside
     the margins test_ivf_rankings_have_margin already pins (>= 1.8e-6
     observed; loud failure below 1e-9)."""
@@ -881,6 +885,95 @@ def sim_ivf_retrain_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
             top_k=_APPEND_K,
             nprobe=_APPEND_NPROBE,
         ).localCheckpoint(eager=True)
+    finally:
+        cleanup(scratch)
+    return result
+
+
+# The TIME-TRAVEL oracle: both generations' constructions replayed in
+# one statement — generation 1 is the maintained (frozen-quantizer)
+# index _IVF_APPEND_SQL describes, generation 2 the retrained
+# (full-corpus) index _IVF_RETRAIN_SQL describes; the gate's whole
+# claim is that BOTH answer simultaneously from one index path.
+_IVF_TIME_TRAVEL_SQL = f"""
+WITH g1 AS ({_IVF_APPEND_SQL}),
+g2 AS ({_IVF_RETRAIN_SQL})
+SELECT CAST(1 AS BIGINT) AS generation, qid, vec_id, cosine FROM g1
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS generation, qid, vec_id, cosine FROM g2
+"""
+
+
+@register("sim_ivf_time_travel", oracle=_IVF_TIME_TRAVEL_SQL)
+def sim_ivf_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX TIME TRAVEL (round 11, registered after the window filled —
+    AWAITING_FIRST_SLOT, first in line for an r12 driver slot): the
+    driver-gated form of the generation-versioned layout.  Lifecycle:
+    build(base 80%) -> append(delta 20%, trips retrain_due) ->
+    retrain_swap(full corpus) — then query the SAME index path at BOTH
+    generations: ``generation=1`` pins the pre-retrain maintained index
+    (frozen quantizer over base ∪ delta), ``generation=2`` the
+    retrained one, each through the partition-pruned persisted batch
+    path.  The reproducibility ask this answers: "re-score yesterday's
+    retrieval run against the index AS IT WAS" — an A/B between index
+    generations without re-building either, the read_version contract
+    applied to ANN state.
+
+    The oracle replays BOTH deterministic constructions in one
+    statement (see _IVF_TIME_TRAVEL_SQL) — a full hash-match proves the
+    published-generation directories answer exactly their respective
+    constructions SIMULTANEOUSLY: the retrain publish did not disturb
+    the old generation's bytes (the reader-during-swap pytest pins the
+    same property for in-flight plans; this gate pins it at driver
+    strength for explicitly pinned reads).  Same float-seam
+    contingency and margins as the two parent gates (the SQLs are
+    theirs verbatim).  At 100 TB: generations cost storage, not
+    compute — old generations are plain immutable directories vacuumed
+    on retention policy (ivf_vacuum_generations), and a pinned read
+    prunes cells exactly like a current read."""
+    from ..operators.similarity import (
+        ivf_append,
+        ivf_batch_query_persisted,
+        ivf_build,
+        ivf_retrain_swap,
+    )
+    from ..streaming.sources import cleanup, scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % _APPEND_BASE_MOD != 0)
+    delta = emb.filter(F.col("vec_id") % _APPEND_BASE_MOD == 0)
+    qrows = (
+        emb.filter(F.col("vec_id") < _APPEND_Q)
+        .select(F.col("vec_id").alias("qid"), "embedding")
+        .collect()
+    )  # bounded: the 5-vector retrieval batch
+    queries = [(r["qid"], list(r["embedding"])) for r in qrows]
+    scratch = scratch_dir("ivftt")
+    try:
+        ivf_build(base, f"{scratch}/idx", n_cells=_APPEND_CELLS)
+        audit = ivf_append(spark, f"{scratch}/idx", delta)
+        assert audit["retrain_due"], "gate corpus must trip the trigger"
+        new_gen = ivf_retrain_swap(
+            spark, f"{scratch}/idx", emb, n_cells=_APPEND_CELLS
+        )
+        assert new_gen == 2, "retrain must publish generation 2"
+        legs = [
+            ivf_batch_query_persisted(
+                spark,
+                f"{scratch}/idx",
+                queries,
+                top_k=_APPEND_K,
+                nprobe=_APPEND_NPROBE,
+                generation=g,
+            ).select(
+                F.lit(g).cast("long").alias("generation"),
+                "qid",
+                "vec_id",
+                "cosine",
+            )
+            for g in (1, 2)
+        ]
+        result = legs[0].unionByName(legs[1]).localCheckpoint(eager=True)
     finally:
         cleanup(scratch)
     return result

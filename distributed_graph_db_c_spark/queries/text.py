@@ -1431,3 +1431,77 @@ def text_oov_rate_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("oov_milli", F.expr("(1000 * n_oov) div n_tokens"))
     )
+
+
+def _token_budget_sql() -> str:
+    # per-lang greedy prefix under the quality ranking; the quality CTE
+    # is the text_quality_score oracle verbatim, the token counter the
+    # token-stats fragment — both already bit-exact gates
+    return rf"""
+WITH q AS ({_quality_sql()}),
+tox AS (SELECT doc_id, lang,
+               CAST(len({_TOKS_SQL}) AS BIGINT) AS n_toks
+        FROM documents),
+j AS (SELECT t.lang, t.doc_id, t.n_toks, q.quality
+      FROM tox t JOIN q USING (doc_id)),
+c AS (SELECT lang, doc_id, n_toks, quality,
+             CAST(SUM(n_toks) OVER (PARTITION BY lang
+                                    ORDER BY quality DESC, doc_id)
+                  AS BIGINT) AS cum_toks
+      FROM j)
+SELECT lang, doc_id, n_toks, quality, cum_toks
+FROM c WHERE cum_toks <= {TOKEN_BUDGET_PER_LANG}
+"""
+
+
+TOKEN_BUDGET_PER_LANG = 2000
+
+
+@register("pipeline_token_budget_select", oracle=_token_budget_sql())
+def pipeline_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUDGET corpus selection (round 11, registered after the
+    window filled — AWAITING_FIRST_SLOT, an r12 driver slot): training
+    mixtures are priced in tokens, so the curation step after scoring
+    is "spend each language's token budget on its BEST documents" —
+    per language, rank by the composite quality score (ties to the
+    lowest doc_id), take the greedy prefix whose running token total
+    stays within the budget (2,000 tokens/language here — nonvacuous
+    both ways on the driver corpus: every language holds 3.5-11.8k
+    tokens, so some docs select and most reject).  One row per
+    SELECTED document with its rank context (n_toks, quality,
+    cum_toks) — the manifest a mixture builder consumes.
+
+    Determinism: token counts are exact longs; the quality score is
+    the bit-identical double the text_quality_score gate pins on both
+    engines, so the (quality DESC, doc_id) order — and therefore the
+    integer running sum and the cut — is identical; the oracle reuses
+    that gate's SQL verbatim as a CTE.
+
+    Plan/scale shape: ONE raw scan computes (lang, doc_id, n_toks,
+    quality) in pure codegen; the window shuffles only those slim rows
+    partitioned by lang.  At 100 TB a per-lang total order is the
+    honest cost of an EXACT greedy prefix; the production screen cuts
+    it first — percentile_approx on quality per lang finds the cutoff
+    q* where tokens-above ~= budget, the window then runs over only
+    the ~budget-sized survivors (same two-stage shape as the engine's
+    skew-proof top-k) — and the exact form here is that path's oracle
+    twin, the engine's standing exact/scale pairing."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang",
+        "doc_id",
+        token_count().alias("n_toks"),
+        quality_score().alias("quality"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum_toks", F.sum("n_toks").over(w))
+        .filter(F.col("cum_toks") <= TOKEN_BUDGET_PER_LANG)
+        .select("lang", "doc_id", "n_toks", "quality", "cum_toks")
+    )

@@ -148,8 +148,20 @@ _ROUND_NEW: list[str] = [
 # out of the window by the standing no-oracle rule.  Re-verified absent
 # in this container at r11 build.)
 
-# Nothing registered after this round's window filled.
-AWAITING_FIRST_SLOT: list[str] = []
+# Registered after this round's window filled: local strict evidence
+# only (ORACLE_LOCAL.md), first in line for round-12 driver slots per
+# the standing drain contract.  sim_ivf_time_travel is the
+# driver-gated form of the r11 generation layout (both generations'
+# constructions replayed in one oracle — proves the retrain publish
+# left the old generation answering its exact maintained
+# construction); pipeline_token_budget_select is the token-budget
+# curation step (per-lang greedy quality prefix under an exact
+# running-sum cut, composing the bit-exact quality-score and
+# token-count gates).
+AWAITING_FIRST_SLOT: list[str] = [
+    "sim_ivf_time_travel",
+    "pipeline_token_budget_select",
+]
 
 # (d) the recomputed due list under the FOUR-round horizon: headline
 # oracle-backed queries lacking driver evidence in the three latest

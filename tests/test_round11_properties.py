@@ -509,3 +509,53 @@ def test_ivf_index_attach_refuses_standing_retrain_claim(spark):
         assert ivf_index_attach(spark, f"{s}/idx")["generation"] == 1
     finally:
         cleanup(s)
+
+
+def test_token_budget_select_is_greedy_prefix_and_maximal(spark):
+    """The budget manifest must be exactly the greedy quality prefix:
+    per language, (a) the selected docs are a PREFIX of the
+    (quality DESC, doc_id) order — no cherry-picking a cheaper doc from
+    further down; (b) the budget holds (max cum_toks <= budget); (c)
+    adding the FIRST REJECTED doc would exceed it (maximality — the
+    engine never leaves budget on the table)."""
+    from distributed_graph_db_c_spark.functions.text import (
+        quality_score,
+        token_count,
+    )
+    from distributed_graph_db_c_spark.queries.text import (
+        TOKEN_BUDGET_PER_LANG,
+        pipeline_token_budget_select,
+    )
+    from distributed_graph_db_c_spark.sources.tables import load_table
+
+    sel = pipeline_token_budget_select(spark, "/root/testdata/sf0.01").collect()
+    docs = (
+        load_table(spark, "/root/testdata/sf0.01", "documents")
+        .select(
+            "lang",
+            "doc_id",
+            token_count().alias("n_toks"),
+            quality_score().alias("quality"),
+        )
+        .collect()
+    )
+    by_lang = {}
+    for r in docs:
+        by_lang.setdefault(r["lang"], []).append(r)
+    selected = {}
+    for r in sel:
+        selected.setdefault(r["lang"], set()).add(r["doc_id"])
+        assert r["cum_toks"] <= TOKEN_BUDGET_PER_LANG
+    assert set(selected) == set(by_lang), "every language gets a slice"
+    for lang, rows in by_lang.items():
+        order = sorted(rows, key=lambda r: (-r["quality"], r["doc_id"]))
+        cum, want = 0, []
+        for r in order:
+            if cum + r["n_toks"] > TOKEN_BUDGET_PER_LANG:
+                break  # greedy PREFIX: the first overflow ends the slice
+            cum += r["n_toks"]
+            want.append(r["doc_id"])
+        assert selected[lang] == set(want), lang
+        # maximality: the next doc in the order would overflow
+        nxt = order[len(want)]
+        assert cum + nxt["n_toks"] > TOKEN_BUDGET_PER_LANG, lang

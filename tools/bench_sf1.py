@@ -130,6 +130,8 @@ QUERIES = [
     # round-11 gates: same-round 10x points
     "dedup_decontaminate_by_source",
     "sketch_token_quantiles_rollup",
+    "sim_ivf_time_travel",
+    "pipeline_token_budget_select",
 ]
 
 # Round-7 extension (r6 verdict item 5): the 12 streaming gates at 10x

@@ -812,6 +812,15 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         ("grouped window", r"\bWindow\b", True),
         ("partial agg", r"partial_", True),
     ],
+    "pipeline_token_budget_select": [
+        # one codegen raw scan feeds the slim (lang, doc_id, n_toks,
+        # quality) rows; the greedy prefix is a per-lang running-sum
+        # window over those rows — no python boundary, no cartesian
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("per-lang window", r"\bWindow\b", True),
+        ("no cartesian", r"CartesianProduct|BroadcastNestedLoopJoin", False),
+        ("column pruning", r"ReadSchema: [^\n]*text", True),
+    ],
     "sketch_token_quantiles_rollup": [
         # the derived-metric twin: token counting is a codegen
         # expression inside the single raw scan feeding the leaf
