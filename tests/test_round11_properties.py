@@ -559,3 +559,67 @@ def test_token_budget_select_is_greedy_prefix_and_maximal(spark):
         # maximality: the next doc in the order would overflow
         nxt = order[len(want)]
         assert cum + nxt["n_toks"] > TOKEN_BUDGET_PER_LANG, lang
+
+
+def test_ivf_single_query_generation_pin(spark):
+    """The generation= pin on the SINGLE-query persisted path (the
+    batch path is driver-gated by sim_ivf_time_travel): after a
+    retrain, generation=1 answers exactly what the index answered
+    before the retrain, generation=2 matches the default resolve, and
+    a never-published generation raises loudly."""
+    from distributed_graph_db_c_spark.operators.similarity import (
+        ivf_build,
+        ivf_query_persisted,
+        ivf_retrain_swap,
+    )
+    from distributed_graph_db_c_spark.streaming.sources import cleanup, scratch_dir
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    qvec = [1.0] + [0.0] * 63
+    s = scratch_dir("ivfgpin")
+    try:
+        ivf_build(base, f"{s}/idx", n_cells=24)
+        before = sorted(
+            map(
+                tuple,
+                ivf_query_persisted(
+                    spark, f"{s}/idx", query_vec=qvec, top_k=5, nprobe=24
+                ).collect(),
+            )
+        )
+        ivf_retrain_swap(spark, f"{s}/idx", emb, n_cells=24)
+        g1 = sorted(
+            map(
+                tuple,
+                ivf_query_persisted(
+                    spark, f"{s}/idx", query_vec=qvec, top_k=5, nprobe=24,
+                    generation=1,
+                ).collect(),
+            )
+        )
+        assert g1 == before and before
+        g2 = sorted(
+            map(
+                tuple,
+                ivf_query_persisted(
+                    spark, f"{s}/idx", query_vec=qvec, top_k=5, nprobe=24,
+                    generation=2,
+                ).collect(),
+            )
+        )
+        default = sorted(
+            map(
+                tuple,
+                ivf_query_persisted(
+                    spark, f"{s}/idx", query_vec=qvec, top_k=5, nprobe=24
+                ).collect(),
+            )
+        )
+        assert g2 == default
+        with pytest.raises(FileNotFoundError, match="generation 7"):
+            ivf_query_persisted(
+                spark, f"{s}/idx", query_vec=qvec, generation=7
+            )
+    finally:
+        cleanup(s)
