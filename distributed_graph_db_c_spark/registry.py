@@ -234,19 +234,22 @@ _STALE_RAMP: list[str] = [
     "sample_deterministic_split",  # r05
 ]
 
-# ROUND-12 HANDOFF (computed against the published r10 record with a
-# synthetic r11 = this window all-green; the look-ahead test recomputes
-# and enforces it at r12 build time): the round-12 window owes (1) the
-# r08 cohort leaving the FOUR-round horizon when r12 publishes — the
-# r08 record minus what r09/r10/r11 re-greened, ~39 wide (its five
-# streaming members pre-paid in THIS round's tail, so they are already
-# covered); (2) changed-code re-pins if r12 touches operator code;
-# (3) family pins recheck; (4) residual slots (~5) continue the greedy
-# ramp into the r06 cohort (oldest after this round:
-# rel_percentiles_quantity, rel_q19_disjunctive_filter,
-# rel_q2_best_supplier, ... at r06).  Budget new gates sparingly
-# (~1-2): the r12
-# due cohort is the heavy one under the new cadence.
+# ROUND-12 HANDOFF (computed EXACTLY against the published r10 record
+# with a synthetic r11 = this window all-green; the look-ahead test
+# recomputes and enforces it at r12 build time): the round-12 window
+# owes (1) the TWO AWAITING drains first (sim_ivf_time_travel,
+# pipeline_token_budget_select — full local evidence, zero driver
+# rows); (2) the due cohort leaving the FOUR-round horizon when r12
+# publishes — measured 36 wide, ZERO streaming members (all five
+# pre-paid in this round's tail), so 12 residual slots remain;
+# (3) the three banked window→broadcast-scalar conversions take head
+# slots (pipeline_domain_mixture, sketch_freq_items_brand,
+# stream_freq_items_incremental — evidence follows the diff);
+# (4) family pins recheck (streaming needs a tail pin — every stream
+# gate is r11-green, pick the oldest); (5) remaining slots (~5-6)
+# continue the greedy ramp into the r06 cohort (oldest after this
+# round: rel_percentiles_quantity, rel_q19_disjunctive_filter,
+# rel_q2_best_supplier, ... at r06).  Budget ~1-2 new gates.
 #
 # Surface candidates banked for round 12: (a) per-source rollup
 # extended to token quantiles (the histogram-merge shape generalizes
