@@ -29,16 +29,22 @@ BPE_REGEX = r"\w+|[^\w\s]"
 
 
 def tokens(col: str = "text") -> F.Column:
-    """Lower-cased whitespace tokens, empties dropped.
+    r"""Lower-cased whitespace tokens, empties dropped.
 
-    trim-then-split instead of split-then-filter: splitting a trimmed
-    non-empty string on \\s+ can't produce empty tokens, and dropping the
-    higher-order ``filter`` lambda keeps the expression in whole-stage
-    codegen (HOF lambdas are interpreted per element)."""
-    trimmed = F.trim(F.lower(F.col(col)))
-    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, r"\s+")
-    )
+    ``regexp_extract_all(lower(text), '\S+')`` — extract the non-whitespace
+    runs directly instead of trim-then-split.  The r11 review surfaced a
+    latent cross-engine seam in the old idiom: Spark's ``trim`` strips only
+    0x20 spaces, so a document with a leading tab/newline split into a
+    spurious empty first token, while every DuckDB oracle mirror
+    (``list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')``)
+    filters ALL-whitespace empties.  Extraction can never produce an empty
+    match, so the two engines now agree on every input, including
+    tab/newline-padded documents (adversarially exercised by the
+    ``text_tokenizer_whitespace_edge`` gate and pinned corpus-bit-identical
+    to the old idiom for space-clean documents in
+    tests/test_text_functions.py).  ``RegExpExtractAll`` is a JVM built-in
+    inside whole-stage codegen — no HOF lambda, no Python."""
+    return F.regexp_extract_all(F.lower(F.col(col)), F.lit(r"\S+"), F.lit(0))
 
 
 def token_count(col: str = "text") -> F.Column:

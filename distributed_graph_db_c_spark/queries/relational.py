@@ -1808,6 +1808,9 @@ def rel_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     cust = load_table(spark, sf_dir, "customer")
+    # INTENTIONALLY unpartitioned: NTILE's semantics IS a total order
+    # over the (dimension-sized) customer table; the WindowExec
+    # no-partition warning is expected here, not a defect (r11 sweep).
     w = Window.orderBy("c_acctbal", "c_custkey")
     return (
         cust.select("c_custkey", "c_acctbal", F.ntile(10).over(w).alias("decile"))
@@ -2175,6 +2178,10 @@ def rel_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     size_min = part.groupBy("p_size").agg(
         F.min("p_retailprice").alias("size_min")
     )
+    # INTENTIONALLY unpartitioned: the strict prefix-min runs over the
+    # <= |distinct sizes| per-size summary (domain-bounded, never raw
+    # rows) and its semantics is a total order over sizes — the
+    # WindowExec no-partition warning is expected here (r11 sweep).
     w = Window.orderBy(F.col("p_size").desc()).rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -2306,6 +2313,10 @@ def rel_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min(F.col("ts").cast("date")).alias("d")
     )
     daily = first_seen.groupBy("d").agg(F.count("*").alias("new_users"))
+    # INTENTIONALLY unpartitioned: the running sum is over the DAY
+    # SPINE (|days| rows after the partial aggs, calendar-bounded at
+    # any corpus size) and its semantics is a total date order — the
+    # WindowExec no-partition warning is expected here (r11 sweep).
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     return daily.select(
         F.col("d").cast("string").alias("day"),

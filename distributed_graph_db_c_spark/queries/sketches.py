@@ -432,15 +432,14 @@ def sketch_token_quantiles_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
     combine; the lang and global tiers MERGE histogram cells by
     addition, never re-reading documents (plan-pinned); exact at every
     scale — token count is a bounded integer domain, so the MERGE has
-    no lossy regime.  Oracle contingency (narrower than the chars
-    rollup's none): the histogram arithmetic is exact on both engines,
-    but the DERIVED metric carries the token-stats family's
-    tokenizer-edge seam — Spark's trim-then-split strips only 0x20
-    spaces while the DuckDB mirror filters all-whitespace tokens, so a
-    document with a leading/trailing tab or newline would count one
-    token differently.  The driver corpus contains no such document
-    (the text gates' standing contract); aligning the tokenizers at
-    the edge is banked for r12.  The global tier rides the same
+    no lossy regime.  No oracle contingency: the histogram arithmetic
+    is exact on both engines, and as of r12 the token counts agree on
+    EVERY input — ``functions/text.tokens`` extracts ``\\S+`` runs
+    (never an empty token) exactly matching the DuckDB mirror's
+    all-whitespace filter, with the former trim-then-split edge
+    (leading tab/newline => spurious empty token) closed and
+    adversarially gated by text_tokenizer_whitespace_edge.  The
+    global tier rides the same
     materialized-label single-partition window as the chars gate
     (windows always partition by real data columns)."""
     from ..functions.text import token_count

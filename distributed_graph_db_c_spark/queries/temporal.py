@@ -167,6 +167,10 @@ def ts_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
     )
+    # INTENTIONALLY unpartitioned: the RANGE frame runs over the daily
+    # rollup (calendar-bounded — thousands of rows at 100 TB, never
+    # billions) and a trailing-calendar-window is a total date order —
+    # the WindowExec no-partition warning is expected here (r11 sweep).
     w = Window.orderBy("day").rangeBetween(-6, 0)
     return daily.select(
         "day",

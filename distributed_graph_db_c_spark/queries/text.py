@@ -875,11 +875,14 @@ def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold now COMPUTED from the corpus statistics instead of fixed.
 
     Plan: one partial-agg pass for per-source counts (tiny — one row
-    per source, window-totalled without a second scan), broadcast back
-    onto the scan, map-side filter.  No row-level shuffle at any scale;
-    the id checksum proves the exact kept sets, not just their sizes."""
-    from pyspark.sql import Window
-
+    per source), the corpus totals re-aggregated from those rows as a
+    1-row scalar frame and broadcast-crossed back on (the engine's
+    standing broadcast-scalar idiom — r12 converted this from an
+    unpartitioned window, which computed the same two TOTALS but
+    single-partitioned the frame and tripped the WindowExec warning),
+    then broadcast onto the scan, map-side filter.  No row-level
+    shuffle at any scale; the id checksum proves the exact kept sets,
+    not just their sizes."""
     docs = load_table(spark, sf_dir, "documents")
     b = docs.select(
         "doc_id",
@@ -888,16 +891,12 @@ def pipeline_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("bucket"),
     )
-    w = Window.partitionBy()
+    per_source = b.groupBy("source").agg(F.count("*").alias("n_source"))
+    totals = per_source.agg(
+        F.sum("n_source").alias("n_total"), F.count("*").alias("k_sources")
+    )
     stats = (
-        b.groupBy("source")
-        .agg(F.count("*").alias("n_source"))
-        .select(
-            "source",
-            "n_source",
-            F.sum("n_source").over(w).alias("n_total"),
-            F.count("*").over(w).alias("k_sources"),
-        )
+        per_source.crossJoin(F.broadcast(totals))
         .select(
             "source",
             F.floor(
