@@ -174,6 +174,7 @@ HEADLINE = [
     "sketch_token_quantiles_rollup",
     "sim_ivf_time_travel",
     "pipeline_token_budget_select",
+    "text_tokenizer_whitespace_edge",
 ]
 
 

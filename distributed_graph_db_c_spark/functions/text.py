@@ -28,7 +28,7 @@ EN_STOPWORDS = LANG_MARKERS["en"] + ["a", "for", "on", "with", "as", "at", "by",
 BPE_REGEX = r"\w+|[^\w\s]"
 
 
-def tokens(col: str = "text") -> F.Column:
+def tokens(col: str | F.Column = "text") -> F.Column:
     r"""Lower-cased whitespace tokens, empties dropped.
 
     ``regexp_extract_all(lower(text), '\S+')`` — extract the non-whitespace
@@ -43,11 +43,16 @@ def tokens(col: str = "text") -> F.Column:
     ``text_tokenizer_whitespace_edge`` gate and pinned corpus-bit-identical
     to the old idiom for space-clean documents in
     tests/test_text_functions.py).  ``RegExpExtractAll`` is a JVM built-in
-    inside whole-stage codegen — no HOF lambda, no Python."""
-    return F.regexp_extract_all(F.lower(F.col(col)), F.lit(r"\S+"), F.lit(0))
+    inside whole-stage codegen — no HOF lambda, no Python.
+
+    ``col`` may be a column NAME or a Column EXPRESSION (the
+    whitespace-edge gate tokenizes synthesized tab/newline-padded
+    variants of the corpus text)."""
+    c = col if isinstance(col, F.Column) else F.col(col)
+    return F.regexp_extract_all(F.lower(c), F.lit(r"\S+"), F.lit(0))
 
 
-def token_count(col: str = "text") -> F.Column:
+def token_count(col: str | F.Column = "text") -> F.Column:
     return F.size(tokens(col)).cast("long")
 
 

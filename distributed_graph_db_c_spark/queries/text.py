@@ -1504,3 +1504,67 @@ def pipeline_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_toks") <= TOKEN_BUDGET_PER_LANG)
         .select("lang", "doc_id", "n_toks", "quality", "cum_toks")
     )
+
+
+# -- round 12: tokenizer whitespace-edge gate --------------------------------
+
+_EDGE_TOKS = r"len(list_filter(string_split_regex(lower({e}), '\s+'), x -> x <> ''))"
+
+_EDGE_SQL = rf"""
+WITH v AS (
+  SELECT lang,
+         {_EDGE_TOKS.format(e="text")} AS o,
+         {_EDGE_TOKS.format(e="chr(9) || text")} AS tp,
+         {_EDGE_TOKS.format(e="text || chr(10)")} AS ns,
+         {_EDGE_TOKS.format(e="' ' || chr(9) || text || chr(10) || ' '")} AS pd
+  FROM documents)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(o) AS BIGINT) AS toks_orig,
+       CAST(SUM(tp) AS BIGINT) AS toks_tab_prefix,
+       CAST(SUM(ns) AS BIGINT) AS toks_nl_suffix,
+       CAST(SUM(pd) AS BIGINT) AS toks_padded
+FROM v GROUP BY lang
+"""
+
+
+@register("text_tokenizer_whitespace_edge", oracle=_EDGE_SQL)
+def text_tokenizer_whitespace_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER WHITESPACE-EDGE differential (round 12): the r11 review
+    surfaced a latent cross-engine seam — Spark's old trim-then-split
+    tokenizer stripped only 0x20 spaces, so a document with a leading
+    tab/newline counted a spurious empty first token, while every DuckDB
+    oracle mirror filters all-whitespace tokens.  The corpus contains no
+    such document, so no fixture could exercise the seam; this gate
+    MANUFACTURES the adversarial inputs deterministically from the corpus
+    itself: each document is tokenized four ways — as stored, tab-prefixed
+    (chr(9)||text), newline-suffixed (text||chr(10)), and mixed-padded
+    (' '||chr(9)||text||chr(10)||' ') — and the per-language token totals
+    of all four variants land as separate columns.  With the r12
+    ``\\S+``-extraction tokenizer the four columns are EQUAL by
+    construction (padding adds no non-whitespace run), and the strict
+    hash-match proves BOTH engines agree on every padded variant — under
+    the old idiom toks_tab_prefix/toks_padded would each exceed toks_orig
+    by n_docs and the gate would hash-fail.
+
+    Plan/scale shape: one raw scan, four codegen expression columns, one
+    partial-agg groupBy(lang) — shuffle carries |langs| rows.  No Python,
+    no window, no join at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    variants = docs.select(
+        "lang",
+        token_count(text).alias("o"),
+        token_count(F.concat(F.lit("\t"), text)).alias("tp"),
+        token_count(F.concat(text, F.lit("\n"))).alias("ns"),
+        token_count(
+            F.concat(F.lit(" \t"), text, F.lit("\n "))
+        ).alias("pd"),
+    )
+    return variants.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("o").alias("toks_orig"),
+        F.sum("tp").alias("toks_tab_prefix"),
+        F.sum("ns").alias("toks_nl_suffix"),
+        F.sum("pd").alias("toks_padded"),
+    )
