@@ -140,3 +140,175 @@ def attach_bucketed(
         f"CLUSTERED BY ({', '.join(keys)}) {sort_clause}"
         f"INTO {n_buckets} BUCKETS LOCATION '{location}'"
     )
+
+
+# -- round 12: generation-versioned warehouse indexes ------------------------
+#
+# The r11 verdict's item 5: minhash_index_build / lsh_index_build rebuilds
+# went through write_bucketed's DROP + overwrite of the SAME table names —
+# the snapshot-less in-place-rewrite reader class the IVF index closed by
+# layout at r11 (operators/similarity.py: g=NNNNNNNN directories).  Catalog
+# tables can't ride a directory rename, so the same discipline lands as
+# GENERATION-SUFFIXED TABLE NAMES plus an atomically-created published
+# marker per generation:
+#
+# - a build writes brand-new tables ``<prefix>__gNNNNNNNN_<suffix>`` (never
+#   touching any published generation or a legacy flat layout), then
+#   publishes the generation by exclusively creating one marker file in the
+#   warehouse — the single atomic commit point (claim_marker's O_EXCL
+#   discipline, so racing publishers can never both claim a number);
+# - readers RESOLVE once (newest published generation, an explicit pin, or
+#   0 = the legacy flat layout) and bind their whole plan to that
+#   generation's tables — a lazy reader overlapping a nightly rebuild keeps
+#   answering from its resolved generation bit-identically, because no
+#   rebuild ever writes into a published generation;
+# - vacuum is the ONLY destroyer of a published generation (marker deleted
+#   FIRST so no new reader can resolve a doomed generation, then tables and
+#   files) — a reader still pinned to a vacuumed generation fails loudly on
+#   its next scan, never silently reads a different snapshot.
+#
+# Generation 0 is the pre-r12 FLAT layout (``<prefix>_<suffix>``): resolved
+# when no generation was ever published, and pinnable explicitly — which
+# also fixes the ADVICE r11 round-trip gap (a descriptor's generation field
+# must always be accepted back as a pin).
+
+import re as _re
+
+INDEX_GEN_FMT = "__g%08d"
+_MARKER_RE = r"^_%s__g(\d{8})__published__$"
+
+
+def _index_marker(warehouse: str, table_prefix: str, gen: int) -> str:
+    return (
+        f"{warehouse.rstrip('/')}/_{table_prefix}"
+        f"{INDEX_GEN_FMT % gen}__published__"
+    )
+
+
+def index_gen_prefix(table_prefix: str, gen: int) -> str:
+    """The table-name prefix generation ``gen`` of index
+    ``table_prefix`` stores under; generation 0 is the legacy flat
+    layout (bare prefix)."""
+    if gen == 0:
+        return table_prefix
+    return f"{table_prefix}{INDEX_GEN_FMT % gen}"
+
+
+def index_generations(spark: SparkSession, table_prefix: str) -> list[int]:
+    """Published generations of warehouse index ``table_prefix``,
+    ascending — read from the marker files, never the catalog (the
+    in-memory catalog forgets at session end; the markers are the
+    on-disk truth a restarted driver recovers from)."""
+    from ..sinks import _hadoop_fs
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    fs, jpath = _hadoop_fs(spark, warehouse)
+    if not fs.exists(jpath(warehouse)):
+        return []
+    pat = _re.compile(_MARKER_RE % _re.escape(table_prefix))
+    out = []
+    for st in fs.listStatus(jpath(warehouse)):
+        m = pat.match(st.getPath().getName())
+        if m and not st.isDirectory():
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def index_resolve(
+    spark: SparkSession, table_prefix: str, generation: int | None = None
+) -> int:
+    """The generation one index read (or attach) binds to, resolved
+    ONCE per operation: the newest published generation, an explicitly
+    pinned one, or 0 for a pre-generation flat-layout index.  Pinning
+    0 is the EXPLICIT flat-layout pin (round-trippable from an attach
+    descriptor); pinning an unpublished/vacuumed generation raises —
+    never a silent fallback."""
+    gens = index_generations(spark, table_prefix)
+    if generation is not None:
+        if generation != 0 and generation not in gens:
+            raise FileNotFoundError(
+                f"index_resolve({table_prefix}): generation {generation} "
+                f"not published (have {gens or 'flat layout only'}) — "
+                "vacuumed or never built; generation pinning is explicit,"
+                " never a silent fallback"
+            )
+        return generation
+    return gens[-1] if gens else 0
+
+
+def index_publish_generation(
+    spark: SparkSession, table_prefix: str, gen: int, what: str
+) -> None:
+    """Publish generation ``gen`` with ONE exclusive marker create —
+    the atomic commit point (claim_marker's O_EXCL discipline: one
+    publisher wins, a collision raises ConcurrentCommitError loudly
+    with the staged tables left on disk for inspection)."""
+    from ..sinks import _hadoop_fs, claim_marker
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    fs, jpath = _hadoop_fs(spark, warehouse)
+    claim_marker(fs, jpath, _index_marker(warehouse, table_prefix, gen), what)
+
+
+def index_vacuum_generations(
+    spark: SparkSession,
+    table_prefix: str,
+    suffixes: tuple[str, ...],
+    keep_last: int = 1,
+) -> list[int]:
+    """Delete all but the newest ``keep_last`` published generations of
+    index ``table_prefix``; returns the removed numbers.  Marker first
+    (no new reader can resolve a doomed generation), then catalog
+    entries, then files — a reader already pinned to a vacuumed
+    generation fails loudly on its next scan.  The legacy flat layout
+    (generation 0) is never vacuumed here — it predates the marker
+    discipline and owns no marker."""
+    from ..sinks import _hadoop_fs
+
+    if keep_last < 1:
+        raise ValueError("index_vacuum_generations: keep_last must be >= 1")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    fs, jpath = _hadoop_fs(spark, warehouse)
+    doomed = index_generations(spark, table_prefix)[:-keep_last]
+    for g in doomed:
+        fs.delete(jpath(_index_marker(warehouse, table_prefix, g)), False)
+        gp = index_gen_prefix(table_prefix, g)
+        for suffix in suffixes:
+            table = f"{gp}{suffix}"
+            # a MANAGED drop purges the directory; an EXTERNAL drop (a
+            # prior attach) removes metadata only — the explicit file
+            # delete below covers both plus the no-catalog-entry case
+            if spark.catalog.tableExists(table):
+                spark.sql(f"DROP TABLE {table}")
+            fs.delete(jpath(warehouse_location(spark, table)), True)
+    return doomed
+
+
+def index_drop_all(
+    spark: SparkSession, table_prefix: str, suffixes: tuple[str, ...]
+) -> None:
+    """Gate/test hygiene: drop EVERY artifact of warehouse index
+    ``table_prefix`` — all published generations (markers, catalog
+    entries, files), any UNPUBLISHED staging tables a failed build left
+    (they carry a generation-suffixed name but no marker), and the
+    legacy flat layout.  Throwaway-prefix gates call this in their
+    ``finally`` so a bench loop doesn't accumulate one generation of
+    tables per run in the shared warehouse."""
+    from ..sinks import _hadoop_fs
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    fs, jpath = _hadoop_fs(spark, warehouse)
+    for g in index_generations(spark, table_prefix):
+        fs.delete(jpath(_index_marker(warehouse, table_prefix, g)), False)
+    pat = _re.compile(
+        rf"^{_re.escape(table_prefix)}(__g\d{{8}})?"
+        rf"({'|'.join(_re.escape(s) for s in suffixes)})$"
+    )
+    for t in spark.catalog.listTables():
+        if pat.match(t.name):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+    # directories with no catalog entry (a dead session's leftovers)
+    if fs.exists(jpath(warehouse)):
+        for st in fs.listStatus(jpath(warehouse)):
+            if st.isDirectory() and pat.match(st.getPath().getName()):
+                fs.delete(st.getPath(), True)

@@ -400,45 +400,61 @@ def minhash_index_build(
     n_buckets: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> None:
+) -> int:
     """Persist a MinHash dedup INDEX for a corpus snapshot, so later
     batches dedup against it at DELTA cost (the nightly production run:
     "which of tonight's documents already exist in the 100 TB corpus?"
     — the streaming gate covers within-stream dedup only; this is the
-    cross-snapshot half).
+    cross-snapshot half).  Returns the published GENERATION number.
 
-    Two BUCKETED tables (operators/bucketing.write_bucketed):
+    Two BUCKETED tables per generation (bucketing.write_bucketed under
+    bucketing.index_gen_prefix naming — round 12 applies the IVF
+    index's generation-versioned read discipline here, closing the
+    r11 verdict's item 5 snapshot-less-rewrite reader class: a rebuild
+    writes a brand-new generation's tables and publishes one marker,
+    NEVER touching the tables a concurrent lazy reader resolved):
 
-    - ``<prefix>_bands``: (id, bkey) where bkey = xxhash64(band,
+    - ``<prefix>__gN_bands``: (id, bkey) where bkey = xxhash64(band,
       bucket) folds the band id into the bucket hash so the candidate
       join needs ONE key — bucketed on bkey, the index side of every
       future candidate join is read CO-LOCATED, zero Exchange.
-    - ``<prefix>_shingles``: (id, hs) the shingle-hash sets, bucketed
-      on id — the verification join reads the old side co-located too.
+    - ``<prefix>__gN_shingles``: (id, hs) the shingle-hash sets,
+      bucketed on id — the verification join reads the old side
+      co-located too.
 
     Build cost is the corpus's one shingling pass + two bucketed
     writes; each incremental batch then shuffles only ITSELF.  The
     64-bit band-fold collision argument is the minhash gates' standing
     one (~pairs^2/2^64 — nil)."""
     from ..sinks import _hadoop_fs, claim_marker
-    from .bucketing import write_bucketed
+    from .bucketing import (
+        index_gen_prefix,
+        index_generations,
+        index_publish_generation,
+        write_bucketed,
+    )
 
-    # Two racing nightly rebuilds would interleave the DROP+recreate of
-    # the two catalog tables — same atomic claim discipline as
+    # Two racing nightly rebuilds would both believe they own the next
+    # generation number — same atomic claim discipline as
     # sinks.replace_table (one builder wins, the loser raises
     # ConcurrentCommitError loudly; a crashed builder's marker names
-    # itself).  The claim spans BOTH tables, and is released ONLY on
+    # itself).  The claim spans the whole build and is released ONLY on
     # success: a build that dies between the two write_bucketed calls
-    # (bands rewritten, shingles stale) leaves the marker behind, so
-    # the next builder AND every reader (incremental_dedup_pairs checks
-    # the marker) fail loudly instead of joining a mismatched
-    # bands/shingles snapshot.  Repair = rerun the build (the rewrite
-    # is idempotent) after removing the dead marker.
+    # leaves the marker behind, so the next builder fails loudly and
+    # the operator can clear the orphaned claim (the UNPUBLISHED
+    # generation tables are overwrite-cleaned by the rerun — no marker
+    # was ever created for them, so no reader can resolve them).
+    # Readers never check this claim when a published generation
+    # exists: published generations are immutable, so a mid-rebuild
+    # read is safe by layout (it binds the previous generation).
     spark = docs.sparkSession
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
     fs, jpath = _hadoop_fs(spark, warehouse)
     claim = _index_claim(warehouse, table_prefix)
     claim_marker(fs, jpath, claim, f"minhash_index_build({table_prefix})")
+    gens = index_generations(spark, table_prefix)
+    gen = (gens[-1] if gens else 0) + 1
+    gp = index_gen_prefix(table_prefix, gen)
     hs = shingle_hash_sets(docs, k, id_col, text_col).persist()
     try:
         sig = minhash_signatures(docs, num_perm, k, id_col, text_col, hs_df=hs)
@@ -446,16 +462,22 @@ def minhash_index_build(
         bkeyed = bk.select(
             "id", F.xxhash64(F.col("band"), F.col("bucket")).alias("bkey")
         )
-        write_bucketed(
-            bkeyed, f"{table_prefix}_bands", key="bkey", n_buckets=n_buckets
-        )
-        write_bucketed(hs, f"{table_prefix}_shingles", key="id", n_buckets=n_buckets)
+        write_bucketed(bkeyed, f"{gp}_bands", key="bkey", n_buckets=n_buckets)
+        write_bucketed(hs, f"{gp}_shingles", key="id", n_buckets=n_buckets)
     finally:
         # the persist must not outlive the build on ANY exit path; the
         # claim marker, by contrast, is released ONLY on success (a
-        # half-built index must keep failing loudly) — see docstring
+        # half-built generation must stay unpublished AND the claim
+        # must keep naming its dead builder) — see docstring
         hs.unpersist()
+    # publish THEN release the claim: the marker create is the atomic
+    # commit point (claim_marker O_EXCL — under our build claim it
+    # cannot collide; failing here leaves the claim as the loud wedge)
+    index_publish_generation(
+        spark, table_prefix, gen, f"minhash_index_build({table_prefix})"
+    )
     fs.delete(jpath(claim), False)
+    return gen
 
 
 def _index_claim(warehouse: str, table_prefix: str) -> str:
@@ -473,6 +495,7 @@ def incremental_dedup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     materialize: bool = True,
+    generation: int | None = None,
 ) -> DataFrame:
     """(old_id, new_id, jaccard) pairs between a NEW batch and the
     indexed corpus snapshot, at Jaccard >= ``threshold``.
@@ -489,25 +512,38 @@ def incremental_dedup_pairs(
     index's bucket layout (the index scan reports its distribution —
     no Exchange on the corpus side), and verification joins the slim
     candidate ids against the bucketed shingle store the same way.
-    Re-ingested identical ids are excluded (old_id != new_id)."""
+    Re-ingested identical ids are excluded (old_id != new_id).
+
+    The read binds to ONE resolved index generation (newest published,
+    or an explicit ``generation`` pin; see bucketing.index_resolve) —
+    published generations are immutable, so a nightly rebuild racing
+    this read cannot change what it scans (round 12; previously a
+    rebuild rewrote the tables in place under any lazy reader).  Only
+    the pre-generation FLAT layout (generation 0) still refuses to
+    read under a standing build claim: flat tables were rewritten in
+    place, so a dead mid-rewrite builder means a possibly mismatched
+    bands/shingles snapshot."""
     from ..sinks import ConcurrentCommitError, _hadoop_fs
+    from .bucketing import index_gen_prefix, index_resolve
 
     spark = new_docs.sparkSession
-    # A build claim still standing means the index is mid-rebuild or a
-    # builder died between the two table rewrites — either way the
-    # bands/shingles snapshot may be mismatched; refuse to read it.
-    warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    fs, jpath = _hadoop_fs(spark, warehouse)
-    claim = _index_claim(warehouse, table_prefix)
-    if fs.exists(jpath(claim)):
-        raise ConcurrentCommitError(
-            f"incremental_dedup_pairs({table_prefix}): index build claim "
-            f"{claim} is held — the bands/shingles snapshot may be "
-            "mismatched. Wait for the build, or rerun it if its builder "
-            "is known dead."
-        )
-    idx_bands = spark.table(f"{table_prefix}_bands")
-    idx_sh = spark.table(f"{table_prefix}_shingles")
+    gen = index_resolve(spark, table_prefix, generation)
+    if gen == 0:
+        # legacy flat layout: in-place rewrites existed, claim = doubt
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        fs, jpath = _hadoop_fs(spark, warehouse)
+        claim = _index_claim(warehouse, table_prefix)
+        if fs.exists(jpath(claim)):
+            raise ConcurrentCommitError(
+                f"incremental_dedup_pairs({table_prefix}): index build "
+                f"claim {claim} is held and no published generation "
+                "exists — the flat-layout bands/shingles snapshot may be "
+                "mismatched. Wait for the build, or rerun it if its "
+                "builder is known dead."
+            )
+    gp = index_gen_prefix(table_prefix, gen)
+    idx_bands = spark.table(f"{gp}_bands")
+    idx_sh = spark.table(f"{gp}_shingles")
     hs_new = shingle_hash_sets(new_docs, k, id_col, text_col).persist()
     sig = minhash_signatures(
         new_docs, num_perm, k, id_col, text_col, hs_df=hs_new
@@ -558,17 +594,37 @@ INDEX_BANDS_DDL = "id bigint, bkey bigint"
 INDEX_SHINGLES_DDL = "id bigint, hs array<bigint>"
 
 
-def minhash_index_attach(spark, table_prefix: str, n_buckets: int = INDEX_N_BUCKETS) -> None:
+def minhash_index_attach(
+    spark,
+    table_prefix: str,
+    n_buckets: int = INDEX_N_BUCKETS,
+    generation: int | None = None,
+) -> int:
     """Recover a persisted minhash index's catalog entries in a FRESH
-    session (the restarted nightly driver): re-attach both bucketed
-    tables over their existing warehouse directories so
+    session (the restarted nightly driver): resolve the generation from
+    the on-disk published markers (newest, or an explicit pin — 0 is
+    the legacy flat layout and round-trips), then re-attach both
+    bucketed tables over their existing warehouse directories so
     :func:`incremental_dedup_pairs` keeps its zero-index-shuffle plan.
-    No data is read or written — catalog metadata only."""
-    from .bucketing import attach_bucketed
+    Returns the attached generation.  No data is read or written —
+    catalog metadata only."""
+    from .bucketing import attach_bucketed, index_gen_prefix, index_resolve
 
-    attach_bucketed(
-        spark, f"{table_prefix}_bands", INDEX_BANDS_DDL, "bkey", n_buckets
-    )
-    attach_bucketed(
-        spark, f"{table_prefix}_shingles", INDEX_SHINGLES_DDL, "id", n_buckets
+    gen = index_resolve(spark, table_prefix, generation)
+    gp = index_gen_prefix(table_prefix, gen)
+    attach_bucketed(spark, f"{gp}_bands", INDEX_BANDS_DDL, "bkey", n_buckets)
+    attach_bucketed(spark, f"{gp}_shingles", INDEX_SHINGLES_DDL, "id", n_buckets)
+    return gen
+
+
+def minhash_index_vacuum(spark, table_prefix: str, keep_last: int = 1) -> list[int]:
+    """Delete all but the newest ``keep_last`` published generations of
+    a minhash index (marker first, then tables + files); returns the
+    removed generation numbers.  The ONLY destroyer of a published
+    generation — a reader still pinned to one fails loudly on its next
+    scan, never silently reads a different snapshot."""
+    from .bucketing import index_vacuum_generations
+
+    return index_vacuum_generations(
+        spark, table_prefix, ("_bands", "_shingles"), keep_last
     )

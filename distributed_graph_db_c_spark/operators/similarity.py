@@ -670,11 +670,15 @@ def lsh_index_build(
     multiprobe: int = 0,
     n_buckets: int = LSH_INDEX_N_BUCKETS,
     n_rows: int | None = None,
-) -> None:
+) -> int:
     """PERSIST the train side of semantic decontamination (round 10 —
     the minhash_index_build pattern applied to embedding cross-pairs):
     the corpus is bucketed under auto-sized md5 planes ONCE, and three
-    tables land in the warehouse —
+    tables land in the warehouse under GENERATION-SUFFIXED names
+    (round 12 — bucketing.index_gen_prefix: a rebuild writes a fresh
+    generation and publishes one atomic marker, never touching the
+    tables a concurrent lazy reader resolved; returns the published
+    generation number) —
 
     - ``{prefix}_buckets`` (id, bkey), bucketed+sorted on bkey: the
       candidate join's index side, read co-located (no Exchange above
@@ -708,11 +712,20 @@ def lsh_index_build(
     from .bucketing import write_bucketed
     from ..sinks import _hadoop_fs, claim_marker
 
+    from .bucketing import (
+        index_gen_prefix,
+        index_generations,
+        index_publish_generation,
+    )
+
     spark = train.sparkSession
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
     fs, jpath = _hadoop_fs(spark, warehouse)
     claim = _lsh_index_claim(warehouse, table_prefix)
     claim_marker(fs, jpath, claim, f"lsh_index_build({table_prefix})")
+    gens = index_generations(spark, table_prefix)
+    gen = (gens[-1] if gens else 0) + 1
+    gp = index_gen_prefix(table_prefix, gen)
     if n_rows is None:
         n_rows = train.count()
     n_planes, n_tables, probe, _pred = lsh_params_for(
@@ -728,7 +741,7 @@ def lsh_index_build(
     bkeyed = bt.select(
         "id", F.xxhash64(F.col("table"), F.col("bucket")).alias("bkey")
     )
-    write_bucketed(bkeyed, f"{table_prefix}_buckets", key="bkey", n_buckets=n_buckets)
+    write_bucketed(bkeyed, f"{gp}_buckets", key="bkey", n_buckets=n_buckets)
     checked_norm = F.when(
         F.size(F.col(vec_col)) == dim, norm2_seq(F.col(vec_col))
     ).otherwise(
@@ -744,45 +757,65 @@ def lsh_index_build(
         checked_norm.alias("nrm"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    write_bucketed(vecs, f"{table_prefix}_vectors", key="id", n_buckets=n_buckets)
+    write_bucketed(vecs, f"{gp}_vectors", key="id", n_buckets=n_buckets)
     # same dead-session hygiene as write_bucketed: an orphaned managed
     # directory with no catalog entry (in-memory catalog, file
     # warehouse) would fail the CREATE — clear both first
-    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_meta")
+    spark.sql(f"DROP TABLE IF EXISTS {gp}_meta")
     from urllib.parse import urlparse as _urlparse
 
     wh = _urlparse(warehouse)
     if wh.scheme in ("", "file"):
         import shutil as _shutil
 
-        _shutil.rmtree(f"{wh.path}/{table_prefix}_meta", ignore_errors=True)
+        _shutil.rmtree(f"{wh.path}/{gp}_meta", ignore_errors=True)
     spark.createDataFrame(
         [(int(n_planes), int(n_tables), int(probe), float(threshold), int(dim), int(n_rows))],
         LSH_INDEX_META_DDL,
-    ).write.mode("overwrite").saveAsTable(f"{table_prefix}_meta")
+    ).write.mode("overwrite").saveAsTable(f"{gp}_meta")
+    # publish THEN release the claim: the marker create is the atomic
+    # commit point (under our build claim it cannot collide; failing
+    # here leaves the claim as the loud wedge)
+    index_publish_generation(
+        spark, table_prefix, gen, f"lsh_index_build({table_prefix})"
+    )
     fs.delete(jpath(claim), False)  # success-only, see docstring
+    return gen
 
 
 def lsh_index_attach(
-    spark, table_prefix: str, n_buckets: int = LSH_INDEX_N_BUCKETS
-) -> None:
+    spark,
+    table_prefix: str,
+    n_buckets: int = LSH_INDEX_N_BUCKETS,
+    generation: int | None = None,
+) -> int:
     """Recover a persisted decontamination index's catalog entries in a
     FRESH session (the restarted nightly driver) — the
-    minhash_index_attach counterpart: re-attach both bucketed tables
-    over their existing warehouse directories (recovering the
+    minhash_index_attach counterpart: resolve the generation from the
+    on-disk published markers (newest, an explicit pin, or 0 = the
+    legacy flat layout — round-trippable), then re-attach both bucketed
+    tables over their existing warehouse directories (recovering the
     zero-index-shuffle join property) and the plain-parquet meta table.
-    Catalog metadata only; no data is read or written.  The specs here
-    ARE the on-disk contract (LSH_INDEX_*_DDL) — they must match the
-    writing spec exactly or bucket membership is mislabeled."""
-    from .bucketing import attach_bucketed, warehouse_location
+    Returns the attached generation.  Catalog metadata only; no data is
+    read or written.  The specs here ARE the on-disk contract
+    (LSH_INDEX_*_DDL) — they must match the writing spec exactly or
+    bucket membership is mislabeled."""
+    from .bucketing import (
+        attach_bucketed,
+        index_gen_prefix,
+        index_resolve,
+        warehouse_location,
+    )
 
+    gen = index_resolve(spark, table_prefix, generation)
+    gp = index_gen_prefix(table_prefix, gen)
     attach_bucketed(
-        spark, f"{table_prefix}_buckets", LSH_INDEX_BUCKETS_DDL, "bkey", n_buckets
+        spark, f"{gp}_buckets", LSH_INDEX_BUCKETS_DDL, "bkey", n_buckets
     )
     attach_bucketed(
-        spark, f"{table_prefix}_vectors", LSH_INDEX_VECTORS_DDL, "id", n_buckets
+        spark, f"{gp}_vectors", LSH_INDEX_VECTORS_DDL, "id", n_buckets
     )
-    meta = f"{table_prefix}_meta"
+    meta = f"{gp}_meta"
     # same managed-entry guard as attach_bucketed: dropping a MANAGED
     # table purges its directory — refuse rather than destroy
     if spark.catalog.tableExists(meta):
@@ -800,6 +833,20 @@ def lsh_index_attach(
         f"CREATE TABLE {meta} ({LSH_INDEX_META_DDL}) USING parquet "
         f"LOCATION '{warehouse_location(spark, meta)}'"
     )
+    return gen
+
+
+def lsh_index_vacuum(spark, table_prefix: str, keep_last: int = 1) -> list[int]:
+    """Delete all but the newest ``keep_last`` published generations of
+    a decontamination index (marker first, then tables + files);
+    returns the removed generation numbers.  The ONLY destroyer of a
+    published generation — a reader still pinned to one fails loudly on
+    its next scan, never silently reads a different snapshot."""
+    from .bucketing import index_vacuum_generations
+
+    return index_vacuum_generations(
+        spark, table_prefix, ("_buckets", "_vectors", "_meta"), keep_last
+    )
 
 
 def decontaminate_incremental(
@@ -809,6 +856,7 @@ def decontaminate_incremental(
     vec_col: str = "embedding",
     multiprobe: int | None = None,
     materialize: bool = True,
+    generation: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs between an EVAL batch and the indexed
     TRAIN snapshot at cosine >= the index's threshold — the nightly
@@ -826,21 +874,34 @@ def decontaminate_incremental(
     the id-bucketed vectors table the same way.  Probe widening
     defaults to the INDEX's recorded multiprobe (reading it from meta,
     not trusting the caller — mismatched widening silently loses
-    recall, never raises)."""
+    recall, never raises).
+
+    The read binds to ONE resolved index generation (newest published,
+    or an explicit ``generation`` pin) — published generations are
+    immutable, so a nightly rebuild racing this read cannot change what
+    it scans (round 12).  Only the pre-generation FLAT layout
+    (generation 0) still refuses to read under a standing build claim:
+    flat tables were rewritten in place, so a dead mid-rewrite builder
+    means a possibly mismatched buckets/vectors/meta snapshot."""
     from ..sinks import ConcurrentCommitError, _hadoop_fs
+    from .bucketing import index_gen_prefix, index_resolve
 
     spark = eval_batch.sparkSession
-    warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    fs, jpath = _hadoop_fs(spark, warehouse)
-    claim = _lsh_index_claim(warehouse, table_prefix)
-    if fs.exists(jpath(claim)):
-        raise ConcurrentCommitError(
-            f"decontaminate_incremental({table_prefix}): index build claim "
-            f"{claim} is held — the buckets/vectors snapshot may be "
-            "mismatched. Wait for the build, or rerun it if its builder "
-            "is known dead."
-        )
-    meta = spark.table(f"{table_prefix}_meta").head()
+    gen = index_resolve(spark, table_prefix, generation)
+    if gen == 0:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        fs, jpath = _hadoop_fs(spark, warehouse)
+        claim = _lsh_index_claim(warehouse, table_prefix)
+        if fs.exists(jpath(claim)):
+            raise ConcurrentCommitError(
+                f"decontaminate_incremental({table_prefix}): index build "
+                f"claim {claim} is held and no published generation "
+                "exists — the flat-layout buckets/vectors/meta snapshot "
+                "may be mismatched. Wait for the build, or rerun it if "
+                "its builder is known dead."
+            )
+    gp = index_gen_prefix(table_prefix, gen)
+    meta = spark.table(f"{gp}_meta").head()
     n_planes, n_tables = int(meta["n_planes"]), int(meta["n_tables"])
     dim, threshold = int(meta["dim"]), float(meta["threshold"])
     probe = int(meta["multiprobe"]) if multiprobe is None else max(
@@ -870,7 +931,7 @@ def decontaminate_incremental(
     evk = ev.select(
         "id_a", F.xxhash64(F.col("table"), F.col("bucket")).alias("bkey")
     )
-    idx = spark.table(f"{table_prefix}_buckets")
+    idx = spark.table(f"{gp}_buckets")
     cand = (
         evk.join(idx.select(F.col("id").alias("id_b"), "bkey"), "bkey")
         .select("id_a", "id_b")
@@ -894,7 +955,7 @@ def decontaminate_incremental(
         checked_norm.alias("_na"),
         *[F.col(vec_col)[i].cast("double").alias(f"_a{i}") for i in range(dim)],
     )
-    wb = spark.table(f"{table_prefix}_vectors").select(
+    wb = spark.table(f"{gp}_vectors").select(
         F.col("id").alias("id_b"),
         F.col("nrm").alias("_nb"),
         *[F.col("v")[i].alias(f"_b{i}") for i in range(dim)],

@@ -134,12 +134,16 @@ def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs — the pytest pin (test_incremental_dedup_matches_full_batch
     _cross_pairs) states the decomposition exactness this relies on,
     and the minhash gates' corpus-contingent total-recall argument
-    carries over unchanged (same signatures, same banding).  The index
-    build rides THIS round's claim-semantics rework (release on success
-    only; readers check the marker), giving the rework driver evidence.
-    Unique table prefix + finally-drop keeps the gate re-runnable."""
+    carries over unchanged (same signatures, same banding).  Round 12:
+    the index is GENERATION-VERSIONED (bucketing.index_gen_prefix —
+    the build publishes g=1 and the read resolves it from the on-disk
+    marker, never a bare table name), giving the r11 verdict's item-5
+    rework its driver evidence.  Unique table prefix + a finally
+    index_drop_all keeps the gate re-runnable without accumulating one
+    generation per bench loop."""
     import uuid as _uuid
 
+    from ..operators.bucketing import index_drop_all
     from ..operators.dedup import incremental_dedup_pairs, minhash_index_build
 
     docs = load_table(spark, sf_dir, "documents")
@@ -150,8 +154,7 @@ def dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_index_build(old, prefix)
         result = incremental_dedup_pairs(new, prefix, threshold=0.8)
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {prefix}_bands")
-        spark.sql(f"DROP TABLE IF EXISTS {prefix}_shingles")
+        index_drop_all(spark, prefix, ("_bands", "_shingles"))
         # a failed build leaves its claim marker by design (durable
         # indexes must fail loudly until repaired) — but THIS prefix is
         # a random throwaway, so an orphaned marker would just litter
@@ -982,10 +985,10 @@ def dedup_decontaminate_incremental(spark: SparkSession, sf_dir: str) -> DataFra
             .localCheckpoint(eager=True)
         )
     finally:
-        for suffix in ("_buckets", "_vectors", "_meta"):
-            spark.sql(f"DROP TABLE IF EXISTS {prefix}{suffix}")
+        from ..operators.bucketing import index_drop_all
         from ..sinks import _hadoop_fs
 
+        index_drop_all(spark, prefix, ("_buckets", "_vectors", "_meta"))
         warehouse = spark.conf.get("spark.sql.warehouse.dir")
         fs, jpath = _hadoop_fs(spark, warehouse)
         fs.delete(jpath(_lsh_index_claim(warehouse, prefix)), False)

@@ -634,9 +634,12 @@ def test_incremental_dedup_matches_full_batch_cross_pairs(spark):
     )
     from distributed_graph_db_c_spark.sources.tables import load_table
 
+    from distributed_graph_db_c_spark.operators.bucketing import index_drop_all
+
     docs = load_table(spark, "/root/testdata/sf0.01", "documents")
     old = docs.filter(F.col("doc_id") % 3 != 0)
     new = docs.filter(F.col("doc_id") % 3 == 0)
+    index_drop_all(spark, "incdedup_t", ("_bands", "_shingles"))
     minhash_index_build(old, "incdedup_t")
     inc = {
         (r["old_id"], r["new_id"]): round(r["jaccard"], 9)
@@ -677,8 +680,11 @@ def test_incremental_dedup_reingested_id_excluded(spark):
         minhash_index_build,
     )
 
+    from distributed_graph_db_c_spark.operators.bucketing import index_drop_all
+
     base = [(i, " ".join(f"w{j+i}" for j in range(30))) for i in range(40)]
     old = spark.createDataFrame(base, "doc_id long, text string")
+    index_drop_all(spark, "incdedup_t2", ("_bands", "_shingles"))
     minhash_index_build(old, "incdedup_t2")
     new = spark.createDataFrame(
         [(7, base[7][1]), (999, base[3][1])], "doc_id long, text string"
@@ -705,16 +711,28 @@ def test_incremental_index_build_claims_against_racing_builders(spark):
         [(i, " ".join(f"w{j+i}" for j in range(20))) for i in range(30)],
         "doc_id long, text string",
     )
-    minhash_index_build(docs, "incdedup_claimed")  # clean build, claim released
+    from distributed_graph_db_c_spark.operators.bucketing import (
+        index_drop_all,
+        index_gen_prefix,
+        index_generations,
+    )
+
+    index_drop_all(spark, "incdedup_claimed", ("_bands", "_shingles"))
+    gen1 = minhash_index_build(docs, "incdedup_claimed")  # claim released
     warehouse = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
     marker = f"{warehouse.rstrip('/')}/_incdedup_claimed__index_build__"
     open(marker, "w").close()  # a dead builder's leftover claim
-    before = spark.table("incdedup_claimed_bands").count()
+    bands1 = f"{index_gen_prefix('incdedup_claimed', gen1)}_bands"
+    before = spark.table(bands1).count()
     with pytest.raises(ConcurrentCommitError, match="index_build"):
         minhash_index_build(docs, "incdedup_claimed")
-    assert spark.table("incdedup_claimed_bands").count() == before  # untouched
+    # the published generation is untouched AND nothing new published
+    assert spark.table(bands1).count() == before
+    assert index_generations(spark, "incdedup_claimed") == [gen1]
     os.remove(marker)
-    minhash_index_build(docs, "incdedup_claimed")  # operator cleared it
+    gen2 = minhash_index_build(docs, "incdedup_claimed")  # operator cleared it
+    assert gen2 == gen1 + 1  # a rebuild is a NEW generation, never in place
+    index_drop_all(spark, "incdedup_claimed", ("_bands", "_shingles"))
 
 
 def test_index_attach_recovers_catalog_and_bucketed_plan(spark):
@@ -738,19 +756,27 @@ def test_index_attach_recovers_catalog_and_bucketed_plan(spark):
     )
     old = docs.filter(F.col("doc_id") < 40)
     new = docs.filter(F.col("doc_id") >= 40)
-    minhash_index_build(old, "attach_idx")
+    from distributed_graph_db_c_spark.operators.bucketing import (
+        index_drop_all,
+        index_gen_prefix,
+    )
+
+    index_drop_all(spark, "attach_idx", ("_bands", "_shingles"))
+    gen = minhash_index_build(old, "attach_idx")
+    gp = index_gen_prefix("attach_idx", gen)
     before = {
         (r["old_id"], r["new_id"]): round(r["jaccard"], 9)
         for r in incremental_dedup_pairs(new, "attach_idx").collect()
     }
     # simulate session loss: copy files aside, drop managed tables
-    # (which purges them), restore files, re-attach metadata
+    # (which purges them), restore files, re-attach metadata (the
+    # published marker lives in the warehouse and survives on its own)
     warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    for t in ("attach_idx_bands", "attach_idx_shingles"):
+    for t in (f"{gp}_bands", f"{gp}_shingles"):
         shutil.copytree(f"{warehouse}/{t}", f"{warehouse}/_keep_{t}")
         spark.sql(f"DROP TABLE {t}")
         shutil.move(f"{warehouse}/_keep_{t}", f"{warehouse}/{t}")
-    minhash_index_attach(spark, "attach_idx")
+    assert minhash_index_attach(spark, "attach_idx") == gen
     after = {
         (r["old_id"], r["new_id"]): round(r["jaccard"], 9)
         for r in incremental_dedup_pairs(new, "attach_idx").collect()
@@ -780,6 +806,9 @@ def test_attach_refuses_managed_table_instead_of_purging(spark):
         [(i, " ".join(f"w{j + i}" for j in range(25))) for i in range(40)],
         "doc_id long, text string",
     )
+    from distributed_graph_db_c_spark.operators.bucketing import index_drop_all
+
+    index_drop_all(spark, "attach_guard", ("_bands", "_shingles"))
     minhash_index_build(docs.filter(F.col("doc_id") < 30), "attach_guard")
     with pytest.raises(ValueError, match="MANAGED"):
         minhash_index_attach(spark, "attach_guard")
@@ -788,12 +817,14 @@ def test_attach_refuses_managed_table_instead_of_purging(spark):
     assert incremental_dedup_pairs(new, "attach_guard").count() > 0
 
 
-def test_failed_index_build_leaves_claim_and_blocks_readers(spark, monkeypatch):
-    """ADVICE r7: a build that dies between the two bucketed writes
-    (bands rewritten, shingles stale) must LEAVE its claim marker so
-    both the next builder and incremental_dedup_pairs readers fail
-    loudly on the possibly-mismatched snapshot; a rebuild after
-    operator repair clears it."""
+def test_failed_index_build_leaves_claim_and_blocks_builders(spark, monkeypatch):
+    """ADVICE r7, amended by the round-12 generation layout: a build
+    that dies between the two bucketed writes must LEAVE its claim
+    marker so the next BUILDER fails loudly.  READERS, by contrast, are
+    now safe by layout — the dead build's staging tables were never
+    published, so a read resolves the last published generation and
+    returns the exact healthy result; a rebuild after operator repair
+    clears the claim and publishes the next generation."""
     import os
 
     from distributed_graph_db_c_spark.operators import bucketing
@@ -807,9 +838,16 @@ def test_failed_index_build_leaves_claim_and_blocks_readers(spark, monkeypatch):
         [(i, " ".join(f"w{j + i}" for j in range(20))) for i in range(30)],
         "doc_id long, text string",
     )
+    from distributed_graph_db_c_spark.operators.bucketing import index_drop_all
+
     old = docs.filter(F.col("doc_id") < 20)
     new = docs.filter(F.col("doc_id") >= 20)
+    index_drop_all(spark, "failed_build", ("_bands", "_shingles"))
     minhash_index_build(old, "failed_build")  # healthy baseline
+    baseline = {
+        (r["old_id"], r["new_id"]): round(r["jaccard"], 9)
+        for r in incremental_dedup_pairs(new, "failed_build").collect()
+    }
 
     real = bucketing.write_bucketed
     calls = {"n": 0}
@@ -825,13 +863,20 @@ def test_failed_index_build_leaves_claim_and_blocks_readers(spark, monkeypatch):
         minhash_index_build(old, "failed_build")
     monkeypatch.setattr(bucketing, "write_bucketed", real)
 
-    # marker still standing: builder AND reader both refuse
+    # marker still standing: the next BUILDER refuses; the READER is
+    # now SAFE (round 12) — it binds the published healthy generation,
+    # which the failed rebuild never touched (its staging tables were
+    # never published)
     with pytest.raises(ConcurrentCommitError):
         minhash_index_build(old, "failed_build")
-    with pytest.raises(ConcurrentCommitError, match="mismatched"):
-        incremental_dedup_pairs(new, "failed_build")
+    mid_crash = {
+        (r["old_id"], r["new_id"]): round(r["jaccard"], 9)
+        for r in incremental_dedup_pairs(new, "failed_build").collect()
+    }
+    assert mid_crash == baseline  # bit-identical to the healthy read
     warehouse = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
     marker = f"{warehouse.rstrip('/')}/_failed_build__index_build__"
     os.remove(marker)  # operator repair
     minhash_index_build(old, "failed_build")
     assert incremental_dedup_pairs(new, "failed_build").count() >= 0
+    index_drop_all(spark, "failed_build", ("_bands", "_shingles"))

@@ -703,15 +703,21 @@ def test_decontaminate_incremental_matches_oneshot(spark):
         n_exchanges = len(re.findall(r"Exchange hashpartitioning\(bkey", plan))
         assert n_exchanges <= 1, f"index side reshuffled: {n_exchanges}"
     finally:
-        for suffix in ("_buckets", "_vectors", "_meta"):
-            spark.sql(f"DROP TABLE IF EXISTS {prefix}{suffix}")
+        from distributed_graph_db_c_spark.operators.bucketing import index_drop_all
+
+        index_drop_all(spark, prefix, ("_buckets", "_vectors", "_meta"))
 
 
 def test_decontaminate_incremental_refuses_mid_build(spark):
-    """A standing index-build claim means the buckets/vectors/meta
-    snapshot may be mismatched — screening must refuse loudly."""
+    """Round-12 amendment of the r10 claim-read pin: with a PUBLISHED
+    generation, a standing build claim no longer blocks reads — the
+    reader binds the published (immutable) generation and returns the
+    exact pre-claim result.  Only the LEGACY flat layout (generation 0,
+    in-place rewrites) still refuses under a claim, because there a
+    dead mid-rewrite builder really can leave a mismatched snapshot."""
     import uuid
 
+    from distributed_graph_db_c_spark.operators.bucketing import index_drop_all
     from distributed_graph_db_c_spark.operators.similarity import (
         _lsh_index_claim,
         decontaminate_incremental,
@@ -736,15 +742,32 @@ def test_decontaminate_incremental_refuses_mid_build(spark):
             tr, prefix, threshold=_GRADE_THRESHOLD, dim=64,
             vec_col="v", multiprobe=_GRADE_MULTIPROBE,
         )
+        before = sorted(
+            map(tuple, decontaminate_incremental(ev, prefix, vec_col="v").collect())
+        )
         with open(claim.replace("file:", ""), "w") as f:
             f.write("wedged-builder")
-        with pytest.raises(ConcurrentCommitError):
-            decontaminate_incremental(ev, prefix, vec_col="v")
+        # published generation: the claim does not block, the result is
+        # the exact same snapshot
+        during = sorted(
+            map(tuple, decontaminate_incremental(ev, prefix, vec_col="v").collect())
+        )
+        assert during == before and before
+        # legacy/never-built prefix under a claim: refuse loudly (the
+        # generation-0 path raises BEFORE touching any table)
+        legacy_prefix = f"deconlegacy_{uuid.uuid4().hex[:8]}"
+        legacy_claim = _lsh_index_claim(warehouse, legacy_prefix)
+        with open(legacy_claim.replace("file:", ""), "w") as f:
+            f.write("wedged-builder")
+        try:
+            with pytest.raises(ConcurrentCommitError):
+                decontaminate_incremental(ev, legacy_prefix, vec_col="v")
+        finally:
+            os.remove(legacy_claim.replace("file:", ""))
     finally:
         if os.path.exists(claim.replace("file:", "")):
             os.remove(claim.replace("file:", ""))
-        for suffix in ("_buckets", "_vectors", "_meta"):
-            spark.sql(f"DROP TABLE IF EXISTS {prefix}{suffix}")
+        index_drop_all(spark, prefix, ("_buckets", "_vectors", "_meta"))
 
 
 def test_lsh_index_attach_recovers_catalog_and_result(spark):
@@ -789,12 +812,19 @@ def test_lsh_index_attach_recovers_catalog_and_result(spark):
         with pytest.raises(ValueError, match="MANAGED|managed"):
             lsh_index_attach(spark, prefix)
         # simulate session loss: files aside, drop managed (purges), restore
+        from distributed_graph_db_c_spark.operators.bucketing import (
+            index_gen_prefix,
+            index_resolve,
+        )
+
+        gen = index_resolve(spark, prefix)
+        gp = index_gen_prefix(prefix, gen)
         warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        for t in (f"{prefix}_buckets", f"{prefix}_vectors", f"{prefix}_meta"):
+        for t in (f"{gp}_buckets", f"{gp}_vectors", f"{gp}_meta"):
             shutil.copytree(f"{warehouse}/{t}", f"{warehouse}/_keep_{t}")
             spark.sql(f"DROP TABLE {t}")
             shutil.move(f"{warehouse}/_keep_{t}", f"{warehouse}/{t}")
-        lsh_index_attach(spark, prefix)
+        assert lsh_index_attach(spark, prefix) == gen
         after = sorted(
             map(
                 tuple,
@@ -812,8 +842,9 @@ def test_lsh_index_attach_recovers_catalog_and_result(spark):
             plan[:1500]
         )
     finally:
-        for suffix in ("_buckets", "_vectors", "_meta"):
-            spark.sql(f"DROP TABLE IF EXISTS {prefix}{suffix}")
+        from distributed_graph_db_c_spark.operators.bucketing import index_drop_all
+
+        index_drop_all(spark, prefix, ("_buckets", "_vectors", "_meta"))
 
 
 def test_ivf_append_precondition_failures_release_claim(spark):

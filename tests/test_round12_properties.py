@@ -128,3 +128,162 @@ def test_tokens_matches_duckdb_filter_semantics_on_padded_corpus(spark):
         ).fetchall()
     }
     assert got == want
+
+
+# -- generation-versioned minhash/LSH index reads (r11 verdict item 5) ------
+
+
+def _docs(spark, n=60, width=25):
+    return spark.createDataFrame(
+        [(i, " ".join(f"w{j + i}" for j in range(width))) for i in range(n)],
+        "doc_id long, text string",
+    )
+
+
+def test_minhash_reader_during_rebuild_pins_old_generation(spark):
+    """The race the layout closes (mirrors
+    test_ivf_reader_during_swap_pins_old_generation): a reader that
+    RESOLVED generation 1 keeps answering from it — bit-identically —
+    while a nightly rebuild publishes generation 2 with different
+    contents; a fresh reader resolves generation 2."""
+    import uuid
+
+    from distributed_graph_db_c_spark.operators.bucketing import (
+        index_drop_all,
+        index_generations,
+    )
+    from distributed_graph_db_c_spark.operators.dedup import (
+        incremental_dedup_pairs,
+        minhash_index_build,
+    )
+
+    docs = _docs(spark)
+    old_half = docs.filter(F.col("doc_id") < 40)
+    new = spark.createDataFrame(
+        [(999, " ".join(f"w{j + 3}" for j in range(25)))],  # dup of doc 3
+        "doc_id long, text string",
+    )
+    prefix = f"genpin_{uuid.uuid4().hex[:8]}"
+    try:
+        g1 = minhash_index_build(old_half, prefix)
+        assert g1 == 1
+        before = sorted(
+            map(tuple, incremental_dedup_pairs(new, prefix, generation=g1).collect())
+        )
+        assert before  # the planted dup pairs with doc 3
+        # nightly rebuild over a DIFFERENT corpus slice (doc 3 gone)
+        g2 = minhash_index_build(docs.filter(F.col("doc_id") >= 40), prefix)
+        assert g2 == 2 and index_generations(spark, prefix) == [1, 2]
+        # the pinned reader still answers from generation 1, exactly
+        pinned = sorted(
+            map(tuple, incremental_dedup_pairs(new, prefix, generation=g1).collect())
+        )
+        assert pinned == before
+        # a fresh (unpinned) reader resolves generation 2: doc 3 absent
+        fresh = incremental_dedup_pairs(new, prefix).collect()
+        assert not fresh
+    finally:
+        index_drop_all(spark, prefix, ("_bands", "_shingles"))
+
+
+def test_minhash_vacuum_is_the_only_destroyer(spark):
+    """Vacuum removes exactly the non-kept generations; a reader pinned
+    to a vacuumed generation fails LOUDLY (resolve raises
+    FileNotFoundError — never a silent fallback to another snapshot)."""
+    import uuid
+
+    import pytest
+
+    from distributed_graph_db_c_spark.operators.bucketing import (
+        index_drop_all,
+        index_generations,
+    )
+    from distributed_graph_db_c_spark.operators.dedup import (
+        incremental_dedup_pairs,
+        minhash_index_build,
+        minhash_index_vacuum,
+    )
+
+    docs = _docs(spark, n=40)
+    prefix = f"genvac_{uuid.uuid4().hex[:8]}"
+    try:
+        minhash_index_build(docs.filter(F.col("doc_id") < 20), prefix)
+        minhash_index_build(docs, prefix)
+        assert minhash_index_vacuum(spark, prefix, keep_last=1) == [1]
+        assert index_generations(spark, prefix) == [2]
+        new = docs.filter(F.col("doc_id") >= 38)
+        with pytest.raises(FileNotFoundError, match="generation 1"):
+            incremental_dedup_pairs(new, prefix, generation=1)
+        # the kept generation still reads
+        assert incremental_dedup_pairs(new, prefix).count() >= 0
+    finally:
+        index_drop_all(spark, prefix, ("_bands", "_shingles"))
+
+
+def test_lsh_reader_during_rebuild_pins_old_generation(spark):
+    """The decontamination-index twin of the minhash pin: resolve g=1,
+    rebuild to g=2 over a different train slice, and require the pinned
+    read bit-identical to the pre-rebuild read while a fresh read binds
+    g=2 (different meta => different candidate geometry is fine — the
+    point is the PIN, not the contents)."""
+    import uuid
+
+    from distributed_graph_db_c_spark.operators.bucketing import (
+        index_drop_all,
+        index_generations,
+    )
+    from distributed_graph_db_c_spark.operators.similarity import (
+        decontaminate_incremental,
+        lsh_index_build,
+    )
+    from distributed_graph_db_c_spark.queries.dedup import (
+        _GRADE_MULTIPROBE,
+        _GRADE_THRESHOLD,
+        _PLANT_ID_OFFSET,
+        _grade_corpus,
+    )
+
+    corpus = _grade_corpus(spark, SF_DIR)
+    ev = corpus.filter(F.col("vec_id") >= _PLANT_ID_OFFSET)
+    tr = corpus.filter(F.col("vec_id") < _PLANT_ID_OFFSET)
+    prefix = f"genlsh_{uuid.uuid4().hex[:8]}"
+    try:
+        g1 = lsh_index_build(
+            tr, prefix, threshold=_GRADE_THRESHOLD, dim=64,
+            vec_col="v", multiprobe=_GRADE_MULTIPROBE,
+        )
+        assert g1 == 1
+        before = sorted(
+            map(
+                tuple,
+                decontaminate_incremental(
+                    ev, prefix, vec_col="v", generation=g1
+                ).collect(),
+            )
+        )
+        assert before
+        # rebuild over HALF the train side: planted sources with odd
+        # ids vanish from the index
+        g2 = lsh_index_build(
+            tr.filter(F.col("vec_id") % 2 == 0), prefix,
+            threshold=_GRADE_THRESHOLD, dim=64,
+            vec_col="v", multiprobe=_GRADE_MULTIPROBE,
+        )
+        assert g2 == 2 and index_generations(spark, prefix) == [1, 2]
+        pinned = sorted(
+            map(
+                tuple,
+                decontaminate_incremental(
+                    ev, prefix, vec_col="v", generation=g1
+                ).collect(),
+            )
+        )
+        assert pinned == before
+        fresh = sorted(
+            map(tuple, decontaminate_incremental(ev, prefix, vec_col="v").collect())
+        )
+        assert {b for (_, b, _) in fresh} <= {
+            r.vec_id for r in tr.filter(F.col("vec_id") % 2 == 0).select("vec_id").collect()
+        }
+    finally:
+        index_drop_all(spark, prefix, ("_buckets", "_vectors", "_meta"))
