@@ -1109,10 +1109,20 @@ def ivf_resolve(
     :func:`ivf_vacuum_generations`).  ``gens`` lets a caller that
     already listed the directory skip the re-listing — LIST is the
     slow, billed operation on object stores, and the hot query paths
-    resolve + quiescence-check from ONE listing (r11 review finding)."""
+    resolve + quiescence-check from ONE listing (r11 review finding).
+
+    ``generation=0`` is the EXPLICIT flat-layout pin (ADVICE r11: an
+    ``ivf_index_attach`` descriptor reports generation 0 for a legacy
+    index, and that value must round-trip back through every
+    ``generation=`` parameter instead of raising) — it resolves to
+    ``path`` itself exactly like the no-generations fallback, and fails
+    downstream with the ordinary missing-sidecar errors if no flat
+    index actually lives there."""
     if gens is None:
         gens = _ivf_generations(spark, path)
     if generation is not None:
+        if generation == 0:
+            return path.rstrip("/")
         if generation not in gens:
             raise FileNotFoundError(
                 f"ivf_resolve({path}): generation {generation} not "
@@ -1149,11 +1159,33 @@ def _ivf_publish_generation(
         else (_ivf_generations(spark, path) or [0])[-1] + 1
     )
     final = f"{path.rstrip('/')}/{_IVF_GEN_FMT % gen}"
-    if fs.exists(jpath(final)) or not fs.rename(jpath(staging), jpath(final)):
+    if fs.exists(jpath(final)):
         fs.delete(jpath(staging), True)
         raise ConcurrentCommitError(
             f"ivf publish: generation {gen} already published at {path} "
             "(concurrent publisher won) — staged index discarded, retry"
+        )
+    if not fs.rename(jpath(staging), jpath(final)):
+        # ADVICE r11: a rename can fail for two very different reasons,
+        # and only ONE of them should cost the caller its fully-built
+        # staging directory.  Re-check the destination: if it exists
+        # now, a racer landed between our pre-check and the rename —
+        # a genuine lost publish race, staging discarded, retry is
+        # cheap and correct.  Otherwise the failure is a filesystem
+        # fault (transient or otherwise): LEAVE the staged index in
+        # place and surface the error naming it, so the caller can
+        # retry the single rename instead of re-paying the build.
+        if fs.exists(jpath(final)):
+            fs.delete(jpath(staging), True)
+            raise ConcurrentCommitError(
+                f"ivf publish: lost the publish race for generation "
+                f"{gen} at {path} — staged index discarded, retry"
+            )
+        raise OSError(
+            f"ivf publish: rename {staging} -> {final} failed with no "
+            "visible concurrent publisher (filesystem fault?) — the "
+            f"fully-built staged index is LEFT IN PLACE at {staging}; "
+            "retry the publish or inspect the store before rebuilding"
         )
     # post-rename audit: a racer publishing between the exists-check and
     # our rename nests our dir INSIDE theirs — detect and fail loudly
@@ -1710,11 +1742,17 @@ def ivf_query_persisted(
     Snapshot isolation: every read binds to the generation directory
     :func:`ivf_resolve` returns ONCE, up front — a retrain publishing a
     new generation mid-query cannot mix centroids and lists from
-    different generations (the directory this plan reads is immutable
-    until an explicit vacuum).  Pass ``generation`` to pin an OLDER
-    published generation instead of the newest — index time travel,
-    the read_version counterpart; a vacuumed generation raises
-    loudly."""
+    different generations (RETRAINS never write into a published
+    directory).  The isolation claim is scoped to retrains (ADVICE
+    r11): an APPEND mutates the newest generation in place under its
+    claim, so one claiming after this function's single up-front
+    quiescence check can still land delta rows before the lazy lists
+    scan executes — callers needing a point-in-time snapshot versus
+    appends too should materialize the result while the index is
+    quiescent, or pin an older generation (appends only ever target
+    the newest).  Pass ``generation`` to pin an OLDER published
+    generation instead of the newest — index time travel, the
+    read_version counterpart; a vacuumed generation raises loudly."""
     gens = _ivf_generations(spark, path)  # ONE listing feeds both steps
     _check_index_quiescent(spark, path, gens=gens)
     content = ivf_resolve(spark, path, generation=generation, gens=gens)
@@ -1800,10 +1838,12 @@ def ivf_batch_query_persisted(
     rows are bit-identical to the brute-force scorer's (same fold, same
     tie order); gates pin that operating point per corpus.
 
-    Snapshot isolation as in ivf_query_persisted: one up-front
-    ivf_resolve pins every read of this query to ONE immutable
-    generation directory; ``generation`` pins an older one (time
-    travel)."""
+    Snapshot isolation as in ivf_query_persisted (and with the same
+    ADVICE-r11 scoping): one up-front ivf_resolve pins every read of
+    this query to ONE generation directory that retrains never rewrite;
+    appends can still land in the NEWEST generation after the
+    quiescence check, so materialize while quiescent — or pin an older
+    ``generation`` (time travel) — for an append-proof snapshot."""
     gens = _ivf_generations(spark, path)  # ONE listing feeds both steps
     _check_index_quiescent(spark, path, gens=gens)
     content = ivf_resolve(spark, path, generation=generation, gens=gens)
@@ -1872,7 +1912,11 @@ def ivf_index_attach(spark, path: str, id_col: str = "vec_id") -> dict:
       with its driver: generation number, n_cells, build-time n_base,
       current total rows, accumulated appended fraction, and whether a
       retrain is already due — read from meta/centroids footers and
-      the append_log ledger, no list data scanned.
+      the append_log ledger, no list data scanned.  A legacy
+      flat-layout index reports ``generation=0``, which ROUND-TRIPS
+      (ADVICE r11): ``ivf_resolve``/the query paths accept 0 as the
+      explicit flat-layout pin, so feeding any descriptor field back
+      as a ``generation=`` argument is always valid.
 
     After a successful attach, ivf_query_persisted /
     ivf_batch_query_persisted / ivf_append on ``path`` behave exactly

@@ -876,7 +876,8 @@ def sim_ivf_retrain_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         ivf_build(base, f"{scratch}/idx", n_cells=_APPEND_CELLS)
         audit = ivf_append(spark, f"{scratch}/idx", delta)
-        assert audit["retrain_due"], "gate corpus must trip the trigger"
+        if not audit["retrain_due"]:  # loud even under python -O
+            raise RuntimeError("gate corpus must trip the retrain trigger")
         ivf_retrain_swap(spark, f"{scratch}/idx", emb, n_cells=_APPEND_CELLS)
         result = ivf_batch_query_persisted(
             spark,
@@ -952,11 +953,16 @@ def sim_ivf_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         ivf_build(base, f"{scratch}/idx", n_cells=_APPEND_CELLS)
         audit = ivf_append(spark, f"{scratch}/idx", delta)
-        assert audit["retrain_due"], "gate corpus must trip the trigger"
+        # lifecycle invariants raise explicitly (ADVICE r11: bare
+        # asserts strip under python -O and a silently wrong lifecycle
+        # would reach the oracle as a confusing hash mismatch)
+        if not audit["retrain_due"]:
+            raise RuntimeError("gate corpus must trip the retrain trigger")
         new_gen = ivf_retrain_swap(
             spark, f"{scratch}/idx", emb, n_cells=_APPEND_CELLS
         )
-        assert new_gen == 2, "retrain must publish generation 2"
+        if new_gen != 2:
+            raise RuntimeError(f"retrain must publish generation 2, got {new_gen}")
         legs = [
             ivf_batch_query_persisted(
                 spark,

@@ -440,6 +440,21 @@ def test_ivf_index_attach_describes_legacy_flat_layout(spark):
         assert desc["n_cells"] == 24 and desc["dim"] == 64
         assert desc["n_base"] == desc["total_rows"] == base.count()
         assert desc["retrain_due"] is False and desc["appended_frac"] == 0.0
+        # ADVICE r11 (closed r12): the descriptor's generation field
+        # ROUND-TRIPS — 0 is the explicit flat-layout pin, resolving to
+        # the path itself, and the query path accepts it
+        from distributed_graph_db_c_spark.operators.similarity import (
+            ivf_query_persisted,
+            ivf_resolve,
+        )
+
+        assert ivf_resolve(spark, f"{s}/idx", generation=0) == f"{s}/idx"
+        q = base.head()["embedding"]
+        pinned = ivf_query_persisted(
+            spark, f"{s}/idx", query_vec=list(q), top_k=3,
+            generation=desc["generation"],
+        ).collect()
+        assert len(pinned) == 3
     finally:
         cleanup(s)
 
