@@ -58,7 +58,7 @@ _loaded = False
 # it to decide whether this round's CORRECTNESS record has been published
 # yet (build time: strict look-ahead check) or not (judge time: the
 # published-horizon check).  Bumping it is STEP 1 of every round.
-ROUND = 11
+ROUND = 12
 
 # The correctness driver checks the FIRST `DRIVER_WINDOW` registry entries
 # (observed: CORRECTNESS_r01/r02.json each stopped at exactly 50, in
@@ -73,222 +73,172 @@ ROUND = 11
 # driver rows each round, so that cumulatively every oracle-backed query
 # has independent driver evidence.
 #
-# Rotation policy (amended round 7: two->three published rounds;
-# amended round 11: three->FOUR): a FOUR-published-round freshness
-# horizon for bench-headline oracle-backed queries, enforced by
-# tests/test_registry_window.py in an artifact-arrival-robust form:
-# before this round's CORRECTNESS record lands the check is the strict
-# look-ahead (the window must cover everything that will exceed the
-# horizon when the record lands); after it lands the published horizon
-# applies.  WHY four (the same arithmetic-infeasibility argument that
-# set three at r7, re-run at r11's measured sizes): the headline pool
-# has grown from 94 to 122 oracle-backed queries, so a three-round
-# horizon demands 122/3 ~= 41 pure-rotation slots per round — at r11
-# build the recomputed due list was 47 wide, leaving THREE slots for
-# everything else while the round's fixed obligations (3 AWAITING
-# drains, ~5 changed-code re-pins, a new gate, the 30-query r01-r05
-# stale-ramp debt the r10 verdict ordered cleared) totaled 40+.  Three
-# rounds is no longer the tightest FEASIBLE cadence; four
-# (122/4 ~= 31/round steady-state) restores ~15 residual slots per
-# round for the ramp, new gates, and re-pins.  The 12-published-round
-# whole-registry ceiling (test_whole_registry_evidence_ceiling) is
-# unchanged — the hard backstop does not move.  Slot priorities:
-# (a) the AWAITING_FIRST_SLOT gates drain first; (b) queries whose
-# operator code changed this round — evidence follows the diff;
-# (c) this round's new registrations; (d) the recomputed due list
-# (headline queries lacking evidence in the three latest published
-# records); (e) family pins so every family holds a SLOT
-# (arrival-proof — at judge time the latest record IS this window);
-# (f) remaining slots run the greedy stale ramp, which also pre-pays
-# next round's dues once the debt clears.  No-oracle entries stay OUT
-# of the window (r02+r03 both proved the driver reports them as
-# err=no_oracle — a wasted slot).
+# Rotation policy: the FOUR-published-round freshness horizon (amended
+# r7 two->three, r11 three->four — both by the same
+# arithmetic-feasibility rule; see tests/test_registry_window.py), with
+# slot priorities (a) AWAITING drains first; (b) changed-code re-pins —
+# evidence follows the diff; (c) new registrations; (d) the recomputed
+# due list; (e) family pins; (f) the greedy stale ramp.  No-oracle
+# entries stay OUT (r02+r03 proved err=no_oracle wastes the slot).
 DRIVER_WINDOW = 50
 
-# (b) changed-code re-pins — the round-11 diff: the IVF index is now
-# GENERATION-VERSIONED (ivf_build publishes g=NNNNNNNN; both persisted
-# query paths resolve the generation once; retrain publishes instead
-# of swapping in place — r10 verdict item 4), which touches every
-# persisted-IVF read; and the quantile rollup's global tier gained the
-# materialized-label single-partition window (r10 verdict item 7).
-# Every oracle-backed query on that diff holds a round-11 slot:
-# these five here, plus sim_ivf_retrain_swap riding the AWAITING
-# drain (its slot was already owed).
+# (b) changed-code re-pins — the round-12 diff is WIDE but shallow:
+# (1) the TOKENIZER ALIGNMENT (r11 verdict item 3 / the r11 review's
+# latent find): functions/text.tokens now extracts \S+ runs instead of
+# trim-then-split, closing the only-0x20-trim edge against the DuckDB
+# mirrors' all-whitespace filter.  The change is CORPUS-BIT-IDENTICAL
+# (pytest equality sweep over every sf0.001+sf0.01 document,
+# tests/test_round12_properties.py) and touches ~26 gates transitively
+# — far more than the residual slots a 36-wide due cohort leaves — so
+# head slots go to the gates with the DIRECTEST seam exposure (the
+# token-count consumers the r11 advice named, plus the stalest of the
+# lang/quality consumers), and the remaining token-family gates ride
+# the equality-sweep bridge + the normal horizon (the new
+# text_tokenizer_whitespace_edge gate exercises the changed edge
+# adversarially in-window).  (2) the three TOTAL-ONLY GLOBAL WINDOWS
+# converted to broadcast scalars (r11 verdict item 4:
+# pipeline_domain_mixture, sketch_freq_items_brand via the shared
+# _retruncate, stream_freq_items_incremental riding the same helper in
+# the tail).  (3) the minhash/LSH persisted indexes are now
+# GENERATION-VERSIONED (r11 verdict item 5) — both incremental gates
+# hold slots.
 _WINDOW_HEAD = [
-    "sim_ann_ivf_persisted",  # generation resolve in ivf_query_persisted
-    "sim_ann_ivf_topk",  # in-memory gate sharing _probe_cells/ivf_assign
-    "sim_knn_gather_mean_ivf",  # generation resolve in batch query path
-    "sim_ivf_index_append",  # append binds to the resolved generation
-    "sketch_quantiles_rollup_lang_source",  # global-tier window restructure
+    "pipeline_domain_mixture",  # broadcast-scalar conversion (was r9)
+    "sketch_freq_items_brand",  # conversion via _retruncate (was r8; also due)
+    "sketch_token_quantiles_rollup",  # n_toks = the advice-named seam feed
+    "text_token_stats",  # the core token-count gate
+    "text_oov_rate_tokenizer",  # tokenizer-pair gate + the bench-watch mover
+    "sketch_quantiles_doclen_by_lang",  # token-count quantiles (was r9)
+    "text_language_id",  # lang argmax over tokens (was r9)
+    "dedup_incremental_pairs",  # generation-versioned minhash index read
+    "dedup_decontaminate_incremental",  # generation-versioned LSH index read
 ]
 
-# (a) the round-10 AWAITING list drains FIRST this round, per the
+# (a) the round-11 AWAITING list drains FIRST this round, per the
 # standing contract: the only oracle-backed queries with zero driver
-# evidence (local strict evidence since r10; the r10 judge re-ran all
-# three independently, green).
+# evidence (local strict since r11; the r11 judge re-ran both
+# independently, green).  pipeline_token_budget_select is ALSO on the
+# tokenizer diff — its drain slot doubles as the re-pin.
 _AWAITING_DRAIN: list[str] = [
-    "sim_ivf_retrain_swap",
-    "dedup_semantic_decontaminate",
-    "dedup_decontaminate_incremental",
-]
-
-# (c) new gates registered this round — each needs its FIRST driver
-# row.  Two this round: the per-source decontamination rollup (the r10
-# verdict's item 5 — 'which SOURCE leaks the most eval items',
-# composing the provenance gate's rows, no new index) and the
-# token-count quantile rollup (the r10 handoff's banked candidate a —
-# the histogram-merge shape generalized to a derived bounded-integer
-# metric).
-_ROUND_NEW: list[str] = [
-    "dedup_decontaminate_by_source",
-    "sketch_token_quantiles_rollup",
-]
-# (mm_jpeg_decode_stats / mm_flac_decode_features register rows-only
-# and ONLY where Pillow/soundfile import — capability-probed gates stay
-# out of the window by the standing no-oracle rule.  Re-verified absent
-# in this container at r11 build.)
-
-# Registered after this round's window filled: local strict evidence
-# only (ORACLE_LOCAL.md), first in line for round-12 driver slots per
-# the standing drain contract.  sim_ivf_time_travel is the
-# driver-gated form of the r11 generation layout (both generations'
-# constructions replayed in one oracle — proves the retrain publish
-# left the old generation answering its exact maintained
-# construction); pipeline_token_budget_select is the token-budget
-# curation step (per-lang greedy quality prefix under an exact
-# running-sum cut, composing the bit-exact quality-score and
-# token-count gates).
-AWAITING_FIRST_SLOT: list[str] = [
     "sim_ivf_time_travel",
     "pipeline_token_budget_select",
 ]
 
+# (c) new gates registered this round — one: the tokenizer
+# whitespace-edge differential, which MANUFACTURES the adversarial
+# inputs the corpus lacks (every document tokenized as stored,
+# tab-prefixed, newline-suffixed, and mixed-padded; per-lang totals of
+# all four variants equal by construction under the aligned tokenizer,
+# and the strict hash-match proves both engines agree on every padded
+# variant — the old idiom would hash-fail here by +n_docs).
+_ROUND_NEW: list[str] = [
+    "text_tokenizer_whitespace_edge",
+]
+
+# Registered after this round's window filled: none.
+AWAITING_FIRST_SLOT: list[str] = []
+
 # (d) the recomputed due list under the FOUR-round horizon: headline
 # oracle-backed queries lacking driver evidence in the three latest
-# published records (r08, r09, r10).  Exactly the three AWAITING
-# drains — which hold their slots above — so the rotation pool is
-# EMPTY this round and the residual slots fund the stale ramp at the
-# full width the r10 verdict ordered
-# (test_due_rotation_matches_lookahead recomputes this from the JSON
-# records; the r08 cohort falls due at r12 instead, ~39 wide — see
-# the handoff below).
-_DUE_ROTATION: list[str] = []
+# published records (r09, r10, r11) — the r08 cohort falling due,
+# measured 36 wide with ZERO streaming members (r11 pre-paid the whole
+# streaming portion), minus sketch_freq_items_brand which holds a head
+# slot (test_due_rotation_matches_lookahead recomputes this from the
+# JSON records and excludes head members).
+_DUE_ROTATION: list[str] = [
+    "dedup_containment_pairs",
+    "dedup_minhash_survivors_quality",
+    "dedup_substring_windows",
+    "graph_copurchase_pairs",
+    "mm_png_decode_stats",
+    "rel_corr_matrix",
+    "rel_corr_quantity_price",
+    "rel_events_attribution",
+    "rel_events_cohort_retention",
+    "rel_events_funnel",
+    "rel_events_sessionization",
+    "rel_events_transition_matrix",
+    "rel_median_per_group",
+    "rel_ntile_deciles",
+    "rel_pivot_monthly_revenue",
+    "rel_q1_pricing_summary",
+    "rel_string_agg_ordered",
+    "rel_weighted_median_udaf",
+    "sample_reservoir_per_group",
+    "sim_centroid_by_label",
+    "sim_knn_gather_mean",
+    "sim_quantize_int8",
+    "source_binaryfile_ingest",
+    "source_xml_roundtrip",
+    "storage_compact_roundtrip",
+    "storage_dpp_pruned_join",
+    "storage_scd_latest_version",
+    "storage_snapshot_diff",
+    "storage_time_travel",
+    "storage_upsert_partitioned",
+    "text_bm25_topk",
+    "text_char_ngram_entropy",
+    "text_ngram_topk",
+    "text_oov_rate",
+    "text_sentence_stats",
+]
 
-# (e) family pins: families not carried by the head/drain/new/ramp/
-# tail pools — skew, pipeline, temporal, storage this round (the ramp
-# is all r01-r06 debt, which those families predate or outrotated).
-# Each pin is its family's OLDEST-evidence member (greedy rule applied
-# within the family): skew_key_profile r08, pipeline_sequence_packing
-# r08, ts_time_weighted_avg r08, sink_partitioned_roundtrip r06.
+# (e) family pins: families not carried by the head/drain/new/due/tail
+# pools — temporal and skew this round (the due cohort is the r08
+# rotation, which both families outrotated).  Greedy rule within the
+# family: asof_join_events r09, skew_salted_join_revenue r10.
 _FAMILY_PINS = [
-    "skew_key_profile",
-    "pipeline_sequence_packing",
-    "ts_time_weighted_avg",
-    "sink_partitioned_roundtrip",
+    "asof_join_events",
+    "skew_salted_join_revenue",
 ]
 
 _REGRESSION: list[str] = []
 
-# (f) THE STALE-TAIL RAMP (round-9 policy, r8 verdict item 2): every
-# residual window slot goes to the oldest-evidence oracle-backed
-# queries, oldest round first, ties by name — recomputed from the
-# PRE-ROUND records and enforced two-sided by
-# tests/test_registry_window.py.  Round 11 is the resume the r10
-# verdict ordered, at MORE than full width: the horizon amendment
-# empties the due rotation, so the ramp takes 31 slots — the ENTIRE
-# 31-query r01-r05 debt (oldest: the three r01 text gates), clearing
-# it to ZERO in one round.  After this round the whole registry's
-# evidence age is bounded by r06, and the ramp's steady-state job
-# becomes pre-paying next round's dues.
-_STALE_RAMP: list[str] = [
-    "text_shingle_stats",  # r01
-    "text_term_frequency",  # r01
-    "text_token_stats",  # r01
-    "dedup_exact",  # r02
-    "dedup_jaccard_pairs",  # r02
-    "graph_dfs_leaves_order_chain",  # r02
-    "graph_dfs_preorder",  # r02
-    "mm_resize_checksum",  # r02
-    "rel_anti_join_customers_no_orders",  # r02
-    "rel_count_distinct",  # r02
-    "rel_grouping_sets_flag_status",  # r02
-    "rel_intersect_nations",  # r02
-    "rel_order_pagination",  # r02
-    "rel_q12_late_lines_by_class",  # r02
-    "rel_q6_forecast_revenue",  # r02
-    "rel_rollup_revenue_region_nation",  # r02
-    "rel_scalar_date_funcs",  # r02
-    "rel_semi_join_open_orders",  # r02
-    "sim_ann_multiprobe_topk",  # r02
-    "sim_cosine_pairs",  # r02
-    "sim_embedding_norms",  # r02
-    "rel_q11_important_stock",  # r03
-    "rel_q15_top_supplier",  # r03
-    "rel_q16_supplier_cnt_by_part",  # r03
-    "rel_q20_heavy_suppliers",  # r03
-    "rel_q21_waiting_suppliers",  # r03
-    "rel_q22_rich_inactive",  # r03
-    "rel_events_json_extract",  # r04
-    "rel_events_tumbling_hour",  # r04
-    "rel_events_type_matrix",  # r04
-    "sample_deterministic_split",  # r05
-]
+# (f) THE STALE RAMP is EMPTY this round by arithmetic: the fixed pools
+# (9 head + 2 drains + 1 new + 35 due + 2 pins + 1 streaming tail)
+# fill the window exactly.  The enforced greedy-oldest property holds
+# vacuously (residual = 0); the whole registry's evidence age stays
+# bounded by r06-era rows only through the four-round horizon's own
+# rotation, and the 12-round ceiling is untouched (oldest current
+# evidence: r06).
+_STALE_RAMP: list[str] = []
 
-# ROUND-12 HANDOFF (computed EXACTLY against the published r10 record
-# with a synthetic r11 = this window all-green; the look-ahead test
-# recomputes and enforces it at r12 build time): the round-12 window
-# owes (1) the TWO AWAITING drains first (sim_ivf_time_travel,
-# pipeline_token_budget_select — full local evidence, zero driver
-# rows); (2) the due cohort leaving the FOUR-round horizon when r12
-# publishes — measured 36 wide, ZERO streaming members (all five
-# pre-paid in this round's tail), so 12 residual slots remain;
-# (3) the three banked window→broadcast-scalar conversions take head
-# slots (pipeline_domain_mixture, sketch_freq_items_brand,
-# stream_freq_items_incremental — evidence follows the diff);
-# (4) family pins recheck (streaming needs a tail pin — every stream
-# gate is r11-green, pick the oldest); (5) remaining slots (~5-6)
-# continue the greedy ramp into the r06 cohort (oldest after this
-# round: rel_percentiles_quantity, rel_q19_disjunctive_filter,
-# rel_q2_best_supplier, ... at r06).  Budget ~1-2 new gates.
+# ROUND-13 HANDOFF (computed EXACTLY against the published r09-r11
+# records with a synthetic r12 = this window all-green; the look-ahead
+# test recomputes and enforces it at r13 build time): the round-13
+# window owes (1) NO awaiting drains (this round registered nothing
+# post-window); (2) the due cohort leaving the FOUR-round horizon when
+# r13 publishes — measured 21 wide, ZERO streaming members again (the
+# r09-green-only cohort: the graph/storage/sketch/sim gates r09
+# rotated); with ~27 residual slots the round has room for the ramp
+# into the r10 cohort (oldest after this round:
+# dedup_embedding_groups, dedup_embedding_groups_grade,
+# dedup_embedding_pairs_grade, dedup_minhash_groups,
+# dedup_minhash_pairs, graph_bfs_order_chain, ... at r10 — note
+# dedup_minhash_* are on the r12 tokenizer diff and ride the
+# equality-sweep bridge until their ramp slots arrive), new gates, and
+# changed-code re-pins.  Budget ~2-3 new gates.
 #
-# Surface candidates banked for round 12: (a) per-source rollup
-# extended to token quantiles (the histogram-merge shape generalizes
-# to any bounded integer metric); (b) capability-gated JPEG/FLAC
-# differential rows in ORACLE_LOCAL when a dep-present environment
-# runs them (Pillow/soundfile re-verified ABSENT at r11); (c)
-# transformWithState migration A/B for the two applyInPandasWithState
-# gates when Spark ships the Python API; (d) IVF generation time
-# travel surfaced as a gate (ivf_resolve(generation=) + vacuum are
-# pytest-pinned this round, not driver-gated); (e) the r11 sweep found
-# seven gates still emitting the benign unpartitioned-WindowExec
-# warning — rel_ntile_deciles / rel_skyline_parts /
-# rel_cumulative_distinct_users / ts_rolling_7d_revenue are GENUINE
-# global-order semantics (document the intent), but
-# pipeline_domain_mixture / sketch_freq_items_brand /
-# stream_freq_items_incremental use a global window only for a TOTAL,
-# which the broadcast-1-row-scalar idiom computes warning-free and
-# cheaper — NOT changed at r11 because evidence-follows-the-diff would
-# demand head slots the full window doesn't have; r12 should convert
-# them and head-pin the three; (f) tokenizer-edge alignment: Spark's
-# functions/text.tokens trims only 0x20 spaces while the DuckDB
-# mirrors filter all-whitespace tokens — a doc with a leading tab/
-# newline would count differently (latent, corpus contains none);
-# aligning changes every token-counting gate's code, so it needs
-# head slots budgeted (r11 review finding).
+# Surface candidates banked for round 13: (a) capability-gated
+# JPEG/FLAC differential rows in ORACLE_LOCAL when a dep-present
+# environment runs them (Pillow/soundfile re-verified ABSENT at r12);
+# (b) transformWithState migration A/B for the two
+# applyInPandasWithState gates when Spark ships the Python API;
+# (c) a minhash-index time-travel gate (generation= pinning is
+# pytest-pinned this round, not driver-gated — the sim_ivf_time_travel
+# pattern applied to the dedup index); (d) index-generation VACUUM as
+# a driver gate (pytest-pinned only); (e) per-generation append for
+# the minhash/LSH indexes (the IVF append/ retrain_due lifecycle
+# applied to the text index — today rebuilds are full-corpus).
 
 # Streaming events consumers LAST inside the window: each runs a real
-# micro-batch stream and is the slowest gate class — if the driver's
-# cutoff were time-based rather than the observed 50-entry cap,
-# everything cheaper is checked before these.  Round 11 carries the
-# five r08-latest rotations — the entire streaming portion of the r08
-# cohort, pre-paid a round early so the heavy r12 rotation arrives
-# stream-free.
+# micro-batch stream and is the slowest gate class.  Round 12 carries
+# ONE stream gate — stream_freq_items_incremental, which is BOTH the
+# round's third broadcast-scalar conversion (its merge rides the shared
+# _retruncate) and the streaming family pin (every other stream gate is
+# r11-green).
 _WINDOW_TAIL_STREAMING = [
-    "stream_attribution_last_touch",
-    "stream_checkpoint_recovery",
-    "stream_foreachbatch_upsert",
-    "stream_stream_interval_join",
-    "stream_watermark_late_drop",
+    "stream_freq_items_incremental",
 ]
 
 

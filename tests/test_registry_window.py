@@ -115,35 +115,36 @@ def test_window_order_fills_window_exactly():
 
 def test_changed_code_leads_window():
     # standing policy: the window leads with the queries whose operator
-    # code changed this round — evidence follows the diff (round 11:
-    # the generation-versioned IVF layout touches both persisted query
-    # paths, the in-memory assign path, and the append; the quantile
-    # rollup's global tier was restructured for the warning fix; the
-    # sixth query on the diff, sim_ivf_retrain_swap, rides the AWAITING
-    # drain immediately after the head).
+    # code changed this round — evidence follows the diff (round 12:
+    # the two broadcast-scalar conversions, the directest-exposure
+    # token gates of the \S+ tokenizer alignment — the full ~26-gate
+    # transitive set cannot fit beside a 36-wide due cohort, so the
+    # rest ride the corpus-bit-identity equality sweep pinned in
+    # tests/test_round12_properties.py — and the two generation-
+    # versioned index reads).  The r11 AWAITING gates drain directly
+    # after the head; the round's new adversarial-edge gate follows.
     w = window()
-    assert w[:5] == [
-        "sim_ann_ivf_persisted",
-        "sim_ann_ivf_topk",
-        "sim_knn_gather_mean_ivf",
-        "sim_ivf_index_append",
-        "sketch_quantiles_rollup_lang_source",
-    ]
-    assert w[5:8] == [
-        "sim_ivf_retrain_swap",
-        "dedup_semantic_decontaminate",
+    assert w[:9] == [
+        "pipeline_domain_mixture",
+        "sketch_freq_items_brand",
+        "sketch_token_quantiles_rollup",
+        "text_token_stats",
+        "text_oov_rate_tokenizer",
+        "sketch_quantiles_doclen_by_lang",
+        "text_language_id",
+        "dedup_incremental_pairs",
         "dedup_decontaminate_incremental",
-    ], "the r10 AWAITING gates must drain directly after the head"
+    ]
+    assert w[9:11] == [
+        "sim_ivf_time_travel",
+        "pipeline_token_budget_select",
+    ], "the r11 AWAITING gates must drain directly after the head"
+    assert w[11] == "text_tokenizer_whitespace_edge"
     streaming_tail = [n for n in w if n.startswith("stream_")]
-    # r11 pre-pays the entire streaming portion of the r08 cohort (due
-    # at r12 otherwise) — slowest gate class last, as always
-    assert streaming_tail == [
-        "stream_attribution_last_touch",
-        "stream_checkpoint_recovery",
-        "stream_foreachbatch_upsert",
-        "stream_stream_interval_join",
-        "stream_watermark_late_drop",
-    ], streaming_tail
+    # ONE stream gate this round: the third broadcast-scalar conversion
+    # doubles as the streaming family pin (all other stream gates are
+    # r11-green) — slowest gate class last, as always
+    assert streaming_tail == ["stream_freq_items_incremental"], streaming_tail
     assert w[-1] == streaming_tail[-1]
 
 
