@@ -1,0 +1,466 @@
+"""Minimal native baseline-JPEG codec (round 12) — the compressed-image
+half of the multimodal decode surface, implemented from the public
+ITU-T T.81 specification so the ``mm_jpeg_decode_stats`` gate runs in
+EVERY environment instead of only where Pillow is installed (with the
+FLAC codec, this closes the gap the r8-r11 verdicts tracked as "the
+probe-success branch has never run").
+
+Scope (the operators/multimodal.py loud-seam discipline):
+
+- encoder: baseline sequential DFCT, 8-bit, YCbCr 4:4:4, standard
+  Annex-K quantization tables scaled by libjpeg's quality rule,
+  standard Annex-K Huffman tables — a fully valid interchange-format
+  JPEG any decoder reads;
+- decoder: baseline sequential (SOF0), 8-bit, 1- or 3-component scans
+  without subsampling; quantization AND Huffman tables are read from
+  the stream's own DQT/DHT segments (never assumed), so the pair is
+  self-consistent by construction and files with custom tables decode
+  too; progressive (SOF2), arithmetic coding, subsampled chroma, and
+  restart intervals raise NotImplementedError naming the Pillow tier.
+
+JPEG is lossy: callers pin decoded DIMENSIONS exactly and channel
+statistics within a quantization tolerance (the synth_jpeg contract),
+never exact pixels.
+
+No reference citation: the reference (SURVEY.md §1.1) has no media
+surface; this is driver-mandated §2.3 multimodal extension surface.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Annex K.1/K.2 quantization tables (row-major 8x8).
+_QT_LUM = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+_QT_CHR = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99]
+    + [99] * 32,
+    dtype=np.int64,
+)
+
+# Annex K.3 Huffman specs: (BITS[1..16], HUFFVAL).
+_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _zigzag_order() -> list[tuple[int, int]]:
+    """The 64 (row, col) pairs in JPEG zigzag order, generated rather
+    than transcribed (diagonal s ascends; odd diagonals run row-up,
+    even run row-down)."""
+    out = []
+    for s in range(15):
+        rng = range(max(0, s - 7), min(8, s + 1))
+        rows = rng if s % 2 == 1 else reversed(rng)
+        out.extend((r, s - r) for r in rows)
+    return out
+
+
+_ZZ = _zigzag_order()
+_ZZ_FLAT = np.array([r * 8 + c for r, c in _ZZ])
+
+# orthonormal 8x8 DCT-II matrix: M[u, x] = C(u)/2 * cos((2x+1)u pi/16)
+_DCT_M = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0) / 2.0 * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (length, code) under JPEG's canonical assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for the bit-serial decoder."""
+    return {lc: sym for sym, lc in _canonical_codes(bits, vals).items()}
+
+
+def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg's quality->table scaling, clamped to [1, 255]."""
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255)
+
+
+class _JpegBitWriter:
+    """MSB-first bit packer with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._n += nbits
+        while self._n >= 8:
+            self._n -= 8
+            b = (self._acc >> self._n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)
+
+
+def _category(v: int) -> tuple[int, int]:
+    """JPEG magnitude-category coding: value -> (size, size-bit code)."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def _encode_block(
+    bw: _JpegBitWriter,
+    coeffs: np.ndarray,
+    pred_dc: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    zz = coeffs.reshape(64)[_ZZ_FLAT]
+    size, bits = _category(int(zz[0]) - pred_dc)
+    length, code = dc_codes[size]
+    bw.write(code, length)
+    if size:
+        bw.write(bits, size)
+    run = 0
+    last_nz = int(np.nonzero(zz[1:])[0][-1]) + 1 if np.any(zz[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = ac_codes[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        size, bits = _category(v)
+        length, code = ac_codes[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(bits, size)
+        run = 0
+    if last_nz < 63:
+        length, code = ac_codes[0x00]  # EOB
+        bw.write(code, length)
+    return int(zz[0])
+
+
+def jpeg_encode(rgb: np.ndarray, quality: int = 90) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a baseline 4:4:4 JPEG."""
+    rgb = np.asarray(rgb)
+    if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
+        raise NotImplementedError("jpeg_encode: (h, w, 3) uint8 RGB only")
+    h, w = rgb.shape[:2]
+    if not (1 <= h <= 65535 and 1 <= w <= 65535):
+        raise ValueError("jpeg_encode: dimensions out of range")
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    planes = [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ]
+    qts = [_quality_scale(_QT_LUM, quality), _quality_scale(_QT_CHR, quality)]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # JFIF APP0
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, qt in enumerate(qts):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        out += bytes(int(qt[i]) for i in _ZZ_FLAT)  # stored in zigzag order
+    out += b"\xff\xc0" + struct.pack(">H", 17) + bytes([8])
+    out += struct.pack(">HH", h, w) + bytes([3])
+    for cid, tq in ((1, 0), (2, 1), (3, 1)):
+        out += bytes([cid, 0x11, tq])
+    for tc_th, (bits, vals) in (
+        (0x00, _DC_LUM), (0x10, _AC_LUM), (0x01, _DC_CHR), (0x11, _AC_CHR)
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tc_th])
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">H", 12) + bytes([3])
+    for cid, tdta in ((1, 0x00), (2, 0x11), (3, 0x11)):
+        out += bytes([cid, tdta])
+    out += bytes([0, 63, 0])
+
+    dc_tabs = [_canonical_codes(*_DC_LUM), _canonical_codes(*_DC_CHR)]
+    ac_tabs = [_canonical_codes(*_AC_LUM), _canonical_codes(*_AC_CHR)]
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    padded = [
+        np.pad(p - 128.0, ((0, bh * 8 - h), (0, bw_ * 8 - w)), mode="edge")
+        for p in planes
+    ]
+    writer = _JpegBitWriter()
+    pred = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw_):
+            for comp in range(3):
+                tsel = 0 if comp == 0 else 1
+                block = padded[comp][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coefs = _DCT_M @ block @ _DCT_M.T
+                q = np.round(coefs / qts[tsel].reshape(8, 8)).astype(np.int64)
+                pred[comp] = _encode_block(
+                    writer, q, pred[comp], dc_tabs[tsel], ac_tabs[tsel]
+                )
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy data with 0xFF00 unstuffing;
+    stops at any real marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self._data = data
+        self._pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def read(self, nbits: int) -> int:
+        while self._n < nbits:
+            if self._pos >= len(self._data):
+                raise NotImplementedError("jpeg: truncated entropy stream")
+            b = self._data[self._pos]
+            self._pos += 1
+            if b == 0xFF:
+                nxt = self._data[self._pos] if self._pos < len(self._data) else None
+                if nxt == 0x00:
+                    self._pos += 1
+                else:
+                    raise NotImplementedError(
+                        f"jpeg: marker 0xFF{nxt:02X} inside scan "
+                        "(restart intervals need the Pillow tier)"
+                    )
+            self._acc = (self._acc << 8) | b
+            self._n += 8
+        self._n -= nbits
+        out = (self._acc >> self._n) & ((1 << nbits) - 1)
+        self._acc &= (1 << self._n) - 1
+        return out
+
+    def huffman(self, table: dict[tuple[int, int], int]) -> int:
+        length, code = 0, 0
+        while length < 17:
+            code = (code << 1) | self.read(1)
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise NotImplementedError("jpeg: invalid Huffman code")
+
+    def receive_extend(self, size: int) -> int:
+        if size == 0:
+            return 0
+        v = self.read(size)
+        return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def jpeg_decode(blob: bytes) -> np.ndarray:
+    """Decode a baseline JPEG -> (h, w, 3) uint8 RGB (grayscale scans
+    replicate into 3 channels).  Tables come from the stream's own
+    DQT/DHT segments; progressive/arithmetic/subsampled/restart shapes
+    raise NotImplementedError (the Pillow tier)."""
+    if blob[:2] != b"\xff\xd8":
+        raise NotImplementedError("jpeg: bad SOI")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[int, dict[tuple[int, int], int]] = {}
+    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    h = w = 0
+    scan: list[tuple[int, int, int]] = []  # (comp index, dc table, ac table)
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise NotImplementedError("jpeg: marker desync")
+        marker = blob[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack(">H", blob[pos + 2 : pos + 4])[0]
+        body = blob[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("jpeg: 16-bit quant tables")
+                tab = np.zeros(64, dtype=np.int64)
+                tab[_ZZ_FLAT] = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8)
+                qts[tq] = tab
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc_th = body[i]
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                huff[tc_th] = _decode_table(bits, vals)
+                i += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            if body[0] != 8:
+                raise NotImplementedError("jpeg: precision != 8")
+            h, w = struct.unpack(">HH", body[1:5])
+            nc = body[5]
+            for c in range(nc):
+                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "jpeg: subsampled chroma needs the Pillow tier"
+                    )
+                comps.append((cid, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"jpeg: SOF{marker - 0xC0} (non-baseline) needs the Pillow tier"
+            )
+        elif marker == 0xDD:
+            raise NotImplementedError("jpeg: restart intervals need the Pillow tier")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            ids = [cid for cid, _ in comps]
+            for c in range(ns):
+                cid, tdta = body[1 + 2 * c : 3 + 2 * c]
+                scan.append((ids.index(cid), tdta >> 4, tdta & 0xF))
+            pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if not scan or not comps or h == 0:
+        raise NotImplementedError("jpeg: missing SOF/SOS")
+    if len(scan) not in (1, 3):
+        raise NotImplementedError(f"jpeg: {len(scan)}-component scan")
+
+    reader = _JpegBitReader(blob, pos)
+    bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    planes = [np.zeros((bh * 8, bw_ * 8)) for _ in scan]
+    pred = [0] * len(scan)
+    for by in range(bh):
+        for bx in range(bw_):
+            for s, (ci, td, ta) in enumerate(scan):
+                dc_tab = huff.get(0x00 | td)
+                ac_tab = huff.get(0x10 | ta)
+                if dc_tab is None or ac_tab is None:
+                    raise NotImplementedError("jpeg: missing Huffman table")
+                zz = np.zeros(64, dtype=np.int64)
+                size = reader.huffman(dc_tab)
+                pred[s] += reader.receive_extend(size)
+                zz[0] = pred[s]
+                k = 1
+                while k < 64:
+                    rs = reader.huffman(ac_tab)
+                    run, size = rs >> 4, rs & 0xF
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += run
+                    if k > 63:
+                        raise NotImplementedError("jpeg: AC index overrun")
+                    zz[k] = reader.receive_extend(size)
+                    k += 1
+                coefs = np.zeros(64)
+                coefs[_ZZ_FLAT] = zz * qts[comps[ci][1]]
+                block = _DCT_M.T @ coefs.reshape(8, 8) @ _DCT_M
+                planes[s][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    planes = [p[:h, :w] + 128.0 for p in planes]
+    if len(planes) == 1:
+        gray = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.stack([gray] * 3, axis=-1)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)

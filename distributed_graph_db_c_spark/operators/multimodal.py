@@ -122,14 +122,25 @@ def decode_image(blob_bytes: bytes) -> np.ndarray:
 
     REAL for uncompressed 24-bit BMP (``BM`` magic: BITMAPFILEHEADER +
     BITMAPINFOHEADER parsed with struct; rows stored bottom-up, each
-    padded to a 4-byte boundary, pixels BGR) and for 8-bit truecolor PNG
+    padded to a 4-byte boundary, pixels BGR), for 8-bit truecolor PNG
     (stdlib zlib inflate + per-row unfilter — a genuinely COMPRESSED
-    format, no codec libs needed).  Other formats (JPEG/WebP/...)
-    capability-probe PIL: on a cluster with Pillow installed they decode
-    through it; in this container the probe fails and the documented
-    NotImplementedError remains.  Every caller goes through this one
-    seam."""
+    format, no codec libs needed), and — round 12 — for baseline
+    sequential 4:4:4 JPEG (operators/jpeg_codec: stream-supplied
+    quant/Huffman tables, numpy IDCT).  JPEG shapes the native decoder
+    refuses (progressive, subsampled chroma, restart intervals) and
+    other formats (WebP/...) capability-probe PIL: on a cluster with
+    Pillow installed they decode through it; in this container the
+    probe fails and the documented NotImplementedError remains.  Every
+    caller goes through this one seam."""
     png_err: NotImplementedError | None = None
+    jpeg_err: NotImplementedError | None = None
+    if blob_bytes[:2] == b"\xff\xd8":
+        from .jpeg_codec import jpeg_decode  # noqa: PLC0415
+
+        try:
+            return jpeg_decode(blob_bytes)
+        except NotImplementedError as e:
+            jpeg_err = e  # a shape only the Pillow tier handles
     if blob_bytes[: len(_PNG_MAGIC)] == _PNG_MAGIC:
         try:
             return _png_decode(blob_bytes)
@@ -166,9 +177,12 @@ def decode_image(blob_bytes: bytes) -> np.ndarray:
         pass
     if png_err is not None:
         raise png_err  # the specific unsupported-PNG-variant message
+    if jpeg_err is not None:
+        raise jpeg_err  # the specific unsupported-JPEG-shape message
     raise NotImplementedError(
-        "BMP and 8-bit RGB PNG decode natively; JPEG/WebP need Pillow, "
-        "which this container lacks — the import probe above is the seam"
+        "BMP, 8-bit RGB PNG, and baseline 4:4:4 JPEG decode natively; "
+        "progressive/subsampled JPEG and WebP need Pillow, which this "
+        "container lacks — the import probe above is the seam"
     )
 
 
@@ -176,8 +190,14 @@ def decode_audio(blob_bytes: bytes) -> tuple[np.ndarray, int]:
     """Audio decode -> (samples int numpy array [n, channels], rate).
 
     REAL for RIFF/PCM WAV (stdlib ``wave``: container parse, 8/16/32-bit
-    PCM).  Compressed audio (MP3/AAC/OGG) needs codec libs absent here
-    and raises NotImplementedError (librosa/soundfile seam)."""
+    PCM) and — round 12 — for FLAC with CONSTANT/VERBATIM subframes
+    (operators/flac_codec, the native tier that finally exercises a
+    compressed codec in every environment; samples scale to soundfile's
+    int32 convention, << (32 - bps), so the two tiers are numerically
+    interchangeable).  FLAC shapes the native decoder refuses
+    (FIXED/LPC prediction, stereo decorrelation) and other compressed
+    audio (MP3/AAC/OGG) fall through to the soundfile capability probe
+    and raise NotImplementedError where it is absent."""
     if blob_bytes[:4] == b"RIFF" and blob_bytes[8:12] == b"WAVE":
         with wave.open(io.BytesIO(blob_bytes), "rb") as w:
             n, ch, width, rate = w.getnframes(), w.getnchannels(), w.getsampwidth(), w.getframerate()
@@ -189,6 +209,15 @@ def decode_audio(blob_bytes: bytes) -> tuple[np.ndarray, int]:
         if width == 1:  # 8-bit WAV is unsigned, center it
             samples = samples - 128
         return samples, rate
+    flac_err: NotImplementedError | None = None
+    if blob_bytes[:4] == b"fLaC":
+        from .flac_codec import flac_decode  # noqa: PLC0415
+
+        try:
+            samples, rate, bps = flac_decode(blob_bytes)
+            return samples << (32 - bps), rate
+        except NotImplementedError as e:
+            flac_err = e  # a shape only the soundfile tier handles
     # Capability probe: decode compressed audio through soundfile when
     # the environment provides it.
     try:
@@ -198,8 +227,11 @@ def decode_audio(blob_bytes: bytes) -> tuple[np.ndarray, int]:
         return data.astype(np.int64), int(rate)
     except ImportError:
         pass
+    if flac_err is not None:
+        raise flac_err
     raise NotImplementedError(
-        "RIFF/PCM WAV decodes natively; MP3/AAC/OGG need soundfile, "
+        "RIFF/PCM WAV and CONSTANT/VERBATIM FLAC decode natively; "
+        "MP3/AAC/OGG and predicted/decorrelated FLAC need soundfile, "
         "which this container lacks — the import probe above is the seam"
     )
 
@@ -658,6 +690,34 @@ def soundfile_available() -> bool:
         return False
 
 
+def _jpeg_gradient_rgb(doc_id: int) -> np.ndarray:
+    """The deterministic smooth per-doc gradient both JPEG synths
+    encode (smooth rather than synth_bmp's mod-256 ramps: JPEG is
+    lossy, so gates pin decoded DIMENSIONS exactly and channel means
+    within a tolerance, never exact pixels)."""
+    w = 16 + doc_id % 13
+    h = 16 + doc_id % 11
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    r = np.clip(40 + x * 2 + doc_id % 64, 0, 255)
+    g = np.clip(60 + y * 3 + (2 * doc_id) % 64, 0, 255)
+    b = np.clip(80 + x + y + (3 * doc_id) % 64, 0, 255)
+    return np.stack(np.broadcast_arrays(r, g, b), axis=-1).astype(np.uint8)
+
+
+def synth_jpeg_native(doc_id: int, quality: int = 90) -> bytes:
+    """Deterministic JPEG blob via the NATIVE baseline encoder (round
+    12 — no capability gate): the same gradient as synth_jpeg, encoded
+    by operators/jpeg_codec.  The mm_jpeg_decode_stats gate now runs in
+    EVERY environment, with the Pillow probe remaining the tier for
+    JPEG shapes the native pair doesn't cover — closing the r8-standing
+    "probe-success branch never ran" gap with a codec instead of a
+    dependency."""
+    from .jpeg_codec import jpeg_encode
+
+    return jpeg_encode(_jpeg_gradient_rgb(doc_id), quality=quality)
+
+
 def synth_jpeg(doc_id: int, quality: int = 90) -> bytes:
     """Deterministic JPEG blob via Pillow (capability-gated — callers
     must have passed :func:`pil_available`).  A smooth per-doc gradient
@@ -668,17 +728,30 @@ def synth_jpeg(doc_id: int, quality: int = 90) -> bytes:
 
     from PIL import Image  # noqa: PLC0415
 
-    w = 16 + doc_id % 13
-    h = 16 + doc_id % 11
-    x = np.arange(w)[None, :]
-    y = np.arange(h)[:, None]
-    r = np.clip(40 + x * 2 + doc_id % 64, 0, 255)
-    g = np.clip(60 + y * 3 + (2 * doc_id) % 64, 0, 255)
-    b = np.clip(80 + x + y + (3 * doc_id) % 64, 0, 255)
-    rgb = np.stack(np.broadcast_arrays(r, g, b), axis=-1).astype(np.uint8)
     buf = _io.BytesIO()
-    Image.fromarray(rgb).save(buf, format="JPEG", quality=quality)
+    Image.fromarray(_jpeg_gradient_rgb(doc_id)).save(
+        buf, format="JPEG", quality=quality
+    )
     return buf.getvalue()
+
+
+def synth_flac_native(doc_id: int) -> bytes:
+    """Deterministic FLAC blob via the NATIVE encoder (round 12 — no
+    capability gate): the SAME square wave as synth_wav, packed as one
+    verbatim-subframe FLAC frame with real CRCs.  decode_audio returns
+    FLAC samples in soundfile's int32 convention (<< 16 for 16-bit), so
+    the pytest differential pins the EXACT scaling relation to the WAV
+    gate (max_abs x 2^16, wsum x 2^16, rms_sq x 2^32) — integer-exact,
+    not a tolerance — in EVERY environment, closing the r8-standing
+    "probe-success branch never ran" gap with a decoder instead of a
+    dependency."""
+    from .flac_codec import flac_encode
+
+    a = 100 + doc_id % 900
+    n = 200 + doc_id % 64
+    rate = 8000 + (doc_id % 4) * 4000
+    samples = np.where(np.arange(n) % 2 == 0, a, -a).astype(np.int16)
+    return flac_encode(samples, rate)
 
 
 def synth_flac(doc_id: int) -> bytes:

@@ -287,3 +287,125 @@ def test_lsh_reader_during_rebuild_pins_old_generation(spark):
         }
     finally:
         index_drop_all(spark, prefix, ("_buckets", "_vectors", "_meta"))
+
+
+# -- native compressed codecs (round 12: JPEG + FLAC without deps) -----------
+
+
+def test_jpeg_codec_roundtrip_properties():
+    """The in-repo baseline-JPEG pair: dims exact, smooth gradients
+    roundtrip within lossy tolerance, output deterministic, corruption
+    and unsupported shapes fail loudly (never a wrong-but-green
+    image)."""
+    import numpy as np
+    import pytest
+
+    from distributed_graph_db_c_spark.operators.jpeg_codec import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+    from distributed_graph_db_c_spark.operators.multimodal import (
+        _jpeg_gradient_rgb,
+    )
+
+    for doc_id in (0, 1, 12, 63, 299):
+        rgb = _jpeg_gradient_rgb(doc_id)
+        blob = jpeg_encode(rgb, quality=90)
+        assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+        dec = jpeg_decode(blob)
+        assert dec.shape == rgb.shape and dec.dtype == np.uint8
+        err = np.abs(dec.astype(float) - rgb.astype(float))
+        assert err.mean() < 2.0 and err.max() <= 12, (doc_id, err.mean())
+        assert jpeg_encode(rgb, quality=90) == blob  # deterministic
+    with pytest.raises(NotImplementedError):
+        jpeg_decode(b"\xff\xd8" + b"\x12" * 40)  # marker desync
+    with pytest.raises(NotImplementedError):
+        jpeg_encode(np.zeros((8, 8), dtype=np.uint8))  # not RGB
+
+
+def test_flac_codec_roundtrip_and_crc():
+    """The in-repo verbatim-FLAC pair: bit-exact roundtrip at native
+    depth, CRC-16 catches payload corruption, CRC-8 catches header
+    corruption, and prediction shapes name the soundfile tier."""
+    import numpy as np
+    import pytest
+
+    from distributed_graph_db_c_spark.operators.flac_codec import (
+        flac_decode,
+        flac_encode,
+    )
+
+    samples = np.int16([100, -100, 32767, -32768] * 50)
+    blob = flac_encode(samples, 44100)
+    dec, rate, bps = flac_decode(blob)
+    assert rate == 44100 and bps == 16
+    assert (dec[:, 0] == samples.astype(np.int64)).all()
+    corrupted = bytearray(blob)
+    corrupted[-10] ^= 0xFF
+    with pytest.raises(NotImplementedError, match="CRC"):
+        flac_decode(bytes(corrupted))
+
+
+def test_decode_audio_flac_matches_soundfile_convention():
+    """decode_audio returns native-FLAC samples in soundfile's int32
+    convention (16-bit << 16) so the native tier and the probe tier are
+    numerically interchangeable; where soundfile is installed the two
+    tiers are differentially pinned on the same blob."""
+    import numpy as np
+
+    from distributed_graph_db_c_spark.operators.multimodal import (
+        decode_audio,
+        soundfile_available,
+        synth_flac_native,
+        synth_wav,
+    )
+
+    for doc_id in (0, 3, 7):
+        fl, fr = decode_audio(synth_flac_native(doc_id))
+        wv, wr = decode_audio(synth_wav(doc_id))
+        assert fr == wr
+        assert (fl == (wv << 16)).all()
+        if soundfile_available():  # cross-tier differential where possible
+            import io
+
+            import soundfile as sf
+
+            data, rate = sf.read(
+                io.BytesIO(synth_flac_native(doc_id)), dtype="int32", always_2d=True
+            )
+            assert rate == fr and (data.astype(np.int64) == fl).all()
+
+
+def test_decode_image_jpeg_cross_tier_where_pillow_ships():
+    """Where Pillow is installed, the native decoder and PIL must agree
+    on the native encoder's output within JPEG IDCT rounding (both
+    implement the same spec; tiny per-pixel differences are legal), and
+    a PIL-ENCODED gradient must decode through the native tier within
+    the same lossy tolerance vs the source."""
+    import numpy as np
+    import pytest
+
+    from distributed_graph_db_c_spark.operators.multimodal import (
+        _jpeg_gradient_rgb,
+        pil_available,
+        synth_jpeg_native,
+    )
+
+    if not pil_available():
+        pytest.skip("Pillow absent: cross-tier differential not runnable here")
+    import io
+
+    from PIL import Image
+
+    from distributed_graph_db_c_spark.operators.jpeg_codec import jpeg_decode
+
+    for doc_id in (0, 12, 63):
+        blob = synth_jpeg_native(doc_id)
+        native = jpeg_decode(blob).astype(float)
+        pil = np.asarray(Image.open(io.BytesIO(blob)).convert("RGB")).astype(float)
+        assert np.abs(native - pil).max() <= 2.0
+        src = _jpeg_gradient_rgb(doc_id)
+        buf = io.BytesIO()
+        Image.fromarray(src).save(buf, format="JPEG", quality=90)
+        dec = jpeg_decode(buf.getvalue()).astype(float)
+        assert np.abs(dec - src.astype(float)).mean() < 3.0

@@ -339,42 +339,34 @@ def test_oov_tokenizer_matches_naive_and_aug_is_inert(spark):
 # -- capability-probed compressed codecs (round 9) ----------------------------
 
 
-def test_codec_gates_follow_capability_probe(spark):
-    """The registration contract: the JPEG/FLAC gates exist exactly when
-    their codec lib imports — and when the lib is ABSENT the decode
-    seams still fail LOUDLY (NotImplementedError naming the probe), so
-    a missing codec can never read as an empty-but-green result."""
+def test_codec_gates_always_registered_and_fail_loudly(spark):
+    """Round-12 registration contract (supersedes the round-9
+    capability-conditional one): the JPEG/FLAC gates are ALWAYS
+    registered — the native baseline-JPEG / verbatim-FLAC codec pairs
+    carry them in every environment — and malformed compressed blobs
+    still fail LOUDLY (NotImplementedError), never an empty-but-green
+    result, with or without Pillow/soundfile."""
     from distributed_graph_db_c_spark.operators.multimodal import (
         decode_audio,
         decode_image,
-        pil_available,
-        soundfile_available,
     )
     from distributed_graph_db_c_spark.registry import REGISTRY, _ensure_loaded
 
     _ensure_loaded()
-    assert ("mm_jpeg_decode_stats" in REGISTRY) == pil_available()
-    assert ("mm_flac_decode_features" in REGISTRY) == soundfile_available()
-    if not pil_available():
-        with pytest.raises(NotImplementedError):
-            decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # JPEG magic
-    if not soundfile_available():
-        with pytest.raises(NotImplementedError):
-            decode_audio(b"fLaC" + b"\x00" * 32)  # FLAC magic
+    assert "mm_jpeg_decode_stats" in REGISTRY
+    assert "mm_flac_decode_features" in REGISTRY
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # garbage JPEG
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"fLaC" + b"\x00" * 32)  # garbage FLAC
 
 
-@pytest.mark.skipif(
-    not __import__(
-        "distributed_graph_db_c_spark.operators.multimodal",
-        fromlist=["pil_available"],
-    ).pil_available(),
-    reason="Pillow absent: JPEG gate not registered in this environment",
-)
 def test_jpeg_decode_stats_pins(spark):
-    """Probe-success pins (runs only where Pillow ships): decoded dims
-    match the synthesized gradient exactly; per-image mean pixel value
-    is within JPEG-lossy tolerance (+-3) of the source gradient's."""
-    from distributed_graph_db_c_spark.operators.multimodal import synth_jpeg
+    """JPEG gate pins — UNCONDITIONAL since round 12 (the native codec
+    pair carries the gate everywhere; the skipif died with the
+    capability gate): decoded dims match the synthesized gradient
+    exactly; per-image mean pixel value is within JPEG-lossy tolerance
+    (+-3) of the source gradient's."""
     from distributed_graph_db_c_spark.queries.multimodal import (
         mm_jpeg_decode_stats,
     )
@@ -402,17 +394,11 @@ def test_jpeg_decode_stats_pins(spark):
     }
 
 
-@pytest.mark.skipif(
-    not __import__(
-        "distributed_graph_db_c_spark.operators.multimodal",
-        fromlist=["soundfile_available"],
-    ).soundfile_available(),
-    reason="soundfile absent: FLAC gate not registered in this environment",
-)
 def test_flac_decode_matches_wav_scaled(spark):
-    """Probe-success differential (runs only where soundfile ships):
-    FLAC is lossless and carries the same square wave as the WAV gate,
-    so every feature must match the WAV gate's under the int32 read's
+    """FLAC-vs-WAV differential — UNCONDITIONAL since round 12 (the
+    native verbatim-FLAC codec carries the gate everywhere): FLAC is
+    lossless and carries the same square wave as the WAV gate, so every
+    feature must match the WAV gate's under the int32 convention's
     exact 2^16 scaling: n/rate equal, max_abs and wsum x 65536, rms_sq
     x 65536^2 — integers, no tolerance."""
     from distributed_graph_db_c_spark.queries.multimodal import (
@@ -423,11 +409,15 @@ def test_flac_decode_matches_wav_scaled(spark):
     flac = {r["doc_id"]: r for r in mm_flac_decode_features(spark, SF_DIR).collect()}
     wav = {r["doc_id"]: r for r in mm_wav_decode_features(spark, SF_DIR).collect()}
     assert set(flac) == set(wav) and flac
+    # (the round-12 first RUN of this differential caught the column
+    # names drifting — the dormant capability-skipped version referred
+    # to a "max_abs" column audio_decode_features never had: exactly
+    # the declared-not-evidenced rot the verdicts tracked)
     for d, fr in flac.items():
         wr = wav[d]
         assert fr["n_samples"] == wr["n_samples"]
         assert fr["sample_rate"] == wr["sample_rate"]
-        assert fr["max_abs"] == wr["max_abs"] * 65536
+        assert fr["peak"] == wr["peak"] * 65536
         assert fr["wsum"] == wr["wsum"] * 65536
         assert fr["rms_sq"] == wr["rms_sq"] * 65536 * 65536
 
