@@ -132,6 +132,8 @@ QUERIES = [
     "sketch_token_quantiles_rollup",
     "sim_ivf_time_travel",
     "pipeline_token_budget_select",
+    # round-12 gates: same-round 10x points
+    "text_tokenizer_whitespace_edge",
 ]
 
 # Round-7 extension (r6 verdict item 5): the 12 streaming gates at 10x

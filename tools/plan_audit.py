@@ -209,6 +209,17 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
         ("no exchange", r"Exchange", False),  # per-row stats: pure projection
     ],
+    "text_tokenizer_whitespace_edge": [
+        # r12: four tokenized variants as codegen expression columns in
+        # ONE scan + one partial-agg groupBy(lang) — no join, no window,
+        # no Python; the shuffle carries |langs| rows
+        ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
+        ("no join", r"Join", False),
+        ("no window", r"\bWindow\b", False),
+        ("partial agg", r"partial_", True),
+        ("column pruning", r"ReadSchema: [^\n]*lang", True),
+        ("no id column read", r"ReadSchema: [^\n]*doc_id", False),
+    ],
     "graph_dfs_preorder": [
         # the sequential per-graph kernel is ONE grouped-map pandas stage
         # (parallelism axis = fleet of graphs), never a join blow-up
@@ -436,9 +447,12 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
     ],
     "pipeline_domain_mixture": [
         # per-source stats broadcast back onto the scan; membership filter
-        # is map-side — no row-level shuffle
+        # is map-side — no row-level shuffle.  r12: the corpus totals ride
+        # the broadcast-1-row-scalar idiom (a BroadcastNestedLoopJoin of a
+        # 1-row frame — sanctioned), REPLACING the unpartitioned window
         ("stats broadcast", r"BroadcastHashJoin", True),
-        ("no nested loop", r"BroadcastNestedLoopJoin|CartesianProduct", False),
+        ("scalar broadcast not cartesian", r"CartesianProduct", False),
+        ("no window at all", r"\bWindow\b", False),
         ("partial agg", r"partial_", True),
         ("no python udf", r"BatchEvalPython|ArrowEvalPython", False),
     ],
@@ -452,9 +466,14 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
     "sketch_freq_items_brand": [
         # per-partition MG summaries (the one sanctioned Arrow step),
         # merged by a plain partial-aggregatable groupBy-sum; the two
-        # scalar re-offsets broadcast — nothing may go cartesian
+        # scalar re-offsets broadcast — nothing may go cartesian.  r12:
+        # the (k+1)-th-largest spare is orderBy.limit (a TakeOrdered
+        # heap) + conditional min, REPLACING the unpartitioned
+        # row_number window in _retruncate
         ("arrow summarize step", r"MapInPandas", True),
         ("merge is partial agg", r"partial_sum", True),
+        ("kth largest via TakeOrdered", r"TakeOrderedAndProject", True),
+        ("no window at all", r"\bWindow\b", False),
         ("no cartesian", r"CartesianProduct", False),
         ("column pruning", r"ReadSchema: [^\n]*p_brand", True),
         ("no full-width scan", r"ReadSchema: [^\n]*p_name", False),
