@@ -175,6 +175,7 @@ HEADLINE = [
     "sim_ivf_time_travel",
     "pipeline_token_budget_select",
     "text_tokenizer_whitespace_edge",
+    "dedup_index_time_travel",
 ]
 
 

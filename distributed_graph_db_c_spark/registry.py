@@ -135,8 +135,19 @@ _ROUND_NEW: list[str] = [
     "text_tokenizer_whitespace_edge",
 ]
 
-# Registered after this round's window filled: none.
-AWAITING_FIRST_SLOT: list[str] = []
+# Registered after this round's window filled: local strict evidence
+# only (ORACLE_LOCAL.md), first in line for round-13 driver slots per
+# the standing drain contract.  dedup_index_time_travel is the
+# sim_ivf_time_travel pattern applied to the minhash dedup index, now
+# that it carries the same generation layout (this round's item 5
+# rework driver-gated end-to-end): generation 1 indexes the snapshot,
+# a rebuild publishes generation 2 over a post-deletion subset, and
+# the delta batch screens against BOTH in one plan — the oracle
+# replays both constructions and a hash-match proves the publish left
+# generation 1 answering its exact original construction.
+AWAITING_FIRST_SLOT: list[str] = [
+    "dedup_index_time_travel",
+]
 
 # (d) the recomputed due list under the FOUR-round horizon: headline
 # oracle-backed queries lacking driver evidence in the three latest
@@ -206,8 +217,9 @@ _STALE_RAMP: list[str] = []
 # ROUND-13 HANDOFF (computed EXACTLY against the published r09-r11
 # records with a synthetic r12 = this window all-green; the look-ahead
 # test recomputes and enforces it at r13 build time): the round-13
-# window owes (1) NO awaiting drains (this round registered nothing
-# post-window); (2) the due cohort leaving the FOUR-round horizon when
+# window owes (1) the ONE awaiting drain (dedup_index_time_travel,
+# registered post-window with full local strict evidence — see
+# AWAITING_FIRST_SLOT above); (2) the due cohort leaving the FOUR-round horizon when
 # r13 publishes — measured 21 wide, ZERO streaming members again (the
 # r09-green-only cohort: the graph/storage/sketch/sim gates r09
 # rotated); with ~27 residual slots the round has room for the ramp

@@ -409,3 +409,20 @@ def test_decode_image_jpeg_cross_tier_where_pillow_ships():
         Image.fromarray(src).save(buf, format="JPEG", quality=90)
         dec = jpeg_decode(buf.getvalue()).astype(float)
         assert np.abs(dec - src.astype(float)).mean() < 3.0
+
+
+def test_dedup_index_time_travel_decomposition(spark):
+    """Gate-level pin for dedup_index_time_travel: the generation-2 leg
+    must equal the generation-1 leg restricted to the surviving old ids
+    (%4 in (2,3)) — signatures depend only on a document's own text, so
+    dropping indexed documents can only REMOVE pairs, never change a
+    surviving pair's jaccard, and both legs must be non-vacuous."""
+    from distributed_graph_db_c_spark.queries.dedup import dedup_index_time_travel
+
+    rows = dedup_index_time_travel(spark, "/root/testdata/sf0.01").collect()
+    g1 = {(r.old_id, r.new_id): round(r.jaccard, 9) for r in rows if r.generation == 1}
+    g2 = {(r.old_id, r.new_id): round(r.jaccard, 9) for r in rows if r.generation == 2}
+    assert g1 and g2
+    expected_g2 = {k: v for k, v in g1.items() if k[0] % 4 in (2, 3)}
+    assert g2 == expected_g2
+    assert set(g2) < set(g1)  # the deletion genuinely removed matches

@@ -134,6 +134,7 @@ QUERIES = [
     "pipeline_token_budget_select",
     # round-12 gates: same-round 10x points
     "text_tokenizer_whitespace_edge",
+    "dedup_index_time_travel",
 ]
 
 # Round-7 extension (r6 verdict item 5): the 12 streaming gates at 10x
