@@ -177,6 +177,73 @@ import re as _re
 INDEX_GEN_FMT = "__g%08d"
 _MARKER_RE = r"^_%s__g(\d{8})__published__$"
 
+# -- append SEGMENTS within a generation (round 12, late) --------------------
+#
+# The minhash index's content is purely PER-DOCUMENT (a signature depends
+# only on its own text), so a delta append does not need to mutate the
+# resolved generation in place the way the IVF lists/ids sidecars do: it
+# lands as a brand-new pair of immutable bucketed SEGMENT tables
+# (``<gen_prefix>_sNNNN_<suffix>``) plus one atomically-created segment
+# marker.  Readers resolve (generation, published segments) ONCE and bind
+# the whole plan to exactly those tables — an in-flight append is invisible
+# until its marker lands, so appends are SNAPSHOT-ISOLATED by layout and
+# readers never need an append-quiescence refusal (the residual caveat the
+# IVF append documents).  The file count a segment adds is identical to an
+# in-place append's; what grows is per-read plan width (one co-located
+# probe join per segment), which is the REBUILD TRIGGER's other half.
+
+INDEX_SEG_FMT = "_s%04d"
+_SEG_MARKER_RE = r"^_%s__g(\d{8})_s(\d{4})__published__$"
+
+
+def _index_seg_marker(warehouse: str, table_prefix: str, gen: int, seg: int) -> str:
+    return (
+        f"{warehouse.rstrip('/')}/_{table_prefix}"
+        f"{INDEX_GEN_FMT % gen}{INDEX_SEG_FMT % seg}__published__"
+    )
+
+
+def index_seg_prefix(table_prefix: str, gen: int, seg: int) -> str:
+    """The table-name prefix append segment ``seg`` of generation
+    ``gen`` stores under (segment 0 is the build itself and has no
+    segment tables — the base tables are ``index_gen_prefix(...)``)."""
+    return f"{index_gen_prefix(table_prefix, gen)}{INDEX_SEG_FMT % seg}"
+
+
+def index_segments(spark: SparkSession, table_prefix: str, gen: int) -> list[int]:
+    """Published append segments of generation ``gen``, ascending —
+    read from the on-disk segment markers, never the catalog, for the
+    same restart-recovery reason as :func:`index_generations`."""
+    from ..sinks import _hadoop_fs
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    fs, jpath = _hadoop_fs(spark, warehouse)
+    if not fs.exists(jpath(warehouse)):
+        return []
+    pat = _re.compile(_SEG_MARKER_RE % _re.escape(table_prefix))
+    out = []
+    for st in fs.listStatus(jpath(warehouse)):
+        m = pat.match(st.getPath().getName())
+        if m and not st.isDirectory() and int(m.group(1)) == gen:
+            out.append(int(m.group(2)))
+    return sorted(out)
+
+
+def index_publish_segment(
+    spark: SparkSession, table_prefix: str, gen: int, seg: int, what: str
+) -> None:
+    """Publish append segment ``seg`` of generation ``gen`` with ONE
+    exclusive marker create — the append's atomic commit point (the
+    segment tables existed before this but no reader could resolve
+    them)."""
+    from ..sinks import _hadoop_fs, claim_marker
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    fs, jpath = _hadoop_fs(spark, warehouse)
+    claim_marker(
+        fs, jpath, _index_seg_marker(warehouse, table_prefix, gen, seg), what
+    )
+
 
 def _index_marker(warehouse: str, table_prefix: str, gen: int) -> str:
     return (
@@ -272,15 +339,23 @@ def index_vacuum_generations(
     doomed = index_generations(spark, table_prefix)[:-keep_last]
     for g in doomed:
         fs.delete(jpath(_index_marker(warehouse, table_prefix, g)), False)
-        gp = index_gen_prefix(table_prefix, g)
-        for suffix in suffixes:
-            table = f"{gp}{suffix}"
-            # a MANAGED drop purges the directory; an EXTERNAL drop (a
-            # prior attach) removes metadata only — the explicit file
-            # delete below covers both plus the no-catalog-entry case
-            if spark.catalog.tableExists(table):
-                spark.sql(f"DROP TABLE {table}")
-            fs.delete(jpath(warehouse_location(spark, table)), True)
+        # a doomed generation's append segments die with it: segment
+        # markers first (same no-new-reader ordering), then each
+        # segment's tables alongside the base tables below
+        seg_prefixes = []
+        for s in index_segments(spark, table_prefix, g):
+            fs.delete(jpath(_index_seg_marker(warehouse, table_prefix, g, s)), False)
+            seg_prefixes.append(index_seg_prefix(table_prefix, g, s))
+        for gp in [index_gen_prefix(table_prefix, g), *seg_prefixes]:
+            for suffix in suffixes:
+                table = f"{gp}{suffix}"
+                # a MANAGED drop purges the directory; an EXTERNAL drop
+                # (a prior attach) removes metadata only — the explicit
+                # file delete below covers both plus the
+                # no-catalog-entry case
+                if spark.catalog.tableExists(table):
+                    spark.sql(f"DROP TABLE {table}")
+                fs.delete(jpath(warehouse_location(spark, table)), True)
     return doomed
 
 
@@ -299,9 +374,11 @@ def index_drop_all(
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
     fs, jpath = _hadoop_fs(spark, warehouse)
     for g in index_generations(spark, table_prefix):
+        for s in index_segments(spark, table_prefix, g):
+            fs.delete(jpath(_index_seg_marker(warehouse, table_prefix, g, s)), False)
         fs.delete(jpath(_index_marker(warehouse, table_prefix, g)), False)
     pat = _re.compile(
-        rf"^{_re.escape(table_prefix)}(__g\d{{8}})?"
+        rf"^{_re.escape(table_prefix)}(__g\d{{8}}(_s\d{{4}})?)?"
         rf"({'|'.join(_re.escape(s) for s in suffixes)})$"
     )
     for t in spark.catalog.listTables():
