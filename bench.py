@@ -176,6 +176,7 @@ HEADLINE = [
     "pipeline_token_budget_select",
     "text_tokenizer_whitespace_edge",
     "dedup_index_time_travel",
+    "dedup_index_append",
 ]
 
 

@@ -484,6 +484,218 @@ def _index_claim(warehouse: str, table_prefix: str) -> str:
     return f"{warehouse.rstrip('/')}/_{table_prefix}__index_build__"
 
 
+# Appended-rows / base-rows ratio at which an append recommends a full
+# rebuild (minhash_index_build publishes the next generation).  Unlike the
+# IVF index there is no quantizer to drift — signatures are per-document —
+# so the trigger tracks the OTHER append cost: every published segment
+# widens each incremental read's plan by one co-located probe join.
+MINHASH_RETRAIN_FRAC = 0.5
+
+
+def minhash_index_append(
+    new_docs: DataFrame,
+    table_prefix: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    rows: int = 4,
+    k: int = 3,
+    n_buckets: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    retrain_frac: float = MINHASH_RETRAIN_FRAC,
+    check_duplicate_ids: bool = True,
+) -> dict:
+    """INCREMENTAL minhash-index maintenance (round 12, late — the
+    banked handoff candidate e, the lifecycle counterpart of
+    :func:`ivf_append` for the text index): shingle + sign ONLY the
+    delta batch and publish it as the resolved generation's next append
+    SEGMENT — a brand-new pair of immutable bucketed tables
+    (``bucketing.index_seg_prefix`` naming) plus one atomically-created
+    segment marker.  Work is sized by the delta; the corpus is never
+    re-shingled (previously the only way to grow the index was a
+    full-corpus ``minhash_index_build`` rebuild).
+
+    Semantics: a minhash signature depends only on its own document's
+    text, so base ∪ segments indexes EXACTLY what one build over the
+    union would index (pytest-pinned: append vs union-build, identical
+    incremental pairs).  That per-document independence is also why
+    appends here get the STRONGER isolation the IVF append cannot
+    offer: nothing needs to mutate in place, so a published segment is
+    immutable, readers resolve (generation, published segments) once
+    (see :func:`incremental_dedup_pairs`), and an in-flight append is
+    invisible until its marker lands — snapshot isolation by layout,
+    no append-quiescence caveat.
+
+    What appends cannot do is shrink the per-read plan: every segment
+    adds one co-located probe join to each future incremental read.
+    That is the REBUILD TRIGGER, recorded in the returned audit:
+    appended_rows / base_rows >= ``retrain_frac`` flips
+    ``retrain_due`` — the maintenance step is a full
+    :func:`minhash_index_build` over the union corpus, which publishes
+    the next GENERATION (atomic marker, concurrent readers keep their
+    resolved generation) and resets the segment count to zero.
+    :func:`minhash_index_status` recomputes the same audit from disk in
+    a fresh session — the ledger is the layout itself, no sidecar.
+
+    Concurrency: appends take the SAME build claim as
+    ``minhash_index_build`` (builds, rebuilds and appends all
+    serialize; one loud O_EXCL winner).  Everything before the first
+    write releases the claim on failure (an untouched index must not
+    wedge); once the segment tables start writing, the claim is
+    success-only, and the segment marker create is the atomic commit
+    point — a dead appender leaves unpublished tables no reader can
+    resolve, plus the claim as the loud wedge.
+
+    Append means NEW ids (same contract and default slim semi-join
+    check as ``ivf_append``): a re-ingested id would collide with its
+    base/segment copy in every future candidate join; replacing a
+    document is a rebuild, not an append.  The delta's OWN ids are
+    checked for internal duplicates too.  Refuses on the legacy flat
+    layout (generation 0) — segments are a generation-layout feature;
+    rebuild once to adopt it."""
+    from ..sinks import _hadoop_fs, claim_marker
+    from .bucketing import (
+        index_gen_prefix,
+        index_generations,
+        index_publish_segment,
+        index_seg_prefix,
+        index_segments,
+        write_bucketed,
+    )
+
+    spark = new_docs.sparkSession
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    fs, jpath = _hadoop_fs(spark, warehouse)
+    claim = _index_claim(warehouse, table_prefix)
+    claim_marker(fs, jpath, claim, f"minhash_index_append({table_prefix})")
+    # PRE-MUTATION SECTION (mirrors ivf_append): failures here release
+    # the claim and re-raise — the index is untouched and valid, and
+    # "rerun the append" would fail identically forever behind a wedge.
+    try:
+        gens = index_generations(spark, table_prefix)
+        if not gens:
+            raise FileNotFoundError(
+                f"minhash_index_append({table_prefix}): no published "
+                "generation to append to — build the index first "
+                "(minhash_index_build); the legacy flat layout predates "
+                "segments and must be rebuilt once to adopt them."
+            )
+        gen = gens[-1]
+        segs = index_segments(spark, table_prefix, gen)
+        seg = (segs[-1] if segs else 0) + 1
+        gp = index_gen_prefix(table_prefix, gen)
+        parts = [gp] + [index_seg_prefix(table_prefix, gen, s) for s in segs]
+        # internal-duplicate check BEFORE shingling: shingle_hash_sets
+        # groups by id, so two delta rows sharing an id would silently
+        # MERGE their shingle sets into one indexed document — check the
+        # raw input (two delta-sized aggregations on slim projections)
+        n_input = new_docs.count()
+        n_ids = new_docs.select(F.col(id_col)).distinct().count()
+        if n_ids != n_input:
+            raise ValueError(
+                f"minhash_index_append({table_prefix}): delta batch has "
+                f"{n_input - n_ids} internally duplicated {id_col} "
+                "value(s) — ids must be unique (shingling would merge "
+                "their texts into one indexed document)"
+            )
+        hs = shingle_hash_sets(new_docs, k, id_col, text_col).persist()
+        batch_rows = hs.count()
+        if check_duplicate_ids:
+            # one slim semi-join per part against the 2-column shingle
+            # store's id column; a hit refuses BEFORE any mutation
+            from functools import reduce
+
+            existing = reduce(
+                DataFrame.unionByName,
+                [spark.table(f"{p}_shingles").select("id") for p in parts],
+            )
+            n_dup = hs.select("id").join(existing, "id", "left_semi").count()
+            if n_dup:
+                hs.unpersist()
+                raise ValueError(
+                    f"minhash_index_append({table_prefix}): {n_dup} delta "
+                    f"id(s) already indexed in generation {gen} — append "
+                    "means new ids; replacing documents is a rebuild "
+                    "(minhash_index_build), not an append. Pass "
+                    "check_duplicate_ids=False only if disjointness is "
+                    "guaranteed upstream."
+                )
+    except BaseException:
+        fs.delete(jpath(claim), False)
+        raise
+    # MUTATION SECTION: claim is success-only from here (docstring).
+    sp = index_seg_prefix(table_prefix, gen, seg)
+    try:
+        sig = minhash_signatures(new_docs, num_perm, k, id_col, text_col, hs_df=hs)
+        bk = minhash_band_buckets(sig, bands, rows)
+        bkeyed = bk.select(
+            "id", F.xxhash64(F.col("band"), F.col("bucket")).alias("bkey")
+        )
+        write_bucketed(bkeyed, f"{sp}_bands", key="bkey", n_buckets=n_buckets)
+        write_bucketed(hs, f"{sp}_shingles", key="id", n_buckets=n_buckets)
+    finally:
+        hs.unpersist()
+    index_publish_segment(
+        spark, table_prefix, gen, seg, f"minhash_index_append({table_prefix})"
+    )
+    fs.delete(jpath(claim), False)
+    # retrain ledger — recomputed from the (cheap, slim) shingle-store
+    # row counts so a fresh session's minhash_index_status agrees
+    base_rows = spark.table(f"{gp}_shingles").count()
+    prior_rows = sum(
+        spark.table(f"{index_seg_prefix(table_prefix, gen, s)}_shingles").count()
+        for s in segs
+    )
+    appended_rows = prior_rows + batch_rows
+    frac = appended_rows / base_rows if base_rows else float("inf")
+    return {
+        "generation": gen,
+        "segment": seg,
+        "batch_rows": batch_rows,
+        "base_rows": base_rows,
+        "appended_rows": appended_rows,
+        "appended_frac": frac,
+        "retrain_due": bool(frac >= retrain_frac),
+    }
+
+
+def minhash_index_status(
+    spark, table_prefix: str, retrain_frac: float = MINHASH_RETRAIN_FRAC
+) -> dict:
+    """The append/rebuild maintenance ledger of a persisted minhash
+    index, recomputed FROM DISK (markers + shingle-store row counts) so
+    a restarted nightly driver needs no sidecar state: resolved
+    generation, its published segments, base/appended row counts, and
+    whether the appended fraction has crossed ``retrain_frac`` (the
+    cue to run a full ``minhash_index_build`` rebuild, which publishes
+    the next generation).  Generation 0 (legacy flat layout) reports
+    zero segments — appends refuse there."""
+    from .bucketing import (
+        index_gen_prefix,
+        index_resolve,
+        index_seg_prefix,
+        index_segments,
+    )
+
+    gen = index_resolve(spark, table_prefix)
+    segs = index_segments(spark, table_prefix, gen) if gen else []
+    gp = index_gen_prefix(table_prefix, gen)
+    base_rows = spark.table(f"{gp}_shingles").count()
+    appended_rows = sum(
+        spark.table(f"{index_seg_prefix(table_prefix, gen, s)}_shingles").count()
+        for s in segs
+    )
+    frac = appended_rows / base_rows if base_rows else float("inf")
+    return {
+        "generation": gen,
+        "segments": segs,
+        "base_rows": base_rows,
+        "appended_rows": appended_rows,
+        "appended_frac": frac,
+        "retrain_due": bool(appended_rows and frac >= retrain_frac),
+    }
+
+
 def incremental_dedup_pairs(
     new_docs: DataFrame,
     table_prefix: str,
@@ -496,6 +708,7 @@ def incremental_dedup_pairs(
     text_col: str = "text",
     materialize: bool = True,
     generation: int | None = None,
+    as_of_segment: int | None = None,
 ) -> DataFrame:
     """(old_id, new_id, jaccard) pairs between a NEW batch and the
     indexed corpus snapshot, at Jaccard >= ``threshold``.
@@ -522,7 +735,19 @@ def incremental_dedup_pairs(
     the pre-generation FLAT layout (generation 0) still refuses to
     read under a standing build claim: flat tables were rewritten in
     place, so a dead mid-rewrite builder means a possibly mismatched
-    bands/shingles snapshot."""
+    bands/shingles snapshot.
+
+    Round 12, late: the resolved generation's published APPEND SEGMENTS
+    (:func:`minhash_index_append`) are part of the snapshot — resolved
+    ONCE, alongside the generation, as the list of published segment
+    markers.  The probe joins run PER PART (base + each segment), each
+    one co-located against that part's bucketed layout with only the
+    delta-sized batch shuffling, and union; a racing append is
+    invisible (its marker lands after our resolve), so the plan is
+    snapshot-isolated against appends too — by layout, no quiescence
+    check.  ``as_of_segment`` pins the segment horizon: 0 = base only,
+    N = segments <= N (the within-generation time-travel pin, same
+    explicit-never-fallback contract as the generation pin)."""
     from ..sinks import ConcurrentCommitError, _hadoop_fs
     from .bucketing import index_gen_prefix, index_resolve
 
@@ -541,9 +766,22 @@ def incremental_dedup_pairs(
                 "mismatched. Wait for the build, or rerun it if its "
                 "builder is known dead."
             )
+    from functools import reduce
+
+    from .bucketing import index_seg_prefix, index_segments
+
+    segs = index_segments(spark, table_prefix, gen) if gen else []
+    if as_of_segment is not None:
+        if as_of_segment != 0 and as_of_segment not in segs:
+            raise FileNotFoundError(
+                f"incremental_dedup_pairs({table_prefix}): segment "
+                f"{as_of_segment} of generation {gen} not published "
+                f"(have {segs or 'none'}) — segment pinning is explicit, "
+                "never a silent fallback"
+            )
+        segs = [s for s in segs if s <= as_of_segment]
     gp = index_gen_prefix(table_prefix, gen)
-    idx_bands = spark.table(f"{gp}_bands")
-    idx_sh = spark.table(f"{gp}_shingles")
+    parts = [gp] + [index_seg_prefix(table_prefix, gen, s) for s in segs]
     hs_new = shingle_hash_sets(new_docs, k, id_col, text_col).persist()
     sig = minhash_signatures(
         new_docs, num_perm, k, id_col, text_col, hs_df=hs_new
@@ -552,20 +790,44 @@ def incremental_dedup_pairs(
         F.col("id").alias("new_id"),
         F.xxhash64(F.col("band"), F.col("bucket")).alias("bkey"),
     )
+    # one co-located probe join PER PART (the base tables + each append
+    # segment — a part's ids are disjoint from every other's by the
+    # append-time duplicate check, so the unions are exact): the index
+    # side of each join reads its own bucket layout with zero Exchange;
+    # only the delta-sized nb/cand sides shuffle, once per part
+    cand = reduce(
+        DataFrame.unionByName,
+        [
+            nb.join(
+                spark.table(f"{p}_bands").select(
+                    F.col("id").alias("old_id"), "bkey"
+                ),
+                "bkey",
+            )
+            for p in parts
+        ],
+    )
     cand = (
-        nb.join(idx_bands.select(F.col("id").alias("old_id"), "bkey"), "bkey")
-        .filter(F.col("old_id") != F.col("new_id"))
+        cand.filter(F.col("old_id") != F.col("new_id"))
         .select("old_id", "new_id")
         .distinct()
     )
     inter = F.size(F.array_intersect("hs_old", "hs_new"))
     union = F.size("hs_old") + F.size("hs_new") - inter
+    verified = reduce(
+        DataFrame.unionByName,
+        [
+            cand.join(
+                spark.table(f"{p}_shingles").select(
+                    F.col("id").alias("old_id"), F.col("hs").alias("hs_old")
+                ),
+                "old_id",
+            )
+            for p in parts
+        ],
+    )
     result = (
-        cand.join(
-            idx_sh.select(F.col("id").alias("old_id"), F.col("hs").alias("hs_old")),
-            "old_id",
-        )
-        .join(
+        verified.join(
             hs_new.select(F.col("id").alias("new_id"), F.col("hs").alias("hs_new")),
             "new_id",
         )
@@ -607,13 +869,25 @@ def minhash_index_attach(
     bucketed tables over their existing warehouse directories so
     :func:`incremental_dedup_pairs` keeps its zero-index-shuffle plan.
     Returns the attached generation.  No data is read or written —
-    catalog metadata only."""
-    from .bucketing import attach_bucketed, index_gen_prefix, index_resolve
+    catalog metadata only.  The generation's published append segments
+    (:func:`minhash_index_append`) are re-attached alongside the base —
+    they are part of the snapshot the reader binds to."""
+    from .bucketing import (
+        attach_bucketed,
+        index_gen_prefix,
+        index_resolve,
+        index_seg_prefix,
+        index_segments,
+    )
 
     gen = index_resolve(spark, table_prefix, generation)
-    gp = index_gen_prefix(table_prefix, gen)
-    attach_bucketed(spark, f"{gp}_bands", INDEX_BANDS_DDL, "bkey", n_buckets)
-    attach_bucketed(spark, f"{gp}_shingles", INDEX_SHINGLES_DDL, "id", n_buckets)
+    parts = [index_gen_prefix(table_prefix, gen)] + [
+        index_seg_prefix(table_prefix, gen, s)
+        for s in (index_segments(spark, table_prefix, gen) if gen else [])
+    ]
+    for p in parts:
+        attach_bucketed(spark, f"{p}_bands", INDEX_BANDS_DDL, "bkey", n_buckets)
+        attach_bucketed(spark, f"{p}_shingles", INDEX_SHINGLES_DDL, "id", n_buckets)
     return gen
 
 

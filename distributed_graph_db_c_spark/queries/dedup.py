@@ -260,6 +260,104 @@ def dedup_index_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+_INDEX_APPEND_SQL = rf"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(t) >= 3
+                   THEN list_distinct(list_transform(generate_series(0, len(t)-3),
+                                                     i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                   ELSE [] END AS s
+       FROM toks),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+j AS (SELECT doc_a, doc_b,
+             CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8),
+cross1 AS (SELECT CASE WHEN doc_a % 4 = 0 THEN doc_b ELSE doc_a END AS old_id,
+                  CASE WHEN doc_a % 4 = 0 THEN doc_a ELSE doc_b END AS new_id,
+                  jaccard
+           FROM j
+           WHERE (doc_a % 4 = 0) <> (doc_b % 4 = 0))
+SELECT 'base' AS phase, old_id, new_id, jaccard FROM cross1 WHERE old_id % 4 IN (1, 2)
+UNION ALL
+SELECT 'appended' AS phase, old_id, new_id, jaccard FROM cross1
+"""
+
+
+@register("dedup_index_append", oracle=_INDEX_APPEND_SQL)
+def dedup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINHASH-INDEX APPEND lifecycle (round 12, registered after the
+    window filled — AWAITING_FIRST_SLOT, an r13 driver slot; the banked
+    handoff candidate e): grow the persisted text-dedup index at DELTA
+    cost instead of a full-corpus rebuild.  The nightly story: the
+    corpus snapshot (doc_id %4 in (1, 2)) is indexed as generation 1;
+    the next day's crawl (%4 == 3) lands via minhash_index_append as
+    the generation's first immutable append SEGMENT (only the delta is
+    shingled/signed — the base is never re-read); tonight's batch
+    (%4 == 0) is then screened twice in one plan: pinned to the
+    pre-append snapshot (as_of_segment=0, phase 'base') and against
+    the appended index (fresh resolve, phase 'appended').  One row per
+    (phase, cross pair) at Jaccard >= 0.8.
+
+    The oracle replays both constructions exactly (cross pairs with the
+    old side restricted to %4 in (1,2), then unrestricted): a strict
+    hash-match proves (a) base ∪ segment indexes exactly what one build
+    over the union would — signatures are per-document, so the
+    decomposition is exact, and (b) the segment pin answers the
+    pre-append construction bit-identically — appends are
+    snapshot-isolated by layout (segments publish via one O_EXCL
+    marker; readers resolve (generation, segments) once).  Same
+    corpus-contingent total-recall contingency as
+    dedup_incremental_pairs.  Scale: the append shingles only the
+    delta; each query leg shuffles only the batch's slim (id, bkey)
+    rows, once per part, against co-located bucketed scans.  Lifecycle
+    invariants raise RuntimeError (loud-failure convention)."""
+    import uuid as _uuid
+
+    from ..operators.bucketing import index_drop_all
+    from ..operators.dedup import (
+        incremental_dedup_pairs,
+        minhash_index_append,
+        minhash_index_build,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter((F.col("doc_id") % 4).isin([1, 2]))
+    delta = docs.filter(F.col("doc_id") % 4 == 3)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    prefix = f"apgate_{_uuid.uuid4().hex[:8]}"
+    try:
+        g = minhash_index_build(base, prefix)
+        audit = minhash_index_append(delta, prefix)
+        if (g, audit["generation"], audit["segment"]) != (1, 1, 1):
+            raise RuntimeError(
+                f"expected build gen 1 + segment 1, got ({g}, "
+                f"{audit['generation']}, {audit['segment']})"
+            )
+        pinned = incremental_dedup_pairs(
+            batch, prefix, threshold=0.8, as_of_segment=0
+        ).select(F.lit("base").alias("phase"), "old_id", "new_id", "jaccard")
+        fresh = incremental_dedup_pairs(batch, prefix, threshold=0.8).select(
+            F.lit("appended").alias("phase"), "old_id", "new_id", "jaccard"
+        )
+        result = pinned.unionByName(fresh).localCheckpoint(eager=True)
+    finally:
+        index_drop_all(spark, prefix, ("_bands", "_shingles"))
+        from ..operators.dedup import _index_claim
+        from ..sinks import _hadoop_fs
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        fs, jpath = _hadoop_fs(spark, warehouse)
+        fs.delete(jpath(_index_claim(warehouse, prefix)), False)
+    return result
+
+
 @register("dedup_simhash", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash sketch per document (rows-only check; Hamming-pair

@@ -147,6 +147,11 @@ _ROUND_NEW: list[str] = [
 # generation 1 answering its exact original construction.
 AWAITING_FIRST_SLOT: list[str] = [
     "dedup_index_time_travel",
+    # the banked handoff candidate (e), built late in round 12: the
+    # minhash index's append/retrain lifecycle (immutable published
+    # SEGMENTS — stronger isolation than the IVF's in-place append),
+    # queried pinned (as_of_segment=0) and fresh in one gate
+    "dedup_index_append",
 ]
 
 # (d) the recomputed due list under the FOUR-round horizon: headline
