@@ -177,6 +177,7 @@ HEADLINE = [
     "text_tokenizer_whitespace_edge",
     "dedup_index_time_travel",
     "dedup_index_append",
+    "dedup_decontaminate_append",
 ]
 
 

@@ -783,6 +783,206 @@ def lsh_index_build(
     return gen
 
 
+# Appended-rows / sizing-basis ratio at which an append recommends a
+# full rebuild.  The plane parameters are FROZEN at build and sized from
+# the train count recorded in meta.n_rows; appends grow bucket occupancy
+# past that basis (more candidates per bucket — cost creep, and at some
+# point lsh_params_for would have chosen more planes), and every segment
+# widens the per-read plan by one co-located probe join.
+LSH_RETRAIN_FRAC = 0.5
+
+
+def lsh_index_append(
+    new_vectors: DataFrame,
+    table_prefix: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_buckets: int = LSH_INDEX_N_BUCKETS,
+    retrain_frac: float = LSH_RETRAIN_FRAC,
+    check_duplicate_ids: bool = True,
+) -> dict:
+    """INCREMENTAL decontamination-index maintenance (round 12, late —
+    the minhash_index_append pattern applied to the embedding index):
+    bucket ONLY the delta batch under the index's RECORDED plane
+    parameters (read from the generation's meta, never re-sized — a
+    delta bucketed under different parameters would silently miss every
+    candidate) and publish it as the resolved generation's next append
+    SEGMENT: a brand-new pair of immutable bucketed tables plus one
+    atomically-created segment marker.  Work is sized by the delta; the
+    train corpus is never re-bucketed.
+
+    Semantics: a vector's buckets depend only on itself and the frozen
+    (dim, n_planes, n_tables), so base ∪ segments indexes EXACTLY what
+    one build with the same parameters over the union would
+    (pytest-pinned).  Appends are SNAPSHOT-ISOLATED by layout, same as
+    the minhash index: readers resolve (generation, published segments)
+    once, an in-flight append is invisible until its marker lands, and
+    no quiescence caveat exists (the IVF append's residual caveat —
+    its lists sidecar must mutate in place; these tables need not).
+
+    What appends cannot do is re-size the planes: meta.n_rows is the
+    sizing basis the build chose parameters for, and the appended
+    fraction against that basis is the RETRAIN TRIGGER —
+    appended_rows / n_rows >= ``retrain_frac`` flips ``retrain_due`` in
+    the returned audit (and in :func:`lsh_index_status`, recomputed
+    from disk).  The retrain is a full :func:`lsh_index_build` over the
+    union corpus: it re-sizes the parameters and publishes the next
+    GENERATION (readers keep their resolved one), resetting segments.
+
+    Concurrency contract = the minhash append's: the shared build claim
+    serializes builds/rebuilds/appends; pre-mutation failures (no
+    generation, width mismatch detected at write, duplicate ids,
+    internal duplicates) release the claim — the index is untouched;
+    the segment-marker create is the atomic commit point.  Append means
+    NEW ids (re-ingest = rebuild, not append); the delta is checked
+    against base + published segments and for internal id duplicates
+    unless ``check_duplicate_ids=False``."""
+    from ..sinks import _hadoop_fs, claim_marker
+    from .bucketing import (
+        index_gen_prefix,
+        index_generations,
+        index_publish_segment,
+        index_seg_prefix,
+        index_segments,
+        write_bucketed,
+    )
+
+    spark = new_vectors.sparkSession
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    fs, jpath = _hadoop_fs(spark, warehouse)
+    claim = _lsh_index_claim(warehouse, table_prefix)
+    claim_marker(fs, jpath, claim, f"lsh_index_append({table_prefix})")
+    try:
+        gens = index_generations(spark, table_prefix)
+        if not gens:
+            raise FileNotFoundError(
+                f"lsh_index_append({table_prefix}): no published "
+                "generation to append to — build the index first "
+                "(lsh_index_build); the legacy flat layout predates "
+                "segments and must be rebuilt once to adopt them."
+            )
+        gen = gens[-1]
+        gp = index_gen_prefix(table_prefix, gen)
+        meta = spark.table(f"{gp}_meta").head()
+        n_planes, n_tables = int(meta["n_planes"]), int(meta["n_tables"])
+        dim, basis_rows = int(meta["dim"]), int(meta["n_rows"])
+        segs = index_segments(spark, table_prefix, gen)
+        seg = (segs[-1] if segs else 0) + 1
+        n_input = new_vectors.count()
+        n_ids = new_vectors.select(F.col(id_col)).distinct().count()
+        if n_ids != n_input:
+            raise ValueError(
+                f"lsh_index_append({table_prefix}): delta batch has "
+                f"{n_input - n_ids} internally duplicated {id_col} "
+                "value(s) — ids must be unique"
+            )
+        if check_duplicate_ids:
+            parts = [gp] + [index_seg_prefix(table_prefix, gen, s) for s in segs]
+            existing = functools.reduce(
+                DataFrame.unionByName,
+                [spark.table(f"{p}_vectors").select("id") for p in parts],
+            )
+            n_dup = (
+                new_vectors.select(F.col(id_col).alias("id"))
+                .join(existing, "id", "left_semi")
+                .count()
+            )
+            if n_dup:
+                raise ValueError(
+                    f"lsh_index_append({table_prefix}): {n_dup} delta "
+                    f"id(s) already indexed in generation {gen} — append "
+                    "means new ids; replacing vectors is a rebuild "
+                    "(lsh_index_build), not an append."
+                )
+    except BaseException:
+        fs.delete(jpath(claim), False)
+        raise
+    # MUTATION SECTION: claim is success-only from here.
+    sp = index_seg_prefix(table_prefix, gen, seg)
+    bt = with_lsh_buckets(
+        new_vectors, dim, n_planes=n_planes, n_tables=n_tables,
+        id_col=id_col, vec_col=vec_col,
+    ).select(
+        F.col(id_col).alias("id"),
+        F.posexplode("buckets").alias("table", "bucket"),
+    )
+    bkeyed = bt.select(
+        "id", F.xxhash64(F.col("table"), F.col("bucket")).alias("bkey")
+    )
+    write_bucketed(bkeyed, f"{sp}_buckets", key="bkey", n_buckets=n_buckets)
+    checked_norm = F.when(
+        F.size(F.col(vec_col)) == dim, norm2_seq(F.col(vec_col))
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"lsh_index_append: {vec_col} width != {dim} for id "),
+                F.col(id_col).cast("string"),
+            )
+        )
+    )
+    vecs = new_vectors.select(
+        F.col(id_col).alias("id"),
+        checked_norm.alias("nrm"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    write_bucketed(vecs, f"{sp}_vectors", key="id", n_buckets=n_buckets)
+    index_publish_segment(
+        spark, table_prefix, gen, seg, f"lsh_index_append({table_prefix})"
+    )
+    fs.delete(jpath(claim), False)
+    batch_rows = spark.table(f"{sp}_vectors").count()
+    appended_rows = batch_rows + sum(
+        spark.table(f"{index_seg_prefix(table_prefix, gen, s)}_vectors").count()
+        for s in segs
+    )
+    frac = appended_rows / basis_rows if basis_rows else float("inf")
+    return {
+        "generation": gen,
+        "segment": seg,
+        "batch_rows": batch_rows,
+        "basis_rows": basis_rows,
+        "appended_rows": appended_rows,
+        "appended_frac": frac,
+        "retrain_due": bool(frac >= retrain_frac),
+    }
+
+
+def lsh_index_status(
+    spark, table_prefix: str, retrain_frac: float = LSH_RETRAIN_FRAC
+) -> dict:
+    """The append/rebuild maintenance ledger of a persisted
+    decontamination index, recomputed FROM DISK (markers + meta +
+    vector-store row counts) — the restarted nightly driver needs no
+    sidecar state.  ``basis_rows`` is meta.n_rows, the count the plane
+    parameters were sized for; crossing ``retrain_frac`` is the cue to
+    run a full ``lsh_index_build`` rebuild (next generation, re-sized
+    parameters)."""
+    from .bucketing import (
+        index_gen_prefix,
+        index_resolve,
+        index_seg_prefix,
+        index_segments,
+    )
+
+    gen = index_resolve(spark, table_prefix)
+    segs = index_segments(spark, table_prefix, gen) if gen else []
+    gp = index_gen_prefix(table_prefix, gen)
+    basis_rows = int(spark.table(f"{gp}_meta").head()["n_rows"])
+    appended_rows = sum(
+        spark.table(f"{index_seg_prefix(table_prefix, gen, s)}_vectors").count()
+        for s in segs
+    )
+    frac = appended_rows / basis_rows if basis_rows else float("inf")
+    return {
+        "generation": gen,
+        "segments": segs,
+        "basis_rows": basis_rows,
+        "appended_rows": appended_rows,
+        "appended_frac": frac,
+        "retrain_due": bool(appended_rows and frac >= retrain_frac),
+    }
+
+
 def lsh_index_attach(
     spark,
     table_prefix: str,
@@ -809,12 +1009,19 @@ def lsh_index_attach(
 
     gen = index_resolve(spark, table_prefix, generation)
     gp = index_gen_prefix(table_prefix, gen)
-    attach_bucketed(
-        spark, f"{gp}_buckets", LSH_INDEX_BUCKETS_DDL, "bkey", n_buckets
-    )
-    attach_bucketed(
-        spark, f"{gp}_vectors", LSH_INDEX_VECTORS_DDL, "id", n_buckets
-    )
+    from .bucketing import index_seg_prefix, index_segments
+
+    parts = [gp] + [
+        index_seg_prefix(table_prefix, gen, s)
+        for s in (index_segments(spark, table_prefix, gen) if gen else [])
+    ]
+    for p in parts:
+        attach_bucketed(
+            spark, f"{p}_buckets", LSH_INDEX_BUCKETS_DDL, "bkey", n_buckets
+        )
+        attach_bucketed(
+            spark, f"{p}_vectors", LSH_INDEX_VECTORS_DDL, "id", n_buckets
+        )
     meta = f"{gp}_meta"
     # same managed-entry guard as attach_bucketed: dropping a MANAGED
     # table purges its directory — refuse rather than destroy
@@ -857,6 +1064,7 @@ def decontaminate_incremental(
     multiprobe: int | None = None,
     materialize: bool = True,
     generation: int | None = None,
+    as_of_segment: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs between an EVAL batch and the indexed
     TRAIN snapshot at cosine >= the index's threshold — the nightly
@@ -882,7 +1090,16 @@ def decontaminate_incremental(
     it scans (round 12).  Only the pre-generation FLAT layout
     (generation 0) still refuses to read under a standing build claim:
     flat tables were rewritten in place, so a dead mid-rewrite builder
-    means a possibly mismatched buckets/vectors/meta snapshot."""
+    means a possibly mismatched buckets/vectors/meta snapshot.
+
+    Round 12, late: the resolved generation's published APPEND SEGMENTS
+    (:func:`lsh_index_append`) are part of the snapshot — resolved once
+    alongside the generation; the candidate and rescore joins run PER
+    PART (base + each segment, co-located against that part's bucketed
+    layout, only the delta-sized batch shuffling) and union.  A racing
+    append is invisible by layout.  ``as_of_segment`` pins the segment
+    horizon: 0 = base only, N = segments <= N (explicit, never a silent
+    fallback)."""
     from ..sinks import ConcurrentCommitError, _hadoop_fs
     from .bucketing import index_gen_prefix, index_resolve
 
@@ -900,7 +1117,20 @@ def decontaminate_incremental(
                 "may be mismatched. Wait for the build, or rerun it if "
                 "its builder is known dead."
             )
+    from .bucketing import index_seg_prefix, index_segments
+
+    segs = index_segments(spark, table_prefix, gen) if gen else []
+    if as_of_segment is not None:
+        if as_of_segment != 0 and as_of_segment not in segs:
+            raise FileNotFoundError(
+                f"decontaminate_incremental({table_prefix}): segment "
+                f"{as_of_segment} of generation {gen} not published "
+                f"(have {segs or 'none'}) — segment pinning is explicit, "
+                "never a silent fallback"
+            )
+        segs = [s for s in segs if s <= as_of_segment]
     gp = index_gen_prefix(table_prefix, gen)
+    parts = [gp] + [index_seg_prefix(table_prefix, gen, s) for s in segs]
     meta = spark.table(f"{gp}_meta").head()
     n_planes, n_tables = int(meta["n_planes"]), int(meta["n_tables"])
     dim, threshold = int(meta["dim"]), float(meta["threshold"])
@@ -931,12 +1161,23 @@ def decontaminate_incremental(
     evk = ev.select(
         "id_a", F.xxhash64(F.col("table"), F.col("bucket")).alias("bkey")
     )
-    idx = spark.table(f"{gp}_buckets")
-    cand = (
-        evk.join(idx.select(F.col("id").alias("id_b"), "bkey"), "bkey")
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    # one co-located probe join PER PART (ids disjoint across parts by
+    # the append-time duplicate check): the index side of each join
+    # reads its own bucket layout with zero Exchange; only the
+    # delta-sized evk shuffles, once per part
+    cand = functools.reduce(
+        DataFrame.unionByName,
+        [
+            evk.join(
+                spark.table(f"{p}_buckets").select(
+                    F.col("id").alias("id_b"), "bkey"
+                ),
+                "bkey",
+            )
+            for p in parts
+        ],
     )
+    cand = cand.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
     checked_norm = F.when(
         F.size(F.col(vec_col)) == dim, norm2_seq(F.col(vec_col))
     ).otherwise(
@@ -955,18 +1196,27 @@ def decontaminate_incremental(
         checked_norm.alias("_na"),
         *[F.col(vec_col)[i].cast("double").alias(f"_a{i}") for i in range(dim)],
     )
-    wb = spark.table(f"{gp}_vectors").select(
-        F.col("id").alias("id_b"),
-        F.col("nrm").alias("_nb"),
-        *[F.col("v")[i].alias(f"_b{i}") for i in range(dim)],
+    # rescore PER PART for the same co-located-read reason, then union
+    rescored = functools.reduce(
+        DataFrame.unionByName,
+        [
+            cand.join(
+                spark.table(f"{p}_vectors").select(
+                    F.col("id").alias("id_b"),
+                    F.col("nrm").alias("_nb"),
+                    *[F.col("v")[i].alias(f"_b{i}") for i in range(dim)],
+                ),
+                "id_b",
+            )
+            for p in parts
+        ],
     )
     dot = functools.reduce(
         lambda acc, t: acc + t,
         [F.col(f"_a{i}") * F.col(f"_b{i}") for i in range(dim)],
     )
     result = (
-        cand.join(wa, "id_a")
-        .join(wb, "id_b")
+        rescored.join(wa, "id_a")
         .select(
             "id_a",
             "id_b",

@@ -955,13 +955,14 @@ def _is_eval_col():
     return (F.col("vec_id") % _COPY_SPAN) >= _PLANT_ID_OFFSET
 
 
-def _decontaminate_sql() -> str:
+def _decontaminate_sql(train_pred: str = "TRUE") -> str:
     from .similarity import dot_sql
 
     return f"""
 WITH {_GRADE_CORPUS_SQL},
 ev AS (SELECT * FROM corpus WHERE vec_id % {_COPY_SPAN} >= {_PLANT_ID_OFFSET}),
-tr AS (SELECT * FROM corpus WHERE vec_id % {_COPY_SPAN} < {_PLANT_ID_OFFSET}),
+tr AS (SELECT * FROM corpus
+       WHERE vec_id % {_COPY_SPAN} < {_PLANT_ID_OFFSET} AND ({train_pred})),
 agg AS (
     SELECT e.vec_id AS eval_id, t.vec_id AS train_id,
            {dot_sql('e.v', 't.v')} AS dot,
@@ -1175,6 +1176,118 @@ def dedup_decontaminate_incremental(spark: SparkSession, sf_dir: str) -> DataFra
             )
             .localCheckpoint(eager=True)
         )
+    finally:
+        from ..operators.bucketing import index_drop_all
+        from ..sinks import _hadoop_fs
+
+        index_drop_all(spark, prefix, ("_buckets", "_vectors", "_meta"))
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        fs, jpath = _hadoop_fs(spark, warehouse)
+        fs.delete(jpath(_lsh_index_claim(warehouse, prefix)), False)
+    return result
+
+
+def _decontaminate_append_sql() -> str:
+    # the two phases replay the two constructions exactly: 'base' =
+    # the one-shot restricted to the base train half (argmax over the
+    # restricted pairs — restriction BEFORE argmax, which is why the
+    # predicate threads into _decontaminate_sql's tr CTE rather than
+    # filtering its output), 'appended' = the full one-shot
+    return f"""
+SELECT 'base' AS phase, eval_id, train_id, cosine
+FROM ({_decontaminate_sql("(vec_id // 7) % 2 = 0")})
+UNION ALL
+SELECT 'appended' AS phase, eval_id, train_id, cosine
+FROM ({_decontaminate_sql()})
+"""
+
+
+@register("dedup_decontaminate_append", oracle=_decontaminate_append_sql())
+def dedup_decontaminate_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECONTAMINATION-INDEX APPEND lifecycle (round 12, registered
+    after the window filled — AWAITING_FIRST_SLOT, an r13 driver slot;
+    with dedup_index_append this completes the banked handoff
+    candidate e for BOTH persisted text/embedding indexes): grow the
+    benchmark-protection index at DELTA cost.  The nightly story: half
+    the train corpus is indexed (lsh_index_build, generation 1, plane
+    parameters sized and RECORDED for that half); the other half lands
+    later via lsh_index_append as the generation's first immutable
+    segment — bucketed under the RECORDED parameters, never re-sized;
+    the eval batch is then screened twice in one plan: pinned to the
+    pre-append snapshot (as_of_segment=0, phase 'base') and against the
+    appended index (fresh resolve, phase 'appended'), each with the
+    same per-eval argmax as the one-shot gate.
+
+    The oracle replays both constructions exactly (the one-shot SQL
+    with the train side restricted to the base half, then unrestricted)
+    — a strict hash-match proves the frozen-parameter decomposition
+    (base ∪ segment = union build with the same parameters) AND the
+    segment pin's bit-identical pre-append answer.  Same
+    corpus-contingent total-recall contingency as the other
+    decontamination gates, with one addition pinned in pytest: the
+    base-half index's parameters (sized for the half, then probed for
+    the union) retain total recall on this corpus.  Train halves split
+    by (vec_id // 7) % 2 — id-block alternation, stated identically in
+    both engines, chosen so both halves span all sources.  Lifecycle
+    invariants raise RuntimeError (loud-failure convention)."""
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+
+    from ..operators.similarity import (
+        _lsh_index_claim,
+        decontaminate_incremental,
+        lsh_index_append,
+        lsh_index_build,
+    )
+
+    corpus = _grade_corpus(spark, sf_dir)
+    ev = corpus.filter(_is_eval_col())
+    tr = corpus.filter(~_is_eval_col())
+    half = (F.floor(F.col("vec_id") / 7) % 2 == 0)
+    base, delta = tr.filter(half), tr.filter(~half)
+    prefix = f"apdecon_{_uuid.uuid4().hex[:8]}"
+    try:
+        g = lsh_index_build(
+            base, prefix, threshold=_GRADE_THRESHOLD, dim=64,
+            vec_col="v", multiprobe=_GRADE_MULTIPROBE,
+        )
+        audit = lsh_index_append(delta, prefix, vec_col="v")
+        if (g, audit["generation"], audit["segment"]) != (1, 1, 1):
+            raise RuntimeError(
+                f"expected build gen 1 + segment 1, got ({g}, "
+                f"{audit['generation']}, {audit['segment']})"
+            )
+        if not audit["retrain_due"]:
+            raise RuntimeError(
+                "appending ~the basis size must trip the retrain trigger; "
+                f"audit={audit}"
+            )
+        w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+
+        def _argmax(pairs, phase: str):
+            return (
+                pairs.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select(
+                    F.lit(phase).alias("phase"),
+                    F.col("id_a").alias("eval_id"),
+                    F.col("id_b").alias("train_id"),
+                    "cosine",
+                )
+            )
+
+        pinned = _argmax(
+            decontaminate_incremental(
+                ev, prefix, vec_col="v", materialize=False, as_of_segment=0
+            ),
+            "base",
+        )
+        fresh = _argmax(
+            decontaminate_incremental(ev, prefix, vec_col="v", materialize=False),
+            "appended",
+        )
+        result = pinned.unionByName(fresh).localCheckpoint(eager=True)
     finally:
         from ..operators.bucketing import index_drop_all
         from ..sinks import _hadoop_fs

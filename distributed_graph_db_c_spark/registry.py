@@ -152,6 +152,10 @@ AWAITING_FIRST_SLOT: list[str] = [
     # SEGMENTS — stronger isolation than the IVF's in-place append),
     # queried pinned (as_of_segment=0) and fresh in one gate
     "dedup_index_append",
+    # same lifecycle applied to the embedding/decontamination index
+    # (frozen plane parameters from meta; retrain trigger against the
+    # recorded sizing basis) — candidate (e) complete for BOTH indexes
+    "dedup_decontaminate_append",
 ]
 
 # (d) the recomputed due list under the FOUR-round horizon: headline
