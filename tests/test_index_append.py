@@ -109,6 +109,21 @@ def test_append_snapshot_isolation_and_segment_pin(spark):
         assert all(30 <= o < 45 for (o, _n) in set(after) - set(before))
         with pytest.raises(FileNotFoundError, match="segment 5"):
             incremental_dedup_pairs(batch, "apx_iso", as_of_segment=5)
+        # scale-shape pin: with a segment present the index side stays
+        # CO-LOCATED — every part's bands/shingles scan reports its
+        # bucket layout; only the delta's slim (id, bkey) rows shuffle,
+        # once per part (2 parts -> <= 2 bkey exchanges)
+        import re
+
+        plan = (
+            incremental_dedup_pairs(batch, "apx_iso", materialize=False)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("SelectedBucketsCount") >= 4, plan[:1500]
+        n_bkey = len(re.findall(r"Exchange hashpartitioning\(bkey", plan))
+        assert n_bkey <= 2, f"index side reshuffled: {n_bkey} bkey exchanges"
     finally:
         _clean(spark, "apx_iso")
 

@@ -128,6 +128,20 @@ def test_lsh_append_snapshot_isolation(spark):
         after = _pairs(decontaminate_incremental(ev, "lap_iso"))
         assert set(after) > set(before)
         assert all(30 <= b < 60 for (_a, b) in set(after) - set(before))
+        # scale-shape pin: with a segment present the index side stays
+        # CO-LOCATED (bucketed scans on every part); only the eval
+        # batch's slim bucket rows shuffle, once per part
+        import re
+
+        plan = (
+            decontaminate_incremental(ev, "lap_iso", materialize=False)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("SelectedBucketsCount") >= 4, plan[:1500]
+        n_bkey = len(re.findall(r"Exchange hashpartitioning\(bkey", plan))
+        assert n_bkey <= 2, f"index side reshuffled: {n_bkey} bkey exchanges"
     finally:
         _clean(spark, "lap_iso")
 
