@@ -226,9 +226,11 @@ _STALE_RAMP: list[str] = []
 # ROUND-13 HANDOFF (computed EXACTLY against the published r09-r11
 # records with a synthetic r12 = this window all-green; the look-ahead
 # test recomputes and enforces it at r13 build time): the round-13
-# window owes (1) the ONE awaiting drain (dedup_index_time_travel,
-# registered post-window with full local strict evidence — see
-# AWAITING_FIRST_SLOT above); (2) the due cohort leaving the FOUR-round horizon when
+# window owes (1) the THREE awaiting drains (dedup_index_time_travel
+# plus the two append-lifecycle gates dedup_index_append /
+# dedup_decontaminate_append, all registered post-window with full
+# local strict evidence — see AWAITING_FIRST_SLOT above);
+# (2) the due cohort leaving the FOUR-round horizon when
 # r13 publishes — measured 21 wide, ZERO streaming members again (the
 # r09-green-only cohort: the graph/storage/sketch/sim gates r09
 # rotated); with ~27 residual slots the round has room for the ramp
@@ -242,15 +244,23 @@ _STALE_RAMP: list[str] = []
 #
 # Surface candidates banked for round 13: (a) capability-gated
 # JPEG/FLAC differential rows in ORACLE_LOCAL when a dep-present
-# environment runs them (Pillow/soundfile re-verified ABSENT at r12);
-# (b) transformWithState migration A/B for the two
-# applyInPandasWithState gates when Spark ships the Python API;
-# (c) a minhash-index time-travel gate (generation= pinning is
-# pytest-pinned this round, not driver-gated — the sim_ivf_time_travel
-# pattern applied to the dedup index); (d) index-generation VACUUM as
-# a driver gate (pytest-pinned only); (e) per-generation append for
-# the minhash/LSH indexes (the IVF append/ retrain_due lifecycle
-# applied to the text index — today rebuilds are full-corpus).
+# environment runs them (Pillow/soundfile re-verified ABSENT at r12;
+# the native baseline-JPEG/verbatim-FLAC codecs cover the compressed
+# formats themselves since r12); (b) transformWithState migration A/B
+# for the two applyInPandasWithState gates when Spark ships the
+# Python API; (c) DONE late in r12 — dedup_index_time_travel
+# (AWAITING); (d) index-generation VACUUM as a driver gate
+# (pytest-pinned only — tests/test_index_append.py,
+# tests/test_lsh_index_append.py, test_round12_properties.py);
+# (e) DONE late in r12 for BOTH indexes — minhash_index_append /
+# lsh_index_append publish immutable per-generation SEGMENTS (stronger
+# isolation than the IVF in-place append: readers resolve
+# (generation, segments) once), with retrain triggers and from-disk
+# status ledgers; gates dedup_index_append /
+# dedup_decontaminate_append (AWAITING).  New r13 candidate: a
+# STREAMING composition of the append lifecycle (foreachBatch ->
+# minhash_index_append per micro-batch, cross-pairs emitted per
+# batch) — the continuous form of the nightly contract.
 
 # Streaming events consumers LAST inside the window: each runs a real
 # micro-batch stream and is the slowest gate class.  Round 12 carries

@@ -135,6 +135,8 @@ QUERIES = [
     # round-12 gates: same-round 10x points
     "text_tokenizer_whitespace_edge",
     "dedup_index_time_travel",
+    "dedup_index_append",
+    "dedup_decontaminate_append",
 ]
 
 # Round-7 extension (r6 verdict item 5): the 12 streaming gates at 10x
