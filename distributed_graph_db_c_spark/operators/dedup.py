@@ -491,6 +491,14 @@ def _index_claim(warehouse: str, table_prefix: str) -> str:
 # widens each incremental read's plan by one co-located probe join.
 MINHASH_RETRAIN_FRAC = 0.5
 
+# Segment-COUNT half of the trigger (the 1000x reflection): a year of
+# tiny nightly appends could stay under the row-fraction trigger forever
+# while growing the per-read plan to hundreds of probe joins and
+# shuffling the delta batch once per segment.  Crossing this count flips
+# retrain_due regardless of rows — the rebuild folds every segment back
+# into one base.
+MINHASH_MAX_SEGMENTS = 16
+
 
 def minhash_index_append(
     new_docs: DataFrame,
@@ -503,6 +511,7 @@ def minhash_index_append(
     id_col: str = "doc_id",
     text_col: str = "text",
     retrain_frac: float = MINHASH_RETRAIN_FRAC,
+    max_segments: int = MINHASH_MAX_SEGMENTS,
     check_duplicate_ids: bool = True,
 ) -> dict:
     """INCREMENTAL minhash-index maintenance (round 12, late — the
@@ -528,9 +537,12 @@ def minhash_index_append(
 
     What appends cannot do is shrink the per-read plan: every segment
     adds one co-located probe join to each future incremental read.
-    That is the REBUILD TRIGGER, recorded in the returned audit:
-    appended_rows / base_rows >= ``retrain_frac`` flips
-    ``retrain_due`` — the maintenance step is a full
+    That is the REBUILD TRIGGER, recorded in the returned audit, and it
+    is TWO-SIDED: appended_rows / base_rows >= ``retrain_frac`` OR
+    n_segments >= ``max_segments`` flips ``retrain_due`` (the count
+    side is the 1000x guard — a year of tiny nightly appends stays
+    under any row fraction while growing the per-read plan to hundreds
+    of probe joins) — the maintenance step is a full
     :func:`minhash_index_build` over the union corpus, which publishes
     the next GENERATION (atomic marker, concurrent readers keep their
     resolved generation) and resets the segment count to zero.
@@ -648,19 +660,24 @@ def minhash_index_append(
     )
     appended_rows = prior_rows + batch_rows
     frac = appended_rows / base_rows if base_rows else float("inf")
+    n_segments = len(segs) + 1
     return {
         "generation": gen,
         "segment": seg,
+        "n_segments": n_segments,
         "batch_rows": batch_rows,
         "base_rows": base_rows,
         "appended_rows": appended_rows,
         "appended_frac": frac,
-        "retrain_due": bool(frac >= retrain_frac),
+        "retrain_due": bool(frac >= retrain_frac or n_segments >= max_segments),
     }
 
 
 def minhash_index_status(
-    spark, table_prefix: str, retrain_frac: float = MINHASH_RETRAIN_FRAC
+    spark,
+    table_prefix: str,
+    retrain_frac: float = MINHASH_RETRAIN_FRAC,
+    max_segments: int = MINHASH_MAX_SEGMENTS,
 ) -> dict:
     """The append/rebuild maintenance ledger of a persisted minhash
     index, recomputed FROM DISK (markers + shingle-store row counts) so
@@ -692,7 +709,10 @@ def minhash_index_status(
         "base_rows": base_rows,
         "appended_rows": appended_rows,
         "appended_frac": frac,
-        "retrain_due": bool(appended_rows and frac >= retrain_frac),
+        "retrain_due": bool(
+            appended_rows
+            and (frac >= retrain_frac or len(segs) >= max_segments)
+        ),
     }
 
 

@@ -791,6 +791,11 @@ def lsh_index_build(
 # widens the per-read plan by one co-located probe join.
 LSH_RETRAIN_FRAC = 0.5
 
+# Segment-COUNT half of the trigger — same 1000x argument as
+# operators.dedup.MINHASH_MAX_SEGMENTS: tiny nightly appends must not
+# grow the per-read plan unboundedly under the row-fraction radar.
+LSH_MAX_SEGMENTS = 16
+
 
 def lsh_index_append(
     new_vectors: DataFrame,
@@ -799,6 +804,7 @@ def lsh_index_append(
     vec_col: str = "embedding",
     n_buckets: int = LSH_INDEX_N_BUCKETS,
     retrain_frac: float = LSH_RETRAIN_FRAC,
+    max_segments: int = LSH_MAX_SEGMENTS,
     check_duplicate_ids: bool = True,
 ) -> dict:
     """INCREMENTAL decontamination-index maintenance (round 12, late —
@@ -823,9 +829,11 @@ def lsh_index_append(
     What appends cannot do is re-size the planes: meta.n_rows is the
     sizing basis the build chose parameters for, and the appended
     fraction against that basis is the RETRAIN TRIGGER —
-    appended_rows / n_rows >= ``retrain_frac`` flips ``retrain_due`` in
-    the returned audit (and in :func:`lsh_index_status`, recomputed
-    from disk).  The retrain is a full :func:`lsh_index_build` over the
+    appended_rows / n_rows >= ``retrain_frac`` OR n_segments >=
+    ``max_segments`` (the 1000x guard: tiny nightly appends must not
+    grow the per-read plan unboundedly under the row-fraction radar)
+    flips ``retrain_due`` in the returned audit (and in
+    :func:`lsh_index_status`, recomputed from disk).  The retrain is a full :func:`lsh_index_build` over the
     union corpus: it re-sizes the parameters and publishes the next
     GENERATION (readers keep their resolved one), resetting segments.
 
@@ -936,19 +944,24 @@ def lsh_index_append(
         for s in segs
     )
     frac = appended_rows / basis_rows if basis_rows else float("inf")
+    n_segments = len(segs) + 1
     return {
         "generation": gen,
         "segment": seg,
+        "n_segments": n_segments,
         "batch_rows": batch_rows,
         "basis_rows": basis_rows,
         "appended_rows": appended_rows,
         "appended_frac": frac,
-        "retrain_due": bool(frac >= retrain_frac),
+        "retrain_due": bool(frac >= retrain_frac or n_segments >= max_segments),
     }
 
 
 def lsh_index_status(
-    spark, table_prefix: str, retrain_frac: float = LSH_RETRAIN_FRAC
+    spark,
+    table_prefix: str,
+    retrain_frac: float = LSH_RETRAIN_FRAC,
+    max_segments: int = LSH_MAX_SEGMENTS,
 ) -> dict:
     """The append/rebuild maintenance ledger of a persisted
     decontamination index, recomputed FROM DISK (markers + meta +
@@ -979,7 +992,10 @@ def lsh_index_status(
         "basis_rows": basis_rows,
         "appended_rows": appended_rows,
         "appended_frac": frac,
-        "retrain_due": bool(appended_rows and frac >= retrain_frac),
+        "retrain_due": bool(
+            appended_rows
+            and (frac >= retrain_frac or len(segs) >= max_segments)
+        ),
     }
 
 

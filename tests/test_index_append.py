@@ -181,6 +181,13 @@ def test_retrain_trigger_and_status_recompute_from_disk(spark):
         minhash_index_build(base, "apx_rt")
         a1 = minhash_index_append(d1, "apx_rt")
         assert (a1["appended_frac"], a1["retrain_due"]) == (0.25, False)
+        assert a1["n_segments"] == 1
+        # the trigger's SEGMENT-COUNT side (the 1000x guard) trips
+        # independently of the row fraction: same on-disk state, a
+        # max_segments=1 policy is already due at frac 0.25
+        assert minhash_index_status(spark, "apx_rt", max_segments=1)[
+            "retrain_due"
+        ]
         a2 = minhash_index_append(d2, "apx_rt")
         assert a2["appended_rows"] == 24 and a2["retrain_due"]  # 0.6 >= 0.5
         st = minhash_index_status(spark, "apx_rt")
@@ -192,6 +199,10 @@ def test_retrain_trigger_and_status_recompute_from_disk(spark):
             "appended_frac": 0.6,
             "retrain_due": True,
         }
+        # fraction side isolated: a lax segment budget is still due at 0.6
+        assert minhash_index_status(spark, "apx_rt", max_segments=99)[
+            "retrain_due"
+        ]
         # the retrain itself: a full build over the union publishes g2
         # with zero segments and the ledger resets
         assert minhash_index_build(docs.filter(F.col("doc_id") < 64), "apx_rt") == 2

@@ -178,6 +178,15 @@ def test_lsh_append_refusals_and_retrain_ledger(spark):
         audit = lsh_index_append(delta, "lap_ref")
         assert (audit["basis_rows"], audit["appended_rows"]) == (30, 30)
         assert audit["appended_frac"] == 1.0 and audit["retrain_due"]
+        assert audit["n_segments"] == 1
+        # segment-count side of the trigger (the 1000x guard): with the
+        # fraction below threshold it still trips on count alone
+        assert not lsh_index_status(
+            spark, "lap_ref", retrain_frac=9.9, max_segments=2
+        )["retrain_due"]
+        assert lsh_index_status(
+            spark, "lap_ref", retrain_frac=9.9, max_segments=1
+        )["retrain_due"]
         st = lsh_index_status(spark, "lap_ref")
         assert st == {
             "generation": 1,
