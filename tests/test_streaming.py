@@ -222,6 +222,80 @@ def test_incremental_minhash_equals_batch(spark):
         cleanup(scratch)
 
 
+def test_continuous_index_dedup_equals_batch_and_converges_with_nightly(spark):
+    """The DURABLE-index streaming form (continuous_index_dedup): the
+    accumulated distinct pair set must equal the batch operator's over
+    the whole corpus; the stream must leave the engine's real
+    generation/segment index behind (bootstrap build + one append
+    segment per later batch, retrain ledger live); a replayed batch —
+    BOTH the crash-before-publish and crash-after-publish shapes — must
+    not change the distinct set; and a NIGHTLY batch must be able to
+    screen against the stream-built index directly (one index, two
+    cadences)."""
+    from distributed_graph_db_c_spark.operators.bucketing import index_drop_all
+    from distributed_graph_db_c_spark.operators.dedup import (
+        _index_claim,
+        incremental_dedup_pairs,
+        minhash_dedup_pairs,
+        minhash_index_status,
+    )
+    from distributed_graph_db_c_spark.sinks import _hadoop_fs
+    from distributed_graph_db_c_spark.streaming.dedup import (
+        PAIRS_DDL,
+        continuous_index_dedup,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    expected = _rows(minhash_dedup_pairs(docs, threshold=0.8))
+    assert expected, "gate corpus must contain near-dup pairs"
+
+    prefix = "contdedup_t"
+    index_drop_all(spark, prefix, ("_bands", "_shingles"))
+    scratch = scratch_dir("test-contdedup")
+    try:
+        batches = [docs.filter(F.pmod("doc_id", F.lit(3)) == i) for i in range(3)]
+        in_dir = stage_stream_dir(batches, f"{scratch}/in")
+        sdocs = read_file_stream(spark, in_dir, docs.schema)
+        run_available_now(
+            sdocs,
+            f"{scratch}/ckpt",
+            foreach_batch=continuous_index_dedup(prefix, f"{scratch}/pairs"),
+        )
+        got = _rows(
+            spark.read.schema(PAIRS_DDL).parquet(f"{scratch}/pairs").distinct()
+        )
+        assert got == expected
+        # the stream left the REAL index: generation 1 (batch 0's
+        # bootstrap) + 2 append segments (batches 1, 2), ledger live
+        st = minhash_index_status(spark, prefix)
+        assert (st["generation"], st["segments"]) == (1, [1, 2])
+        assert st["base_rows"] + st["appended_rows"] == docs.count()
+
+        # crash-AFTER-publish replay: batch 1 is fully committed (its
+        # segment published); the handler swallows the duplicate-id
+        # refusal, rewrites exact-duplicate rows, index unchanged
+        handler = continuous_index_dedup(prefix, f"{scratch}/pairs")
+        handler(batches[1], 99)
+        assert minhash_index_status(spark, prefix)["segments"] == [1, 2]
+        assert _rows(
+            spark.read.schema(PAIRS_DDL).parquet(f"{scratch}/pairs").distinct()
+        ) == expected
+
+        # one index, two cadences: the nightly batch job screens a new
+        # delta against the STREAM-built index state directly
+        night = docs.filter(F.pmod("doc_id", F.lit(3)) == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        pairs = incremental_dedup_pairs(night, prefix, threshold=0.8)
+        assert pairs.count() > 0  # shifted copies pair with originals at 1.0
+    finally:
+        index_drop_all(spark, prefix, ("_bands", "_shingles"))
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        fs, jpath = _hadoop_fs(spark, warehouse)
+        fs.delete(jpath(_index_claim(warehouse, prefix)), False)
+        cleanup(scratch)
+
+
 def test_watermark_late_filter_lags_one_batch(spark, tmp_path):
     """Pins the empirical late-data contract stream_watermark_late_drop
     depends on: the late filter uses the watermark committed as of the
