@@ -178,6 +178,9 @@ HEADLINE = [
     "dedup_index_time_travel",
     "dedup_index_append",
     "dedup_decontaminate_append",
+    "dedup_index_vacuum",
+    # streaming gates run real micro-batch streams — keep them last
+    "stream_continuous_index_dedup",
 ]
 
 

@@ -358,6 +358,120 @@ def dedup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+_INDEX_VACUUM_SQL = rf"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(t) >= 3
+                   THEN list_distinct(list_transform(generate_series(0, len(t)-3),
+                                                     i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                   ELSE [] END AS s
+       FROM toks),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+j AS (SELECT doc_a, doc_b,
+             CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8),
+cross1 AS (SELECT CASE WHEN doc_a % 4 = 0 THEN doc_b ELSE doc_a END AS old_id,
+                  CASE WHEN doc_a % 4 = 0 THEN doc_a ELSE doc_b END AS new_id,
+                  jaccard
+           FROM j
+           WHERE (doc_a % 4 = 0) <> (doc_b % 4 = 0))
+SELECT CAST(2 AS BIGINT) AS surviving_generation,
+       CAST(1 AS BIGINT) AS removed_generation,
+       old_id, new_id, jaccard
+FROM cross1 WHERE old_id % 4 IN (2, 3)
+"""
+
+
+@register("dedup_index_vacuum", oracle=_INDEX_VACUUM_SQL)
+def dedup_index_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINHASH-INDEX VACUUM lifecycle (round 12, late —
+    AWAITING_FIRST_SLOT, an r13 driver slot; the banked handoff
+    candidate d, previously pytest-pinned only): retention enforcement
+    on the months-lived index.  The story completes the other lifecycle
+    gates': generation 1 indexes the snapshot (base %4 in (1, 2) PLUS
+    the %4 == 3 rows landed as an append SEGMENT — so the vacuum
+    provably destroys segments with their generation, not just base
+    tables); the rebuild publishes generation 2 over the survivors
+    (%4 in (2, 3)); vacuum keep_last=1 then removes generation 1 —
+    marker first, segment markers with it.  The gate enforces, loudly:
+    vacuum returned exactly [1]; a generation-1 pinned read now raises
+    (never silently re-resolves — the only-destroyer contract); and
+    returns tonight's batch (%4 == 0) screened against the surviving
+    generation, labeled with (surviving_generation, removed_generation).
+
+    The oracle replays the SURVIVING construction only — a strict
+    hash-match proves the vacuum destroyed generation 1 without
+    touching what generation 2 answers.  Same corpus-contingent
+    total-recall contingency as dedup_incremental_pairs.  Scale:
+    vacuum is O(markers + file deletes) of the doomed generations;
+    the surviving read's shape is unchanged (delta-only shuffles).
+    Lifecycle invariants raise RuntimeError (loud-failure convention)."""
+    import uuid as _uuid
+
+    from ..operators.bucketing import index_drop_all
+    from ..operators.dedup import (
+        incremental_dedup_pairs,
+        minhash_index_append,
+        minhash_index_build,
+        minhash_index_vacuum,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter((F.col("doc_id") % 4).isin([1, 2]))
+    seg = docs.filter(F.col("doc_id") % 4 == 3)
+    survivors = docs.filter((F.col("doc_id") % 4).isin([2, 3]))
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    prefix = f"vacgate_{_uuid.uuid4().hex[:8]}"
+    try:
+        g1 = minhash_index_build(base, prefix)
+        audit = minhash_index_append(seg, prefix)
+        g2 = minhash_index_build(survivors, prefix)
+        if (g1, audit["segment"], g2) != (1, 1, 2):
+            raise RuntimeError(
+                f"expected lifecycle (g1, seg 1, g2), got "
+                f"({g1}, {audit['segment']}, {g2})"
+            )
+        removed = minhash_index_vacuum(spark, prefix, keep_last=1)
+        if removed != [1]:
+            raise RuntimeError(f"vacuum removed {removed}, expected [1]")
+        try:
+            incremental_dedup_pairs(batch, prefix, threshold=0.8, generation=1)
+        except FileNotFoundError:
+            pass  # the only-destroyer contract: pinned readers fail loudly
+        else:
+            raise RuntimeError(
+                "generation 1 still resolvable after vacuum — the pin "
+                "must raise, never silently re-resolve"
+            )
+        result = (
+            incremental_dedup_pairs(batch, prefix, threshold=0.8)
+            .select(
+                F.lit(2).cast("long").alias("surviving_generation"),
+                F.lit(1).cast("long").alias("removed_generation"),
+                "old_id",
+                "new_id",
+                "jaccard",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        index_drop_all(spark, prefix, ("_bands", "_shingles"))
+        from ..operators.dedup import _index_claim
+        from ..sinks import _hadoop_fs
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        fs, jpath = _hadoop_fs(spark, warehouse)
+        fs.delete(jpath(_index_claim(warehouse, prefix)), False)
+    return result
+
+
 @register("dedup_simhash", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash sketch per document (rows-only check; Hamming-pair

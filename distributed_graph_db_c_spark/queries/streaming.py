@@ -303,6 +303,69 @@ def stream_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFr
     return pairs
 
 
+@register("stream_continuous_index_dedup", oracle=_MINHASH_STREAM_SQL)
+def stream_continuous_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS near-dup detection over the DURABLE generation/segment
+    index (round 12, late — AWAITING_FIRST_SLOT, an r13 driver slot):
+    where stream_dedup_minhash_incremental accumulates a scratch parquet
+    index, this gate's foreachBatch handler
+    (streaming/dedup.py:continuous_index_dedup) maintains the engine's
+    REAL persisted minhash index — the first micro-batch bootstraps
+    generation 1 (minhash_index_build), each later batch screens itself
+    (cross pairs against the resolved (generation, segments) snapshot +
+    within-batch pairs) and then lands as the generation's next
+    immutable append segment (minhash_index_append).  The stream and
+    the nightly job converge on ONE index: restart recovery via attach,
+    the two-sided retrain trigger (segment count is the binding side at
+    one-segment-per-batch), time travel, vacuum — all apply to what the
+    stream leaves behind (pytest-pinned, including a nightly batch
+    screening the stream-built index directly).
+
+    Every pair is discovered exactly once — in the batch where its
+    later member arrives — so the accumulated distinct pair set equals
+    minhash_dedup_pairs over the whole corpus regardless of batch
+    boundaries, and the SAME exact-Jaccard SQL gates a genuinely
+    streaming execution against a durable index.  Replay safety rides
+    the index's atomic segment publish as the batch commit point
+    (handler docstring; crash-shape pins in tests/test_streaming.py).
+    Same corpus-contingent LSH total-recall contingency as
+    dedup_minhash_pairs.  Scale: per batch, the batch's own shingling
+    plus one co-located probe join per index part — corpus never
+    rescanned."""
+    import uuid as _uuid
+
+    from ..operators.bucketing import index_drop_all
+    from ..operators.dedup import _index_claim
+    from ..sinks import _hadoop_fs
+    from ..streaming.dedup import PAIRS_DDL, continuous_index_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    scratch = scratch_dir("scontdedup")
+    prefix = f"contgate_{_uuid.uuid4().hex[:8]}"
+    try:
+        batches = [docs.filter(F.pmod("doc_id", F.lit(3)) == i) for i in range(3)]
+        in_dir = stage_stream_dir(batches, f"{scratch}/in")
+        sdocs = read_file_stream(spark, in_dir, docs.schema)
+        run_available_now(
+            sdocs,
+            f"{scratch}/ckpt",
+            foreach_batch=continuous_index_dedup(prefix, f"{scratch}/pairs"),
+        )
+        pairs = (
+            spark.read.schema(PAIRS_DDL)
+            .parquet(f"{scratch}/pairs")
+            .distinct()  # at-least-once sink: replays append exact duplicates
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        index_drop_all(spark, prefix, ("_bands", "_shingles"))
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        fs, jpath = _hadoop_fs(spark, warehouse)
+        fs.delete(jpath(_index_claim(warehouse, prefix)), False)
+        cleanup(scratch)
+    return pairs
+
+
 _STATIC_JOIN_SQL = """
 SELECT n.n_name,
        COUNT(*) AS n_events,

@@ -156,6 +156,15 @@ AWAITING_FIRST_SLOT: list[str] = [
     # (frozen plane parameters from meta; retrain trigger against the
     # recorded sizing basis) — candidate (e) complete for BOTH indexes
     "dedup_decontaminate_append",
+    # the CONTINUOUS form of the nightly contract: foreachBatch
+    # maintains the durable generation/segment index (bootstrap build,
+    # screen, append-as-segment per micro-batch; replay safety rides
+    # the segment publish); oracle = the batch exact-Jaccard SQL
+    "stream_continuous_index_dedup",
+    # banked candidate (d) driver-gated: retention enforcement —
+    # vacuum destroys a doomed generation WITH its append segment,
+    # pinned reads fail loudly, the survivor answers its construction
+    "dedup_index_vacuum",
 ]
 
 # (d) the recomputed due list under the FOUR-round horizon: headline

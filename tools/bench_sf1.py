@@ -137,6 +137,7 @@ QUERIES = [
     "dedup_index_time_travel",
     "dedup_index_append",
     "dedup_decontaminate_append",
+    "dedup_index_vacuum",
 ]
 
 # Round-7 extension (r6 verdict item 5): the 12 streaming gates at 10x
@@ -160,6 +161,7 @@ STREAM_QUERIES = [
     "stream_dedup_minhash_incremental",
     "stream_freq_items_incremental",
     "stream_attribution_last_touch",  # round 8
+    "stream_continuous_index_dedup",  # round 12, late: durable-index form
 ]
 
 N_PASSES = 2
