@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import functools
 import hashlib
+import re as _re
 
 import numpy as np
 import pandas as pd
@@ -1669,42 +1670,129 @@ def _write_small_parquet(
 
 IVF_RETRAIN_FRAC = 0.25
 
+# Segment-COUNT half of the retrain trigger — the same 1000x guard as
+# the minhash/LSH indexes: tiny nightly appends must not grow the
+# per-probe file count unboundedly under the row-fraction radar.
+IVF_MAX_SEGMENTS = 16
+
+# -- append SEGMENTS within a generation (round 12, late) --------------------
+#
+# The IVF append previously mutated the resolved generation's lists/ids
+# IN PLACE under its claim, which left the engine's one residual
+# snapshot-isolation caveat (ADVICE r11/r12: a reader's single up-front
+# quiescence check could not exclude an append landing before its lazy
+# lists scan executed).  An appended vector's cell depends only on
+# itself and the FROZEN quantizer — per-item independence, the same
+# property that let the minhash/LSH indexes adopt segments — so the
+# append now lands as a brand-new immutable SEGMENT subdirectory of the
+# resolved generation (``<content>/sNNNN/{lists,ids}``, the same
+# cell-partitioned layout as the base) plus one atomically-created
+# marker file (``<content>/_sNNNN__published__``).  Readers resolve
+# (generation, published segments) ONCE and bind every scan to exactly
+# those directories: an in-flight append is invisible until its marker
+# lands, appends are snapshot-isolated BY LAYOUT, and the reader-side
+# append-quiescence refusal is gone.  Cell pruning is unchanged — the
+# ``cell IN (...)`` filter prunes partition directories inside every
+# part independently; what grows per segment is file count per probed
+# cell, which is the segment-count side of the retrain trigger.
+
+IVF_SEG_FMT = "s%04d"
+_IVF_SEG_MARKER_RE = _re.compile(r"^_s(\d{4})__published__$")
+
+
+def _ivf_seg_dir(content: str, seg: int) -> str:
+    return f"{content.rstrip('/')}/{IVF_SEG_FMT % seg}"
+
+
+def _ivf_seg_marker(content: str, seg: int) -> str:
+    return f"{content.rstrip('/')}/_s%04d__published__" % seg
+
+
+def _ivf_segments(spark, content: str) -> list[int]:
+    """Published append segments of the generation at ``content``,
+    ascending — read from the on-disk marker files (restart-recoverable,
+    same discipline as _ivf_generations)."""
+    from ..sinks import _hadoop_fs
+
+    fs, jpath = _hadoop_fs(spark, content)
+    if not fs.exists(jpath(content)):
+        return []
+    out = []
+    for st in fs.listStatus(jpath(content)):
+        m = _IVF_SEG_MARKER_RE.match(st.getPath().getName())
+        if m and not st.isDirectory():
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _ivf_parts(spark, content: str):
+    """(part directories, segments) of the snapshot ``content``
+    resolves to: the base plus each PUBLISHED append segment, the
+    segment list read ONCE here so the whole plan binds to exactly
+    these immutable parts (a racing append's segment publishes after
+    this listing and is invisible)."""
+    segs = _ivf_segments(spark, content)
+    return [content] + [_ivf_seg_dir(content, s) for s in segs], segs
+
+
+def _parts_union(spark, parts: list[str], sub: str) -> DataFrame:
+    """Union one sidecar (``lists``/``ids``) across snapshot parts.
+    Filters push through the union into every part's scan, so
+    cell-partition pruning and id row-group skipping are preserved per
+    part.  Built lazily per sidecar — the query_vec path never touches
+    ids (pytest-pinned: a pre-sidecar index still answers it)."""
+    return functools.reduce(
+        DataFrame.unionByName,
+        [spark.read.parquet(f"{p}/{sub}") for p in parts],
+    )
+
+
+def _ivf_snapshot(spark, content: str):
+    """(lists, ids, segments) of the resolved snapshot — the
+    both-sidecars convenience for the maintenance paths (append's
+    duplicate check, attach's validation)."""
+    parts, segs = _ivf_parts(spark, content)
+    return (
+        _parts_union(spark, parts, "lists"),
+        _parts_union(spark, parts, "ids"),
+        segs,
+    )
+
 
 def _append_claim(path: str) -> str:
     # underscore prefix: Spark's file listing ignores the marker, so a
-    # reader that slipped past the quiescence check still parses clean
+    # reader listing the directory still parses clean
     return f"{path.rstrip('/')}/_ivf_append__"
 
 
 def _check_index_quiescent(
     spark, path: str, gens: list[int] | None = None
 ) -> None:
-    """Refuse to read an index mid-APPEND: a standing APPEND claim
-    means the current generation's lists may hold the delta the ids
-    sidecar doesn't yet (or an appender died between the two writes) —
-    appends mutate the resolved generation IN PLACE, so the refusal
-    stays.  A RETRAIN claim no longer blocks readers on the generation
-    layout (round 11): a retrain stages a hidden sibling and publishes
-    a brand-NEW ``g=`` directory, never touching the generation a
-    reader resolved — a reader racing the swap simply keeps answering
-    from the old generation (pytest-pinned).  Only the legacy FLAT
-    layout still refuses under a retrain claim, because there the
-    retrain retires the flat content after publishing g=1.  The
-    minhash-index discipline (operators/dedup.py
-    incremental_dedup_pairs) applied to the IVF lifecycle."""
+    """The residual reader-side claim check.  Round 12, late: a
+    standing APPEND claim no longer blocks readers at all — appends
+    publish immutable SEGMENTS (an in-flight or died-mid-write append
+    is an unpublished directory no reader resolves), so the former
+    mid-append mismatched-snapshot hazard is closed BY LAYOUT, not by
+    refusal.  A RETRAIN claim stopped blocking generation-layout
+    readers at round 11 for the same reason (retrains stage a hidden
+    sibling and publish a brand-new ``g=`` directory).  What remains is
+    the legacy FLAT layout only: there a retrain retires the flat
+    content in place after publishing g=1, so a flat-layout read under
+    a standing retrain claim may straddle that retirement and refuses
+    loudly."""
     from ..sinks import ConcurrentCommitError, _commit_claim, _hadoop_fs
 
+    if _ivf_generations(spark, path) if gens is None else gens:
+        return
     fs, jpath = _hadoop_fs(spark, path)
-    claims = [(_append_claim(path), "append")]
-    if not (_ivf_generations(spark, path) if gens is None else gens):
-        claims.append((_commit_claim(path), "retrain-swap"))
-    for claim, what in claims:
-        if fs.exists(jpath(claim)):
-            raise ConcurrentCommitError(
-                f"IVF index {path}: {what} claim {claim} is held — the "
-                f"index snapshot may be mismatched. Wait for the {what}, "
-                "or rerun it if its writer is known dead."
-            )
+    claim = _commit_claim(path)
+    if fs.exists(jpath(claim)):
+        raise ConcurrentCommitError(
+            f"IVF index {path}: retrain-swap claim {claim} is held and "
+            "the index is the legacy FLAT layout (retired in place at "
+            "publish) — the snapshot may be mismatched. Wait for the "
+            "retrain, or rerun it if its writer is known dead."
+        )
 
 
 def ivf_append(
@@ -1714,42 +1802,54 @@ def ivf_append(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     retrain_frac: float = IVF_RETRAIN_FRAC,
+    max_segments: int = IVF_MAX_SEGMENTS,
     check_duplicate_ids: bool = True,
 ) -> dict:
     """INCREMENTAL IVF index maintenance (round 10 — the banked r9
     handoff candidate b, the lifecycle counterpart of the minhash
     index's nightly contract): route a delta batch to the EXISTING
-    cells via the persisted quantizer and append it to the lists and
-    ids sidecars — work sized by the DELTA, never a corpus rebuild.
+    cells via the persisted quantizer and publish it as the resolved
+    generation's next immutable append SEGMENT — work sized by the
+    DELTA, never a corpus rebuild.
 
     Semantics: the quantizer is FROZEN — assignment reuses the exact
     _cell_assigner arithmetic of the build scan against the persisted
     centroid table, so after an append the index holds exactly what a
     rebuild WITH THE SAME CENTROIDS over base ∪ delta would hold
     (pytest-pinned: one append vs split appends vs frozen-quantizer
-    rebuild, identical lists and query results).  What appends CANNOT
-    do is retrain the quantizer: as the appended fraction grows, cell
-    balance drifts from what md5-seeding over the full corpus would
-    choose.  That drift is the RETRAIN TRIGGER, recorded on every
-    append: appended_rows / base_rows >= ``retrain_frac`` flips
-    ``retrain_due`` in the returned audit and in the persisted
-    ``append_log`` (one row per append — the months-lived index's
-    maintenance ledger).  Retraining itself is :func:`ivf_retrain_swap`
-    — it holds the commit claim, enforces the append/retrain mutual
-    exclusion, and publishes the rebuilt index as the next generation
-    (a bare ivf_build on a live index DELEGATES there for exactly that
-    reason — there is no claim-less rebuild path).
+    rebuild, identical list content and query results).  What appends
+    CANNOT do is retrain the quantizer: as the appended fraction
+    grows, cell balance drifts from what md5-seeding over the full
+    corpus would choose.  That drift is one side of the TWO-SIDED
+    RETRAIN TRIGGER, recorded on every append: appended_rows /
+    base_rows >= ``retrain_frac`` OR n_segments >= ``max_segments``
+    (the 1000x guard — every segment adds files to each probed cell's
+    read, and tiny nightly appends would grow that unboundedly under
+    the row-fraction radar) flips ``retrain_due`` in the returned
+    audit and in the persisted ``append_log`` (one row per append —
+    the months-lived index's maintenance ledger).  Retraining itself
+    is :func:`ivf_retrain_swap` — it holds the commit claim, enforces
+    the append/retrain mutual exclusion, and publishes the rebuilt
+    index as the next generation, folding every segment back into one
+    base (a bare ivf_build on a live index DELEGATES there for exactly
+    that reason — there is no claim-less rebuild path).
 
-    Scale shape: one delta-sized assignment scan + an append write that
-    touches ONLY the cell directories receiving delta rows; existing
-    files are never rewritten (pytest-pinned byte-for-byte).  The
-    mutation is guarded by the engine's O_EXCL claim marker — concurrent
-    appends refuse loudly, and both persisted-query paths refuse while
-    a claim stands (a mid-append index is a mismatched snapshot);
+    Scale shape: one delta-sized assignment scan + a segment write
+    whose lists carry the same cell partitioning as the base (a probe
+    prunes partition directories inside every part independently);
+    published content is NEVER touched — the segment is a brand-new
+    directory made visible by one atomically-created marker (round 12,
+    late; previously the append wrote into the resolved generation's
+    own lists/ids, the engine's one residual snapshot-isolation
+    caveat).  Readers resolve (generation, published segments) once
+    (:func:`_ivf_snapshot`), so an in-flight append is INVISIBLE and
+    no reader quiescence check exists.  The engine's O_EXCL claim
+    marker still serializes writers: concurrent appends refuse loudly;
     the claim is released only on success, so a dead appender leaves a
-    loud wedge, never silent partial state.  A standing RETRAIN claim
-    makes the append refuse first: a delta written into a directory
-    that is about to be swapped away would be a silently lost update.
+    loud wedge for the NEXT writer (its unpublished segment directory
+    is invisible to readers and overwritten by the rerun).  A standing
+    RETRAIN claim makes the append refuse first: a segment published
+    into the outgoing generation would be silently lost at the swap.
 
     Append means NEW ids: a re-ingested id would land as a duplicate
     list row (the same candidate scored twice per query), so by default
@@ -1802,7 +1902,7 @@ def ivf_append(
                 for r in sorted(cents, key=lambda r: r["cell"])
             ]
         )
-        ids_table = spark.read.parquet(f"{content}/ids")
+        _, ids_table, segs = _ivf_snapshot(spark, content)
         n_before = ids_table.count()  # footer-only
         n_base = spark.read.parquet(f"{content}/meta").head()["n_base"]
         if n_base == 0:
@@ -1840,23 +1940,35 @@ def ivf_append(
     except BaseException:
         fs.delete(jpath(claim), False)  # zero mutation: index still valid
         raise
-    # same layout discipline as the build: cluster by cell so each
-    # touched cell directory gains one contiguous file, not one sliver
-    # per shuffle partition
-    assigned.repartition("cell").write.mode("append").partitionBy(
+    # same layout discipline as the build: cluster by cell so each cell
+    # directory of the SEGMENT gains one contiguous file, not one
+    # sliver per shuffle partition.  The segment is a brand-new
+    # directory (mode overwrite clears only a dead appender's
+    # unpublished staging, which no reader ever resolved); the marker
+    # create below is the atomic commit point.
+    seg = (segs[-1] if segs else 0) + 1
+    sd = _ivf_seg_dir(content, seg)
+    assigned.repartition("cell").write.mode("overwrite").partitionBy(
         "cell"
-    ).parquet(f"{content}/lists")
+    ).parquet(f"{sd}/lists")
     assigned.select(id_col, "cell").repartitionByRange(
         id_col
-    ).sortWithinPartitions(id_col).write.mode("append").parquet(f"{content}/ids")
-    n_total = spark.read.parquet(f"{content}/ids").count()
-    batch_rows = n_total - n_before
+    ).sortWithinPartitions(id_col).write.mode("overwrite").parquet(f"{sd}/ids")
+    claim_marker(
+        fs, jpath, _ivf_seg_marker(content, seg), f"ivf_append({path})"
+    )
+    batch_rows = spark.read.parquet(f"{sd}/ids").count()  # footer-only
+    n_total = n_before + batch_rows
     frac = (n_total - n_base) / n_base
     audit = {
         "batch_rows": int(batch_rows),
         "total_rows": int(n_total),
+        "segment": seg,
+        "n_segments": len(segs) + 1,
         "appended_frac": float(frac),
-        "retrain_due": bool(frac >= retrain_frac),
+        "retrain_due": bool(
+            frac >= retrain_frac or len(segs) + 1 >= max_segments
+        ),
     }
     import pyarrow as pa
 
@@ -1961,7 +2073,11 @@ def ivf_retrain_swap(
         if was_flat:
             # the flat content is now shadowed by g=00000001 — retire it
             # so the directory carries one source of truth (flat readers
-            # mid-scan fail loudly, never read mixed generations)
+            # mid-scan fail loudly, never read mixed generations);
+            # flat-layout append segments retire with their base
+            for s in _ivf_segments(spark, path):
+                fs.delete(jpath(_ivf_seg_marker(path, s)), False)
+                fs.delete(jpath(_ivf_seg_dir(path, s)), True)
             for side in _IVF_SIDECARS:
                 fs.delete(jpath(f"{path.rstrip('/')}/{side}"), True)
         return gen
@@ -2005,20 +2121,18 @@ def ivf_query_persisted(
       exactly like the probe.  Indexes built before the sidecar
       existed raise loudly (rebuild, or pass ``query_vec``).
 
-    Snapshot isolation: every read binds to the generation directory
-    :func:`ivf_resolve` returns ONCE, up front — a retrain publishing a
+    Snapshot isolation (round 12, late: now TOTAL): every read binds
+    ONCE, up front, to the generation directory :func:`ivf_resolve`
+    returns AND to its published append segments (:func:`_ivf_snapshot`
+    lists the segment markers exactly once) — a retrain publishing a
     new generation mid-query cannot mix centroids and lists from
     different generations (RETRAINS never write into a published
-    directory).  The isolation claim is scoped to retrains (ADVICE
-    r11): an APPEND mutates the newest generation in place under its
-    claim, so one claiming after this function's single up-front
-    quiescence check can still land delta rows before the lazy lists
-    scan executes — callers needing a point-in-time snapshot versus
-    appends too should materialize the result while the index is
-    quiescent, or pin an older generation (appends only ever target
-    the newest).  Pass ``generation`` to pin an OLDER published
-    generation instead of the newest — index time travel, the
-    read_version counterpart; a vacuumed generation raises loudly."""
+    directory), and an APPEND landing mid-query is equally invisible
+    (appends publish brand-new segment directories; nothing mutates in
+    place, so the former materialize-while-quiescent caveat is gone).
+    Pass ``generation`` to pin an OLDER published generation instead of
+    the newest — index time travel, the read_version counterpart; a
+    vacuumed generation raises loudly."""
     gens = _ivf_generations(spark, path)  # ONE listing feeds both steps
     _check_index_quiescent(spark, path, gens=gens)
     content = ivf_resolve(spark, path, generation=generation, gens=gens)
@@ -2028,14 +2142,15 @@ def ivf_query_persisted(
             cents, key=lambda r: r["cell"]
         )]
     )
-    lists = spark.read.parquet(f"{content}/lists")
+    parts, _segs = _ivf_parts(spark, content)
+    lists = _parts_union(spark, parts, "lists")
     if query_vec is None:
         if query_id is None:
             raise ValueError(
                 "ivf_query_persisted: pass query_vec or query_id"
             )
         cell_row = (
-            spark.read.parquet(f"{content}/ids")
+            _parts_union(spark, parts, "ids")
             .filter(F.col(id_col) == query_id)
             .head()
         )
@@ -2104,12 +2219,12 @@ def ivf_batch_query_persisted(
     rows are bit-identical to the brute-force scorer's (same fold, same
     tie order); gates pin that operating point per corpus.
 
-    Snapshot isolation as in ivf_query_persisted (and with the same
-    ADVICE-r11 scoping): one up-front ivf_resolve pins every read of
-    this query to ONE generation directory that retrains never rewrite;
-    appends can still land in the NEWEST generation after the
-    quiescence check, so materialize while quiescent — or pin an older
-    ``generation`` (time travel) — for an append-proof snapshot."""
+    Snapshot isolation as in ivf_query_persisted (round 12, late: now
+    TOTAL): one up-front resolve pins every read of this query to ONE
+    generation directory and its then-published append segments —
+    retrains never rewrite published content and appends land as new
+    segments invisible to an already-resolved plan, so no
+    materialize-while-quiescent caveat remains."""
     gens = _ivf_generations(spark, path)  # ONE listing feeds both steps
     _check_index_quiescent(spark, path, gens=gens)
     content = ivf_resolve(spark, path, generation=generation, gens=gens)
@@ -2130,7 +2245,8 @@ def ivf_batch_query_persisted(
         probe_rows, "qid long, cell int, _qvec array<double>"
     )
     union_cells = sorted({c for _, c, _ in probe_rows})
-    lists = spark.read.parquet(f"{content}/lists")
+    parts, _segs = _ivf_parts(spark, content)
+    lists = _parts_union(spark, parts, "lists")
     scored = (
         lists.filter(F.col("cell").isin(union_cells))
         .join(F.broadcast(probes), "cell")
@@ -2202,19 +2318,33 @@ def ivf_index_attach(spark, path: str, id_col: str = "vec_id") -> dict:
     # mid-maintenance ConcurrentCommitError from ivf_append/retrain
     # (r11 review finding: the docstring promised refusal on ANY
     # mutation claim; the code now delivers it).
-    retrain = _commit_claim(path)
-    if fs.exists(jpath(retrain)):
-        raise ConcurrentCommitError(
-            f"ivf_index_attach({path}): retrain-swap claim {retrain} is "
-            "held — a retrain is in flight or its writer died holding "
-            "the claim. Wait for it, or remove the marker if the writer "
-            "is known dead, then re-attach."
-        )
+    # Round 12: hot reads no longer refuse under an APPEND claim
+    # (appends are segment-published, invisible until their marker) —
+    # but attach still surfaces BOTH mutation claims: the restarted
+    # scheduler must learn about a dead writer's wedge HERE, not as a
+    # confusing mid-maintenance ConcurrentCommitError later.
+    for claim, what in (
+        (_commit_claim(path), "retrain-swap"),
+        (_append_claim(path), "append"),
+    ):
+        if fs.exists(jpath(claim)):
+            raise ConcurrentCommitError(
+                f"ivf_index_attach({path}): {what} claim {claim} is "
+                f"held — a {what} is in flight or its writer died "
+                "holding the claim. Wait for it, or remove the marker "
+                "if the writer is known dead, then re-attach."
+            )
     content = ivf_resolve(spark, path, gens=gens)
+    segs = _ivf_segments(spark, content)
     missing = [
         side
         for side in ("lists", "ids", "centroids", "meta")
         if not fs.exists(jpath(f"{content}/{side}"))
+    ] + [
+        f"{IVF_SEG_FMT % s}/{side}"
+        for s in segs
+        for side in ("lists", "ids")
+        if not fs.exists(jpath(f"{_ivf_seg_dir(content, s)}/{side}"))
     ]
     if missing:
         raise IOError(
@@ -2227,7 +2357,8 @@ def ivf_index_attach(spark, path: str, id_col: str = "vec_id") -> dict:
     n_cells = cents.count()
     dim_row = cents.select(F.size("centroid").alias("d")).head()
     n_base = int(spark.read.parquet(f"{content}/meta").head()["n_base"])
-    total_rows = spark.read.parquet(f"{content}/ids").count()  # footer-only
+    _lists, ids_table, _ = _ivf_snapshot(spark, content)
+    total_rows = ids_table.count()  # footer-only
     lists_cols = set(spark.read.parquet(f"{content}/lists").columns)
     required = {id_col, "cell"}
     if not required <= lists_cols:
@@ -2249,6 +2380,7 @@ def ivf_index_attach(spark, path: str, id_col: str = "vec_id") -> dict:
             retrain_due = bool(last["retrain_due"])
     return {
         "generation": gens[-1] if gens else 0,  # 0 = legacy flat layout
+        "segments": segs,
         "n_cells": int(n_cells),
         "dim": int(dim_row["d"]),
         "n_base": n_base,

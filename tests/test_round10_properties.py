@@ -69,17 +69,18 @@ def test_ivf_append_equals_frozen_rebuild_and_splits(spark):
         ivf_append(spark, f"{s2}/idx", d1)
         ivf_append(spark, f"{s2}/idx", d2)
 
-        from distributed_graph_db_c_spark.operators.similarity import ivf_resolve
+        from distributed_graph_db_c_spark.operators.similarity import (
+            _ivf_snapshot,
+            ivf_resolve,
+        )
 
         c1, c2 = ivf_resolve(spark, f"{s1}/idx"), ivf_resolve(spark, f"{s2}/idx")
-        lists1 = {
-            (r["vec_id"], r["cell"])
-            for r in spark.read.parquet(f"{c1}/lists").collect()
-        }
-        lists2 = {
-            (r["vec_id"], r["cell"])
-            for r in spark.read.parquet(f"{c2}/lists").collect()
-        }
+        # round 12: the snapshot = base + published append segments
+        l1df, i1df, segs1 = _ivf_snapshot(spark, c1)
+        l2df, _i2df, segs2 = _ivf_snapshot(spark, c2)
+        assert segs1 == [1] and segs2 == [1, 2]  # one vs split appends
+        lists1 = {(r["vec_id"], r["cell"]) for r in l1df.collect()}
+        lists2 = {(r["vec_id"], r["cell"]) for r in l2df.collect()}
         assert lists1 == lists2, "split appends diverge from one append"
 
         # (a) frozen-quantizer recomputation: every vector (base AND
@@ -99,11 +100,8 @@ def test_ivf_append_equals_frozen_rebuild_and_splits(spark):
             expected.add((r["vec_id"], int(np.argmax(vn @ C.T))))
         assert lists1 == expected, "append placement != frozen-quantizer rebuild"
 
-        # ids sidecar mirrors lists exactly
-        ids1 = {
-            (r["vec_id"], r["cell"])
-            for r in spark.read.parquet(f"{c1}/ids").collect()
-        }
+        # ids sidecar mirrors lists exactly (across base + segments)
+        ids1 = {(r["vec_id"], r["cell"]) for r in i1df.collect()}
         assert ids1 == lists1
 
         q1 = sorted(
@@ -130,9 +128,11 @@ def test_ivf_append_equals_frozen_rebuild_and_splits(spark):
 
 def test_ivf_append_is_delta_sized_and_immutable(spark):
     """The maintenance cost contract: an append NEVER rewrites existing
-    index bytes — every pre-append file is byte-identical after — and
-    new list files appear only under cell directories that actually
-    received delta rows (work sized by the delta, not the corpus)."""
+    index bytes — every pre-append file is byte-identical after (round
+    12: BY LAYOUT — the delta lands in a brand-new published segment
+    directory) — and the segment's list files carry only cell
+    directories that actually received delta rows (work sized by the
+    delta, not the corpus)."""
     from distributed_graph_db_c_spark.operators.similarity import (
         _cell_assigner,
         ivf_append,
@@ -174,9 +174,20 @@ def test_ivf_append_is_delta_sized_and_immutable(spark):
         new_list_files = [
             p
             for p in set(after) - set(before)
-            if p.startswith(os.path.join(rel, "lists") + os.sep)
+            if p.startswith(os.path.join(rel, "s0001", "lists") + os.sep)
         ]
-        assert new_list_files, "append added no list files"
+        assert new_list_files, "append added no segment list files"
+        # nothing lands outside the segment directory except the
+        # advisory append_log ledger (documented outside the query
+        # snapshot) — the base content gains no files: immutability by
+        # layout
+        outside = [
+            p
+            for p in set(after) - set(before)
+            if not p.startswith(os.path.join(rel, "s0001") + os.sep)
+            and not p.startswith(os.path.join(rel, "append_log") + os.sep)
+        ]
+        assert not outside, f"append wrote outside its segment: {outside}"
         for p in new_list_files:
             cell = int(p.split("cell=")[1].split(os.sep)[0])
             assert cell in delta_cells, (
@@ -186,17 +197,23 @@ def test_ivf_append_is_delta_sized_and_immutable(spark):
         cleanup(s)
 
 
-def test_ivf_append_claim_blocks_writers_and_readers(spark):
-    """The commit-path contract: a standing append claim makes a second
-    append AND both persisted-query paths refuse loudly (mid-append
-    lists/ids may be mismatched), and the claim marker is invisible to
-    Spark's file listing (underscore prefix)."""
+def test_ivf_append_claim_blocks_writers_not_readers(spark):
+    """The commit-path contract, round-12 form: a standing append claim
+    makes a second APPEND refuse loudly (writer serialization — a dead
+    appender wedges the write path until cleared), but READERS proceed
+    and answer the published snapshot exactly — appends land as
+    unpublished-until-marker segments, so a mid-append index is never a
+    mismatched snapshot (the pre-r12 reader refusal is gone BY LAYOUT).
+    The claim marker stays invisible to Spark's file listing
+    (underscore prefix), and an in-flight appender's UNPUBLISHED
+    segment directory is equally invisible to a racing reader."""
     from distributed_graph_db_c_spark.operators.similarity import (
         _append_claim,
         ivf_append,
         ivf_batch_query_persisted,
         ivf_build,
         ivf_query_persisted,
+        ivf_resolve,
     )
     from distributed_graph_db_c_spark.sinks import ConcurrentCommitError
     from distributed_graph_db_c_spark.streaming.sources import cleanup, scratch_dir
@@ -207,21 +224,59 @@ def test_ivf_append_claim_blocks_writers_and_readers(spark):
     s = scratch_dir("ivfappclaim")
     try:
         ivf_build(base, f"{s}/idx", n_cells=24)
+        qvec = [1.0] + [0.0] * 63
+        pre = sorted(
+            map(
+                tuple,
+                ivf_query_persisted(
+                    spark, f"{s}/idx", query_vec=qvec, top_k=3, nprobe=24
+                ).collect(),
+            )
+        )
         claim = _append_claim(f"{s}/idx")
         with open(claim, "w") as f:
             f.write("wedged-appender")
         with pytest.raises(ConcurrentCommitError):
             ivf_append(spark, f"{s}/idx", delta)
-        with pytest.raises(ConcurrentCommitError):
-            ivf_batch_query_persisted(
-                spark, f"{s}/idx", [(0, [0.0] * 64)], top_k=3, nprobe=8
+        # readers proceed under the claim and answer the published
+        # snapshot bit-identically
+        mid = sorted(
+            map(
+                tuple,
+                ivf_query_persisted(
+                    spark, f"{s}/idx", query_vec=qvec, top_k=3, nprobe=24
+                ).collect(),
             )
-        with pytest.raises(ConcurrentCommitError):
-            ivf_query_persisted(spark, f"{s}/idx", query_vec=[0.0] * 64)
-        # the marker never leaks into query results once released
+        )
+        assert mid == pre
+        assert (
+            ivf_batch_query_persisted(
+                spark, f"{s}/idx", [(0, qvec)], top_k=3, nprobe=8
+            ).count()
+            > 0
+        )
+        # an in-flight appender's staged-but-UNPUBLISHED segment is
+        # invisible: fake one on disk (no marker) and re-query
+        content = ivf_resolve(spark, f"{s}/idx")
+        base.limit(7).select("vec_id", "embedding").withColumn(
+            "cell", F.lit(0)
+        ).write.mode("overwrite").partitionBy("cell").parquet(
+            f"{content}/s0001/lists"
+        )
+        assert (
+            sorted(
+                map(
+                    tuple,
+                    ivf_query_persisted(
+                        spark, f"{s}/idx", query_vec=qvec, top_k=3, nprobe=24
+                    ).collect(),
+                )
+            )
+            == pre
+        ), "unpublished segment leaked into a read"
         os.remove(claim)
         got = ivf_query_persisted(
-            spark, f"{s}/idx", query_vec=[1.0] + [0.0] * 63, top_k=3, nprobe=24
+            spark, f"{s}/idx", query_vec=qvec, top_k=3, nprobe=24
         )
         assert got.count() == 3
     finally:
@@ -250,6 +305,7 @@ def test_ivf_append_retrain_audit_and_log(spark):
         audit = ivf_append(spark, f"{s}/idx", delta)
         assert audit["batch_rows"] == n_delta
         assert audit["total_rows"] == n_base + n_delta
+        assert (audit["segment"], audit["n_segments"]) == (1, 1)
         assert audit["appended_frac"] == pytest.approx(n_delta / n_base)
         assert audit["retrain_due"] is (n_delta / n_base >= 0.25)
         assert audit["retrain_due"] is True  # 100/400 on the gate corpus
@@ -265,12 +321,16 @@ def test_ivf_append_retrain_audit_and_log(spark):
         assert not os.path.exists(_append_claim(f"{s}/idx")), (
             "duplicate refusal must release the claim"
         )
-        from distributed_graph_db_c_spark.operators.similarity import ivf_resolve
+        from distributed_graph_db_c_spark.operators.similarity import (
+            _ivf_snapshot,
+            ivf_resolve,
+        )
 
         content = ivf_resolve(spark, f"{s}/idx")
-        assert (
-            spark.read.parquet(f"{content}/ids").count() == n_base + n_delta
-        ), "duplicate refusal must not mutate the index"
+        _l, ids_df, segs = _ivf_snapshot(spark, content)
+        assert segs == [1] and ids_df.count() == n_base + n_delta, (
+            "duplicate refusal must not mutate the index"
+        )
 
         # second append with the check explicitly waived (accounting
         # only — placement/query equivalence is the other tests' job)
@@ -280,13 +340,24 @@ def test_ivf_append_retrain_audit_and_log(spark):
         )
         assert audit2["appended_frac"] == pytest.approx(2 * n_delta / n_base)
         assert audit2["retrain_due"] is (2 * n_delta / n_base >= 0.6)
+        assert (audit2["segment"], audit2["n_segments"]) == (2, 2)
+        # segment-COUNT side of the trigger (round 12, the 1000x guard):
+        # with the fraction side out of reach, crossing max_segments
+        # alone flips retrain_due
+        audit3 = ivf_append(
+            spark, f"{s}/idx", delta, retrain_frac=9.9, max_segments=3,
+            check_duplicate_ids=False,
+        )
+        assert audit3["n_segments"] == 3 and audit3["retrain_due"] is True
 
         log = spark.read.parquet(f"{content}/append_log").orderBy("total_rows")
         rows = log.collect()
-        assert len(rows) == 2
+        assert len(rows) == 3
         assert rows[0]["batch_rows"] == n_delta
         assert rows[0]["retrain_due"] == audit["retrain_due"]
         assert rows[1]["total_rows"] == n_base + 2 * n_delta
+        assert rows[2]["total_rows"] == n_base + 3 * n_delta
+        assert rows[2]["retrain_due"] == audit3["retrain_due"]
     finally:
         cleanup(s)
 

@@ -166,6 +166,7 @@ def test_ivf_index_attach_recovers_descriptor_and_result(spark):
         desc = ivf_index_attach(fresh, f"{s}/idx")
         assert desc == {
             "generation": 1,
+            "segments": [1],  # round 12: the append landed as a segment
             "n_cells": 24,
             "dim": 64,
             "n_base": n_base,
