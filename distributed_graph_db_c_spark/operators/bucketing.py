@@ -180,17 +180,19 @@ _MARKER_RE = r"^_%s__g(\d{8})__published__$"
 # -- append SEGMENTS within a generation (round 12, late) --------------------
 #
 # The minhash index's content is purely PER-DOCUMENT (a signature depends
-# only on its own text), so a delta append does not need to mutate the
-# resolved generation in place the way the IVF lists/ids sidecars do: it
-# lands as a brand-new pair of immutable bucketed SEGMENT tables
-# (``<gen_prefix>_sNNNN_<suffix>``) plus one atomically-created segment
-# marker.  Readers resolve (generation, published segments) ONCE and bind
-# the whole plan to exactly those tables — an in-flight append is invisible
-# until its marker lands, so appends are SNAPSHOT-ISOLATED by layout and
-# readers never need an append-quiescence refusal (the residual caveat the
-# IVF append documents).  The file count a segment adds is identical to an
-# in-place append's; what grows is per-read plan width (one co-located
-# probe join per segment), which is the REBUILD TRIGGER's other half.
+# only on its own text), so a delta append never needs to mutate published
+# content: it lands as a brand-new pair of immutable bucketed SEGMENT
+# tables (``<gen_prefix>_sNNNN_<suffix>``) plus one atomically-created
+# segment marker.  Readers resolve (generation, published segments) ONCE
+# and bind the whole plan to exactly those tables — an in-flight append is
+# invisible until its marker lands, so appends are SNAPSHOT-ISOLATED by
+# layout and readers never need an append-quiescence refusal.  (The IVF
+# index adopted the same discipline later in round 12 —
+# operators/similarity.py ``_ivf_segments`` — retiring what had been the
+# engine's one residual isolation caveat.)  The file count a segment adds
+# is identical to an in-place append's; what grows is per-read plan width
+# (one co-located probe join per segment), which is the REBUILD TRIGGER's
+# other half.
 
 INDEX_SEG_FMT = "_s%04d"
 _SEG_MARKER_RE = r"^_%s__g(\d{8})_s(\d{4})__published__$"

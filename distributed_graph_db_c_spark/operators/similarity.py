@@ -824,8 +824,8 @@ def lsh_index_append(
     (pytest-pinned).  Appends are SNAPSHOT-ISOLATED by layout, same as
     the minhash index: readers resolve (generation, published segments)
     once, an in-flight append is invisible until its marker lands, and
-    no quiescence caveat exists (the IVF append's residual caveat —
-    its lists sidecar must mutate in place; these tables need not).
+    no quiescence caveat exists (all three persisted indexes share this
+    discipline since round 12 — the IVF adopted it last).
 
     What appends cannot do is re-size the planes: meta.n_rows is the
     sizing basis the build chose parameters for, and the appended
@@ -1362,7 +1362,7 @@ def ivf_resolve(
     generation: int | None = None,
     gens: list[int] | None = None,
 ) -> str:
-    """The content directory one index read (or in-place append) binds
+    """The content directory one index read (or segment append) binds
     to, resolved ONCE per operation: ``path/g=NNNNNNNN`` for the newest
     published generation (or an explicitly pinned older one), falling
     back to ``path`` itself for a pre-generation FLAT-layout index
@@ -1496,9 +1496,9 @@ def ivf_build(
     ``_g_stage_*__`` sibling inside ``path`` and published with ONE
     rename, so readers enumerate either without the new generation or
     with all of it.  Build cost is one embarrassingly-parallel
-    assignment scan + one partitioned write; a published generation is
-    immutable under retrain (appends mutate it in place under the claim
-    marker — see ivf_append).
+    assignment scan + one partitioned write; published content is
+    IMMUTABLE — retrains stage a sibling and appends publish segment
+    subdirectories (see ivf_append), nothing rewrites it.
 
     LIVE-INDEX REBUILDS DELEGATE (r11 review finding): when ``path``
     already holds an index — generations published, or legacy flat

@@ -149,7 +149,8 @@ AWAITING_FIRST_SLOT: list[str] = [
     "dedup_index_time_travel",
     # the banked handoff candidate (e), built late in round 12: the
     # minhash index's append/retrain lifecycle (immutable published
-    # SEGMENTS — stronger isolation than the IVF's in-place append),
+    # SEGMENTS; the IVF append adopted the same discipline later in
+    # the round, unifying all three persisted indexes),
     # queried pinned (as_of_segment=0) and fresh in one gate
     "dedup_index_append",
     # same lifecycle applied to the embedding/decontamination index
@@ -258,18 +259,17 @@ _STALE_RAMP: list[str] = []
 # formats themselves since r12); (b) transformWithState migration A/B
 # for the two applyInPandasWithState gates when Spark ships the
 # Python API; (c) DONE late in r12 — dedup_index_time_travel
-# (AWAITING); (d) index-generation VACUUM as a driver gate
-# (pytest-pinned only — tests/test_index_append.py,
-# tests/test_lsh_index_append.py, test_round12_properties.py);
-# (e) DONE late in r12 for BOTH indexes — minhash_index_append /
-# lsh_index_append publish immutable per-generation SEGMENTS (stronger
-# isolation than the IVF in-place append: readers resolve
-# (generation, segments) once), with retrain triggers and from-disk
-# status ledgers; gates dedup_index_append /
-# dedup_decontaminate_append (AWAITING).  New r13 candidate: a
-# STREAMING composition of the append lifecycle (foreachBatch ->
-# minhash_index_append per micro-batch, cross-pairs emitted per
-# batch) — the continuous form of the nightly contract.
+# (AWAITING); (d) DONE late in r12 — dedup_index_vacuum driver-gates
+# retention enforcement (AWAITING); (e) DONE late in r12 for ALL THREE
+# persisted indexes — minhash_index_append / lsh_index_append /
+# ivf_append publish immutable per-generation SEGMENTS (readers
+# resolve (generation, segments) once; the former IVF in-place append
+# and its reader quiescence caveat are retired), with two-sided
+# retrain triggers (row fraction OR segment count) and from-disk
+# status ledgers; gates dedup_index_append / dedup_decontaminate_append
+# (AWAITING).  The STREAMING composition of the lifecycle also shipped
+# late in r12: streaming/dedup.continuous_index_dedup + the
+# stream_continuous_index_dedup gate (AWAITING).
 
 # Streaming events consumers LAST inside the window: each runs a real
 # micro-batch stream and is the slowest gate class.  Round 12 carries

@@ -85,10 +85,9 @@ def test_append_matches_union_build_and_is_associative(spark):
 def test_append_snapshot_isolation_and_segment_pin(spark):
     """A reader plan resolved BEFORE an append keeps answering the
     pre-append snapshot bit-identically (segments publish via one
-    marker; the resolved segment list never changes underneath a plan)
-    — the isolation property the IVF's in-place append documents as a
-    caveat, closed here by layout.  as_of_segment=0 pins the same
-    snapshot explicitly; pinning an unpublished segment raises."""
+    marker; the resolved segment list never changes underneath a plan).
+    as_of_segment=0 pins the same snapshot explicitly; pinning an
+    unpublished segment raises."""
     docs = _docs(spark, 0, 60)
     base = docs.filter(F.col("doc_id") < 30)
     delta = docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 45))
