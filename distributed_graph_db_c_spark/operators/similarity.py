@@ -1725,13 +1725,24 @@ def _ivf_segments(spark, content: str) -> list[int]:
     return sorted(out)
 
 
-def _ivf_parts(spark, content: str):
+def _ivf_parts(spark, content: str, as_of_segment: int | None = None):
     """(part directories, segments) of the snapshot ``content``
     resolves to: the base plus each PUBLISHED append segment, the
     segment list read ONCE here so the whole plan binds to exactly
     these immutable parts (a racing append's segment publishes after
-    this listing and is invisible)."""
+    this listing and is invisible).  ``as_of_segment`` pins the
+    within-generation horizon — 0 = base only, N = segments <= N —
+    with the engine's explicit-never-fallback contract (the
+    minhash/LSH readers' as_of_segment, applied here)."""
     segs = _ivf_segments(spark, content)
+    if as_of_segment is not None:
+        if as_of_segment != 0 and as_of_segment not in segs:
+            raise FileNotFoundError(
+                f"IVF index at {content}: segment {as_of_segment} not "
+                f"published (have {segs or 'none'}) — segment pinning "
+                "is explicit, never a silent fallback"
+            )
+        segs = [s for s in segs if s <= as_of_segment]
     return [content] + [_ivf_seg_dir(content, s) for s in segs], segs
 
 
@@ -2098,6 +2109,7 @@ def ivf_query_persisted(
     vec_col: str = "embedding",
     query_vec=None,
     generation: int | None = None,
+    as_of_segment: int | None = None,
 ) -> DataFrame:
     """Query a persisted IVF index: rank cells by the (tiny, collected)
     centroid table, then scan ONLY the nprobe winning cell partitions —
@@ -2132,7 +2144,8 @@ def ivf_query_persisted(
     place, so the former materialize-while-quiescent caveat is gone).
     Pass ``generation`` to pin an OLDER published generation instead of
     the newest — index time travel, the read_version counterpart; a
-    vacuumed generation raises loudly."""
+    vacuumed generation raises loudly — and ``as_of_segment`` to pin
+    the within-generation append horizon (0 = base only)."""
     gens = _ivf_generations(spark, path)  # ONE listing feeds both steps
     _check_index_quiescent(spark, path, gens=gens)
     content = ivf_resolve(spark, path, generation=generation, gens=gens)
@@ -2142,7 +2155,7 @@ def ivf_query_persisted(
             cents, key=lambda r: r["cell"]
         )]
     )
-    parts, _segs = _ivf_parts(spark, content)
+    parts, _segs = _ivf_parts(spark, content, as_of_segment)
     lists = _parts_union(spark, parts, "lists")
     if query_vec is None:
         if query_id is None:
@@ -2196,6 +2209,7 @@ def ivf_batch_query_persisted(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     generation: int | None = None,
+    as_of_segment: int | None = None,
 ) -> DataFrame:
     """BATCH query a persisted IVF index: the round-9 disk-pruning form
     of the ANN scorer.  ``queries`` is a driver-held list of (qid,
@@ -2245,7 +2259,7 @@ def ivf_batch_query_persisted(
         probe_rows, "qid long, cell int, _qvec array<double>"
     )
     union_cells = sorted({c for _, c, _ in probe_rows})
-    parts, _segs = _ivf_parts(spark, content)
+    parts, _segs = _ivf_parts(spark, content, as_of_segment)
     lists = _parts_union(spark, parts, "lists")
     scored = (
         lists.filter(F.col("cell").isin(union_cells))

@@ -958,3 +958,71 @@ def test_ivf_append_precondition_failures_release_claim(spark):
         )
     finally:
         cleanup(s)
+
+
+def test_ivf_segment_pin_time_travels_within_generation(spark):
+    """Round 12: as_of_segment pins the IVF read's within-generation
+    append horizon — 0 answers the pre-append base bit-identically, a
+    fresh resolve sees base + segments, and pinning an unpublished
+    segment raises (explicit, never a silent fallback).  The
+    minhash/LSH readers' segment pin, applied to the third index."""
+    from distributed_graph_db_c_spark.operators.similarity import (
+        ivf_append,
+        ivf_batch_query_persisted,
+        ivf_build,
+        ivf_query_persisted,
+    )
+    from distributed_graph_db_c_spark.streaming.sources import cleanup, scratch_dir
+
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    qvec = [1.0] + [0.0] * 63
+    s = scratch_dir("ivfsegpin")
+    try:
+        ivf_build(base, f"{s}/idx", n_cells=24)
+        pre = sorted(
+            map(
+                tuple,
+                ivf_query_persisted(
+                    spark, f"{s}/idx", query_vec=qvec, top_k=5, nprobe=24
+                ).collect(),
+            )
+        )
+        ivf_append(spark, f"{s}/idx", delta)
+        pinned = sorted(
+            map(
+                tuple,
+                ivf_query_persisted(
+                    spark, f"{s}/idx", query_vec=qvec, top_k=5, nprobe=24,
+                    as_of_segment=0,
+                ).collect(),
+            )
+        )
+        assert pinned == pre, "segment pin diverged from the pre-append base"
+        fresh = {
+            r["vec_id"]
+            for r in ivf_query_persisted(
+                spark, f"{s}/idx", query_vec=qvec, top_k=500, nprobe=24
+            ).collect()
+        }
+        assert {r["vec_id"] for r in delta.collect()} <= fresh
+        # batch path honors the same pin
+        b_pre = sorted(
+            map(
+                tuple,
+                ivf_batch_query_persisted(
+                    spark, f"{s}/idx", [(7, qvec)], top_k=5, nprobe=24,
+                    as_of_segment=0,
+                ).collect(),
+            )
+        )
+        assert [t[1] for t in b_pre] == [t[0] for t in pre], (
+            "batch segment pin != single-query pin on the same snapshot"
+        )
+        with pytest.raises(FileNotFoundError, match="segment 9"):
+            ivf_query_persisted(
+                spark, f"{s}/idx", query_vec=qvec, as_of_segment=9
+            )
+    finally:
+        cleanup(s)
