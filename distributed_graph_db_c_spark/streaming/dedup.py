@@ -238,8 +238,46 @@ def continuous_index_dedup(
         except ValueError as exc:
             if "already indexed" not in str(exc):
                 raise
-            # fully-committed replay (see docstring): the segment's
-            # atomic publish landed before the crash; the pair rows
-            # rewritten above are exact duplicates of committed ones
+            # The duplicate-id refusal has TWO possible causes and only
+            # one is benign: a fully-committed replay (every batch id
+            # already indexed — the segment's atomic publish landed
+            # before the crash, and the pair rows rewritten above are
+            # exact duplicates of committed ones), or genuine id REUSE
+            # across batches (some ids new, some indexed — an upstream
+            # contract violation that must stay loud, not be swallowed
+            # as a replay).  Distinguish with one delta-sized semi-join
+            # against the indexed ids; docs with < k tokens never enter
+            # the shingle store, so compare against the batch's
+            # INDEXABLE ids, not its raw count.
+            from ..operators.dedup import shingle_hash_sets
+
+            indexable = shingle_hash_sets(batch, k, id_col, text_col).select("id")
+            n_indexable = indexable.count()
+            from ..operators.bucketing import (
+                index_gen_prefix,
+                index_resolve,
+                index_seg_prefix,
+                index_segments,
+            )
+            from functools import reduce as _reduce
+
+            gen = index_resolve(spark, table_prefix)
+            parts = [index_gen_prefix(table_prefix, gen)] + [
+                index_seg_prefix(table_prefix, gen, s)
+                for s in index_segments(spark, table_prefix, gen)
+            ]
+            existing = _reduce(
+                DataFrame.unionByName,
+                [spark.table(f"{p}_shingles").select("id") for p in parts],
+            )
+            n_in = indexable.join(existing, "id", "left_semi").count()
+            if n_in != n_indexable:
+                raise ValueError(
+                    f"continuous_index_dedup({table_prefix}): batch "
+                    f"{batch_id} has {n_in}/{n_indexable} ids already "
+                    "indexed — id REUSE across batches, not a replay; "
+                    "stream ids must be unique (dedupe upstream with "
+                    "exact_dedup_stream)."
+                ) from exc
 
     return handle

@@ -3,9 +3,11 @@ two-level quantile rollup.
 
 The append contract under test (operators/similarity.py ivf_append):
 frozen-quantizer routing (append == rebuild with the same centroids),
-delta-sized mutation (pre-existing index files byte-identical), the
-claim-marker commit path (concurrent/mid-append refusal), and the
-recorded retrain trigger.
+delta-sized immutable SEGMENT publish (round 12: pre-existing index
+files byte-identical BY LAYOUT; readers proceed under a standing
+append claim and answer the published snapshot), the claim-marker
+writer serialization, the two-sided recorded retrain trigger, and
+within-generation as_of_segment time travel.
 """
 
 from __future__ import annotations

@@ -281,6 +281,17 @@ def test_continuous_index_dedup_equals_batch_and_converges_with_nightly(spark):
             spark.read.schema(PAIRS_DDL).parquet(f"{scratch}/pairs").distinct()
         ) == expected
 
+        # PARTIAL id overlap is NOT a replay — it is id reuse across
+        # batches and must stay loud (the replay swallow verifies the
+        # overlap is total before treating the refusal as benign)
+        mixed = batches[1].select("doc_id", "text").limit(3).unionByName(
+            docs.select((F.col("doc_id") + 9_000_000).alias("doc_id"), "text")
+            .limit(2)
+        )
+        with pytest.raises(ValueError, match="id REUSE"):
+            handler(mixed, 100)
+        assert minhash_index_status(spark, prefix)["segments"] == [1, 2]
+
         # one index, two cadences: the nightly batch job screens a new
         # delta against the STREAM-built index state directly
         night = docs.filter(F.pmod("doc_id", F.lit(3)) == 0).select(
