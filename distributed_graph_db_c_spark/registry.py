@@ -236,21 +236,33 @@ _STALE_RAMP: list[str] = []
 # ROUND-13 HANDOFF (computed EXACTLY against the published r09-r11
 # records with a synthetic r12 = this window all-green; the look-ahead
 # test recomputes and enforces it at r13 build time): the round-13
-# window owes (1) the THREE awaiting drains (dedup_index_time_travel
-# plus the two append-lifecycle gates dedup_index_append /
-# dedup_decontaminate_append, all registered post-window with full
-# local strict evidence — see AWAITING_FIRST_SLOT above);
+# window owes (1) the FIVE awaiting drains (dedup_index_time_travel
+# plus the four lifecycle gates dedup_index_append /
+# dedup_decontaminate_append / dedup_index_vacuum /
+# stream_continuous_index_dedup, all registered post-window with full
+# local strict evidence — see AWAITING_FIRST_SLOT above; note the
+# stream gate is a STREAMING window member, so the r13 streaming tail
+# is not empty this time);
 # (2) the due cohort leaving the FOUR-round horizon when
 # r13 publishes — measured 21 wide, ZERO streaming members again (the
 # r09-green-only cohort: the graph/storage/sketch/sim gates r09
-# rotated); with ~27 residual slots the round has room for the ramp
-# into the r10 cohort (oldest after this round:
+# rotated); with ~24 residual slots (5 drains instead of the
+# originally-computed 1) the round still has room for changed-code
+# re-pins — the late-r12 diff touched the three index families'
+# readers, so the IVF gate cohort (sim_ivf_index_append,
+# sim_ivf_retrain_swap, sim_ann_ivf_persisted,
+# sim_knn_gather_mean_ivf) and dedup_incremental_pairs /
+# dedup_decontaminate_incremental deserve head slots per
+# evidence-follows-the-diff (sim_ivf_time_travel and
+# dedup_index_time_travel are in the due cohort already; local strict
+# + the changed-path bench cut in BENCH_SF1.md are the bridge until
+# then) — plus the ramp into the r10 cohort (oldest after this round:
 # dedup_embedding_groups, dedup_embedding_groups_grade,
 # dedup_embedding_pairs_grade, dedup_minhash_groups,
 # dedup_minhash_pairs, graph_bfs_order_chain, ... at r10 — note
 # dedup_minhash_* are on the r12 tokenizer diff and ride the
 # equality-sweep bridge until their ramp slots arrive), new gates, and
-# changed-code re-pins.  Budget ~2-3 new gates.
+# the rest of the due list.  Budget ~1-2 new gates.
 #
 # Surface candidates banked for round 13: (a) capability-gated
 # JPEG/FLAC differential rows in ORACLE_LOCAL when a dep-present
