@@ -885,6 +885,18 @@ def lsh_index_append(
                 f"{n_input - n_ids} internally duplicated {id_col} "
                 "value(s) — ids must be unique"
             )
+        # width check PRE-MUTATION (a delta-sized slim count): the
+        # per-row checked_norm raise below would otherwise fire during
+        # the segment write and wedge the success-only claim over an
+        # untouched index — refuse cleanly here instead, claim released
+        n_bad = new_vectors.filter(F.size(F.col(vec_col)) != dim).count()
+        if n_bad:
+            raise ValueError(
+                f"lsh_index_append({table_prefix}): {n_bad} delta "
+                f"vector(s) have width != the index's recorded dim "
+                f"{dim} — a mis-shaped vector can never collide with "
+                "the recorded plane parameters; fix the batch upstream."
+            )
         if check_duplicate_ids:
             parts = [gp] + [index_seg_prefix(table_prefix, gen, s) for s in segs]
             existing = functools.reduce(

@@ -169,6 +169,15 @@ def test_lsh_append_refusals_and_retrain_ledger(spark):
         assert index_segments(spark, "lap_ref", 1) == []
         with pytest.raises(ValueError, match="internally duplicated"):
             lsh_index_append(delta.unionByName(delta.limit(1)), "lap_ref")
+        # wrong-width delta: pre-mutation refusal, claim released, index
+        # untouched (not a mid-write wedge)
+        bad = spark.createDataFrame(
+            [(7777, [1.0, 2.0])], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="width"):
+            lsh_index_append(bad, "lap_ref")
+        assert not fs.exists(jpath(_lsh_index_claim(warehouse, "lap_ref")))
+        assert index_segments(spark, "lap_ref", 1) == []
         claim_marker(fs, jpath, _lsh_index_claim(warehouse, "lap_ref"), "t")
         with pytest.raises(ConcurrentCommitError):
             lsh_index_append(delta, "lap_ref")
