@@ -1942,6 +1942,19 @@ def ivf_append(
                 "ivf_retrain_swap instead of appending."
             )
         if check_duplicate_ids:
+            # internal duplicates first (round 12, late — parity with
+            # the minhash/LSH appends): two delta rows sharing an id
+            # would both land in the segment and score the same
+            # candidate twice per query, exactly the hazard the
+            # index-side check below refuses
+            n_in = new_vectors.count()
+            n_ids = new_vectors.select(F.col(id_col)).distinct().count()
+            if n_ids != n_in:
+                raise ValueError(
+                    f"ivf_append({path}): delta batch has "
+                    f"{n_in - n_ids} internally duplicated {id_col} "
+                    "value(s) — ids must be unique"
+                )
             dup = (
                 new_vectors.select(id_col)
                 .join(ids_table.select(id_col), id_col, "left_semi")

@@ -323,6 +323,14 @@ def test_ivf_append_retrain_audit_and_log(spark):
         assert not os.path.exists(_append_claim(f"{s}/idx")), (
             "duplicate refusal must release the claim"
         )
+        # internal duplicates refuse the same way (round 12: parity
+        # with the minhash/LSH appends), claim released
+        fresh = delta.select(
+            (F.col("vec_id") + 5_000_000).alias("vec_id"), "embedding"
+        )
+        with pytest.raises(ValueError, match="internally duplicated"):
+            ivf_append(spark, f"{s}/idx", fresh.unionByName(fresh.limit(1)))
+        assert not os.path.exists(_append_claim(f"{s}/idx"))
         from distributed_graph_db_c_spark.operators.similarity import (
             _ivf_snapshot,
             ivf_resolve,
