@@ -564,7 +564,13 @@ def minhash_index_append(
     document is a rebuild, not an append.  The delta's OWN ids are
     checked for internal duplicates too.  Refuses on the legacy flat
     layout (generation 0) — segments are a generation-layout feature;
-    rebuild once to adopt it."""
+    rebuild once to adopt it.
+
+    Ledger semantics: ``batch_rows`` (and the base/appended counts it
+    accumulates into) count INDEXABLE documents — those with >= k
+    tokens; a shorter document produces no shingles, never enters the
+    shingle store, and matches nothing at any threshold, exactly as in
+    the one-shot operators."""
     from ..sinks import _hadoop_fs, claim_marker
     from .bucketing import (
         index_gen_prefix,
