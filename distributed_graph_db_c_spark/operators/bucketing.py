@@ -142,6 +142,27 @@ def attach_bucketed(
     )
 
 
+def ensure_attached(
+    spark: SparkSession,
+    table: str,
+    schema_ddl: str,
+    key: str | list[str],
+    n_buckets: int = 32,
+) -> None:
+    """Attach ``table`` only if this session's catalog lacks it — the
+    CROSS-SESSION append seam (ADVICE r12): a reader resolves its
+    snapshot's segments from the ON-DISK markers, but reads the segment
+    tables through the session catalog, so a segment another session
+    published after this session's build/attach is visible in the
+    marker listing yet absent from the catalog — the read would die on
+    TABLE_OR_VIEW_NOT_FOUND until a manual re-attach.  Read paths call
+    this per resolved part; the tableExists probe is catalog-metadata
+    only (no data touched), and an existing entry — managed (this
+    session built it) or external (a prior attach) — is left alone."""
+    if not spark.catalog.tableExists(table):
+        attach_bucketed(spark, table, schema_ddl, key, n_buckets)
+
+
 # -- round 12: generation-versioned warehouse indexes ------------------------
 #
 # The r11 verdict's item 5: minhash_index_build / lsh_index_build rebuilds
@@ -175,7 +196,7 @@ def attach_bucketed(
 import re as _re
 
 INDEX_GEN_FMT = "__g%08d"
-_MARKER_RE = r"^_%s__g(\d{8})__published__$"
+_MARKER_RE = r"^_%s__g(\d{8,})__published__$"
 
 # -- append SEGMENTS within a generation (round 12, late) --------------------
 #
@@ -195,7 +216,12 @@ _MARKER_RE = r"^_%s__g(\d{8})__published__$"
 # other half.
 
 INDEX_SEG_FMT = "_s%04d"
-_SEG_MARKER_RE = r"^_%s__g(\d{8})_s(\d{4})__published__$"
+# {4,}/{8,} not {4}/{8}: %04d WIDENS past 9999 (seg 10000 publishes
+# "_s10000__..."), so an anchored fixed-width match would silently drop
+# that segment from every snapshot while the next append dies on the
+# marker O_EXCL collision — the numbers must stay visible however wide
+# they print (numeric sort already handles >4 digits).
+_SEG_MARKER_RE = r"^_%s__g(\d{8,})_s(\d{4,})__published__$"
 
 
 def _index_seg_marker(warehouse: str, table_prefix: str, gen: int, seg: int) -> str:

@@ -808,6 +808,16 @@ def incremental_dedup_pairs(
         segs = [s for s in segs if s <= as_of_segment]
     gp = index_gen_prefix(table_prefix, gen)
     parts = [gp] + [index_seg_prefix(table_prefix, gen, s) for s in segs]
+    # cross-session seam: a segment published by ANOTHER session after
+    # this one attached is in the marker listing but not this session's
+    # catalog — attach any missing part before binding the plan
+    from .bucketing import ensure_attached
+
+    for p in parts:
+        ensure_attached(spark, f"{p}_bands", INDEX_BANDS_DDL, "bkey", INDEX_N_BUCKETS)
+        ensure_attached(
+            spark, f"{p}_shingles", INDEX_SHINGLES_DDL, "id", INDEX_N_BUCKETS
+        )
     hs_new = shingle_hash_sets(new_docs, k, id_col, text_col).persist()
     sig = minhash_signatures(
         new_docs, num_perm, k, id_col, text_col, hs_df=hs_new

@@ -1160,6 +1160,18 @@ def decontaminate_incremental(
         segs = [s for s in segs if s <= as_of_segment]
     gp = index_gen_prefix(table_prefix, gen)
     parts = [gp] + [index_seg_prefix(table_prefix, gen, s) for s in segs]
+    # cross-session seam: a segment published by ANOTHER session after
+    # this one attached is in the marker listing but not this session's
+    # catalog — attach any missing part before binding the plan
+    from .bucketing import ensure_attached
+
+    for p in parts:
+        ensure_attached(
+            spark, f"{p}_buckets", LSH_INDEX_BUCKETS_DDL, "bkey", LSH_INDEX_N_BUCKETS
+        )
+        ensure_attached(
+            spark, f"{p}_vectors", LSH_INDEX_VECTORS_DDL, "id", LSH_INDEX_N_BUCKETS
+        )
     meta = spark.table(f"{gp}_meta").head()
     n_planes, n_tables = int(meta["n_planes"]), int(meta["n_tables"])
     dim, threshold = int(meta["dim"]), float(meta["threshold"])
@@ -1709,7 +1721,10 @@ IVF_MAX_SEGMENTS = 16
 # cell, which is the segment-count side of the retrain trigger.
 
 IVF_SEG_FMT = "s%04d"
-_IVF_SEG_MARKER_RE = _re.compile(r"^_s(\d{4})__published__$")
+# {4,} not {4}: %04d widens past 9999, and a fixed-width anchor would
+# silently drop segment 10000 from every snapshot (see the minhash
+# index's _SEG_MARKER_RE for the full failure shape).
+_IVF_SEG_MARKER_RE = _re.compile(r"^_s(\d{4,})__published__$")
 
 
 def _ivf_seg_dir(content: str, seg: int) -> str:
@@ -1717,7 +1732,10 @@ def _ivf_seg_dir(content: str, seg: int) -> str:
 
 
 def _ivf_seg_marker(content: str, seg: int) -> str:
-    return f"{content.rstrip('/')}/_s%04d__published__" % seg
+    # seg formatted INSIDE the f-string: applying printf-% to the already-
+    # interpolated string would re-interpret any literal '%' in the
+    # warehouse path itself (e.g. a URL-encoded directory) as a format spec
+    return f"{content.rstrip('/')}/_s{seg:04d}__published__"
 
 
 def _ivf_segments(spark, content: str) -> list[int]:

@@ -174,25 +174,37 @@ def continuous_index_dedup(
     operator is the oracle (pytest-pinned).
 
     AT-LEAST-ONCE replay safety rides the index's own atomic commit
-    (the segment/generation marker) as the batch's commit point, pairs
-    written FIRST:
+    (the segment/generation marker) as the batch's commit point.  The
+    batch is CLASSIFIED FIRST — one delta-sized semi-join of its
+    indexable ids against the snapshot's indexed ids, BEFORE anything
+    is written (ADVICE r12: the pre-classification version wrote the
+    pair rows first and let ``minhash_index_append`` discover id reuse,
+    so a refused partial-overlap batch had already appended pair rows
+    that duplicate no committed rows — ``distinct()`` could never
+    remove them and the pair set diverged permanently).  Three cases:
 
-    - crash BEFORE the publish: the replay re-screens against the same
-      pre-batch snapshot (published state never changed) and rewrites
-      byte-identical pair rows — readers dedupe with ``distinct()``;
-    - crash AFTER the publish: the replay's append refuses on the
-      duplicate-id check ("already indexed" — the handler treats that
-      refusal as "this batch is fully committed" and swallows it); the
-      rows it just rewrote are still exact duplicates, because the
-      batch's own documents now answering from the index turn its
-      within-batch pairs into cross-pair duplicates of themselves under
-      the least/greatest canonicalization.
+    - ALL-NEW (no id indexed — crash was before the publish, or a
+      normal first delivery): screen, write pairs, append; a replay
+      re-screens against the same pre-batch snapshot (published state
+      never changed) and rewrites byte-identical pair rows — readers
+      dedupe with ``distinct()``;
+    - FULLY-INDEXED (every indexable id present — the segment's atomic
+      publish landed before the crash): a pure REPLAY; rewrite the pair
+      rows (still exact duplicates, because the batch's own documents
+      now answering from the index turn its within-batch pairs into
+      cross-pair duplicates of themselves under the least/greatest
+      canonicalization) and SKIP the append — the refusal-then-classify
+      round-trip is gone;
+    - PARTIAL overlap: id reuse across batches — an upstream contract
+      violation; refuse loudly BEFORE the pairs write, leaving both the
+      pair sink and the index exactly as they were.
 
     Requires stream-unique ids (the dropDuplicatesWithinWatermark
-    contract upstream): appends are atomic, so a batch's ids are either
-    all indexed or none — a PARTIAL overlap means id reuse across
-    batches and fails loudly in the append.  Batch-internal duplicate
-    ids fail the append's internal-duplicate check the same way.
+    contract upstream).  Batch-internal duplicate ids still fail inside
+    the append's internal-duplicate check, after the batch's pairs were
+    written — but those rows are the batch's true pairs and a corrected
+    redelivery (same ids, deduped) rewrites them identically, so the
+    ``distinct()`` contract holds through that failure too.
 
     Scale shape: per batch cost is the batch's own shingling plus one
     co-located probe join per index part — identical to the nightly
@@ -222,6 +234,41 @@ def continuous_index_dedup(
             ).write.mode("append").parquet(pairs_dir)
             minhash_index_build(batch, table_prefix, **kw)
             return
+        # classify BEFORE any write (see the docstring's three cases):
+        # one delta-sized semi-join of the batch's INDEXABLE ids (docs
+        # with < k tokens never enter the shingle store, so the raw
+        # count would misclassify) against the snapshot's indexed ids
+        from functools import reduce as _reduce
+
+        from ..operators.bucketing import (
+            index_gen_prefix,
+            index_resolve,
+            index_seg_prefix,
+            index_segments,
+        )
+        from ..operators.dedup import shingle_hash_sets
+
+        indexable = shingle_hash_sets(batch, k, id_col, text_col).select("id")
+        n_indexable = indexable.count()
+        gen = index_resolve(spark, table_prefix)
+        parts = [index_gen_prefix(table_prefix, gen)] + [
+            index_seg_prefix(table_prefix, gen, s)
+            for s in index_segments(spark, table_prefix, gen)
+        ]
+        existing = _reduce(
+            DataFrame.unionByName,
+            [spark.table(f"{p}_shingles").select("id") for p in parts],
+        )
+        n_in = indexable.join(existing, "id", "left_semi").count()
+        if 0 < n_in < n_indexable:
+            raise ValueError(
+                f"continuous_index_dedup({table_prefix}): batch "
+                f"{batch_id} has {n_in}/{n_indexable} ids already "
+                "indexed — id REUSE across batches, not a replay; "
+                "stream ids must be unique (dedupe upstream with "
+                "exact_dedup_stream). Nothing was written."
+            )
+        replay = n_indexable > 0 and n_in == n_indexable
         cross = incremental_dedup_pairs(
             batch, table_prefix, threshold=threshold, **kw
         ).select(
@@ -233,51 +280,7 @@ def continuous_index_dedup(
             "doc_a", "doc_b", "jaccard"
         )
         cross.unionByName(within).write.mode("append").parquet(pairs_dir)
-        try:
+        if not replay:
             minhash_index_append(batch, table_prefix, **kw)
-        except ValueError as exc:
-            if "already indexed" not in str(exc):
-                raise
-            # The duplicate-id refusal has TWO possible causes and only
-            # one is benign: a fully-committed replay (every batch id
-            # already indexed — the segment's atomic publish landed
-            # before the crash, and the pair rows rewritten above are
-            # exact duplicates of committed ones), or genuine id REUSE
-            # across batches (some ids new, some indexed — an upstream
-            # contract violation that must stay loud, not be swallowed
-            # as a replay).  Distinguish with one delta-sized semi-join
-            # against the indexed ids; docs with < k tokens never enter
-            # the shingle store, so compare against the batch's
-            # INDEXABLE ids, not its raw count.
-            from ..operators.dedup import shingle_hash_sets
-
-            indexable = shingle_hash_sets(batch, k, id_col, text_col).select("id")
-            n_indexable = indexable.count()
-            from ..operators.bucketing import (
-                index_gen_prefix,
-                index_resolve,
-                index_seg_prefix,
-                index_segments,
-            )
-            from functools import reduce as _reduce
-
-            gen = index_resolve(spark, table_prefix)
-            parts = [index_gen_prefix(table_prefix, gen)] + [
-                index_seg_prefix(table_prefix, gen, s)
-                for s in index_segments(spark, table_prefix, gen)
-            ]
-            existing = _reduce(
-                DataFrame.unionByName,
-                [spark.table(f"{p}_shingles").select("id") for p in parts],
-            )
-            n_in = indexable.join(existing, "id", "left_semi").count()
-            if n_in != n_indexable:
-                raise ValueError(
-                    f"continuous_index_dedup({table_prefix}): batch "
-                    f"{batch_id} has {n_in}/{n_indexable} ids already "
-                    "indexed — id REUSE across batches, not a replay; "
-                    "stream ids must be unique (dedupe upstream with "
-                    "exact_dedup_stream)."
-                ) from exc
 
     return handle

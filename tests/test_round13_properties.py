@@ -1,0 +1,211 @@
+"""Round-13 property pins — the r12 ADVICE seams, each closed at the
+root and pinned here:
+
+1. Segment-marker WIDTH OVERFLOW (ADVICE r12 low #2): ``%04d`` widens
+   past 9999, so segment 10000 publishes ``_s10000__published__`` — an
+   anchored fixed-width ``\\d{4}`` match silently dropped that segment
+   from every snapshot while the next append died on the marker O_EXCL
+   collision.  The regexes now accept ``\\d{4,}`` (and ``\\d{8,}`` for
+   generations); pinned against the exact literal marker names the
+   formatters emit at and past the width boundary.
+
+2. Percent-in-path marker names (ADVICE r12 low #4): ``_ivf_seg_marker``
+   applied printf-``%`` to an f-string that had already interpolated the
+   content path, so a warehouse path containing a literal ``%`` (e.g. a
+   URL-encoded directory) raised or corrupted the marker name.
+
+3. Cross-session segment visibility (ADVICE r12 low #3): a reader
+   session that built/attached BEFORE another session's append resolves
+   the new segment from the on-disk markers but used to read its tables
+   through the session catalog only — TABLE_OR_VIEW_NOT_FOUND until a
+   manual re-attach.  The read paths now ``ensure_attached`` any
+   resolved part missing from the catalog.  Simulated end-to-end by
+   destroying the catalog entries (data preserved aside) between the
+   append and the read.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from urllib.parse import urlparse
+
+import pyspark.sql.functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# -- 1: marker width overflow ------------------------------------------------
+
+
+def test_minhash_seg_marker_regex_survives_width_overflow():
+    from distributed_graph_db_c_spark.operators.bucketing import (
+        INDEX_GEN_FMT,
+        INDEX_SEG_FMT,
+        _SEG_MARKER_RE,
+    )
+
+    pat = re.compile(_SEG_MARKER_RE % re.escape("idx"))
+    for seg in (1, 9999, 10000, 123456):
+        name = f"_idx{INDEX_GEN_FMT % 1}{INDEX_SEG_FMT % seg}__published__"
+        m = pat.match(name)
+        assert m, f"segment {seg} marker {name!r} must stay visible"
+        assert (int(m.group(1)), int(m.group(2))) == (1, seg)
+    # generations widen past 8 digits the same way
+    wide = f"_idx{INDEX_GEN_FMT % 123_456_789}{INDEX_SEG_FMT % 1}__published__"
+    assert pat.match(wide), "9-digit generation marker must stay visible"
+
+
+def test_ivf_seg_marker_regex_survives_width_overflow():
+    from distributed_graph_db_c_spark.operators.similarity import (
+        _IVF_SEG_MARKER_RE,
+        _ivf_seg_marker,
+    )
+
+    for seg in (1, 9999, 10000, 123456):
+        name = os.path.basename(_ivf_seg_marker("/wh/emb/g=00000001", seg))
+        m = _IVF_SEG_MARKER_RE.match(name)
+        assert m, f"segment {seg} marker {name!r} must stay visible"
+        assert int(m.group(1)) == seg
+
+
+# -- 2: percent-in-path marker names ----------------------------------------
+
+
+def test_ivf_seg_marker_tolerates_percent_in_path():
+    from distributed_graph_db_c_spark.operators.similarity import _ivf_seg_marker
+
+    got = _ivf_seg_marker("/wh/emb%20idx/g=00000001", 3)
+    assert got == "/wh/emb%20idx/g=00000001/_s0003__published__"
+    # '%s'-shaped path segments were the corrupting case, not just '%20'
+    got = _ivf_seg_marker("/wh/100%s-done/g=00000001", 3)
+    assert got == "/wh/100%s-done/g=00000001/_s0003__published__"
+
+
+# -- 3: cross-session segment reads auto-attach ------------------------------
+
+
+def _local(uri: str) -> str:
+    p = urlparse(uri)
+    return p.path if p.scheme in ("", "file") else uri
+
+
+def _drop_preserving_files(spark, tables: list[str]) -> None:
+    """Simulate 'another session appended': destroy THIS session's
+    catalog entries for ``tables`` while preserving their warehouse
+    directories (managed DROP purges, so the data is staged aside and
+    restored) — afterwards the on-disk markers still name the segment
+    but the catalog has never heard of it, exactly the state a reader
+    session is in after an external append."""
+    from distributed_graph_db_c_spark.operators.bucketing import warehouse_location
+
+    staged = {}
+    for t in tables:
+        loc = _local(warehouse_location(spark, t))
+        staged[t] = loc + "__staged"
+        shutil.copytree(loc, staged[t])
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    for t, s in staged.items():
+        loc = _local(warehouse_location(spark, t))
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
+        shutil.move(s, loc)
+
+
+def test_minhash_cross_session_segment_read_auto_attaches(spark):
+    from distributed_graph_db_c_spark.operators.bucketing import (
+        index_drop_all,
+        index_seg_prefix,
+    )
+    from distributed_graph_db_c_spark.operators.dedup import (
+        incremental_dedup_pairs,
+        minhash_index_append,
+        minhash_index_build,
+    )
+    from distributed_graph_db_c_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    prefix = "r13xsess_mh"
+    index_drop_all(spark, prefix, ("_bands", "_shingles"))
+    try:
+        minhash_index_build(docs.filter(F.pmod("doc_id", F.lit(2)) == 0), prefix)
+        minhash_index_append(docs.filter(F.pmod("doc_id", F.lit(2)) == 1), prefix)
+        delta = docs.limit(40).select(
+            (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+        )
+        expected = {
+            (r["old_id"], r["new_id"], round(r["jaccard"], 9))
+            for r in incremental_dedup_pairs(delta, prefix, threshold=0.8).collect()
+        }
+        assert expected, "shifted copies must pair with their originals"
+        sp = index_seg_prefix(prefix, 1, 1)
+        seg_tables = [f"{sp}_bands", f"{sp}_shingles"]
+        _drop_preserving_files(spark, seg_tables)
+        for t in seg_tables:
+            assert not spark.catalog.tableExists(t)
+        got = {
+            (r["old_id"], r["new_id"], round(r["jaccard"], 9))
+            for r in incremental_dedup_pairs(delta, prefix, threshold=0.8).collect()
+        }
+        assert got == expected
+        # and the attach the read performed is the safe EXTERNAL kind
+        for t in seg_tables:
+            assert spark.catalog.getTable(t).tableType == "EXTERNAL"
+    finally:
+        index_drop_all(spark, prefix, ("_bands", "_shingles"))
+
+
+def test_lsh_cross_session_segment_read_auto_attaches(spark):
+    import numpy as np
+
+    from distributed_graph_db_c_spark.operators.bucketing import (
+        index_drop_all,
+        index_seg_prefix,
+    )
+    from distributed_graph_db_c_spark.operators.similarity import (
+        decontaminate_incremental,
+        lsh_index_append,
+        lsh_index_build,
+    )
+
+    rng = np.random.RandomState(13)
+    train = rng.randn(40, 8)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in train[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    ev = spark.createDataFrame(
+        [
+            (1000 + i, [float(x) for x in train[2 * i] + 0.05 * rng.randn(8)])
+            for i in range(10)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    prefix = "r13xsess_lsh"
+    index_drop_all(spark, prefix, ("_buckets", "_vectors", "_meta"))
+    try:
+        lsh_index_build(
+            corpus.filter(F.col("vec_id") < 20), prefix, dim=8, threshold=0.8
+        )
+        lsh_index_append(corpus.filter(F.col("vec_id") >= 20), prefix)
+        expected = {
+            (r["id_a"], r["id_b"], round(r["cosine"], 9))
+            for r in decontaminate_incremental(ev, prefix).collect()
+        }
+        assert expected, "planted eval matches must survive"
+        sp = index_seg_prefix(prefix, 1, 1)
+        seg_tables = [f"{sp}_buckets", f"{sp}_vectors"]
+        _drop_preserving_files(spark, seg_tables)
+        for t in seg_tables:
+            assert not spark.catalog.tableExists(t)
+        got = {
+            (r["id_a"], r["id_b"], round(r["cosine"], 9))
+            for r in decontaminate_incremental(ev, prefix).collect()
+        }
+        assert got == expected
+        for t in seg_tables:
+            assert spark.catalog.getTable(t).tableType == "EXTERNAL"
+    finally:
+        index_drop_all(spark, prefix, ("_buckets", "_vectors", "_meta"))

@@ -272,8 +272,8 @@ def test_continuous_index_dedup_equals_batch_and_converges_with_nightly(spark):
         assert st["base_rows"] + st["appended_rows"] == docs.count()
 
         # crash-AFTER-publish replay: batch 1 is fully committed (its
-        # segment published); the handler swallows the duplicate-id
-        # refusal, rewrites exact-duplicate rows, index unchanged
+        # segment published); the up-front classification sees every id
+        # indexed, rewrites exact-duplicate rows, skips the append
         handler = continuous_index_dedup(prefix, f"{scratch}/pairs")
         handler(batches[1], 99)
         assert minhash_index_status(spark, prefix)["segments"] == [1, 2]
@@ -291,6 +291,14 @@ def test_continuous_index_dedup_equals_batch_and_converges_with_nightly(spark):
         with pytest.raises(ValueError, match="id REUSE"):
             handler(mixed, 100)
         assert minhash_index_status(spark, prefix)["segments"] == [1, 2]
+        # ADVICE r13: the refusal must land BEFORE the pairs write — the
+        # mixed batch's 2 genuinely-new near-dup docs would pair against
+        # the index, and those rows duplicate NO committed rows, so had
+        # they been written distinct() could never remove them and the
+        # accumulated set would diverge from the oracle permanently
+        assert _rows(
+            spark.read.schema(PAIRS_DDL).parquet(f"{scratch}/pairs").distinct()
+        ) == expected
 
         # one index, two cadences: the nightly batch job screens a new
         # delta against the STREAM-built index state directly
