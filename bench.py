@@ -179,6 +179,8 @@ HEADLINE = [
     "dedup_index_append",
     "dedup_decontaminate_append",
     "dedup_index_vacuum",
+    # round 13: segment compaction without retrain
+    "dedup_index_compact",
     # streaming gates run real micro-batch streams — keep them last
     "stream_continuous_index_dedup",
 ]

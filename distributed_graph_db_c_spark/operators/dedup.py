@@ -679,6 +679,105 @@ def minhash_index_append(
     }
 
 
+def minhash_index_compact(spark, table_prefix: str, n_buckets: int = 16) -> dict:
+    """Fold a generation's published append SEGMENTS back into one base
+    WITHOUT a retrain (round 13 — the r12 verdict's item 5): publish the
+    next generation whose tables are the pure UNION of the resolved
+    generation's base + segment tables.  Signatures are PER-DOCUMENT
+    (the same independence argument that made appends exact), so the
+    compacted generation indexes bit-identically what the wide one did —
+    no shingling, no signing, no semantics change; the cost is one
+    IO-bound rewrite of the generation's two slim tables.
+
+    Why this exists: the segment-count arm of the retrain trigger
+    (``MINHASH_MAX_SEGMENTS``) guards per-read PLAN WIDTH — every
+    segment adds one co-located probe join and one delta shuffle to
+    each incremental read.  Servicing that arm previously required a
+    full ``minhash_index_build`` over the union corpus, re-paying the
+    shingle/sign compute the index exists to amortize.  Compaction
+    resets the plan width at union-rewrite cost instead; and since a
+    minhash index has NO frozen sizing parameters to outgrow (unlike
+    the LSH planes / IVF quantizer), compaction fully services BOTH
+    trigger arms — a minhash index never needs a semantic rebuild.
+
+    Commit discipline: runs under the index's build claim (serializing
+    with builds and appends), stages unpublished gen-N+1 tables, and
+    publishes with one atomic marker create.  Failure at ANY point
+    leaves the resolved generation fully intact and answering, so the
+    claim is released on every exit path (the ivf_retrain_swap
+    semantics, not the append's success-only rule — there is no
+    half-mutated state a wedge would be guarding).  The source
+    generation stays published for pinned readers; reclaim it with
+    :func:`minhash_index_vacuum`."""
+    from functools import reduce
+
+    from ..sinks import _hadoop_fs, claim_marker
+    from .bucketing import (
+        ensure_attached,
+        index_gen_prefix,
+        index_generations,
+        index_publish_generation,
+        index_seg_prefix,
+        index_segments,
+        write_bucketed,
+    )
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    fs, jpath = _hadoop_fs(spark, warehouse)
+    claim = _index_claim(warehouse, table_prefix)
+    claim_marker(fs, jpath, claim, f"minhash_index_compact({table_prefix})")
+    try:
+        gens = index_generations(spark, table_prefix)
+        if not gens:
+            raise FileNotFoundError(
+                f"minhash_index_compact({table_prefix}): no published "
+                "generation — compaction folds append segments, and the "
+                "legacy flat layout has none; build first "
+                "(minhash_index_build)."
+            )
+        gen = gens[-1]
+        segs = index_segments(spark, table_prefix, gen)
+        if not segs:
+            raise ValueError(
+                f"minhash_index_compact({table_prefix}): generation "
+                f"{gen} has no published append segments — nothing to "
+                "compact (a no-op rewrite would only churn storage)."
+            )
+        parts = [index_gen_prefix(table_prefix, gen)] + [
+            index_seg_prefix(table_prefix, gen, s) for s in segs
+        ]
+        for p in parts:
+            ensure_attached(
+                spark, f"{p}_bands", INDEX_BANDS_DDL, "bkey", INDEX_N_BUCKETS
+            )
+            ensure_attached(
+                spark, f"{p}_shingles", INDEX_SHINGLES_DDL, "id", INDEX_N_BUCKETS
+            )
+        new_gen = gen + 1
+        np_ = index_gen_prefix(table_prefix, new_gen)
+        bands = reduce(
+            DataFrame.unionByName,
+            [spark.table(f"{p}_bands").select("id", "bkey") for p in parts],
+        )
+        write_bucketed(bands, f"{np_}_bands", key="bkey", n_buckets=n_buckets)
+        shingles = reduce(
+            DataFrame.unionByName,
+            [spark.table(f"{p}_shingles").select("id", "hs") for p in parts],
+        )
+        write_bucketed(shingles, f"{np_}_shingles", key="id", n_buckets=n_buckets)
+        index_publish_generation(
+            spark, table_prefix, new_gen, f"minhash_index_compact({table_prefix})"
+        )
+        return {
+            "generation": new_gen,
+            "from_generation": gen,
+            "compacted_segments": segs,
+            "rows": spark.table(f"{np_}_shingles").count(),
+        }
+    finally:
+        fs.delete(jpath(claim), False)
+
+
 def minhash_index_status(
     spark,
     table_prefix: str,

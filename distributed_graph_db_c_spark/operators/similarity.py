@@ -952,9 +952,15 @@ def lsh_index_append(
     )
     fs.delete(jpath(claim), False)
     batch_rows = spark.table(f"{sp}_vectors").count()
-    appended_rows = batch_rows + sum(
-        spark.table(f"{index_seg_prefix(table_prefix, gen, s)}_vectors").count()
-        for s in segs
+    # same basis-excess accounting as lsh_index_status: rows a prior
+    # compaction folded into the base still count toward plane drift
+    appended_rows = (
+        batch_rows
+        + max(0, spark.table(f"{gp}_vectors").count() - basis_rows)
+        + sum(
+            spark.table(f"{index_seg_prefix(table_prefix, gen, s)}_vectors").count()
+            for s in segs
+        )
     )
     frac = appended_rows / basis_rows if basis_rows else float("inf")
     n_segments = len(segs) + 1
@@ -994,7 +1000,15 @@ def lsh_index_status(
     segs = index_segments(spark, table_prefix, gen) if gen else []
     gp = index_gen_prefix(table_prefix, gen)
     basis_rows = int(spark.table(f"{gp}_meta").head()["n_rows"])
-    appended_rows = sum(
+    # appended = rows beyond the SIZING BASIS, wherever they live: a
+    # compaction (lsh_index_compact) folds segment rows into the base
+    # WITHOUT re-sizing the planes, so counting segments alone would
+    # silently reset the drift arm of the retrain trigger.  Base rows
+    # in excess of meta.n_rows are exactly the folded appends (an
+    # explicit oversized n_rows at build clamps to 0 — no drift until
+    # the corpus outgrows the recorded basis).
+    base_rows = spark.table(f"{gp}_vectors").count()
+    appended_rows = max(0, base_rows - basis_rows) + sum(
         spark.table(f"{index_seg_prefix(table_prefix, gen, s)}_vectors").count()
         for s in segs
     )
@@ -1070,6 +1084,124 @@ def lsh_index_attach(
         f"LOCATION '{warehouse_location(spark, meta)}'"
     )
     return gen
+
+
+def lsh_index_compact(
+    spark, table_prefix: str, n_buckets: int = LSH_INDEX_N_BUCKETS
+) -> dict:
+    """Fold a decontamination index generation's published append
+    SEGMENTS back into one base WITHOUT re-sizing the planes (round 13
+    — the minhash_index_compact pattern; see that docstring for the
+    full rationale).  Bucket keys are per-vector functions of the
+    FROZEN plane parameters, so the union of base + segment tables is
+    bit-identical in content to the wide layout — the compacted
+    generation's ``_meta`` is copied VERBATIM, preserving the recorded
+    sizing basis (``n_rows``).
+
+    The crucial difference from the minhash index: compaction here
+    services ONLY the segment-count arm of the retrain trigger (plan
+    width).  The row-fraction arm measures drift past the frozen
+    planes' sizing basis, which no union rewrite can fix — and the
+    ledger keeps reporting it after compaction because
+    ``lsh_index_status``/``lsh_index_append`` count appended rows as
+    (vector rows beyond the recorded basis), not (rows in segments).
+    A drift-due index still needs a true ``lsh_index_build`` rebuild.
+
+    Claim discipline: ivf_retrain_swap semantics — failure at any point
+    leaves the resolved generation intact and answering, so the claim
+    releases on every exit path; the source generation stays published
+    for pinned readers (reclaim with :func:`lsh_index_vacuum`)."""
+    from ..sinks import _hadoop_fs, claim_marker
+    from .bucketing import (
+        ensure_attached,
+        index_gen_prefix,
+        index_generations,
+        index_publish_generation,
+        index_seg_prefix,
+        index_segments,
+        warehouse_location,
+        write_bucketed,
+    )
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    fs, jpath = _hadoop_fs(spark, warehouse)
+    claim = _lsh_index_claim(warehouse, table_prefix)
+    claim_marker(fs, jpath, claim, f"lsh_index_compact({table_prefix})")
+    try:
+        gens = index_generations(spark, table_prefix)
+        if not gens:
+            raise FileNotFoundError(
+                f"lsh_index_compact({table_prefix}): no published "
+                "generation — compaction folds append segments, and the "
+                "legacy flat layout has none; build first "
+                "(lsh_index_build)."
+            )
+        gen = gens[-1]
+        segs = index_segments(spark, table_prefix, gen)
+        if not segs:
+            raise ValueError(
+                f"lsh_index_compact({table_prefix}): generation {gen} "
+                "has no published append segments — nothing to compact."
+            )
+        parts = [index_gen_prefix(table_prefix, gen)] + [
+            index_seg_prefix(table_prefix, gen, s) for s in segs
+        ]
+        for p in parts:
+            ensure_attached(
+                spark,
+                f"{p}_buckets",
+                LSH_INDEX_BUCKETS_DDL,
+                "bkey",
+                LSH_INDEX_N_BUCKETS,
+            )
+            ensure_attached(
+                spark,
+                f"{p}_vectors",
+                LSH_INDEX_VECTORS_DDL,
+                "id",
+                LSH_INDEX_N_BUCKETS,
+            )
+        gp = index_gen_prefix(table_prefix, gen)
+        meta_row = spark.table(f"{gp}_meta").head()
+        new_gen = gen + 1
+        np_ = index_gen_prefix(table_prefix, new_gen)
+        buckets = functools.reduce(
+            DataFrame.unionByName,
+            [spark.table(f"{p}_buckets").select("id", "bkey") for p in parts],
+        )
+        write_bucketed(buckets, f"{np_}_buckets", key="bkey", n_buckets=n_buckets)
+        vectors = functools.reduce(
+            DataFrame.unionByName,
+            [
+                spark.table(f"{p}_vectors").select("id", "nrm", "v")
+                for p in parts
+            ],
+        )
+        write_bucketed(vectors, f"{np_}_vectors", key="id", n_buckets=n_buckets)
+        # meta VERBATIM — frozen planes, frozen sizing basis (docstring)
+        spark.sql(f"DROP TABLE IF EXISTS {np_}_meta")
+        from urllib.parse import urlparse as _urlparse
+
+        wh = _urlparse(warehouse)
+        if wh.scheme in ("", "file"):
+            import shutil as _shutil
+
+            _shutil.rmtree(f"{wh.path}/{np_}_meta", ignore_errors=True)
+        spark.createDataFrame([meta_row], LSH_INDEX_META_DDL).write.mode(
+            "overwrite"
+        ).saveAsTable(f"{np_}_meta")
+        index_publish_generation(
+            spark, table_prefix, new_gen, f"lsh_index_compact({table_prefix})"
+        )
+        return {
+            "generation": new_gen,
+            "from_generation": gen,
+            "compacted_segments": segs,
+            "rows": spark.table(f"{np_}_vectors").count(),
+            "basis_rows": int(meta_row["n_rows"]),
+        }
+    finally:
+        fs.delete(jpath(claim), False)
 
 
 def lsh_index_vacuum(spark, table_prefix: str, keep_last: int = 1) -> list[int]:
@@ -2139,6 +2271,169 @@ def ivf_retrain_swap(
         # replace_table semantics (NOT the append's success-only rule):
         # a failure before the publish leaves the old generation intact
         # and valid, so holding the claim would wedge a healthy index.
+        fs.delete(jpath(claim), False)
+
+
+def ivf_compact(
+    spark,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    retrain_frac: float = IVF_RETRAIN_FRAC,
+) -> dict:
+    """Fold an IVF generation's published append SEGMENTS back into one
+    base WITHOUT retraining the quantizer (round 13 — the
+    minhash_index_compact pattern for the embedding index): publish
+    ``g=N+1`` whose lists/ids are the pure UNION of generation N's base
+    + segments, with the CENTROIDS AND META COPIED VERBATIM.  A
+    vector's cell depends only on itself and the frozen quantizer (the
+    ivf_append exactness argument), so the compacted generation answers
+    every probe bit-identically to the wide one — no assignment scan,
+    no k-means; the cost is one IO-bound rewrite of the generation's
+    rows, cell-clustered so each cell collapses back to one contiguous
+    file (the per-probe file count the segment arm of the retrain
+    trigger guards).
+
+    What compaction does NOT service: quantizer drift.  ``meta.n_base``
+    is copied unchanged, so the appended-fraction arm keeps measuring
+    rows beyond the TRAINED basis (``(total - n_base) / n_base``) —
+    after compaction, status/appends still report the true drift, and a
+    drift-due index still needs :func:`ivf_retrain_swap`.  The new
+    generation's append_log is seeded with one carry-over row stating
+    that fraction, so a restarted scheduler's
+    :func:`ivf_index_attach` descriptor stays honest.
+
+    Claim discipline mirrors ivf_retrain_swap exactly (two-sided
+    append/compact mutual exclusion; failure before the publish leaves
+    the old generation intact and answering, claim released on every
+    exit path).  The source generation stays published for pinned
+    readers — reclaim with :func:`ivf_vacuum_generations`."""
+    import uuid as _uuid
+
+    from functools import reduce
+
+    from ..sinks import (
+        ConcurrentCommitError,
+        _commit_claim,
+        _hadoop_fs,
+        claim_marker,
+    )
+
+    fs, jpath = _hadoop_fs(spark, path)
+    append_claim = _append_claim(path)
+    if fs.exists(jpath(append_claim)):
+        raise ConcurrentCommitError(
+            f"ivf_compact({path}): append claim {append_claim} is held — "
+            "compacting now would orphan the in-flight delta's segment "
+            "in the outgoing generation. Wait for the append."
+        )
+    claim = _commit_claim(path)
+    claim_marker(fs, jpath, claim, f"ivf_compact({path})")
+    staging = f"{path.rstrip('/')}/_g_stage_{_uuid.uuid4().hex[:8]}__"
+    try:
+        # close the check-then-act window (the retrain/append race
+        # discipline: each racer claims before re-checking the other)
+        if fs.exists(jpath(append_claim)):
+            raise ConcurrentCommitError(
+                f"ivf_compact({path}): lost the race with an append "
+                f"({append_claim} appeared after our claim) — aborting "
+                "before the rewrite; retry after the append completes."
+            )
+        gens = _ivf_generations(spark, path)
+        if not gens:
+            # a legacy flat-layout compact would publish g=1 while the
+            # flat sidecars stay behind as a second source of truth —
+            # the retire step belongs to ivf_retrain_swap; route there
+            raise FileNotFoundError(
+                f"ivf_compact({path}): no published generation — the "
+                "legacy flat layout predates compaction; rebuild once "
+                "(ivf_retrain_swap) to adopt the generation layout."
+            )
+        content = ivf_resolve(spark, path, gens=gens)
+        segs = _ivf_segments(spark, content)
+        if not segs:
+            raise ValueError(
+                f"ivf_compact({path}): the resolved generation has no "
+                "published append segments — nothing to compact."
+            )
+        parts = [content] + [_ivf_seg_dir(content, s) for s in segs]
+        try:
+            lists = reduce(
+                DataFrame.unionByName,
+                [
+                    spark.read.parquet(f"{p}/lists").select(
+                        id_col, vec_col, "cell"
+                    )
+                    for p in parts
+                ],
+            )
+            lists.repartition("cell").write.mode("overwrite").partitionBy(
+                "cell"
+            ).parquet(f"{staging}/lists")
+            ids = reduce(
+                DataFrame.unionByName,
+                [
+                    spark.read.parquet(f"{p}/ids").select(id_col, "cell")
+                    for p in parts
+                ],
+            )
+            ids.repartitionByRange(id_col).sortWithinPartitions(
+                id_col
+            ).write.mode("overwrite").parquet(f"{staging}/ids")
+            # frozen quantizer + sizing basis, VERBATIM (docstring)
+            cents = spark.read.parquet(f"{content}/centroids").collect()
+            cnorm = np.vstack(
+                [
+                    np.asarray(r["centroid"], dtype=np.float64)
+                    for r in sorted(cents, key=lambda r: r["cell"])
+                ]
+            )
+            _write_centroids(spark, f"{staging}/centroids", cnorm)
+            n_base = int(spark.read.parquet(f"{content}/meta").head()["n_base"])
+            _write_meta(spark, staging, n_base)
+            # carry-over ledger row: the drift the new generation starts
+            # with (its segments are gone but their rows are not)
+            n_total = spark.read.parquet(f"{staging}/ids").count()
+            frac = (n_total - n_base) / n_base if n_base else float("inf")
+            import pyarrow as pa
+
+            carry = {
+                "batch_rows": 0,
+                "total_rows": int(n_total),
+                "appended_frac": float(frac),
+                "retrain_due": bool(frac >= retrain_frac),
+            }
+            log_table = pa.table(
+                {
+                    "batch_rows": pa.array([0], type=pa.int64()),
+                    "total_rows": pa.array([carry["total_rows"]], type=pa.int64()),
+                    "appended_frac": pa.array(
+                        [carry["appended_frac"]], type=pa.float64()
+                    ),
+                    "retrain_due": pa.array([carry["retrain_due"]], type=pa.bool_()),
+                }
+            )
+            _write_small_parquet(
+                spark,
+                f"{staging}/append_log",
+                log_table,
+                [tuple(carry.values())],
+                "batch_rows long, total_rows long, appended_frac double, "
+                "retrain_due boolean",
+            )
+        except BaseException:
+            fs.delete(jpath(staging), True)
+            raise
+        gen = _ivf_publish_generation(spark, path, staging)
+        return {
+            "generation": gen,
+            "from_generation": gens[-1] if gens else 0,
+            "compacted_segments": segs,
+            "total_rows": int(n_total),
+            "appended_frac": float(frac),
+            "retrain_due": carry["retrain_due"],
+        }
+    finally:
         fs.delete(jpath(claim), False)
 
 

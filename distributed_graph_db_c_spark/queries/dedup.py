@@ -472,6 +472,122 @@ def dedup_index_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+_INDEX_COMPACT_SQL = rf"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+sh AS (SELECT doc_id,
+              CASE WHEN len(t) >= 3
+                   THEN list_distinct(list_transform(generate_series(0, len(t)-3),
+                                                     i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                   ELSE [] END AS s
+       FROM toks),
+ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+          FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+j AS (SELECT doc_a, doc_b,
+             CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+      FROM pairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8),
+cross1 AS (SELECT CASE WHEN doc_a % 4 = 0 THEN doc_b ELSE doc_a END AS old_id,
+                  CASE WHEN doc_a % 4 = 0 THEN doc_a ELSE doc_b END AS new_id,
+                  jaccard
+           FROM j
+           WHERE (doc_a % 4 = 0) <> (doc_b % 4 = 0))
+SELECT 'pre' AS phase, old_id, new_id, jaccard FROM cross1 WHERE old_id % 4 IN (1, 2)
+UNION ALL
+SELECT 'wide' AS phase, old_id, new_id, jaccard FROM cross1
+UNION ALL
+SELECT 'compacted' AS phase, old_id, new_id, jaccard FROM cross1
+"""
+
+
+@register("dedup_index_compact", oracle=_INDEX_COMPACT_SQL)
+def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MINHASH-INDEX SEGMENT COMPACTION lifecycle (round 13 — the r12
+    verdict's item 5): fold a generation's append segments back into
+    one base WITHOUT re-shingling the corpus, so the segment-count arm
+    of the retrain trigger (per-read plan width) is serviced at
+    union-rewrite cost instead of a full rebuild.  The story: the base
+    snapshot (%4 in (1, 2)) is generation 1; the delta (%4 == 3) lands
+    as its append segment; minhash_index_compact publishes generation 2
+    as the pure union.  Tonight's batch (%4 == 0) is screened three
+    ways in one plan: pinned to the PRE-append snapshot
+    (generation=1, as_of_segment=0 — phase 'pre'), pinned to the WIDE
+    post-append layout (generation=1 — phase 'wide'), and against the
+    fresh resolve, now the COMPACTED generation (phase 'compacted').
+
+    The oracle replays all three constructions from raw text; a strict
+    hash-match proves (a) compaction is EXACT — the compacted
+    generation answers bit-identically to the wide one (signatures are
+    per-document, so union-of-tables == build-of-union, the same
+    decomposition argument as the append gate), and (b) the source
+    generation still answers BOTH its snapshots after the publish —
+    compaction destroys nothing (vacuum is the only destroyer).  Gate
+    enforces loudly: compact returned generation 2 folding segment
+    [1], and the new generation's status shows zero segments with the
+    trigger reset (a minhash index has no frozen sizing to outgrow).
+    Scale: the compaction cost is one IO-bound shuffle of the
+    generation's two slim tables — the shingling/signing the index
+    exists to amortize is never re-paid.  Same corpus-contingent
+    total-recall contingency as dedup_incremental_pairs."""
+    import uuid as _uuid
+
+    from ..operators.bucketing import index_drop_all
+    from ..operators.dedup import (
+        incremental_dedup_pairs,
+        minhash_index_append,
+        minhash_index_build,
+        minhash_index_compact,
+        minhash_index_status,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter((F.col("doc_id") % 4).isin([1, 2]))
+    delta = docs.filter(F.col("doc_id") % 4 == 3)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    prefix = f"cpgate_{_uuid.uuid4().hex[:8]}"
+    try:
+        g = minhash_index_build(base, prefix)
+        audit = minhash_index_append(delta, prefix)
+        caudit = minhash_index_compact(spark, prefix)
+        if (g, audit["segment"], caudit["generation"]) != (1, 1, 2) or caudit[
+            "compacted_segments"
+        ] != [1]:
+            raise RuntimeError(
+                f"expected build gen 1 + segment 1 + compact gen 2 of [1], "
+                f"got ({g}, {audit['segment']}, {caudit})"
+            )
+        st = minhash_index_status(spark, prefix)
+        if st["segments"] or st["retrain_due"]:
+            raise RuntimeError(
+                f"compacted generation must reset the trigger, got {st}"
+            )
+        pre = incremental_dedup_pairs(
+            batch, prefix, threshold=0.8, generation=1, as_of_segment=0
+        ).select(F.lit("pre").alias("phase"), "old_id", "new_id", "jaccard")
+        wide = incremental_dedup_pairs(
+            batch, prefix, threshold=0.8, generation=1
+        ).select(F.lit("wide").alias("phase"), "old_id", "new_id", "jaccard")
+        compacted = incremental_dedup_pairs(batch, prefix, threshold=0.8).select(
+            F.lit("compacted").alias("phase"), "old_id", "new_id", "jaccard"
+        )
+        result = pre.unionByName(wide).unionByName(compacted).localCheckpoint(
+            eager=True
+        )
+    finally:
+        index_drop_all(spark, prefix, ("_bands", "_shingles"))
+        from ..operators.dedup import _index_claim
+        from ..sinks import _hadoop_fs
+
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        fs, jpath = _hadoop_fs(spark, warehouse)
+        fs.delete(jpath(_index_claim(warehouse, prefix)), False)
+    return result
+
+
 @register("dedup_simhash", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash sketch per document (rows-only check; Hamming-pair

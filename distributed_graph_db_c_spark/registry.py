@@ -58,7 +58,7 @@ _loaded = False
 # it to decide whether this round's CORRECTNESS record has been published
 # yet (build time: strict look-ahead check) or not (judge time: the
 # published-horizon check).  Bumping it is STEP 1 of every round.
-ROUND = 12
+ROUND = 13
 
 # The correctness driver checks the FIRST `DRIVER_WINDOW` registry entries
 # (observed: CORRECTNESS_r01/r02.json each stopped at exactly 50, in
@@ -82,215 +82,161 @@ ROUND = 12
 # entries stay OUT (r02+r03 proved err=no_oracle wastes the slot).
 DRIVER_WINDOW = 50
 
-# (b) changed-code re-pins — the round-12 diff is WIDE but shallow:
-# (1) the TOKENIZER ALIGNMENT (r11 verdict item 3 / the r11 review's
-# latent find): functions/text.tokens now extracts \S+ runs instead of
-# trim-then-split, closing the only-0x20-trim edge against the DuckDB
-# mirrors' all-whitespace filter.  The change is CORPUS-BIT-IDENTICAL
-# (pytest equality sweep over every sf0.001+sf0.01 document,
-# tests/test_round12_properties.py) and touches ~26 gates transitively
-# — far more than the residual slots a 36-wide due cohort leaves — so
-# head slots go to the gates with the DIRECTEST seam exposure (the
-# token-count consumers the r11 advice named, plus the stalest of the
-# lang/quality consumers), and the remaining token-family gates ride
-# the equality-sweep bridge + the normal horizon (the new
-# text_tokenizer_whitespace_edge gate exercises the changed edge
-# adversarially in-window).  (2) the three TOTAL-ONLY GLOBAL WINDOWS
-# converted to broadcast scalars (r11 verdict item 4:
-# pipeline_domain_mixture, sketch_freq_items_brand via the shared
-# _retruncate, stream_freq_items_incremental riding the same helper in
-# the tail).  (3) the minhash/LSH persisted indexes are now
-# GENERATION-VERSIONED (r11 verdict item 5) — both incremental gates
-# hold slots.
+# (b) changed-code re-pins — the round-13 diff concentrates on the
+# three persisted indexes' READ PATHS, exactly where the r12 handoff
+# predicted the head slots must go, plus this round's advice fixes land
+# on the same seams: (1) the late-r12 segment rework touched every IVF
+# reader (_ivf_segments / _ivf_parts — and r13 widens the segment-marker
+# regexes those readers parse), so the IVF gate cohort holds head slots;
+# (2) incremental_dedup_pairs / decontaminate_incremental gained the
+# cross-session ensure_attached step (ADVICE r12 low #3) — both
+# incremental gates re-pin; (3) lsh_index_status/append adopted
+# basis-excess drift accounting for compaction (round 13) — covered by
+# the decontaminate re-pin plus pytest.  sim_ivf_time_travel and
+# dedup_index_time_travel are handled elsewhere in this window (the
+# former aged green r12; the latter drains below).
 _WINDOW_HEAD = [
-    "pipeline_domain_mixture",  # broadcast-scalar conversion (was r9)
-    "sketch_freq_items_brand",  # conversion via _retruncate (was r8; also due)
-    "sketch_token_quantiles_rollup",  # n_toks = the advice-named seam feed
-    "text_token_stats",  # the core token-count gate
-    "text_oov_rate_tokenizer",  # tokenizer-pair gate + the bench-watch mover
-    "sketch_quantiles_doclen_by_lang",  # token-count quantiles (was r9)
-    "text_language_id",  # lang argmax over tokens (was r9)
-    "dedup_incremental_pairs",  # generation-versioned minhash index read
-    "dedup_decontaminate_incremental",  # generation-versioned LSH index read
+    "sim_ivf_index_append",
+    "sim_ivf_retrain_swap",
+    "sim_ann_ivf_persisted",
+    "sim_knn_gather_mean_ivf",
+    "dedup_incremental_pairs",
+    "dedup_decontaminate_incremental",
 ]
 
-# (a) the round-11 AWAITING list drains FIRST this round, per the
-# standing contract: the only oracle-backed queries with zero driver
-# evidence (local strict since r11; the r11 judge re-ran both
-# independently, green).  pipeline_token_budget_select is ALSO on the
-# tokenizer diff — its drain slot doubles as the re-pin.
+# (a) the round-12 AWAITING list drains FIRST this round, per the
+# standing contract: the five index-lifecycle gates registered after the
+# r12 window filled — the only oracle-backed queries with zero driver
+# evidence (local strict since r12; the r12 judge re-ran all five
+# independently, strict green).  Four drain here; the fifth
+# (stream_continuous_index_dedup) is a STREAMING gate and holds its
+# drain slot in the streaming tail — slowest gate class last, as always.
 _AWAITING_DRAIN: list[str] = [
-    "sim_ivf_time_travel",
-    "pipeline_token_budget_select",
-]
-
-# (c) new gates registered this round — one: the tokenizer
-# whitespace-edge differential, which MANUFACTURES the adversarial
-# inputs the corpus lacks (every document tokenized as stored,
-# tab-prefixed, newline-suffixed, and mixed-padded; per-lang totals of
-# all four variants equal by construction under the aligned tokenizer,
-# and the strict hash-match proves both engines agree on every padded
-# variant — the old idiom would hash-fail here by +n_docs).
-_ROUND_NEW: list[str] = [
-    "text_tokenizer_whitespace_edge",
-]
-
-# Registered after this round's window filled: local strict evidence
-# only (ORACLE_LOCAL.md), first in line for round-13 driver slots per
-# the standing drain contract.  dedup_index_time_travel is the
-# sim_ivf_time_travel pattern applied to the minhash dedup index, now
-# that it carries the same generation layout (this round's item 5
-# rework driver-gated end-to-end): generation 1 indexes the snapshot,
-# a rebuild publishes generation 2 over a post-deletion subset, and
-# the delta batch screens against BOTH in one plan — the oracle
-# replays both constructions and a hash-match proves the publish left
-# generation 1 answering its exact original construction.
-AWAITING_FIRST_SLOT: list[str] = [
     "dedup_index_time_travel",
-    # the banked handoff candidate (e), built late in round 12: the
-    # minhash index's append/retrain lifecycle (immutable published
-    # SEGMENTS; the IVF append adopted the same discipline later in
-    # the round, unifying all three persisted indexes),
-    # queried pinned (as_of_segment=0) and fresh in one gate
     "dedup_index_append",
-    # same lifecycle applied to the embedding/decontamination index
-    # (frozen plane parameters from meta; retrain trigger against the
-    # recorded sizing basis) — candidate (e) complete for BOTH indexes
     "dedup_decontaminate_append",
-    # the CONTINUOUS form of the nightly contract: foreachBatch
-    # maintains the durable generation/segment index (bootstrap build,
-    # screen, append-as-segment per micro-batch; replay safety rides
-    # the segment publish); oracle = the batch exact-Jaccard SQL
-    "stream_continuous_index_dedup",
-    # banked candidate (d) driver-gated: retention enforcement —
-    # vacuum destroys a doomed generation WITH its append segment,
-    # pinned reads fail loudly, the survivor answers its construction
     "dedup_index_vacuum",
 ]
 
+# (c) new gates registered this round — one: SEGMENT COMPACTION WITHOUT
+# RETRAIN (the r12 verdict's item 5).  minhash_index_compact folds a
+# generation's append segments back into the next generation's base as
+# a pure union rewrite (signatures are per-document, so compaction is
+# exact by the same argument as append); the gate screens one batch
+# against the pre-append, wide, and compacted snapshots in one plan and
+# the oracle replays all three from raw text.  The LSH and IVF twins
+# (lsh_index_compact / ivf_compact, with basis-preserving drift
+# accounting) are pytest-pinned and covered by the head re-pins'
+# changed-path evidence.
+_ROUND_NEW: list[str] = [
+    "dedup_index_compact",
+]
+
+# Registered after this round's window filled: none yet.
+AWAITING_FIRST_SLOT: list[str] = []
+
 # (d) the recomputed due list under the FOUR-round horizon: headline
 # oracle-backed queries lacking driver evidence in the three latest
-# published records (r09, r10, r11) — the r08 cohort falling due,
-# measured 36 wide with ZERO streaming members (r11 pre-paid the whole
-# streaming portion), minus sketch_freq_items_brand which holds a head
-# slot (test_due_rotation_matches_lookahead recomputes this from the
-# JSON records and excludes head members).
+# published records (r10, r11, r12) — the r09-green-only cohort falling
+# due, measured 21 wide with ZERO streaming members (r11/r12 pre-paid
+# the streaming families), exactly as the r12 handoff predicted
+# (test_due_rotation_matches_lookahead recomputes this from the JSON
+# records).
 _DUE_ROTATION: list[str] = [
-    "dedup_containment_pairs",
-    "dedup_minhash_survivors_quality",
-    "dedup_substring_windows",
-    "graph_copurchase_pairs",
-    "mm_png_decode_stats",
-    "rel_corr_matrix",
-    "rel_corr_quantity_price",
-    "rel_events_attribution",
-    "rel_events_cohort_retention",
-    "rel_events_funnel",
-    "rel_events_sessionization",
-    "rel_events_transition_matrix",
-    "rel_median_per_group",
-    "rel_ntile_deciles",
-    "rel_pivot_monthly_revenue",
-    "rel_q1_pricing_summary",
-    "rel_string_agg_ordered",
-    "rel_weighted_median_udaf",
-    "sample_reservoir_per_group",
-    "sim_centroid_by_label",
-    "sim_knn_gather_mean",
-    "sim_quantize_int8",
-    "source_binaryfile_ingest",
-    "source_xml_roundtrip",
-    "storage_compact_roundtrip",
-    "storage_dpp_pruned_join",
-    "storage_scd_latest_version",
-    "storage_snapshot_diff",
-    "storage_time_travel",
-    "storage_upsert_partitioned",
-    "text_bm25_topk",
-    "text_char_ngram_entropy",
-    "text_ngram_topk",
-    "text_oov_rate",
-    "text_sentence_stats",
+    "dedup_embedding_cosine_pairs",
+    "graph_chain_roots",
+    "graph_toposort_levels",
+    "mm_ahash_pairs_from_hashes",
+    "pipeline_topk_per_domain",
+    "rel_cumulative_distinct_users",
+    "rel_events_transition_bigram",
+    "rel_mode_order_priority",
+    "rel_price_histogram",
+    "rel_profile_orders",
+    "rel_skyline_parts",
+    "sample_weighted_pps",
+    "sim_ann_batch_topk",
+    "sim_covariance_matrix",
+    "sim_knn_gather_mean_ann",
+    "storage_constraint_audit",
+    "storage_merge_cdc_batch",
+    "storage_table_checksum",
+    "storage_zonemap_incremental",
+    "storage_zonemap_stats",
+    "text_clean_normalize",
 ]
 
 # (e) family pins: families not carried by the head/drain/new/due/tail
-# pools — temporal and skew this round (the due cohort is the r08
-# rotation, which both families outrotated).  Greedy rule within the
-# family: asof_join_events r09, skew_salted_join_revenue r10.
+# pools — sketch, temporal and skew this round.  Greedy rule within the
+# family (stalest newest-evidence, ties by name):
+# sketch_quantiles_rollup_lang_source r11, range_join_events r10,
+# skew_key_profile r11.
 _FAMILY_PINS = [
-    "asof_join_events",
-    "skew_salted_join_revenue",
+    "sketch_quantiles_rollup_lang_source",
+    "range_join_events",
+    "skew_key_profile",
 ]
 
 _REGRESSION: list[str] = []
 
-# (f) THE STALE RAMP is EMPTY this round by arithmetic: the fixed pools
-# (9 head + 2 drains + 1 new + 35 due + 2 pins + 1 streaming tail)
-# fill the window exactly.  The enforced greedy-oldest property holds
-# vacuously (residual = 0); the whole registry's evidence age stays
-# bounded by r06-era rows only through the four-round horizon's own
-# rotation, and the 12-round ceiling is untouched (oldest current
-# evidence: r06).
-_STALE_RAMP: list[str] = []
+# (f) the greedy stale ramp — 12 residual slots after the fixed pools
+# (6 head + 4 drains + 1 new + 21 due + 3 pins + 3 streaming tail = 38).
+# The enforced greedy-oldest prefix is the ENTIRE r06-evidence cohort
+# (11 entries — the oldest debt in the registry) plus the first r09
+# entry by name; with the two r08 streaming gates holding tail slots,
+# this round retires every pre-r09 evidence row: after r13 publishes,
+# no oracle-backed query's newest driver evidence predates r09.
+_STALE_RAMP: list[str] = [
+    "rel_percentiles_quantity",
+    "rel_q19_disjunctive_filter",
+    "rel_q2_best_supplier",
+    "rel_q4_late_shipping",
+    "rel_q7_volume_shipping",
+    "rel_q9_product_profit",
+    "source_csv_roundtrip",
+    "source_jsonl_quarantine",
+    "source_jsonl_roundtrip",
+    "storage_bucketed_join_revenue",
+    "storage_zorder_roundtrip",
+    "dedup_exact_by_keys",
+]
 
-# ROUND-13 HANDOFF (computed EXACTLY against the published r09-r11
-# records with a synthetic r12 = this window all-green; the look-ahead
-# test recomputes and enforces it at r13 build time): the round-13
-# window owes (1) the FIVE awaiting drains (dedup_index_time_travel
-# plus the four lifecycle gates dedup_index_append /
-# dedup_decontaminate_append / dedup_index_vacuum /
-# stream_continuous_index_dedup, all registered post-window with full
-# local strict evidence — see AWAITING_FIRST_SLOT above; note the
-# stream gate is a STREAMING window member, so the r13 streaming tail
-# is not empty this time);
-# (2) the due cohort leaving the FOUR-round horizon when
-# r13 publishes — measured 21 wide, ZERO streaming members again (the
-# r09-green-only cohort: the graph/storage/sketch/sim gates r09
-# rotated); with ~24 residual slots (5 drains instead of the
-# originally-computed 1) the round still has room for changed-code
-# re-pins — the late-r12 diff touched the three index families'
-# readers, so the IVF gate cohort (sim_ivf_index_append,
-# sim_ivf_retrain_swap, sim_ann_ivf_persisted,
-# sim_knn_gather_mean_ivf) and dedup_incremental_pairs /
-# dedup_decontaminate_incremental deserve head slots per
-# evidence-follows-the-diff (sim_ivf_time_travel and
-# dedup_index_time_travel are in the due cohort already; local strict
-# + the changed-path bench cut in BENCH_SF1.md are the bridge until
-# then) — plus the ramp into the r10 cohort (oldest after this round:
-# dedup_embedding_groups, dedup_embedding_groups_grade,
-# dedup_embedding_pairs_grade, dedup_minhash_groups,
-# dedup_minhash_pairs, graph_bfs_order_chain, ... at r10 — note
-# dedup_minhash_* are on the r12 tokenizer diff and ride the
-# equality-sweep bridge until their ramp slots arrive), new gates, and
-# the rest of the due list.  Budget ~1-2 new gates.
-#
-# Surface candidates banked for round 13: (a) capability-gated
-# JPEG/FLAC differential rows in ORACLE_LOCAL when a dep-present
-# environment runs them (Pillow/soundfile re-verified ABSENT at r12;
-# the native baseline-JPEG/verbatim-FLAC codecs cover the compressed
-# formats themselves since r12); (b) transformWithState migration A/B
-# for the two applyInPandasWithState gates when Spark ships the
-# Python API; (c) DONE late in r12 — dedup_index_time_travel
-# (AWAITING); (d) DONE late in r12 — dedup_index_vacuum driver-gates
-# retention enforcement (AWAITING); (e) DONE late in r12 for ALL THREE
-# persisted indexes — minhash_index_append / lsh_index_append /
-# ivf_append publish immutable per-generation SEGMENTS (readers
-# resolve (generation, segments) once; the former IVF in-place append
-# and its reader quiescence caveat are retired), with two-sided
-# retrain triggers (row fraction OR segment count) and from-disk
-# status ledgers; gates dedup_index_append / dedup_decontaminate_append
-# (AWAITING).  The STREAMING composition of the lifecycle also shipped
-# late in r12: streaming/dedup.continuous_index_dedup + the
-# stream_continuous_index_dedup gate (AWAITING).
+# ROUND-14 HANDOFF (computed against the published r10-r12 records with
+# a synthetic r13 = this window all-green; the look-ahead test
+# recomputes and enforces it at r14 build time): the round-14 window
+# owes (1) the due cohort leaving the FOUR-round horizon when r14
+# publishes — the r10-green-only cohort, measured ~43 wide
+# (dedup_embedding_groups, dedup_minhash_groups/pairs, the graph
+# iterative cohort, the ts_ family, text_quality/fuzzy/pii, the
+# storage r10 rotation, stream_tumbling_hour, ...) — which with ~44
+# fixed slots means r14 is a pure-rotation round: budget ZERO new
+# gates unless something must re-pin, and let the streaming members
+# (stream_tumbling_hour) take the tail; (2) changed-code re-pins for
+# whatever r14 touches (evidence follows the diff); (3) the stale ramp
+# resumes into the r09 cohort (oldest after this round:
+# dedup_exact_by_keys is paid here; graph_bfs_fleet_regions,
+# graph_degree_histogram, graph_triangle_count_nations, mm_frame_sample,
+# rel_case_bucketing, ... at r09).  Surface candidates banked for
+# round 14: (a) capability-gated JPEG/FLAC differential rows in
+# ORACLE_LOCAL when a dep-present environment runs them; (b)
+# transformWithState migration A/B when Spark ships the Python API;
+# (c) DONE this round — segment compaction for all three indexes
+# (dedup_index_compact gate; lsh/ivf twins pytest-pinned), the
+# r12-advice seams (classify-before-write, width-proof markers,
+# cross-session ensure_attached), FLAC FIXED/LPC + JPEG 4:2:0 codec
+# tiers if completed in-session (see operators/flac_codec.py /
+# jpeg_codec.py docstrings for the shipped state).
 
 # Streaming events consumers LAST inside the window: each runs a real
-# micro-batch stream and is the slowest gate class.  Round 12 carries
-# ONE stream gate — stream_freq_items_incremental, which is BOTH the
-# round's third broadcast-scalar conversion (its merge rides the shared
-# _retruncate) and the streaming family pin (every other stream gate is
-# r11-green).
+# micro-batch stream and is the slowest gate class.  Round 13 carries
+# THREE: the two r08-evidence stream gates (the oldest streaming debt —
+# slot-holders here rather than ramp members so the ramp stays
+# batch-only) and the fifth AWAITING drain, the continuous index-dedup
+# composition, which is also the slowest single gate in the suite.
 _WINDOW_TAIL_STREAMING = [
-    "stream_freq_items_incremental",
+    "stream_dedup_exact",
+    "stream_requests_dispatch",
+    "stream_continuous_index_dedup",
 ]
 
 

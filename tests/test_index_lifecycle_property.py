@@ -30,6 +30,7 @@ from distributed_graph_db_c_spark.operators.dedup import (
     incremental_dedup_pairs,
     minhash_index_build,
     minhash_index_append,
+    minhash_index_compact,
     minhash_index_vacuum,
 )
 
@@ -82,7 +83,7 @@ def _clean(spark, prefix: str) -> None:
 #   gens: dict[gen] -> list[set[int]]   (parts: base + one set per segment)
 
 OPS = st.lists(
-    st.tuples(st.sampled_from(["build", "append", "vacuum", "query"]),
+    st.tuples(st.sampled_from(["build", "append", "vacuum", "query", "compact"]),
               st.integers(min_value=0, max_value=5)),
     min_size=3,
     max_size=7,
@@ -120,6 +121,19 @@ def test_minhash_lifecycle_tracks_model(spark, ops):
                     len(gens[newest]),
                 )
                 gens[newest].append(set(ids))
+            elif kind == "compact":
+                # round 13: fold the newest generation's segments into
+                # the next generation's base — a pure union in the model
+                if newest is None or len(gens[newest]) < 2:
+                    with pytest.raises((ValueError, FileNotFoundError)):
+                        minhash_index_compact(spark, prefix)
+                    continue
+                audit = minhash_index_compact(spark, prefix)
+                assert audit["generation"] == newest + 1
+                assert audit["compacted_segments"] == list(
+                    range(1, len(gens[newest]))
+                )
+                gens[newest + 1] = [set().union(*gens[newest])]
             elif kind == "vacuum":
                 if len(gens) < 2:
                     continue

@@ -25,6 +25,7 @@ from distributed_graph_db_c_spark.operators.similarity import (
     _ivf_segments,
     ivf_append,
     ivf_build,
+    ivf_compact,
     ivf_index_attach,
     ivf_query_persisted,
     ivf_resolve,
@@ -60,7 +61,7 @@ def _strong(spark, path: str, fam: int, **pins) -> set[int]:
 
 OPS = st.lists(
     st.tuples(
-        st.sampled_from(["append", "retrain", "vacuum", "query"]),
+        st.sampled_from(["append", "retrain", "vacuum", "query", "compact"]),
         st.integers(min_value=0, max_value=5),
     ),
     min_size=3,
@@ -105,6 +106,19 @@ def test_ivf_lifecycle_tracks_model(spark, ops):
                 )
                 assert g == newest + 1
                 gens[g] = [set(corpus + extra)]
+            elif kind == "compact":
+                # round 13: fold segments into g=N+1's base under the
+                # frozen quantizer — a pure union in the model
+                if len(gens[newest]) < 2:
+                    with pytest.raises(ValueError):
+                        ivf_compact(spark, path)
+                    continue
+                audit = ivf_compact(spark, path)
+                assert audit["generation"] == newest + 1
+                assert audit["compacted_segments"] == list(
+                    range(1, len(gens[newest]))
+                )
+                gens[newest + 1] = [set().union(*gens[newest])]
             elif kind == "vacuum":
                 if len(gens) < 2:
                     continue

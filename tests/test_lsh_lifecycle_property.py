@@ -31,6 +31,7 @@ from distributed_graph_db_c_spark.operators.similarity import (
     decontaminate_incremental,
     lsh_index_append,
     lsh_index_build,
+    lsh_index_compact,
     lsh_index_status,
     lsh_index_vacuum,
 )
@@ -67,7 +68,7 @@ def _expected(indexed: set[int]) -> set[tuple[int, int]]:
 
 OPS = st.lists(
     st.tuples(
-        st.sampled_from(["rebuild", "append", "vacuum", "query"]),
+        st.sampled_from(["rebuild", "append", "vacuum", "query", "compact"]),
         st.integers(min_value=0, max_value=5),
     ),
     min_size=3,
@@ -81,6 +82,9 @@ def test_lsh_lifecycle_tracks_model(spark, ops):
     prefix = "lshlcprop"
     _clean(spark, prefix)
     gens: dict[int, list[set[int]]] = {}
+    # per-generation SIZING BASIS (meta.n_rows): builds record their
+    # corpus size; a compact copies the basis verbatim (frozen planes)
+    basis: dict[int, int] = {}
     try:
         ev = _vectors(spark, [200 + f for f in range(N_FAM)])
         base_ids = list(range(N_FAM))
@@ -90,6 +94,7 @@ def test_lsh_lifecycle_tracks_model(spark, ops):
         )
         assert g == 1
         gens[1] = [set(base_ids)]
+        basis[1] = len(base_ids)
         for kind, k in ops:
             newest = max(gens)
             if kind == "rebuild":
@@ -103,6 +108,21 @@ def test_lsh_lifecycle_tracks_model(spark, ops):
                 )
                 assert g == newest + 1
                 gens[g] = [set(corpus + extra)]
+                basis[g] = len(corpus + extra)
+            elif kind == "compact":
+                # round 13: fold segments into the next generation's
+                # base — a pure union in the model, basis carried over
+                if len(gens[newest]) < 2:
+                    with pytest.raises(ValueError):
+                        lsh_index_compact(spark, prefix)
+                    continue
+                audit = lsh_index_compact(spark, prefix)
+                assert audit["generation"] == newest + 1
+                assert audit["compacted_segments"] == list(
+                    range(1, len(gens[newest]))
+                )
+                gens[newest + 1] = [set().union(*gens[newest])]
+                basis[newest + 1] = basis[newest]
             elif kind == "append":
                 used = set().union(*gens[newest])
                 pool = [100 + f for f in range(N_FAM) if 100 + f not in used]
@@ -151,9 +171,12 @@ def test_lsh_lifecycle_tracks_model(spark, ops):
                 newest,
                 list(range(1, len(gens[newest]))),
             )
-            assert st_["basis_rows"] == len(gens[newest][0])
-            assert st_["appended_rows"] == sum(
-                len(p) for p in gens[newest][1:]
-            )
+            # the drift arm measures rows beyond the SIZING BASIS —
+            # compaction folds segment rows into the base without
+            # resetting it (round 13)
+            assert st_["basis_rows"] == basis[newest]
+            assert st_["appended_rows"] == max(
+                0, len(gens[newest][0]) - basis[newest]
+            ) + sum(len(p) for p in gens[newest][1:])
     finally:
         _clean(spark, prefix)

@@ -115,36 +115,40 @@ def test_window_order_fills_window_exactly():
 
 def test_changed_code_leads_window():
     # standing policy: the window leads with the queries whose operator
-    # code changed this round — evidence follows the diff (round 12:
-    # the two broadcast-scalar conversions, the directest-exposure
-    # token gates of the \S+ tokenizer alignment — the full ~26-gate
-    # transitive set cannot fit beside a 36-wide due cohort, so the
-    # rest ride the corpus-bit-identity equality sweep pinned in
-    # tests/test_round12_properties.py — and the two generation-
-    # versioned index reads).  The r11 AWAITING gates drain directly
-    # after the head; the round's new adversarial-edge gate follows.
+    # code changed this round — evidence follows the diff (round 13:
+    # the three persisted indexes' READ PATHS — the late-r12 segment
+    # rework plus this round's marker-regex widening and cross-session
+    # ensure_attached land exactly there, so the IVF gate cohort and
+    # both incremental index reads hold the head).  The four batch
+    # members of the r12 AWAITING list drain directly after the head;
+    # the round's new compaction gate follows; the fifth AWAITING
+    # member is streaming and drains in the tail.
     w = window()
-    assert w[:9] == [
-        "pipeline_domain_mixture",
-        "sketch_freq_items_brand",
-        "sketch_token_quantiles_rollup",
-        "text_token_stats",
-        "text_oov_rate_tokenizer",
-        "sketch_quantiles_doclen_by_lang",
-        "text_language_id",
+    assert w[:6] == [
+        "sim_ivf_index_append",
+        "sim_ivf_retrain_swap",
+        "sim_ann_ivf_persisted",
+        "sim_knn_gather_mean_ivf",
         "dedup_incremental_pairs",
         "dedup_decontaminate_incremental",
     ]
-    assert w[9:11] == [
-        "sim_ivf_time_travel",
-        "pipeline_token_budget_select",
-    ], "the r11 AWAITING gates must drain directly after the head"
-    assert w[11] == "text_tokenizer_whitespace_edge"
+    assert w[6:10] == [
+        "dedup_index_time_travel",
+        "dedup_index_append",
+        "dedup_decontaminate_append",
+        "dedup_index_vacuum",
+    ], "the r12 AWAITING batch gates must drain directly after the head"
+    assert w[10] == "dedup_index_compact"
     streaming_tail = [n for n in w if n.startswith("stream_")]
-    # ONE stream gate this round: the third broadcast-scalar conversion
-    # doubles as the streaming family pin (all other stream gates are
-    # r11-green) — slowest gate class last, as always
-    assert streaming_tail == ["stream_freq_items_incremental"], streaming_tail
+    # THREE stream gates this round: the two r08-evidence gates (the
+    # oldest streaming debt, held as tail slots so the greedy ramp
+    # stays batch-only) and the fifth AWAITING drain — slowest gate
+    # class last, as always, with the slowest single gate dead last
+    assert streaming_tail == [
+        "stream_dedup_exact",
+        "stream_requests_dispatch",
+        "stream_continuous_index_dedup",
+    ], streaming_tail
     assert w[-1] == streaming_tail[-1]
 
 
