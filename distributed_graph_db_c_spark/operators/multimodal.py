@@ -738,20 +738,31 @@ def synth_jpeg(doc_id: int, quality: int = 90) -> bytes:
 def synth_flac_native(doc_id: int) -> bytes:
     """Deterministic FLAC blob via the NATIVE encoder (round 12 — no
     capability gate): the SAME square wave as synth_wav, packed as one
-    verbatim-subframe FLAC frame with real CRCs.  decode_audio returns
-    FLAC samples in soundfile's int32 convention (<< 16 for 16-bit), so
-    the pytest differential pins the EXACT scaling relation to the WAV
-    gate (max_abs x 2^16, wsum x 2^16, rms_sq x 2^32) — integer-exact,
-    not a tolerance — in EVERY environment, closing the r8-standing
-    "probe-success branch never ran" gap with a decoder instead of a
-    dependency."""
+    FLAC frame with real CRCs.  Round 13: the SUBFRAME CODING rotates by
+    doc_id across the spec's whole mono repertoire — VERBATIM,
+    FIXED orders 0..4 (Rice-coded residuals, varying partition orders),
+    and quantized-coefficient LPC — so the corpus-wide gate decodes
+    every predicted-subframe shape in every environment, not just the
+    uncompressed one.  FLAC is lossless, so the decoded samples are
+    identical whichever coding a doc_id lands on, and the pytest
+    differential still pins the EXACT scaling relation to the WAV gate
+    (max_abs x 2^16, wsum x 2^16, rms_sq x 2^32) — integer-exact, not a
+    tolerance."""
     from .flac_codec import flac_encode
 
     a = 100 + doc_id % 900
     n = 200 + doc_id % 64
     rate = 8000 + (doc_id % 4) * 4000
     samples = np.where(np.arange(n) % 2 == 0, a, -a).astype(np.int16)
-    return flac_encode(samples, rate)
+    coding = doc_id % 7
+    if coding == 0:
+        return flac_encode(samples, rate)
+    if coding <= 5:  # FIXED orders 0..4; po=1 when the blocksize divides
+        po = 1 if n % 2 == 0 else 0
+        return flac_encode(
+            samples, rate, subframe="fixed", order=coding - 1, partition_order=po
+        )
+    return flac_encode(samples, rate, subframe="lpc", order=2)
 
 
 def synth_flac(doc_id: int) -> bytes:

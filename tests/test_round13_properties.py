@@ -83,6 +83,120 @@ def test_ivf_seg_marker_tolerates_percent_in_path():
     assert got == "/wh/100%s-done/g=00000001/_s0003__published__"
 
 
+# -- FLAC predicted-subframe tier (round 13, r12 verdict item 3) -------------
+
+
+def _sig(n: int = 800):
+    import numpy as np
+
+    t = np.arange(n)
+    return (1000 * np.sin(t / 20) + 200 * np.sin(t / 3)).astype(np.int16)
+
+
+def test_flac_fixed_and_lpc_roundtrip_integer_exact():
+    """Encoder-synthesized FIXED blobs (every order, smooth AND
+    white-noise signals — the escape coding fires on the noisy high
+    orders) and quantized-coefficient LPC blobs decode integer-exact."""
+    import numpy as np
+
+    from distributed_graph_db_c_spark.operators.flac_codec import (
+        flac_decode,
+        flac_encode,
+    )
+
+    smooth = _sig()
+    noisy = np.random.RandomState(7).randint(-32768, 32767, 800).astype("int16")
+    for order in range(5):
+        for sig in (smooth, noisy):
+            out, rate, bps = flac_decode(
+                flac_encode(sig, 16000, subframe="fixed", order=order)
+            )
+            assert (rate, bps) == (16000, 16)
+            assert (out[:, 0] == sig).all(), f"fixed order {order}"
+    for order in (1, 2, 3, 4):
+        out, _, _ = flac_decode(
+            flac_encode(smooth, 16000, subframe="lpc", order=order)
+        )
+        assert (out[:, 0] == smooth).all(), f"lpc order {order}"
+    # real compression, not a verbatim respelling: order-4 FIXED on the
+    # smooth signal must land well under the raw 16-bit payload
+    assert len(flac_encode(smooth, 16000, subframe="fixed", order=4)) < 0.5 * 1600
+
+
+def test_flac_partitioned_rice_and_escape_roundtrip():
+    import numpy as np
+
+    from distributed_graph_db_c_spark.operators.flac_codec import (
+        flac_decode,
+        flac_encode,
+    )
+
+    sig = _sig(768)
+    for po in (0, 1, 2, 3):
+        out, _, _ = flac_decode(
+            flac_encode(sig, 16000, subframe="fixed", order=2, partition_order=po)
+        )
+        assert (out[:, 0] == sig).all(), f"partition order {po}"
+    # one silent partition (constant residual -> raw/low-param) next to
+    # one white-noise partition (escape fires for high raw width)
+    mix = np.concatenate(
+        [
+            np.zeros(384, dtype=np.int16),
+            np.random.RandomState(1).randint(-30000, 30000, 384).astype("int16"),
+        ]
+    )
+    out, _, _ = flac_decode(
+        flac_encode(mix, 16000, subframe="fixed", order=1, partition_order=1)
+    )
+    assert (out[:, 0] == mix).all()
+
+
+def test_flac_stereo_decorrelation_roundtrip_integer_exact():
+    import numpy as np
+
+    from distributed_graph_db_c_spark.operators.flac_codec import (
+        flac_decode,
+        flac_encode,
+    )
+
+    smooth = _sig()
+    st = np.stack([smooth, (smooth * 0.7).astype(np.int16) + 7], axis=1)
+    for mode in ("left_side", "right_side", "mid_side"):
+        for sub in ("verbatim", "fixed", "lpc"):
+            out, rate, bps = flac_decode(
+                flac_encode(st, 16000, subframe=sub, order=2, stereo_mode=mode)
+            )
+            assert out.shape == (800, 2), (mode, sub)
+            assert (out == st).all(), (mode, sub)
+    # odd left+right parity exercises the mid/side LSB reconstruction
+    odd = np.stack(
+        [smooth | 1, (smooth * 0.5).astype(np.int16) & ~1], axis=1
+    ).astype(np.int16)
+    out, _, _ = flac_decode(flac_encode(odd, 16000, stereo_mode="mid_side"))
+    assert (out == odd).all()
+
+
+def test_decode_audio_handles_predicted_flac_everywhere():
+    """The corpus gate's synth now rotates through VERBATIM / FIXED /
+    LPC codings by doc_id; decode_audio must decode every rotation
+    natively (no capability probe) with the int32 convention intact."""
+    from distributed_graph_db_c_spark.operators.flac_codec import flac_decode
+    from distributed_graph_db_c_spark.operators.multimodal import (
+        decode_audio,
+        synth_flac_native,
+        synth_wav,
+    )
+
+    for doc_id in range(14):  # two full rotations of the 7 codings
+        blob = synth_flac_native(doc_id)
+        frames, rate = decode_audio(blob)
+        w_frames, w_rate = decode_audio(synth_wav(doc_id))
+        assert rate == w_rate
+        assert (frames == (w_frames.astype("int64") << 16)).all(), doc_id
+        native, _, _ = flac_decode(blob)
+        assert (native[:, 0] == w_frames[:, 0]).all(), doc_id
+
+
 # -- 3: cross-session segment reads auto-attach ------------------------------
 
 
