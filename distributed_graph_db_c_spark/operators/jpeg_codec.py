@@ -7,16 +7,19 @@ probe-success branch has never run").
 
 Scope (the operators/multimodal.py loud-seam discipline):
 
-- encoder: baseline sequential DFCT, 8-bit, YCbCr 4:4:4, standard
-  Annex-K quantization tables scaled by libjpeg's quality rule,
-  standard Annex-K Huffman tables — a fully valid interchange-format
-  JPEG any decoder reads;
+- encoder: baseline sequential DFCT, 8-bit, YCbCr at 4:4:4, 4:2:2 or
+  4:2:0 chroma subsampling (round 13 — box-averaged chroma,
+  interleaved multi-block MCUs), standard Annex-K quantization tables
+  scaled by libjpeg's quality rule, standard Annex-K Huffman tables —
+  a fully valid interchange-format JPEG any decoder reads;
 - decoder: baseline sequential (SOF0), 8-bit, 1- or 3-component scans
-  without subsampling; quantization AND Huffman tables are read from
-  the stream's own DQT/DHT segments (never assumed), so the pair is
-  self-consistent by construction and files with custom tables decode
-  too; progressive (SOF2), arithmetic coding, subsampled chroma, and
-  restart intervals raise NotImplementedError naming the Pillow tier.
+  with ANY spec-legal sampling factors (1..4 per axis — 4:2:0, the
+  dominant in-the-wild shape, decodes natively since round 13; chroma
+  upsampled nearest-neighbor); quantization AND Huffman tables are
+  read from the stream's own DQT/DHT segments (never assumed), so the
+  pair is self-consistent by construction and files with custom tables
+  decode too; progressive (SOF2), arithmetic coding, and restart
+  intervals raise NotImplementedError naming the Pillow tier.
 
 JPEG is lossy: callers pin decoded DIMENSIONS exactly and channel
 statistics within a quantization tolerance (the synth_jpeg contract),
@@ -239,11 +242,20 @@ def _encode_block(
     return int(zz[0])
 
 
-def jpeg_encode(rgb: np.ndarray, quality: int = 90) -> bytes:
-    """Encode an (h, w, 3) uint8 RGB array as a baseline 4:4:4 JPEG."""
+def jpeg_encode(
+    rgb: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a baseline JPEG.
+    ``subsampling='444'`` writes full-resolution chroma (one block per
+    component per MCU); ``'420'`` writes the dominant in-the-wild shape
+    (round 13): luma at 2x2 blocks per MCU, chroma box-averaged to
+    half resolution — a genuinely interleaved multi-block-MCU stream
+    any decoder (including this module's) reads."""
     rgb = np.asarray(rgb)
     if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
         raise NotImplementedError("jpeg_encode: (h, w, 3) uint8 RGB only")
+    if subsampling not in ("444", "422", "420"):
+        raise NotImplementedError(f"jpeg_encode: subsampling {subsampling!r}")
     h, w = rgb.shape[:2]
     if not (1 <= h <= 65535 and 1 <= w <= 65535):
         raise ValueError("jpeg_encode: dimensions out of range")
@@ -253,6 +265,25 @@ def jpeg_encode(rgb: np.ndarray, quality: int = 90) -> bytes:
         -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
         0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
     ]
+    # per-component sampling factors; 420 box-averages chroma 2x2,
+    # 422 averages horizontally only
+    factors = [(1, 1), (1, 1), (1, 1)]
+    if subsampling == "420":
+        factors = [(2, 2), (1, 1), (1, 1)]
+        eh, ew = h + (h & 1), w + (w & 1)
+        for i in (1, 2):
+            p = np.pad(planes[i], ((0, eh - h), (0, ew - w)), mode="edge")
+            planes[i] = (
+                p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]
+            ) / 4.0
+    elif subsampling == "422":
+        factors = [(2, 1), (1, 1), (1, 1)]
+        ew = w + (w & 1)
+        for i in (1, 2):
+            p = np.pad(planes[i], ((0, 0), (0, ew - w)), mode="edge")
+            planes[i] = (p[:, 0::2] + p[:, 1::2]) / 2.0
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
     qts = [_quality_scale(_QT_LUM, quality), _quality_scale(_QT_CHR, quality)]
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -263,8 +294,9 @@ def jpeg_encode(rgb: np.ndarray, quality: int = 90) -> bytes:
         out += bytes(int(qt[i]) for i in _ZZ_FLAT)  # stored in zigzag order
     out += b"\xff\xc0" + struct.pack(">H", 17) + bytes([8])
     out += struct.pack(">HH", h, w) + bytes([3])
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        out += bytes([cid, 0x11, tq])
+    for comp, (cid, tq) in enumerate(((1, 0), (2, 1), (3, 1))):
+        hi, vi = factors[comp]
+        out += bytes([cid, (hi << 4) | vi, tq])
     for tc_th, (bits, vals) in (
         (0x00, _DC_LUM), (0x10, _AC_LUM), (0x01, _DC_CHR), (0x11, _AC_CHR)
     ):
@@ -277,23 +309,38 @@ def jpeg_encode(rgb: np.ndarray, quality: int = 90) -> bytes:
 
     dc_tabs = [_canonical_codes(*_DC_LUM), _canonical_codes(*_DC_CHR)]
     ac_tabs = [_canonical_codes(*_AC_LUM), _canonical_codes(*_AC_CHR)]
-    bh, bw_ = (h + 7) // 8, (w + 7) // 8
-    padded = [
-        np.pad(p - 128.0, ((0, bh * 8 - h), (0, bw_ * 8 - w)), mode="edge")
-        for p in planes
-    ]
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = []
+    for comp, p in enumerate(planes):
+        hi, vi = factors[comp]
+        th, tw = mcuy * vi * 8, mcux * hi * 8
+        padded.append(
+            np.pad(
+                p - 128.0,
+                ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+                mode="edge",
+            )
+        )
     writer = _JpegBitWriter()
     pred = [0, 0, 0]
-    for by in range(bh):
-        for bx in range(bw_):
+    for my in range(mcuy):
+        for mx in range(mcux):
             for comp in range(3):
+                hi, vi = factors[comp]
                 tsel = 0 if comp == 0 else 1
-                block = padded[comp][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                coefs = _DCT_M @ block @ _DCT_M.T
-                q = np.round(coefs / qts[tsel].reshape(8, 8)).astype(np.int64)
-                pred[comp] = _encode_block(
-                    writer, q, pred[comp], dc_tabs[tsel], ac_tabs[tsel]
-                )
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        y0 = (my * vi + byy) * 8
+                        x0 = (mx * hi + bxx) * 8
+                        block = padded[comp][y0 : y0 + 8, x0 : x0 + 8]
+                        coefs = _DCT_M @ block @ _DCT_M.T
+                        q = np.round(coefs / qts[tsel].reshape(8, 8)).astype(
+                            np.int64
+                        )
+                        pred[comp] = _encode_block(
+                            writer, q, pred[comp], dc_tabs[tsel], ac_tabs[tsel]
+                        )
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
@@ -396,11 +443,13 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
             nc = body[5]
             for c in range(nc):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 0xF
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
                     raise NotImplementedError(
-                        "jpeg: subsampled chroma needs the Pillow tier"
+                        f"jpeg: sampling factors {hi}x{vi} out of the "
+                        "spec's 1..4 range"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, hi, vi, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -410,7 +459,7 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
             raise NotImplementedError("jpeg: restart intervals need the Pillow tier")
         elif marker == 0xDA:  # SOS
             ns = body[0]
-            ids = [cid for cid, _ in comps]
+            ids = [cid for cid, _, _, _ in comps]
             for c in range(ns):
                 cid, tdta = body[1 + 2 * c : 3 + 2 * c]
                 scan.append((ids.index(cid), tdta >> 4, tdta & 0xF))
@@ -422,40 +471,74 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
     if len(scan) not in (1, 3):
         raise NotImplementedError(f"jpeg: {len(scan)}-component scan")
 
-    reader = _JpegBitReader(blob, pos)
-    bh, bw_ = (h + 7) // 8, (w + 7) // 8
-    planes = [np.zeros((bh * 8, bw_ * 8)) for _ in scan]
+    # Sampling geometry (round 13 — 4:2:0/4:2:2 land here): an
+    # interleaved scan walks MCUs of hmax x vmax blocks, each component
+    # contributing hi x vi blocks per MCU at its own resolution; a
+    # single-component scan is NON-interleaved (MCU = one block) and by
+    # the baseline grayscale shape covers the full image grid.
+    if len(scan) == 1:
+        factors = [(1, 1)]
+        hmax = vmax = 1
+    else:
+        factors = [(comps[ci][1], comps[ci][2]) for ci, _, _ in scan]
+        hmax = max(f[0] for f in factors)
+        vmax = max(f[1] for f in factors)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * vi * 8, mcux * hi * 8)) for hi, vi in factors
+    ]
     pred = [0] * len(scan)
-    for by in range(bh):
-        for bx in range(bw_):
+    reader = _JpegBitReader(blob, pos)
+
+    def _block(s: int, td: int, ta: int) -> np.ndarray:
+        dc_tab = huff.get(0x00 | td)
+        ac_tab = huff.get(0x10 | ta)
+        if dc_tab is None or ac_tab is None:
+            raise NotImplementedError("jpeg: missing Huffman table")
+        zz = np.zeros(64, dtype=np.int64)
+        size = reader.huffman(dc_tab)
+        pred[s] += reader.receive_extend(size)
+        zz[0] = pred[s]
+        k = 1
+        while k < 64:
+            rs = reader.huffman(ac_tab)
+            run, size = rs >> 4, rs & 0xF
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += run
+            if k > 63:
+                raise NotImplementedError("jpeg: AC index overrun")
+            zz[k] = reader.receive_extend(size)
+            k += 1
+        coefs = np.zeros(64)
+        coefs[_ZZ_FLAT] = zz * qts[comps[scan[s][0]][3]]
+        return _DCT_M.T @ coefs.reshape(8, 8) @ _DCT_M
+
+    for my in range(mcuy):
+        for mx in range(mcux):
             for s, (ci, td, ta) in enumerate(scan):
-                dc_tab = huff.get(0x00 | td)
-                ac_tab = huff.get(0x10 | ta)
-                if dc_tab is None or ac_tab is None:
-                    raise NotImplementedError("jpeg: missing Huffman table")
-                zz = np.zeros(64, dtype=np.int64)
-                size = reader.huffman(dc_tab)
-                pred[s] += reader.receive_extend(size)
-                zz[0] = pred[s]
-                k = 1
-                while k < 64:
-                    rs = reader.huffman(ac_tab)
-                    run, size = rs >> 4, rs & 0xF
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise NotImplementedError("jpeg: AC index overrun")
-                    zz[k] = reader.receive_extend(size)
-                    k += 1
-                coefs = np.zeros(64)
-                coefs[_ZZ_FLAT] = zz * qts[comps[ci][1]]
-                block = _DCT_M.T @ coefs.reshape(8, 8) @ _DCT_M
-                planes[s][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    planes = [p[:h, :w] + 128.0 for p in planes]
+                hi, vi = factors[s]
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        y0 = (my * vi + byy) * 8
+                        x0 = (mx * hi + bxx) * 8
+                        planes[s][y0 : y0 + 8, x0 : x0 + 8] = _block(s, td, ta)
+    # crop each component to ITS pixel dims, then nearest-neighbor
+    # upsample to full resolution (the index map handles any hi/vi
+    # ratio, not just the power-of-two common cases)
+    up: list[np.ndarray] = []
+    for s, (hi, vi) in enumerate(factors):
+        ch = (h * vi + vmax - 1) // vmax
+        cw = (w * hi + hmax - 1) // hmax
+        p = planes[s][:ch, :cw]
+        rows = (np.arange(h) * vi) // vmax
+        cols = (np.arange(w) * hi) // hmax
+        up.append(p[rows][:, cols])
+    planes = [p + 128.0 for p in up]
     if len(planes) == 1:
         gray = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return np.stack([gray] * 3, axis=-1)

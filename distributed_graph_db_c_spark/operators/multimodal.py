@@ -708,14 +708,20 @@ def _jpeg_gradient_rgb(doc_id: int) -> np.ndarray:
 def synth_jpeg_native(doc_id: int, quality: int = 90) -> bytes:
     """Deterministic JPEG blob via the NATIVE baseline encoder (round
     12 — no capability gate): the same gradient as synth_jpeg, encoded
-    by operators/jpeg_codec.  The mm_jpeg_decode_stats gate now runs in
-    EVERY environment, with the Pillow probe remaining the tier for
-    JPEG shapes the native pair doesn't cover — closing the r8-standing
-    "probe-success branch never ran" gap with a codec instead of a
-    dependency."""
+    by operators/jpeg_codec.  Round 13: the CHROMA SUBSAMPLING rotates
+    by doc_id through 4:4:4 / 4:2:2 / 4:2:0, so the corpus-wide gate
+    decodes genuinely interleaved multi-block-MCU streams — the
+    dominant in-the-wild JPEG shape — in every environment.  The
+    gate's stats tolerate the (bounded, pinned) chroma error; decoded
+    DIMENSIONS stay exact for every rotation.  The Pillow probe remains
+    the tier for shapes the native pair doesn't cover (progressive,
+    arithmetic, restart intervals)."""
     from .jpeg_codec import jpeg_encode
 
-    return jpeg_encode(_jpeg_gradient_rgb(doc_id), quality=quality)
+    subsampling = ("444", "422", "420")[doc_id % 3]
+    return jpeg_encode(
+        _jpeg_gradient_rgb(doc_id), quality=quality, subsampling=subsampling
+    )
 
 
 def synth_jpeg(doc_id: int, quality: int = 90) -> bytes:

@@ -403,7 +403,14 @@ def test_decode_image_jpeg_cross_tier_where_pillow_ships():
         blob = synth_jpeg_native(doc_id)
         native = jpeg_decode(blob).astype(float)
         pil = np.asarray(Image.open(io.BytesIO(blob)).convert("RGB")).astype(float)
-        assert np.abs(native - pil).max() <= 2.0
+        if doc_id % 3 == 0:  # 4:4:4 rotation: IDCT rounding only
+            assert np.abs(native - pil).max() <= 2.0
+        else:
+            # subsampled rotations (round 13): libjpeg upsamples chroma
+            # with triangular interpolation, this decoder with nearest —
+            # both legal; agreement is bounded, not per-pixel-exact
+            diff = np.abs(native - pil)
+            assert diff.mean() < 3.0 and np.quantile(diff, 0.9) < 8.0
         src = _jpeg_gradient_rgb(doc_id)
         buf = io.BytesIO()
         Image.fromarray(src).save(buf, format="JPEG", quality=90)

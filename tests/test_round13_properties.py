@@ -197,6 +197,78 @@ def test_decode_audio_handles_predicted_flac_everywhere():
         assert (native[:, 0] == w_frames[:, 0]).all(), doc_id
 
 
+# -- JPEG chroma subsampling (round 13, r12 verdict item 4) ------------------
+
+
+def test_jpeg_subsampled_roundtrip_q90_pins():
+    """4:2:0 and 4:2:2 encode→decode on the gate's gradient synths:
+    decoded dims EXACT for every rotation; q90 roundtrip error bounded
+    (chroma at half resolution is lossy by design — the pin is the
+    bound, not exactness); luma-dominated mean error stays near the
+    4:4:4 figure on these smooth gradients."""
+    import numpy as np
+
+    from distributed_graph_db_c_spark.operators.jpeg_codec import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+    from distributed_graph_db_c_spark.operators.multimodal import (
+        _jpeg_gradient_rgb,
+    )
+
+    for doc_id in (0, 1, 12, 63, 299):
+        rgb = _jpeg_gradient_rgb(doc_id)
+        for ss in ("420", "422"):
+            blob = jpeg_encode(rgb, quality=90, subsampling=ss)
+            dec = jpeg_decode(blob)
+            assert dec.shape == rgb.shape and dec.dtype == np.uint8, (doc_id, ss)
+            err = np.abs(dec.astype(float) - rgb.astype(float))
+            assert np.quantile(err, 0.9) <= 10.0, (doc_id, ss, np.quantile(err, 0.9))
+            assert err.mean() < 4.0, (doc_id, ss, err.mean())
+            assert jpeg_encode(rgb, quality=90, subsampling=ss) == blob
+    # odd dimensions force partial MCUs on every edge
+    rng = np.random.RandomState(3)
+    y, x = np.mgrid[0:33, 0:47]
+    img = np.clip(
+        np.stack([x * 5 % 256, y * 7 % 256, (x + y) * 3 % 256], axis=-1)
+        * 0.5
+        + 64
+        + rng.randn(33, 47, 3) * 2,
+        0,
+        255,
+    ).astype(np.uint8)
+    for ss in ("444", "422", "420"):
+        dec = jpeg_decode(jpeg_encode(img, quality=90, subsampling=ss))
+        assert dec.shape == img.shape, ss
+
+
+def test_jpeg_gate_synth_rotates_subsampling():
+    """The corpus gate's synthesizer now rotates 444/422/420 by doc_id;
+    every rotation must decode natively with exact dims and the gate's
+    standing ±3 mean-pixel tolerance."""
+    import numpy as np
+
+    from distributed_graph_db_c_spark.operators.jpeg_codec import jpeg_decode
+    from distributed_graph_db_c_spark.operators.multimodal import (
+        _jpeg_gradient_rgb,
+        synth_jpeg_native,
+    )
+
+    seen = set()
+    for doc_id in range(9):
+        blob = synth_jpeg_native(doc_id)
+        # the SOF component spec byte carries the sampling factors
+        sof = blob.index(b"\xff\xc0")
+        seen.add(blob[sof + 11])  # Y component's (h<<4)|v byte
+        src = _jpeg_gradient_rgb(doc_id)
+        dec = jpeg_decode(blob)
+        assert dec.shape == src.shape, doc_id
+        assert (
+            abs(dec.astype(float).mean() - src.astype(float).mean()) <= 3.0
+        ), doc_id
+    assert seen == {0x11, 0x21, 0x22}, f"rotation must cover all three: {seen}"
+
+
 # -- 3: cross-session segment reads auto-attach ------------------------------
 
 
