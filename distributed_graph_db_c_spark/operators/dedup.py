@@ -169,7 +169,13 @@ def minhash_candidate_pairs(
 
 
 def minhash_dedup_pairs(
-    docs: DataFrame, threshold: float = 0.8, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hs_df: DataFrame | None = None,
+    sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard — the scalable near-dup
     join: candidate generation O(docs x bands), verification only on
@@ -184,9 +190,18 @@ def minhash_dedup_pairs(
     # One pass computes the shingle-hash sets; persist shares it between
     # signature building and both sides of the verification join (Catalyst
     # does not dedupe repeated subtrees — without this the corpus is
-    # re-scanned and re-shingled three times).
-    hs_df = shingle_hash_sets(docs, k, id_col, text_col).persist()
-    sig = minhash_signatures(docs, k=k, id_col=id_col, text_col=text_col, hs_df=hs_df)
+    # re-scanned and re-shingled three times).  A caller running several
+    # phases over the SAME docs (the streaming handler: classify, screen,
+    # within, append) passes hs_df/sig_df to share ONE shingling/signing
+    # pass across all of them — the caller owns that frame's lifecycle.
+    owned = hs_df is None
+    if owned:
+        hs_df = shingle_hash_sets(docs, k, id_col, text_col).persist()
+    sig = (
+        sig_df
+        if sig_df is not None
+        else minhash_signatures(docs, k=k, id_col=id_col, text_col=text_col, hs_df=hs_df)
+    )
     bk = minhash_band_buckets(sig)
     ca = bk.select(F.col("id").alias("doc_a"), "band", "bucket")
     cb = bk.select(F.col("id").alias("doc_b"), "band", "bucket")
@@ -214,7 +229,8 @@ def minhash_dedup_pairs(
     # shingle sets — otherwise every invocation leaks persisted partitions
     # for the session lifetime (bench loops this query).
     result = result.localCheckpoint(eager=True)
-    hs_df.unpersist(blocking=False)
+    if owned:
+        hs_df.unpersist(blocking=False)
     return result
 
 
@@ -400,6 +416,8 @@ def minhash_index_build(
     n_buckets: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hs_df: DataFrame | None = None,
+    sig_df: DataFrame | None = None,
 ) -> int:
     """Persist a MinHash dedup INDEX for a corpus snapshot, so later
     batches dedup against it at DELTA cost (the nightly production run:
@@ -455,9 +473,17 @@ def minhash_index_build(
     gens = index_generations(spark, table_prefix)
     gen = (gens[-1] if gens else 0) + 1
     gp = index_gen_prefix(table_prefix, gen)
-    hs = shingle_hash_sets(docs, k, id_col, text_col).persist()
+    # hs_df/sig_df: share one shingling/signing pass when the caller
+    # runs several phases over the same corpus (minhash_dedup_pairs has
+    # the full note); the caller owns a provided frame's lifecycle
+    owned = hs_df is None
+    hs = shingle_hash_sets(docs, k, id_col, text_col).persist() if owned else hs_df
     try:
-        sig = minhash_signatures(docs, num_perm, k, id_col, text_col, hs_df=hs)
+        sig = (
+            sig_df
+            if sig_df is not None
+            else minhash_signatures(docs, num_perm, k, id_col, text_col, hs_df=hs)
+        )
         bk = minhash_band_buckets(sig, bands, rows)
         bkeyed = bk.select(
             "id", F.xxhash64(F.col("band"), F.col("bucket")).alias("bkey")
@@ -469,7 +495,8 @@ def minhash_index_build(
         # claim marker, by contrast, is released ONLY on success (a
         # half-built generation must stay unpublished AND the claim
         # must keep naming its dead builder) — see docstring
-        hs.unpersist()
+        if owned:
+            hs.unpersist()
     # publish THEN release the claim: the marker create is the atomic
     # commit point (claim_marker O_EXCL — under our build claim it
     # cannot collide; failing here leaves the claim as the loud wedge)
@@ -513,6 +540,8 @@ def minhash_index_append(
     retrain_frac: float = MINHASH_RETRAIN_FRAC,
     max_segments: int = MINHASH_MAX_SEGMENTS,
     check_duplicate_ids: bool = True,
+    hs_df: DataFrame | None = None,
+    sig_df: DataFrame | None = None,
 ) -> dict:
     """INCREMENTAL minhash-index maintenance (round 12, late — the
     banked handoff candidate e, the lifecycle counterpart of
@@ -616,7 +645,15 @@ def minhash_index_append(
                 "value(s) — ids must be unique (shingling would merge "
                 "their texts into one indexed document)"
             )
-        hs = shingle_hash_sets(new_docs, k, id_col, text_col).persist()
+        # hs_df/sig_df: share one shingling/signing pass when the caller
+        # runs several phases over the same batch (minhash_dedup_pairs
+        # has the full note); caller owns a provided frame's lifecycle
+        owned = hs_df is None
+        hs = (
+            shingle_hash_sets(new_docs, k, id_col, text_col).persist()
+            if owned
+            else hs_df
+        )
         batch_rows = hs.count()
         if check_duplicate_ids:
             # one slim semi-join per part against the 2-column shingle
@@ -629,7 +666,8 @@ def minhash_index_append(
             )
             n_dup = hs.select("id").join(existing, "id", "left_semi").count()
             if n_dup:
-                hs.unpersist()
+                if owned:
+                    hs.unpersist()
                 raise ValueError(
                     f"minhash_index_append({table_prefix}): {n_dup} delta "
                     f"id(s) already indexed in generation {gen} — append "
@@ -644,7 +682,11 @@ def minhash_index_append(
     # MUTATION SECTION: claim is success-only from here (docstring).
     sp = index_seg_prefix(table_prefix, gen, seg)
     try:
-        sig = minhash_signatures(new_docs, num_perm, k, id_col, text_col, hs_df=hs)
+        sig = (
+            sig_df
+            if sig_df is not None
+            else minhash_signatures(new_docs, num_perm, k, id_col, text_col, hs_df=hs)
+        )
         bk = minhash_band_buckets(sig, bands, rows)
         bkeyed = bk.select(
             "id", F.xxhash64(F.col("band"), F.col("bucket")).alias("bkey")
@@ -652,7 +694,8 @@ def minhash_index_append(
         write_bucketed(bkeyed, f"{sp}_bands", key="bkey", n_buckets=n_buckets)
         write_bucketed(hs, f"{sp}_shingles", key="id", n_buckets=n_buckets)
     finally:
-        hs.unpersist()
+        if owned:
+            hs.unpersist()
     index_publish_segment(
         spark, table_prefix, gen, seg, f"minhash_index_append({table_prefix})"
     )
@@ -834,6 +877,8 @@ def incremental_dedup_pairs(
     materialize: bool = True,
     generation: int | None = None,
     as_of_segment: int | None = None,
+    hs_df: DataFrame | None = None,
+    sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """(old_id, new_id, jaccard) pairs between a NEW batch and the
     indexed corpus snapshot, at Jaccard >= ``threshold``.
@@ -917,9 +962,19 @@ def incremental_dedup_pairs(
         ensure_attached(
             spark, f"{p}_shingles", INDEX_SHINGLES_DDL, "id", INDEX_N_BUCKETS
         )
-    hs_new = shingle_hash_sets(new_docs, k, id_col, text_col).persist()
-    sig = minhash_signatures(
-        new_docs, num_perm, k, id_col, text_col, hs_df=hs_new
+    # hs_df/sig_df: share one shingling/signing pass when the caller
+    # runs several phases over the same batch (minhash_dedup_pairs has
+    # the full note); the caller owns a provided frame's lifecycle
+    owned = hs_df is None
+    hs_new = (
+        shingle_hash_sets(new_docs, k, id_col, text_col).persist()
+        if owned
+        else hs_df
+    )
+    sig = (
+        sig_df
+        if sig_df is not None
+        else minhash_signatures(new_docs, num_perm, k, id_col, text_col, hs_df=hs_new)
     )
     nb = minhash_band_buckets(sig, bands, rows).select(
         F.col("id").alias("new_id"),
@@ -980,7 +1035,8 @@ def incremental_dedup_pairs(
     # lazy plan instead (the cache stays held) — for plan inspection.
     if materialize:
         result = result.localCheckpoint(eager=True)
-        hs_new.unpersist(blocking=False)
+        if owned:
+            hs_new.unpersist(blocking=False)
     return result
 
 

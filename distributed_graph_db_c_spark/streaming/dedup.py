@@ -226,13 +226,28 @@ def continuous_index_dedup(
         # and must not re-read the streaming source per action
         batch = batch.localCheckpoint(eager=True)
         kw = dict(k=k, id_col=id_col, text_col=text_col)
+        # ONE shingling + ONE signing pass per batch, shared by every
+        # phase below (r13 profile: the pre-sharing handler re-shingled
+        # the batch ~4x and re-signed it 3x — classify, screen, within,
+        # append each recomputed them; the phases' input is the pinned
+        # batch, so sharing is exact).  Eager localCheckpoint, because
+        # these frames feed actions across several separate jobs.
+        from ..operators.dedup import minhash_signatures, shingle_hash_sets
+
+        hs = shingle_hash_sets(batch, k, id_col, text_col).localCheckpoint(
+            eager=True
+        )
+        sig = minhash_signatures(
+            batch, k=k, id_col=id_col, text_col=text_col, hs_df=hs
+        ).localCheckpoint(eager=True)
+        share = dict(hs_df=hs, sig_df=sig)
         if not index_generations(spark, table_prefix):
             # bootstrap: within-batch pairs, then generation 1 (the
             # marker create is this batch's commit point)
             minhash_dedup_pairs(
-                batch, threshold=threshold, **kw
+                batch, threshold=threshold, **kw, **share
             ).write.mode("append").parquet(pairs_dir)
-            minhash_index_build(batch, table_prefix, **kw)
+            minhash_index_build(batch, table_prefix, **kw, **share)
             return
         # classify BEFORE any write (see the docstring's three cases):
         # one delta-sized semi-join of the batch's INDEXABLE ids (docs
@@ -246,10 +261,8 @@ def continuous_index_dedup(
             index_seg_prefix,
             index_segments,
         )
-        from ..operators.dedup import shingle_hash_sets
 
-        indexable = shingle_hash_sets(batch, k, id_col, text_col).select("id")
-        n_indexable = indexable.count()
+        n_indexable = hs.count()
         gen = index_resolve(spark, table_prefix)
         parts = [index_gen_prefix(table_prefix, gen)] + [
             index_seg_prefix(table_prefix, gen, s)
@@ -259,7 +272,7 @@ def continuous_index_dedup(
             DataFrame.unionByName,
             [spark.table(f"{p}_shingles").select("id") for p in parts],
         )
-        n_in = indexable.join(existing, "id", "left_semi").count()
+        n_in = hs.select("id").join(existing, "id", "left_semi").count()
         if 0 < n_in < n_indexable:
             raise ValueError(
                 f"continuous_index_dedup({table_prefix}): batch "
@@ -270,17 +283,17 @@ def continuous_index_dedup(
             )
         replay = n_indexable > 0 and n_in == n_indexable
         cross = incremental_dedup_pairs(
-            batch, table_prefix, threshold=threshold, **kw
+            batch, table_prefix, threshold=threshold, **kw, **share
         ).select(
             F.least("old_id", "new_id").alias("doc_a"),
             F.greatest("old_id", "new_id").alias("doc_b"),
             "jaccard",
         )
-        within = minhash_dedup_pairs(batch, threshold=threshold, **kw).select(
-            "doc_a", "doc_b", "jaccard"
-        )
+        within = minhash_dedup_pairs(
+            batch, threshold=threshold, **kw, **share
+        ).select("doc_a", "doc_b", "jaccard")
         cross.unionByName(within).write.mode("append").parquet(pairs_dir)
         if not replay:
-            minhash_index_append(batch, table_prefix, **kw)
+            minhash_index_append(batch, table_prefix, **kw, **share)
 
     return handle

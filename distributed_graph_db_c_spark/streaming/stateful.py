@@ -94,6 +94,139 @@ def _update_attribution(
     )
 
 
+# -- round 13: transformWithState twins ---------------------------------------
+#
+# Spark 4.1 ships the Python transformWithStateInPandas API surface (the
+# r9-r12 standing watch item — previously unshipped), but its RUNTIME is
+# still capability-gated here: the TransformWithStateInPySpark driver
+# worker speaks protobuf to the JVM state server, and ``google.protobuf``
+# is absent in this container (pip-unreachable, same tier class as
+# Pillow/soundfile — probed, never assumed; verified r13: the stream
+# fails with STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE naming the
+# protobuf import).  These are SEMANTICALLY IDENTICAL twins of the two
+# applyInPandasWithState operators above, expressed as StatefulProcessor
+# classes: same per-key state schema, same emissions, pytest-pinned
+# equal on the same staged batches wherever the runtime tier is present.
+# The gates stay on the applyInPandasWithState form (works everywhere;
+# the r9 A/B bounded the tws upside ~10%); the twins make the migration
+# a one-line swap once the dependency ships — and transformWithState's
+# richer runtime (timers, TTL'd state, list/map state) is where new
+# stateful operators should land then.
+
+
+def tws_runtime_available() -> bool:
+    """True when transformWithStateInPandas can actually RUN: the API
+    classes import AND the protobuf runtime its driver worker needs is
+    present.  Probe, never assume (the multimodal capability-tier
+    discipline)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401, PLC0415
+        from pyspark.sql.streaming.stateful_processor import (  # noqa: F401, PLC0415
+            StatefulProcessor,
+        )
+    except ImportError:
+        return False
+    return True
+
+
+def _tws():
+    """Import guard: the class definitions need the shipped API; keep
+    the module importable if a future Spark moves it again."""
+    from pyspark.sql.streaming.stateful_processor import (  # noqa: PLC0415
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    return StatefulProcessor, StatefulProcessorHandle
+
+
+def user_running_totals_tws(events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas twin of :func:`user_running_totals` —
+    identical emissions per micro-batch (pytest-pinned)."""
+    StatefulProcessor, _ = _tws()
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            got = self._totals.get() if self._totals.exists() else None
+            n, cents = got if got is not None else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            self._totals.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )
+
+
+def attribution_stream_tws(events: DataFrame) -> DataFrame:
+    """transformWithStateInPandas twin of :func:`attribution_stream` —
+    identical emissions per micro-batch (pytest-pinned)."""
+    StatefulProcessor, _ = _tws()
+
+    class _Attribution(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._last = handle.getValueState("last_click", ATTRIB_STATE)
+
+        def handleInputRows(self, key, rows, timerValues):
+            got = self._last.get() if self._last.exists() else None
+            last_ts, last_id = got if got is not None else (None, None)
+            out: list[tuple] = []
+            changed = False
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                for r in pdf.itertuples():
+                    ts_us = r.ts.value // 1000
+                    if r.event_type == "click":
+                        if last_ts is None or (ts_us, r.event_id) > (
+                            last_ts,
+                            last_id,
+                        ):
+                            last_ts, last_id = int(ts_us), int(r.event_id)
+                            changed = True
+                    elif r.event_type == "purchase":
+                        out.append(
+                            (
+                                int(r.event_id),
+                                int(key[0]),
+                                last_id,
+                                None if last_ts is None else int(ts_us) - last_ts,
+                            )
+                        )
+            if changed:
+                self._last.update((last_ts, last_id))
+            yield pd.DataFrame(
+                {
+                    "event_id": pd.array([o[0] for o in out], dtype="Int64"),
+                    "user_id": pd.array([o[1] for o in out], dtype="Int64"),
+                    "click_id": pd.array([o[2] for o in out], dtype="Int64"),
+                    "gap_us": pd.array([o[3] for o in out], dtype="Int64"),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Attribution(),
+        outputStructType=ATTRIB_OUTPUT,
+        outputMode="update",
+        timeMode="none",
+    )
+
+
 def attribution_stream(events: DataFrame) -> DataFrame:
     """Streaming last-touch attribution: per-user state is the single
     (last_click_ts_us, last_click_id) pair — CONSTANT per user, the

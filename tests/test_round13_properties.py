@@ -197,6 +197,68 @@ def test_decode_audio_handles_predicted_flac_everywhere():
         assert (native[:, 0] == w_frames[:, 0]).all(), doc_id
 
 
+# -- transformWithState twins (round 13: the standing watch item shipped) ----
+
+
+def _stream_emissions(spark, events, builder, label, n_batches=3):
+    from distributed_graph_db_c_spark.streaming.sources import (
+        cleanup,
+        read_file_stream,
+        run_available_now,
+        scratch_dir,
+        stage_stream_dir,
+    )
+
+    scratch = scratch_dir(f"test-{label}")
+    try:
+        batches = [
+            events.filter(F.pmod("event_id", F.lit(n_batches)) == i)
+            for i in range(n_batches)
+        ]
+        in_dir = stage_stream_dir(batches, f"{scratch}/in")
+        sev = read_file_stream(spark, in_dir, events.schema)
+        name = f"t13_{label}"
+        run_available_now(
+            builder(sev), f"{scratch}/ckpt", query_name=name, output_mode="update"
+        )
+        return sorted(tuple(r) for r in spark.table(name).collect())
+    finally:
+        cleanup(scratch)
+
+
+def test_transform_with_state_twins_match_apply_in_pandas(spark):
+    """Spark 4.1 ships the transformWithStateInPandas API (the r9-r12
+    standing watch); the StatefulProcessor twins must emit EXACTLY what
+    the applyInPandasWithState forms emit on the same staged batches —
+    per-batch emissions, not just final state (sorted multiset
+    equality), so a migration is a one-line swap.  Capability-gated on
+    the tws RUNTIME (its driver worker needs protobuf, absent and
+    pip-unreachable in this container — probed, never assumed)."""
+    import pytest
+
+    from distributed_graph_db_c_spark.sources.tables import load_table
+    from distributed_graph_db_c_spark.streaming.stateful import (
+        attribution_stream,
+        attribution_stream_tws,
+        tws_runtime_available,
+        user_running_totals,
+        user_running_totals_tws,
+    )
+
+    if not tws_runtime_available():
+        pytest.skip(
+            "transformWithState runtime unavailable (google.protobuf "
+            "absent): twins verified where the tier ships"
+        )
+    events = load_table(spark, SF_DIR, "events")
+    old = _stream_emissions(spark, events, user_running_totals, "apip_tot")
+    new = _stream_emissions(spark, events, user_running_totals_tws, "tws_tot")
+    assert old and new == old
+    old = _stream_emissions(spark, events, attribution_stream, "apip_attr")
+    new = _stream_emissions(spark, events, attribution_stream_tws, "tws_attr")
+    assert old and new == old
+
+
 # -- JPEG chroma subsampling (round 13, r12 verdict item 4) ------------------
 
 
