@@ -18,8 +18,10 @@ Scope (the operators/multimodal.py loud-seam discipline):
   upsampled nearest-neighbor); quantization AND Huffman tables are
   read from the stream's own DQT/DHT segments (never assumed), so the
   pair is self-consistent by construction and files with custom tables
-  decode too; progressive (SOF2), arithmetic coding, and restart
-  intervals raise NotImplementedError naming the Pillow tier.
+  decode too; RESTART INTERVALS (DRI + RSTn, round 13 — the
+  error-resilience cadence most camera/libjpeg output carries) decode
+  with per-boundary predictor resets; progressive (SOF2) and
+  arithmetic coding raise NotImplementedError naming the Pillow tier.
 
 JPEG is lossy: callers pin decoded DIMENSIONS exactly and channel
 statistics within a quantization tolerance (the synth_jpeg contract),
@@ -243,14 +245,20 @@ def _encode_block(
 
 
 def jpeg_encode(
-    rgb: np.ndarray, quality: int = 90, subsampling: str = "444"
+    rgb: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as a baseline JPEG.
     ``subsampling='444'`` writes full-resolution chroma (one block per
     component per MCU); ``'420'`` writes the dominant in-the-wild shape
     (round 13): luma at 2x2 blocks per MCU, chroma box-averaged to
     half resolution — a genuinely interleaved multi-block-MCU stream
-    any decoder (including this module's) reads."""
+    any decoder (including this module's) reads.  ``restart_interval``
+    > 0 emits a DRI segment and an RSTn marker every that many MCUs
+    (byte-aligned, DC predictors reset — the error-resilience feature
+    most camera/libjpeg output carries)."""
     rgb = np.asarray(rgb)
     if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
         raise NotImplementedError("jpeg_encode: (h, w, 3) uint8 RGB only")
@@ -302,6 +310,8 @@ def jpeg_encode(
     ):
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tc_th])
         out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">H", 12) + bytes([3])
     for cid, tdta in ((1, 0x00), (2, 0x11), (3, 0x11)):
         out += bytes([cid, tdta])
@@ -324,8 +334,17 @@ def jpeg_encode(
         )
     writer = _JpegBitWriter()
     pred = [0, 0, 0]
+    mcu_idx = 0
+    rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                # byte-align (1-fill), emit RSTn, reset the DC predictors
+                writer.flush()
+                writer.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0, 0, 0]
+            mcu_idx += 1
             for comp in range(3):
                 hi, vi = factors[comp]
                 tsel = 0 if comp == 0 else 1
@@ -369,8 +388,9 @@ class _JpegBitReader:
                     self._pos += 1
                 else:
                     raise NotImplementedError(
-                        f"jpeg: marker 0xFF{nxt:02X} inside scan "
-                        "(restart intervals need the Pillow tier)"
+                        f"jpeg: marker 0xFF{nxt:02X} inside scan (corrupt "
+                        "stream, or a restart cadence the DRI did not "
+                        "declare)"
                     )
             self._acc = (self._acc << 8) | b
             self._n += 8
@@ -378,6 +398,23 @@ class _JpegBitReader:
         out = (self._acc >> self._n) & ((1 << nbits) - 1)
         self._acc &= (1 << self._n) - 1
         return out
+
+    def restart(self) -> None:
+        """Consume a byte-aligned RSTn marker at a declared restart
+        boundary: discard the current byte's padding bits, expect
+        0xFFD0..0xFFD7.  The caller resets its DC predictors."""
+        self._acc = 0
+        self._n = 0
+        if (
+            self._pos + 2 > len(self._data)
+            or self._data[self._pos] != 0xFF
+            or not 0xD0 <= self._data[self._pos + 1] <= 0xD7
+        ):
+            raise NotImplementedError(
+                "jpeg: expected an RSTn marker at the declared restart "
+                "boundary (corrupt stream or wrong DRI)"
+            )
+        self._pos += 2
 
     def huffman(self, table: dict[tuple[int, int], int]) -> int:
         length, code = 0, 0
@@ -406,8 +443,9 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
     pos = 2
     qts: dict[int, np.ndarray] = {}
     huff: dict[int, dict[tuple[int, int], int]] = {}
-    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    comps: list[tuple[int, int, int, int]] = []  # (id, hi, vi, quant table)
     h = w = 0
+    restart_interval = 0
     scan: list[tuple[int, int, int]] = []  # (comp index, dc table, ac table)
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
@@ -455,8 +493,8 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
             raise NotImplementedError(
                 f"jpeg: SOF{marker - 0xC0} (non-baseline) needs the Pillow tier"
             )
-        elif marker == 0xDD:
-            raise NotImplementedError("jpeg: restart intervals need the Pillow tier")
+        elif marker == 0xDD:  # DRI (round 13): restart every Ri MCUs
+            restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:  # SOS
             ns = body[0]
             ids = [cid for cid, _, _, _ in comps]
@@ -518,8 +556,14 @@ def jpeg_decode(blob: bytes) -> np.ndarray:
         coefs[_ZZ_FLAT] = zz * qts[comps[scan[s][0]][3]]
         return _DCT_M.T @ coefs.reshape(8, 8) @ _DCT_M
 
+    mcu_idx = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                reader.restart()
+                for i in range(len(pred)):
+                    pred[i] = 0
+            mcu_idx += 1
             for s, (ci, td, ta) in enumerate(scan):
                 hi, vi = factors[s]
                 for byy in range(vi):

@@ -718,9 +718,14 @@ def synth_jpeg_native(doc_id: int, quality: int = 90) -> bytes:
     arithmetic, restart intervals)."""
     from .jpeg_codec import jpeg_encode
 
+    # 9-doc rotation covers the full subsampling x restart cross product
     subsampling = ("444", "422", "420")[doc_id % 3]
+    restart_interval = (0, 1, 4)[(doc_id % 9) // 3]
     return jpeg_encode(
-        _jpeg_gradient_rgb(doc_id), quality=quality, subsampling=subsampling
+        _jpeg_gradient_rgb(doc_id),
+        quality=quality,
+        subsampling=subsampling,
+        restart_interval=restart_interval,
     )
 
 

@@ -304,6 +304,44 @@ def test_jpeg_subsampled_roundtrip_q90_pins():
         assert dec.shape == img.shape, ss
 
 
+def test_jpeg_restart_intervals_decode_bit_identical():
+    """DRI/RSTn support (round 13): a stream encoded with restart
+    markers must decode to EXACTLY the pixels of the marker-free stream
+    at the same subsampling (restarts change framing, never content),
+    including an interval small enough that the RST index wraps past 7,
+    and a corrupt boundary (missing marker) fails loudly."""
+    import numpy as np
+    import pytest
+
+    from distributed_graph_db_c_spark.operators.jpeg_codec import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+    from distributed_graph_db_c_spark.operators.multimodal import (
+        _jpeg_gradient_rgb,
+    )
+
+    for doc_id in (0, 12, 63):
+        rgb = _jpeg_gradient_rgb(doc_id)
+        for ss in ("444", "422", "420"):
+            ref = jpeg_decode(jpeg_encode(rgb, quality=90, subsampling=ss))
+            for ri in (1, 3, 7):
+                blob = jpeg_encode(
+                    rgb, quality=90, subsampling=ss, restart_interval=ri
+                )
+                assert b"\xff\xdd" in blob
+                assert (jpeg_decode(blob) == ref).all(), (doc_id, ss, ri)
+    # a stream whose DRI promises restarts that never arrive fails loudly
+    rgb = _jpeg_gradient_rgb(0)
+    plain = jpeg_encode(rgb, quality=90)
+    sos = plain.index(b"\xff\xda")
+    with_dri = (
+        plain[:sos] + b"\xff\xdd\x00\x04\x00\x01" + plain[sos:]
+    )
+    with pytest.raises(NotImplementedError, match="restart"):
+        jpeg_decode(with_dri)
+
+
 def test_jpeg_gate_synth_rotates_subsampling():
     """The corpus gate's synthesizer now rotates 444/422/420 by doc_id;
     every rotation must decode natively with exact dims and the gate's
