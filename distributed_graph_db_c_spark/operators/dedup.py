@@ -1001,6 +1001,15 @@ def incremental_dedup_pairs(
         cand.filter(F.col("old_id") != F.col("new_id"))
         .select("old_id", "new_id")
         .distinct()
+        # persist the (delta-sized, slim) candidate set: the per-part
+        # VERIFICATION union below references it once per part, and
+        # Catalyst does not dedupe repeated subtrees — uncached, each
+        # verification branch re-executes the whole candidate union,
+        # re-scanning every part's bands table (P parts -> P^2 scans;
+        # found by the r13 compaction plan pin at 3 parts, 12 scans).
+        # Cached, the read is linear: P bands scans building cand once,
+        # P shingle scans verifying against it.
+        .persist()
     )
     inter = F.size(F.array_intersect("hs_old", "hs_new"))
     union = F.size("hs_old") + F.size("hs_new") - inter
@@ -1035,6 +1044,7 @@ def incremental_dedup_pairs(
     # lazy plan instead (the cache stays held) — for plan inspection.
     if materialize:
         result = result.localCheckpoint(eager=True)
+        cand.unpersist(blocking=False)
         if owned:
             hs_new.unpersist(blocking=False)
     return result

@@ -1350,7 +1350,13 @@ def decontaminate_incremental(
             for p in parts
         ],
     )
-    cand = cand.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+    # persist the (delta-sized, slim) candidate set: the per-part
+    # rescore union below references it once per part, and Catalyst
+    # does not dedupe repeated subtrees — uncached, each rescore branch
+    # re-executes the whole candidate union, re-scanning every part's
+    # bucket table (P parts -> P^2 scans; the minhash read path's r13
+    # finding, same shape).  Released in the materialize block.
+    cand = cand.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"]).persist()
     checked_norm = F.when(
         F.size(F.col(vec_col)) == dim, norm2_seq(F.col(vec_col))
     ).otherwise(
@@ -1399,6 +1405,7 @@ def decontaminate_incremental(
     )
     if materialize:
         result = result.localCheckpoint(eager=True)
+        cand.unpersist(blocking=False)
     return result
 
 

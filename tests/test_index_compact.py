@@ -107,6 +107,59 @@ def test_minhash_compact_exact_resets_trigger_and_keeps_pins(spark):
         _mh_clean(spark, prefix)
 
 
+def test_minhash_compact_narrows_read_plan_to_one_part(spark):
+    """The scale POINT of compaction: a 2-segment generation's read
+    shuffles the delta once per part (3 bkey exchanges); the compacted
+    generation's read is ONE co-located probe join — exactly 1 delta
+    exchange, index side still bucketed (SelectedBucketsCount)."""
+    import re
+
+    from distributed_graph_db_c_spark.operators.dedup import (
+        incremental_dedup_pairs,
+        minhash_index_append,
+        minhash_index_build,
+        minhash_index_compact,
+    )
+
+    prefix = "cmp_mh_plan"
+    _mh_clean(spark, prefix)
+    docs = _docs(spark, 0, 60)
+    probe = _docs(spark, 200, 220)
+    try:
+        minhash_index_build(docs.filter(F.col("doc_id") < 30), prefix)
+        minhash_index_append(
+            docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 45)), prefix
+        )
+        minhash_index_append(docs.filter(F.col("doc_id") >= 45), prefix)
+
+        def plan() -> str:
+            return (
+                incremental_dedup_pairs(probe, prefix, materialize=False)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+
+        def cand_cache_reads(p: str) -> int:
+            # each per-part VERIFICATION branch must read the persisted
+            # candidate set from cache (r13 finding: uncached, every
+            # branch re-executed the whole candidate union — P^2 bands
+            # scans; InMemoryTableScan's printed CHILD repeats the scan
+            # text, so count the cache-scan nodes, not scan text)
+            return len(re.findall(r"InMemoryTableScan \[old_id", p))
+
+        wide = plan()
+        assert cand_cache_reads(wide) == 3, wide[:1500]
+        minhash_index_compact(spark, prefix)
+        narrow = plan()
+        # plan WIDTH (the retrain trigger's per-read cost) collapses to
+        # one probe join: one verification branch, index side bucketed
+        assert cand_cache_reads(narrow) == 1, narrow[:1500]
+        assert narrow.count("SelectedBucketsCount") >= 2, narrow[:1500]
+    finally:
+        _mh_clean(spark, prefix)
+
+
 def test_minhash_compact_refuses_without_segments(spark):
     from distributed_graph_db_c_spark.operators.dedup import (
         minhash_index_build,
