@@ -1001,16 +1001,21 @@ def incremental_dedup_pairs(
         cand.filter(F.col("old_id") != F.col("new_id"))
         .select("old_id", "new_id")
         .distinct()
-        # persist the (delta-sized, slim) candidate set: the per-part
-        # VERIFICATION union below references it once per part, and
-        # Catalyst does not dedupe repeated subtrees — uncached, each
-        # verification branch re-executes the whole candidate union,
-        # re-scanning every part's bands table (P parts -> P^2 scans;
-        # found by the r13 compaction plan pin at 3 parts, 12 scans).
-        # Cached, the read is linear: P bands scans building cand once,
-        # P shingle scans verifying against it.
-        .persist()
     )
+    # Persist the (delta-sized, slim) candidate set when the snapshot is
+    # WIDE: the per-part VERIFICATION union below references it once per
+    # part, and Catalyst does not dedupe repeated subtrees — uncached,
+    # each verification branch re-executes the whole candidate union,
+    # re-scanning every part's bands table (P parts -> P^2 scans; found
+    # by the r13 compaction plan pin — 12 scans at 3 parts, 289 at the
+    # 16-segment trigger ceiling).  Cached, the read is linear.  The
+    # threshold exists because the cache is NOT free: at 1-2 parts the
+    # materialization barrier costs more than AQE's exchange reuse
+    # leaves on the table (measured r13: +3.5 s on the 2-part LSH gate,
+    # zero win), so narrow snapshots keep the pipelined plan.
+    cache_cand = len(parts) > 2
+    if cache_cand:
+        cand = cand.persist()
     inter = F.size(F.array_intersect("hs_old", "hs_new"))
     union = F.size("hs_old") + F.size("hs_new") - inter
     verified = reduce(
@@ -1044,7 +1049,8 @@ def incremental_dedup_pairs(
     # lazy plan instead (the cache stays held) — for plan inspection.
     if materialize:
         result = result.localCheckpoint(eager=True)
-        cand.unpersist(blocking=False)
+        if cache_cand:
+            cand.unpersist(blocking=False)
         if owned:
             hs_new.unpersist(blocking=False)
     return result

@@ -1350,13 +1350,18 @@ def decontaminate_incremental(
             for p in parts
         ],
     )
-    # persist the (delta-sized, slim) candidate set: the per-part
-    # rescore union below references it once per part, and Catalyst
-    # does not dedupe repeated subtrees — uncached, each rescore branch
-    # re-executes the whole candidate union, re-scanning every part's
-    # bucket table (P parts -> P^2 scans; the minhash read path's r13
-    # finding, same shape).  Released in the materialize block.
-    cand = cand.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"]).persist()
+    cand = cand.select("id_a", "id_b").dropDuplicates(["id_a", "id_b"])
+    # Persist the (delta-sized, slim) candidate set when the snapshot is
+    # WIDE — the minhash read path's r13 finding, same shape: uncached,
+    # each per-part rescore branch re-executes the whole candidate
+    # union (P parts -> P^2 bucket scans).  Thresholded because the
+    # cache is not free: at 1-2 parts the materialization barrier
+    # measured +3.5 s on the append gate against zero win (AQE exchange
+    # reuse already covers narrow snapshots).  Released in the
+    # materialize block.
+    cache_cand = len(parts) > 2
+    if cache_cand:
+        cand = cand.persist()
     checked_norm = F.when(
         F.size(F.col(vec_col)) == dim, norm2_seq(F.col(vec_col))
     ).otherwise(
@@ -1405,7 +1410,8 @@ def decontaminate_incremental(
     )
     if materialize:
         result = result.localCheckpoint(eager=True)
-        cand.unpersist(blocking=False)
+        if cache_cand:
+            cand.unpersist(blocking=False)
     return result
 
 

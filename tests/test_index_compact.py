@@ -149,12 +149,22 @@ def test_minhash_compact_narrows_read_plan_to_one_part(spark):
             return len(re.findall(r"InMemoryTableScan \[old_id", p))
 
         wide = plan()
+        # 3 parts > the cache threshold: every verification branch
+        # reads the persisted candidate set
         assert cand_cache_reads(wide) == 3, wide[:1500]
         minhash_index_compact(spark, prefix)
         narrow = plan()
         # plan WIDTH (the retrain trigger's per-read cost) collapses to
-        # one probe join: one verification branch, index side bucketed
-        assert cand_cache_reads(narrow) == 1, narrow[:1500]
+        # one pipelined probe join — below the cache threshold, no
+        # candidate cache (the barrier costs more than it saves at one
+        # part), one bands scan, one shingles scan, index side bucketed
+        assert cand_cache_reads(narrow) == 0, narrow[:1500]
+        assert (
+            len(re.findall(r"(?:File)?Scan parquet [^\n]*_bands\[", narrow)) == 1
+        ), narrow[:1500]
+        assert (
+            len(re.findall(r"(?:File)?Scan parquet [^\n]*_shingles\[", narrow)) == 1
+        )
         assert narrow.count("SelectedBucketsCount") >= 2, narrow[:1500]
     finally:
         _mh_clean(spark, prefix)
