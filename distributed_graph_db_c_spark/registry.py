@@ -223,9 +223,14 @@ _STALE_RAMP: list[str] = [
 # (c) DONE this round — segment compaction for all three indexes
 # (dedup_index_compact gate; lsh/ivf twins pytest-pinned), the
 # r12-advice seams (classify-before-write, width-proof markers,
-# cross-session ensure_attached), FLAC FIXED/LPC + JPEG 4:2:0 codec
-# tiers if completed in-session (see operators/flac_codec.py /
-# jpeg_codec.py docstrings for the shipped state).
+# cross-session ensure_attached), FLAC FIXED/LPC/stereo + JPEG
+# 4:2:0/4:2:2/restart-interval codec tiers (both corpus gates rotate
+# the codings), one-pass hs/sig sharing in the continuous-dedup
+# handler (0.73x), and the width-thresholded candidate cache fixing
+# the P^2 segment-read scan blowup; (d) transformWithStateInPandas
+# twins exist (API shipped in Spark 4.1.2) but the runtime is blocked
+# on google.protobuf's absence here — gates stay on
+# applyInPandasWithState until that tier ships.
 
 # Streaming events consumers LAST inside the window: each runs a real
 # micro-batch stream and is the slowest gate class.  Round 13 carries
