@@ -197,6 +197,101 @@ def test_decode_audio_handles_predicted_flac_everywhere():
         assert (native[:, 0] == w_frames[:, 0]).all(), doc_id
 
 
+# -- mid-stream compaction (lifecycle x streaming integration) ---------------
+
+
+def _stage_at(frames, out_dir, offset):
+    """stage_stream_dir with an index offset, so a SECOND availableNow
+    run of the same checkpoint picks up only the new files."""
+    import os
+    import shutil
+
+    os.makedirs(out_dir, exist_ok=True)
+    for i, df in enumerate(frames, start=offset):
+        tmp = os.path.join(out_dir, f"_stage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        final = os.path.join(out_dir, f"batch{i:04d}.parquet")
+        shutil.move(os.path.join(tmp, part), final)
+        shutil.rmtree(tmp)
+        os.utime(final, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+
+def test_continuous_stream_rides_mid_stream_compaction(spark):
+    """The nightly maintenance story END TO END: a continuous dedup
+    stream bootstraps the index and appends a segment; BETWEEN
+    micro-batch runs, a maintenance job COMPACTS the generation
+    (segments fold into gen 2); the stream then resumes on the same
+    checkpoint — its next batches must resolve the compacted
+    generation, screen against it bit-identically, and land as ITS
+    append segments, with the accumulated distinct pair set still equal
+    to the batch operator over the whole corpus."""
+    import pyspark.sql.functions as F
+
+    from distributed_graph_db_c_spark.operators.bucketing import index_drop_all
+    from distributed_graph_db_c_spark.operators.dedup import (
+        _index_claim,
+        minhash_dedup_pairs,
+        minhash_index_compact,
+        minhash_index_status,
+    )
+    from distributed_graph_db_c_spark.sinks import _hadoop_fs
+    from distributed_graph_db_c_spark.sources.tables import load_table
+    from distributed_graph_db_c_spark.streaming.dedup import (
+        PAIRS_DDL,
+        continuous_index_dedup,
+    )
+    from distributed_graph_db_c_spark.streaming.sources import (
+        cleanup,
+        read_file_stream,
+        run_available_now,
+        scratch_dir,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    expected = sorted(
+        tuple(r) for r in minhash_dedup_pairs(docs, threshold=0.8).collect()
+    )
+    assert expected, "gate corpus must contain near-dup pairs"
+    prefix = "r13midcmp"
+    index_drop_all(spark, prefix, ("_bands", "_shingles"))
+    scratch = scratch_dir("midcmp")
+    try:
+        batches = [docs.filter(F.pmod("doc_id", F.lit(4)) == i) for i in range(4)]
+        in_dir = f"{scratch}/in"
+        handler = continuous_index_dedup(prefix, f"{scratch}/pairs")
+        # phase 1: bootstrap (gen 1) + one append segment
+        _stage_at(batches[:2], in_dir, 0)
+        sdocs = read_file_stream(spark, in_dir, docs.schema)
+        run_available_now(sdocs, f"{scratch}/ckpt", foreach_batch=handler)
+        st = minhash_index_status(spark, prefix)
+        assert (st["generation"], st["segments"]) == (1, [1])
+        # maintenance between micro-batch runs: fold the segment away
+        audit = minhash_index_compact(spark, prefix)
+        assert audit["generation"] == 2
+        # phase 2: the stream resumes on the SAME checkpoint and must
+        # ride the new generation
+        _stage_at(batches[2:], in_dir, 2)
+        sdocs = read_file_stream(spark, in_dir, docs.schema)
+        run_available_now(sdocs, f"{scratch}/ckpt", foreach_batch=handler)
+        st = minhash_index_status(spark, prefix)
+        assert (st["generation"], st["segments"]) == (2, [1, 2])
+        got = sorted(
+            tuple(r)
+            for r in spark.read.schema(PAIRS_DDL)
+            .parquet(f"{scratch}/pairs")
+            .distinct()
+            .collect()
+        )
+        assert got == expected
+    finally:
+        index_drop_all(spark, prefix, ("_bands", "_shingles"))
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        fs, jpath = _hadoop_fs(spark, warehouse)
+        fs.delete(jpath(_index_claim(warehouse, prefix)), False)
+        cleanup(scratch)
+
+
 # -- transformWithState twins (round 13: the standing watch item shipped) ----
 
 
