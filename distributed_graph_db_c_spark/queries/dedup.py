@@ -242,10 +242,17 @@ def dedup_index_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         g2 = minhash_index_build(survivors, prefix)
         if (g1, g2) != (1, 2):
             raise RuntimeError(f"expected generations (1, 2), got ({g1}, {g2})")
+        # ONE shingling/signing pass for every screen of the same batch
+        # (round 13: the operators' hs_df/sig_df sharing parameters)
+        from ..operators.dedup import minhash_signatures, shingle_hash_sets
+
+        hs = shingle_hash_sets(batch).localCheckpoint(eager=True)
+        sig = minhash_signatures(batch, hs_df=hs).localCheckpoint(eager=True)
+        share = dict(hs_df=hs, sig_df=sig)
         pinned = incremental_dedup_pairs(
-            batch, prefix, threshold=0.8, generation=1
+            batch, prefix, threshold=0.8, generation=1, **share
         ).select(F.lit(1).cast("long").alias("generation"), "old_id", "new_id", "jaccard")
-        fresh = incremental_dedup_pairs(batch, prefix, threshold=0.8).select(
+        fresh = incremental_dedup_pairs(batch, prefix, threshold=0.8, **share).select(
             F.lit(2).cast("long").alias("generation"), "old_id", "new_id", "jaccard"
         )
         result = pinned.unionByName(fresh).localCheckpoint(eager=True)
@@ -340,10 +347,17 @@ def dedup_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"expected build gen 1 + segment 1, got ({g}, "
                 f"{audit['generation']}, {audit['segment']})"
             )
+        # ONE shingling/signing pass for every screen of the same batch
+        # (round 13: the operators' hs_df/sig_df sharing parameters)
+        from ..operators.dedup import minhash_signatures, shingle_hash_sets
+
+        hs = shingle_hash_sets(batch).localCheckpoint(eager=True)
+        sig = minhash_signatures(batch, hs_df=hs).localCheckpoint(eager=True)
+        share = dict(hs_df=hs, sig_df=sig)
         pinned = incremental_dedup_pairs(
-            batch, prefix, threshold=0.8, as_of_segment=0
+            batch, prefix, threshold=0.8, as_of_segment=0, **share
         ).select(F.lit("base").alias("phase"), "old_id", "new_id", "jaccard")
-        fresh = incremental_dedup_pairs(batch, prefix, threshold=0.8).select(
+        fresh = incremental_dedup_pairs(batch, prefix, threshold=0.8, **share).select(
             F.lit("appended").alias("phase"), "old_id", "new_id", "jaccard"
         )
         result = pinned.unionByName(fresh).localCheckpoint(eager=True)
@@ -565,13 +579,22 @@ def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError(
                 f"compacted generation must reset the trigger, got {st}"
             )
+        # ONE shingling/signing pass for every screen of the same batch
+        # (round 13: the operators' hs_df/sig_df sharing parameters)
+        from ..operators.dedup import minhash_signatures, shingle_hash_sets
+
+        hs = shingle_hash_sets(batch).localCheckpoint(eager=True)
+        sig = minhash_signatures(batch, hs_df=hs).localCheckpoint(eager=True)
+        share = dict(hs_df=hs, sig_df=sig)
         pre = incremental_dedup_pairs(
-            batch, prefix, threshold=0.8, generation=1, as_of_segment=0
+            batch, prefix, threshold=0.8, generation=1, as_of_segment=0, **share
         ).select(F.lit("pre").alias("phase"), "old_id", "new_id", "jaccard")
         wide = incremental_dedup_pairs(
-            batch, prefix, threshold=0.8, generation=1
+            batch, prefix, threshold=0.8, generation=1, **share
         ).select(F.lit("wide").alias("phase"), "old_id", "new_id", "jaccard")
-        compacted = incremental_dedup_pairs(batch, prefix, threshold=0.8).select(
+        compacted = incremental_dedup_pairs(
+            batch, prefix, threshold=0.8, **share
+        ).select(
             F.lit("compacted").alias("phase"), "old_id", "new_id", "jaccard"
         )
         result = pre.unionByName(wide).unionByName(compacted).localCheckpoint(
