@@ -183,6 +183,8 @@ HEADLINE = [
     "dedup_index_compact",
     # streaming gates run real micro-batch streams — keep them last
     "stream_continuous_index_dedup",
+    # round 13, late: the LSH index's streaming lifecycle composition
+    "stream_continuous_embedding_dedup",
 ]
 
 

@@ -34,6 +34,7 @@ from ..streaming.stateful import user_running_totals
 from ..streaming.windows import session_stats, sliding_counts, tumbling_counts
 from .dedup import _JACCARD_SQL as _MINHASH_STREAM_SQL
 from .relational import _ATTRIB_SQL as _ATTRIB_STREAM_SQL
+from .similarity import _PAIRS_SQL as _EMB_STREAM_SQL
 
 # ---------------------------------------------------------------------------
 # window builders, batch mode (streaming twin: tests/test_streaming.py)
@@ -362,6 +363,63 @@ def stream_continuous_index_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         warehouse = spark.conf.get("spark.sql.warehouse.dir")
         fs, jpath = _hadoop_fs(spark, warehouse)
         fs.delete(jpath(_index_claim(warehouse, prefix)), False)
+        cleanup(scratch)
+    return pairs
+
+
+@register("stream_continuous_embedding_dedup", oracle=_EMB_STREAM_SQL)
+def stream_continuous_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS semantic near-dup detection over the DURABLE
+    LSH/decontamination index (round 13 — the stream_continuous_index_
+    dedup pattern applied to the THIRD persisted index, completing the
+    streaming lifecycle composition for all of them): the first
+    micro-batch bootstraps generation 1 (lsh_index_build, planes frozen
+    at the bootstrap sizing), each later batch classifies itself
+    (all-new / replay / partial-reuse refusal BEFORE any write), screens
+    itself against the resolved (generation, segments) snapshot
+    (decontaminate_incremental — delta-sized probe joins), finds its
+    within-batch pairs (cosine_lsh_pairs, total-recall multiprobe
+    floor), appends both canonicalized, and lands as the next immutable
+    append segment (lsh_index_append).  Every pair is discovered
+    exactly once — in the batch where the later member arrives — so the
+    accumulated distinct set equals EXACT all-pairs cosine >= 0.45 over
+    the whole embeddings table, which is precisely the oracle (the
+    standing corpus-contingent LSH total-recall contingency of
+    dedup_embedding_cosine_pairs applies).  Scale: per batch, one
+    bucketing pass over the batch + one co-located probe join per index
+    part; the corpus is never rescanned, and the index the stream
+    leaves behind answers nightly batch screens, compaction, retrain,
+    time travel, and vacuum like any other generation."""
+    import uuid as _uuid
+
+    from ..operators.bucketing import index_drop_all
+    from ..operators.similarity import _lsh_index_claim
+    from ..sinks import _hadoop_fs
+    from ..streaming.dedup import EMB_PAIRS_DDL, continuous_embedding_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scratch = scratch_dir("sembdedup")
+    prefix = f"embgate_{_uuid.uuid4().hex[:8]}"
+    try:
+        batches = [emb.filter(F.pmod("vec_id", F.lit(3)) == i) for i in range(3)]
+        in_dir = stage_stream_dir(batches, f"{scratch}/in")
+        semb = read_file_stream(spark, in_dir, emb.schema)
+        run_available_now(
+            semb,
+            f"{scratch}/ckpt",
+            foreach_batch=continuous_embedding_dedup(prefix, f"{scratch}/pairs"),
+        )
+        pairs = (
+            spark.read.schema(EMB_PAIRS_DDL)
+            .parquet(f"{scratch}/pairs")
+            .distinct()  # at-least-once sink: replays append exact duplicates
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        index_drop_all(spark, prefix, ("_buckets", "_vectors", "_meta"))
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        fs, jpath = _hadoop_fs(spark, warehouse)
+        fs.delete(jpath(_lsh_index_claim(warehouse, prefix)), False)
         cleanup(scratch)
     return pairs
 

@@ -132,8 +132,18 @@ _ROUND_NEW: list[str] = [
     "dedup_index_compact",
 ]
 
-# Registered after this round's window filled: none yet.
-AWAITING_FIRST_SLOT: list[str] = []
+# Registered after this round's window filled: the streaming lifecycle
+# composition for the THIRD persisted index (round 13, late) — the
+# continuous_index_dedup pattern applied to the LSH/decontamination
+# index (bootstrap build / classify-before-write / screen / within /
+# append-as-segment per micro-batch); oracle = exact all-pairs cosine
+# over the whole table, strict-green locally (32- and 5-partition).
+# First in line for a round-14 driver slot per the standing drain
+# contract; it is a STREAMING gate, so its drain slot belongs in the
+# r14 tail.
+AWAITING_FIRST_SLOT: list[str] = [
+    "stream_continuous_embedding_dedup",
+]
 
 # (d) the recomputed due list under the FOUR-round horizon: headline
 # oracle-backed queries lacking driver evidence in the three latest
@@ -204,22 +214,26 @@ _STALE_RAMP: list[str] = [
 # ROUND-14 HANDOFF (computed against the published r10-r12 records with
 # a synthetic r13 = this window all-green; the look-ahead test
 # recomputes and enforces it at r14 build time): the round-14 window
-# owes (1) the due cohort leaving the FOUR-round horizon when r14
-# publishes — the r10-green-only cohort, measured ~43 wide
-# (dedup_embedding_groups, dedup_minhash_groups/pairs, the graph
-# iterative cohort, the ts_ family, text_quality/fuzzy/pii, the
-# storage r10 rotation, stream_tumbling_hour, ...) — which with ~44
-# fixed slots means r14 is a pure-rotation round: budget ZERO new
-# gates unless something must re-pin, and let the streaming members
-# (stream_tumbling_hour) take the tail; (2) changed-code re-pins for
-# whatever r14 touches (evidence follows the diff); (3) the stale ramp
+# owes (1) the AWAITING drain first (stream_continuous_embedding_dedup
+# — registered late r13, strict-green locally, a STREAMING gate whose
+# drain slot belongs in the tail), then (2) the due cohort leaving the
+# FOUR-round horizon when r14 publishes — the r10-green-only cohort,
+# measured ~43 wide (dedup_embedding_groups, dedup_minhash_groups/
+# pairs, the graph iterative cohort, the ts_ family,
+# text_quality/fuzzy/pii, the storage r10 rotation,
+# stream_tumbling_hour, ...) — which with ~45 fixed slots means r14 is
+# a pure-rotation round: budget ZERO further new gates, and let the
+# streaming members (stream_tumbling_hour + the drain) take the tail;
+# (3) changed-code re-pins for
+# whatever r14 touches (evidence follows the diff); (4) the stale ramp
 # resumes into the r09 cohort (oldest after this round:
 # dedup_exact_by_keys is paid here; graph_bfs_fleet_regions,
 # graph_degree_histogram, graph_triangle_count_nations, mm_frame_sample,
 # rel_case_bucketing, ... at r09).  Surface candidates banked for
 # round 14: (a) capability-gated JPEG/FLAC differential rows in
 # ORACLE_LOCAL when a dep-present environment runs them; (b)
-# transformWithState migration A/B when Spark ships the Python API;
+# transformWithState migration A/B when the protobuf runtime ships
+# (the twins + equality pin already exist — see (d));
 # (c) DONE this round — segment compaction for all three indexes
 # (dedup_index_compact gate; lsh/ivf twins pytest-pinned), the
 # r12-advice seams (classify-before-write, width-proof markers,

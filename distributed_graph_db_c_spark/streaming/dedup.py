@@ -142,6 +142,128 @@ def incremental_minhash_dedup(
     return handle
 
 
+EMB_PAIRS_DDL = "id_a BIGINT, id_b BIGINT, cosine DOUBLE"
+
+
+def continuous_embedding_dedup(
+    table_prefix: str,
+    pairs_dir: str,
+    threshold: float = 0.45,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """foreachBatch handler: continuous SEMANTIC near-dup detection over
+    an embedding stream against the DURABLE decontamination index — the
+    :func:`continuous_index_dedup` pattern applied to the THIRD
+    persisted index, completing the streaming composition for all of
+    them.  The first micro-batch bootstraps generation 1
+    (lsh_index_build — plane parameters freeze at the bootstrap batch's
+    sizing; smaller basis means coarser buckets, i.e. recall can only
+    be HIGHER than full-corpus sizing, while the drift arm of the
+    retrain trigger tracks growth past that recorded basis); every
+    later batch (a) classifies itself against the snapshot's indexed
+    ids BEFORE any write (all-new / fully-indexed replay / partial
+    id-reuse refusal — the exact three-way contract of the minhash
+    handler, same at-least-once argument), (b) screens itself against
+    the index (decontaminate_incremental — cross pairs; the
+    ``id_a != id_b`` filter drops the self-matches a replayed batch
+    makes against its own indexed copy), (c) finds its within-batch
+    pairs (cosine_lsh_pairs, batch-sized parameters with the same
+    ``multiprobe=N_PLANES`` total-recall floor as the batch gate),
+    appends both to ``pairs_dir`` canonicalized least/greatest, then
+    (d) lands as the generation's next immutable append SEGMENT
+    (lsh_index_append, frozen planes).
+
+    Every (a, b) pair is discovered exactly once — in the batch where
+    the later member arrives — so the accumulated distinct pair set
+    equals exact all-pairs cosine over the whole corpus wherever the
+    LSH candidate recall is total (the standing corpus-contingent
+    contingency of dedup_embedding_cosine_pairs, pinned in pytest).
+    Scale shape: per batch, one bucketing pass over the batch plus one
+    co-located probe join per index part — the corpus is never
+    rescanned; maintenance (compaction / retrain) applies between
+    batches exactly as pinned for the minhash stream."""
+    from functools import reduce as _reduce
+
+    from ..operators.bucketing import (
+        index_gen_prefix,
+        index_generations,
+        index_resolve,
+        index_seg_prefix,
+        index_segments,
+    )
+    from ..operators.similarity import (
+        N_PLANES,
+        cosine_lsh_pairs,
+        decontaminate_incremental,
+        lsh_index_append,
+        lsh_index_build,
+    )
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.localCheckpoint(eager=True)
+        if not index_generations(spark, table_prefix):
+            cosine_lsh_pairs(
+                batch, threshold, dim, id_col, vec_col, multiprobe=N_PLANES
+            ).select(
+                F.col("id_a").cast("long"),
+                F.col("id_b").cast("long"),
+                "cosine",
+            ).write.mode("append").parquet(pairs_dir)
+            lsh_index_build(
+                batch, table_prefix, threshold=threshold, dim=dim,
+                id_col=id_col, vec_col=vec_col, multiprobe=N_PLANES,
+            )
+            return
+        # classify BEFORE any write — the minhash handler's three cases
+        n_batch = batch.count()
+        gen = index_resolve(spark, table_prefix)
+        parts = [index_gen_prefix(table_prefix, gen)] + [
+            index_seg_prefix(table_prefix, gen, s)
+            for s in index_segments(spark, table_prefix, gen)
+        ]
+        existing = _reduce(
+            DataFrame.unionByName,
+            [spark.table(f"{p}_vectors").select("id") for p in parts],
+        )
+        n_in = (
+            batch.select(F.col(id_col).alias("id"))
+            .join(existing, "id", "left_semi")
+            .count()
+        )
+        if 0 < n_in < n_batch:
+            raise ValueError(
+                f"continuous_embedding_dedup({table_prefix}): batch "
+                f"{batch_id} has {n_in}/{n_batch} ids already indexed — "
+                "id REUSE across batches, not a replay; stream ids must "
+                "be unique. Nothing was written."
+            )
+        replay = n_batch > 0 and n_in == n_batch
+        cross = (
+            decontaminate_incremental(
+                batch, table_prefix, id_col=id_col, vec_col=vec_col
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+                "cosine",
+            )
+        )
+        within = cosine_lsh_pairs(
+            batch, threshold, dim, id_col, vec_col, multiprobe=N_PLANES
+        ).select(
+            F.col("id_a").cast("long"), F.col("id_b").cast("long"), "cosine"
+        )
+        cross.unionByName(within).write.mode("append").parquet(pairs_dir)
+        if not replay:
+            lsh_index_append(batch, table_prefix, id_col=id_col, vec_col=vec_col)
+
+    return handle
+
+
 def continuous_index_dedup(
     table_prefix: str,
     pairs_dir: str,

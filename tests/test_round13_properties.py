@@ -292,6 +292,101 @@ def test_continuous_stream_rides_mid_stream_compaction(spark):
         cleanup(scratch)
 
 
+# -- continuous embedding dedup (the third index's streaming composition) ----
+
+
+def test_continuous_embedding_dedup_equals_batch_and_handles_replay(spark):
+    """The LSH index's streaming composition (round 13, late): the
+    accumulated distinct pair set must equal EXACT all-pairs cosine
+    over the whole corpus; the stream leaves the real generation/
+    segment index behind; a crash-after-publish replay rewrites exact
+    duplicates and skips the append; partial id reuse refuses BEFORE
+    the pairs write; and a nightly batch screens the stream-built index
+    directly."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from distributed_graph_db_c_spark.operators.bucketing import index_drop_all
+    from distributed_graph_db_c_spark.operators.similarity import (
+        _lsh_index_claim,
+        cosine_pairs,
+        decontaminate_incremental,
+        lsh_index_status,
+    )
+    from distributed_graph_db_c_spark.sinks import _hadoop_fs
+    from distributed_graph_db_c_spark.sources.tables import load_table
+    from distributed_graph_db_c_spark.streaming.dedup import (
+        EMB_PAIRS_DDL,
+        continuous_embedding_dedup,
+    )
+    from distributed_graph_db_c_spark.streaming.sources import (
+        cleanup,
+        read_file_stream,
+        run_available_now,
+        scratch_dir,
+        stage_stream_dir,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    expected = sorted(
+        tuple(r) for r in cosine_pairs(emb, threshold=0.45).collect()
+    )
+    assert expected, "corpus must contain near-dup embedding pairs"
+    prefix = "r13contemb"
+    index_drop_all(spark, prefix, ("_buckets", "_vectors", "_meta"))
+    scratch = scratch_dir("contemb")
+    try:
+        batches = [emb.filter(F.pmod("vec_id", F.lit(3)) == i) for i in range(3)]
+        in_dir = stage_stream_dir(batches, f"{scratch}/in")
+        semb = read_file_stream(spark, in_dir, emb.schema)
+        run_available_now(
+            semb,
+            f"{scratch}/ckpt",
+            foreach_batch=continuous_embedding_dedup(prefix, f"{scratch}/pairs"),
+        )
+
+        def got():
+            return sorted(
+                tuple(r)
+                for r in spark.read.schema(EMB_PAIRS_DDL)
+                .parquet(f"{scratch}/pairs")
+                .distinct()
+                .collect()
+            )
+
+        assert got() == expected
+        st = lsh_index_status(spark, prefix)
+        assert (st["generation"], st["segments"]) == (1, [1, 2])
+
+        handler = continuous_embedding_dedup(prefix, f"{scratch}/pairs")
+        # crash-AFTER-publish replay: fully-indexed batch rewrites
+        # exact duplicates (incl. its self-matches filtered away) and
+        # skips the append
+        handler(batches[1], 99)
+        assert lsh_index_status(spark, prefix)["segments"] == [1, 2]
+        assert got() == expected
+        # partial id reuse refuses BEFORE the pairs write
+        mixed = batches[1].select("vec_id", "embedding").limit(3).unionByName(
+            emb.select((F.col("vec_id") + 9_000_000).alias("vec_id"), "embedding")
+            .limit(2)
+        )
+        with pytest.raises(ValueError, match="id REUSE"):
+            handler(mixed, 100)
+        assert lsh_index_status(spark, prefix)["segments"] == [1, 2]
+        assert got() == expected
+        # one index, two cadences: a nightly batch screens it directly
+        night = emb.limit(20).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+        assert decontaminate_incremental(night, prefix).count() > 0
+    finally:
+        index_drop_all(spark, prefix, ("_buckets", "_vectors", "_meta"))
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        fs, jpath = _hadoop_fs(spark, warehouse)
+        fs.delete(jpath(_lsh_index_claim(warehouse, prefix)), False)
+        cleanup(scratch)
+
+
 # -- transformWithState twins (round 13: the standing watch item shipped) ----
 
 
