@@ -264,6 +264,84 @@ def continuous_embedding_dedup(
     return handle
 
 
+def continuous_ivf_ingest(
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """foreachBatch handler: continuous ANN-index INGEST — the vector-DB
+    ingestion loop over the persisted IVF index (round 13, late; the
+    third streaming lifecycle composition's ingest-only sibling).  The
+    first micro-batch bootstraps generation 1 (ivf_build — the coarse
+    quantizer freezes at the bootstrap batch's k-means); every later
+    batch classifies itself against the snapshot's ids sidecar BEFORE
+    any mutation (all-new: ivf_append as the next immutable segment;
+    fully-indexed: a crash-after-publish replay, skip; partial overlap:
+    id reuse, refuse loudly) — the same three-way contract as the
+    dedup streams, but with NO side sink: the index itself is the
+    product, and the segment marker is the batch's only commit point,
+    so replay safety needs no duplicate-row argument at all.
+
+    Maintenance applies between batches exactly as for the batch path:
+    ivf_append's returned audit carries the two-sided retrain trigger,
+    ivf_compact folds segments at IO cost, ivf_retrain_swap re-trains
+    the quantizer — a resumed stream resolves whatever generation is
+    newest and appends there.  Unlike the dedup handlers this returns
+    the per-batch audits through a mutable list argument-free closure
+    attribute (``handle.audits``) so a driver loop can act on
+    retrain_due without a sidecar channel."""
+    from ..operators.similarity import (
+        _ivf_generations,
+        _ivf_snapshot,
+        ivf_append,
+        ivf_build,
+        ivf_resolve,
+    )
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.localCheckpoint(eager=True)
+        if not _ivf_generations(spark, path):
+            ivf_build(batch, path, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+            handle.audits.append({"bootstrap": True, "batch_rows": batch.count()})
+            return
+        n_batch = batch.count()
+        # the classification below subsumes the append's index-side
+        # duplicate check (check_duplicate_ids=False), but NOT its
+        # internal-duplicate check — keep that here
+        if batch.select(id_col).distinct().count() != n_batch:
+            raise ValueError(
+                f"continuous_ivf_ingest({path}): batch {batch_id} has "
+                "internally duplicated ids — the same candidate would "
+                "score twice per query. Nothing was written."
+            )
+        content = ivf_resolve(spark, path)
+        _, ids_table, _ = _ivf_snapshot(spark, content)
+        n_in = (
+            batch.select(id_col)
+            .join(ids_table.select(id_col), id_col, "left_semi")
+            .count()
+        )
+        if 0 < n_in < n_batch:
+            raise ValueError(
+                f"continuous_ivf_ingest({path}): batch {batch_id} has "
+                f"{n_in}/{n_batch} ids already indexed — id REUSE across "
+                "batches, not a replay; stream ids must be unique. "
+                "Nothing was written."
+            )
+        if n_batch > 0 and n_in == n_batch:
+            handle.audits.append({"replay": True, "batch_rows": n_batch})
+            return
+        handle.audits.append(
+            ivf_append(spark, path, batch, id_col=id_col, vec_col=vec_col,
+                       check_duplicate_ids=False)
+        )
+
+    handle.audits = []
+    return handle
+
+
 def continuous_index_dedup(
     table_prefix: str,
     pairs_dir: str,

@@ -387,6 +387,94 @@ def test_continuous_embedding_dedup_equals_batch_and_handles_replay(spark):
         cleanup(scratch)
 
 
+# -- continuous IVF ingest (the ANN index's streaming ingest loop) -----------
+
+
+def test_continuous_ivf_ingest_equals_batch_build_and_rides_maintenance(spark):
+    """The vector-DB ingestion loop: streaming micro-batches into the
+    persisted IVF index must answer probes exactly like one frozen-
+    quantizer index over the union (probe-all = brute force on this
+    fixture); replays skip, partial reuse refuses, and a mid-stream
+    COMPACT folds the accumulated segments while resumed batches append
+    to the new generation."""
+    import numpy as np
+    import pyspark.sql.functions as F
+    import pytest
+
+    from distributed_graph_db_c_spark.operators.similarity import (
+        ivf_compact,
+        ivf_index_attach,
+        ivf_query_persisted,
+    )
+    from distributed_graph_db_c_spark.streaming.dedup import continuous_ivf_ingest
+    from distributed_graph_db_c_spark.streaming.sources import (
+        cleanup,
+        read_file_stream,
+        run_available_now,
+        scratch_dir,
+    )
+
+    rng = np.random.RandomState(41)
+    vecs = rng.randn(90, 16)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(90)],
+        "vec_id long, embedding array<double>",
+    )
+    s = scratch_dir("ivf-ingest")
+    path = f"{s}/idx"
+    try:
+        batches = [corpus.filter(F.pmod("vec_id", F.lit(3)) == i) for i in range(3)]
+        in_dir = f"{s}/in"
+        handler = continuous_ivf_ingest(path, n_cells=4)
+        _stage_at(batches[:2], in_dir, 0)
+        sv = read_file_stream(spark, in_dir, corpus.schema)
+        run_available_now(sv, f"{s}/ckpt", foreach_batch=handler)
+        desc = ivf_index_attach(spark, path)
+        assert (desc["generation"], desc["segments"]) == (1, [1])
+        assert handler.audits[0].get("bootstrap") and handler.audits[1]["segment"] == 1
+
+        # probe-all == brute force over everything ingested so far
+        def strong(fam_vec, pins=None):
+            rows = ivf_query_persisted(
+                spark, path, query_vec=fam_vec, top_k=90, nprobe=4,
+                **(pins or {}),
+            ).collect()
+            return {r["vec_id"]: round(r["cosine"], 9) for r in rows}
+
+        q = [float(x) for x in vecs[7]]
+        ingested = np.vstack([vecs[i] for i in range(90) if i % 3 != 2])
+        want = {
+            i: round(float(vecs[7] @ vecs[i] / (np.linalg.norm(vecs[7]) * np.linalg.norm(vecs[i]))), 9)
+            for i in range(90) if i % 3 != 2
+        }
+        got = strong(q)
+        assert set(got) == set(want)
+        assert all(abs(got[k] - want[k]) < 1e-9 for k in want)
+
+        # mid-stream maintenance: compact, then resume the stream
+        assert ivf_compact(spark, path)["generation"] == 2
+        _stage_at(batches[2:], in_dir, 2)
+        sv = read_file_stream(spark, in_dir, corpus.schema)
+        run_available_now(sv, f"{s}/ckpt", foreach_batch=handler)
+        desc = ivf_index_attach(spark, path)
+        assert (desc["generation"], desc["segments"]) == (2, [1])
+        assert desc["total_rows"] == 90
+
+        # replay skips; partial reuse refuses pre-mutation
+        handler(batches[2], 99)
+        assert handler.audits[-1].get("replay")
+        assert ivf_index_attach(spark, path)["segments"] == [1]
+        mixed = batches[2].limit(2).unionByName(
+            corpus.select((F.col("vec_id") + 500).alias("vec_id"), "embedding")
+            .limit(2)
+        )
+        with pytest.raises(ValueError, match="id REUSE"):
+            handler(mixed, 100)
+        assert ivf_index_attach(spark, path)["segments"] == [1]
+    finally:
+        cleanup(s)
+
+
 # -- transformWithState twins (round 13: the standing watch item shipped) ----
 
 
