@@ -185,6 +185,8 @@ HEADLINE = [
     "stream_continuous_index_dedup",
     # round 13, late: the LSH index's streaming lifecycle composition
     "stream_continuous_embedding_dedup",
+    # round 14: the ANN index's streaming ingestion loop, oracle-gated
+    "stream_continuous_ivf_ingest",
 ]
 
 

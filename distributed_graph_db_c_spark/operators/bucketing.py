@@ -17,10 +17,63 @@ and the physical plan contains no Exchange.
 
 from __future__ import annotations
 
+import json
 import shutil
 from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Sidecar file recording a bucketed table's write spec next to its data
+# files (round 14, ADVICE r13 medium).  The leading underscore keeps it
+# invisible to Spark's file listing (the _SUCCESS/_metadata rule), so
+# scans over the directory never see it as a parquet part.  It is the
+# ON-DISK half of the bucketing contract attach_bucketed's docstring
+# warns about: attaching with a spec that differs from the writing spec
+# mislabels bucket membership and the zero-shuffle probe joins silently
+# drop pairs.  write_bucketed records the spec; ensure_attached (the
+# cross-session auto-attach seam) READS it instead of trusting its
+# caller's default, and attach_bucketed refuses a contradicting spec.
+BUCKET_SPEC_FILE = "_BUCKET_SPEC"
+
+
+def _write_bucket_spec(
+    spark: SparkSession, location: str, keys: list[str], n_buckets: int,
+    sorted_buckets: bool,
+) -> None:
+    from ..sinks import _hadoop_fs
+
+    fs, jpath = _hadoop_fs(spark, location)
+    out = fs.create(jpath(f"{location.rstrip('/')}/{BUCKET_SPEC_FILE}"), True)
+    try:
+        out.writeUTF(
+            json.dumps(
+                {"keys": keys, "n_buckets": n_buckets, "sorted": sorted_buckets}
+            )
+        )
+    finally:
+        out.close()
+
+
+def read_bucket_spec(
+    spark: SparkSession, table: str, location: str | None = None
+) -> dict | None:
+    """The recorded write spec of bucketed table ``table`` (or the
+    explicit ``location``), or None for a directory written before the
+    sidecar existed (legacy indexes keep the caller-supplied-spec
+    behavior)."""
+    from ..sinks import _hadoop_fs
+
+    if location is None:
+        location = warehouse_location(spark, table.split(".")[-1])
+    fs, jpath = _hadoop_fs(spark, location)
+    p = jpath(f"{location.rstrip('/')}/{BUCKET_SPEC_FILE}")
+    if not fs.exists(p):
+        return None
+    inp = fs.open(p)
+    try:
+        return json.loads(inp.readUTF())
+    finally:
+        inp.close()
 
 
 def warehouse_location(spark: SparkSession, name: str) -> str:
@@ -69,6 +122,16 @@ def write_bucketed(
     if sorted_buckets:
         writer = writer.sortBy(*keys)
     writer.saveAsTable(table)
+    # record the spec on disk so a fresh session's ensure_attached can
+    # recover the EXACT writing spec instead of assuming a default —
+    # an attach with mismatched n_buckets mislabels bucket membership
+    _write_bucket_spec(
+        spark,
+        warehouse_location(spark, table.split(".")[-1]),
+        keys,
+        n_buckets,
+        sorted_buckets,
+    )
 
 
 def bucketed_join(
@@ -114,6 +177,23 @@ def attach_bucketed(
     keys = [key] if isinstance(key, str) else key
     if location is None:
         location = warehouse_location(spark, table.split(".")[-1])
+    # round 14 (ADVICE r13 medium): if the directory records its write
+    # spec, a contradicting attach spec is ALWAYS the corruption this
+    # docstring warns about — refuse loudly instead of mislabeling
+    # bucket membership and silently missing join pairs downstream.
+    spec = read_bucket_spec(spark, table, location)
+    if spec is not None and (
+        list(spec["keys"]) != list(keys)
+        or int(spec["n_buckets"]) != int(n_buckets)
+    ):
+        raise ValueError(
+            f"attach_bucketed({table}): supplied spec (keys={keys}, "
+            f"n_buckets={n_buckets}) contradicts the on-disk "
+            f"{BUCKET_SPEC_FILE} (keys={spec['keys']}, "
+            f"n_buckets={spec['n_buckets']}) — attaching would mislabel "
+            "bucket membership and corrupt every co-located join; use "
+            "the recorded spec"
+        )
     # DROP of a MANAGED table PURGES its data directory — if this
     # session already holds the table from a write_bucketed/saveAsTable
     # (the build-then-attach-in-one-session flow), an unconditional
@@ -158,9 +238,28 @@ def ensure_attached(
     TABLE_OR_VIEW_NOT_FOUND until a manual re-attach.  Read paths call
     this per resolved part; the tableExists probe is catalog-metadata
     only (no data touched), and an existing entry — managed (this
-    session built it) or external (a prior attach) — is left alone."""
+    session built it) or external (a prior attach) — is left alone.
+
+    ``n_buckets`` (and the key) are only the LEGACY fallback (round 14,
+    ADVICE r13 medium): a table whose directory carries the
+    ``_BUCKET_SPEC`` sidecar is attached with its RECORDED write spec,
+    so an index built or appended with a non-default bucket count reads
+    correctly from a fresh session instead of being auto-attached with
+    a mismatched CLUSTERED BY spec (mislabeled bucket membership — the
+    zero-shuffle probe joins would silently miss pairs).  Only
+    directories written before the sidecar existed fall back to the
+    caller's values."""
     if not spark.catalog.tableExists(table):
-        attach_bucketed(spark, table, schema_ddl, key, n_buckets)
+        spec = read_bucket_spec(spark, table)
+        if spec is not None:
+            key = list(spec["keys"])
+            n_buckets = int(spec["n_buckets"])
+            attach_bucketed(
+                spark, table, schema_ddl, key, n_buckets,
+                sorted_buckets=bool(spec.get("sorted", True)),
+            )
+        else:
+            attach_bucketed(spark, table, schema_ddl, key, n_buckets)
 
 
 # -- round 12: generation-versioned warehouse indexes ------------------------

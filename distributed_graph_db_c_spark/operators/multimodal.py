@@ -126,8 +126,10 @@ def decode_image(blob_bytes: bytes) -> np.ndarray:
     (stdlib zlib inflate + per-row unfilter — a genuinely COMPRESSED
     format, no codec libs needed), and — round 12 — for baseline
     sequential 4:4:4 JPEG (operators/jpeg_codec: stream-supplied
-    quant/Huffman tables, numpy IDCT).  JPEG shapes the native decoder
-    refuses (progressive, subsampled chroma, restart intervals) and
+    quant/Huffman tables, numpy IDCT; round 13 widened it to any
+    spec-legal sampling factors — 4:2:0/4:2:2 multi-block MCUs — plus
+    DRI/RSTn restart intervals).  JPEG shapes the native decoder still
+    refuses (progressive, arithmetic coding) and
     other formats (WebP/...) capability-probe PIL: on a cluster with
     Pillow installed they decode through it; in this container the
     probe fails and the documented NotImplementedError remains.  Every
@@ -713,9 +715,10 @@ def synth_jpeg_native(doc_id: int, quality: int = 90) -> bytes:
     decodes genuinely interleaved multi-block-MCU streams — the
     dominant in-the-wild JPEG shape — in every environment.  The
     gate's stats tolerate the (bounded, pinned) chroma error; decoded
-    DIMENSIONS stay exact for every rotation.  The Pillow probe remains
-    the tier for shapes the native pair doesn't cover (progressive,
-    arithmetic, restart intervals)."""
+    DIMENSIONS stay exact for every rotation (and the restart interval
+    rotates 0/1/4, so DRI/RSTn markers decode natively too).  The
+    Pillow probe remains the tier for shapes the native pair doesn't
+    cover (progressive, arithmetic)."""
     from .jpeg_codec import jpeg_encode
 
     # 9-doc rotation covers the full subsampling x restart cross product

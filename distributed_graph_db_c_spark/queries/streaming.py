@@ -424,6 +424,133 @@ def stream_continuous_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataF
     return pairs
 
 
+# The STREAM-BUILT IVF index oracle (round 14, the r13 verdict's item 5
+# banked for an r15 slot): the continuous ingest loop's construction is
+# deterministic end to end — the quantizer freezes at the BOOTSTRAP
+# batch (vec_id % 3 = 0), every later batch appends through it — so the
+# oracle replays the whole maintained index in SQL exactly like
+# _IVF_APPEND_SQL does for the nightly path: centroid choice ranks md5
+# over the bootstrap batch ONLY, assignment/probe/scoring run over the
+# full corpus (the ingested contents).  A full hash-match proves the
+# STREAM left behind the same index a frozen-quantizer build+appends
+# would have.
+_IVF_INGEST_MOD = 3  # bootstrap batch = vec_id % 3 == 0; appends = the rest
+_IVF_INGEST_CELLS = 24
+_IVF_INGEST_NPROBE = 8
+_IVF_INGEST_Q = 5
+_IVF_INGEST_K = 3
+
+
+def _ivf_ingest_sql() -> str:
+    from ..functions.vectors import dot_sql
+
+    return f"""
+WITH cents AS (
+  SELECT cid, ce, crk FROM (
+    SELECT vec_id AS cid, embedding AS ce,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS crk
+    FROM embeddings WHERE vec_id % {_IVF_INGEST_MOD} = 0)
+  WHERE crk <= {_IVF_INGEST_CELLS}),
+asgn AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.crk AS cell,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dot_sql('e.embedding', 'c.ce')}
+                                / (sqrt({dot_sql('e.embedding', 'e.embedding')})
+                                   * sqrt({dot_sql('c.ce', 'c.ce')})) DESC, c.crk) AS rn
+    FROM embeddings e, cents c) WHERE rn = 1),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id < {_IVF_INGEST_Q}),
+probes AS (
+  SELECT qid, cell FROM (
+    SELECT q.qid, c.crk AS cell,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+                              ORDER BY {dot_sql('q.qe', 'c.ce')}
+                                / (sqrt({dot_sql('q.qe', 'q.qe')})
+                                   * sqrt({dot_sql('c.ce', 'c.ce')})) DESC, c.crk) AS prk
+    FROM q, cents c) WHERE prk <= {_IVF_INGEST_NPROBE}),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         {dot_sql('e.embedding', 'q.qe')}
+           / (sqrt({dot_sql('e.embedding', 'e.embedding')})
+              * sqrt({dot_sql('q.qe', 'q.qe')})) AS cosine
+  FROM embeddings e
+  JOIN asgn a ON a.vec_id = e.vec_id
+  JOIN probes p ON p.cell = a.cell
+  JOIN q ON q.qid = p.qid
+  WHERE e.vec_id <> q.qid),
+ranked AS (
+  SELECT qid, vec_id, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
+  FROM scored)
+SELECT qid, vec_id, cosine FROM ranked WHERE rn <= {_IVF_INGEST_K}
+"""
+
+
+@register("stream_continuous_ivf_ingest", oracle=_ivf_ingest_sql())
+def stream_continuous_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS ANN-index INGEST (round 14 — the r13 verdict's item 5,
+    banked for its first r15 driver slot per the standing drain
+    contract): the vector-DB ingestion loop
+    (streaming/dedup.py:continuous_ivf_ingest) streamed end to end —
+    the first micro-batch bootstraps generation 1 (ivf_build; the
+    coarse quantizer FREEZES at the bootstrap batch's sizing), every
+    later batch classifies itself against the ids sidecar BEFORE any
+    mutation (all-new append / crash-after-publish replay skip /
+    partial-reuse refusal — the dedup handlers' three-way contract,
+    with the segment marker as the only commit point since the index
+    IS the product), then lands as the next immutable append segment.
+    The gate queries the STREAM-BUILT index from disk with real pruning
+    (nprobe=8 of 24 cells) and the oracle replays the whole
+    deterministic construction in SQL (centroids from the bootstrap
+    batch only — the frozen-quantizer semantics — assignment of the
+    full corpus, probe ranking, pruned top-3): the hash match proves
+    streaming ingestion equals frozen-quantizer build+appends, at
+    driver strength.
+    Maintenance (compact mid-stream, retrain, bounded audits ledger)
+    is pytest-pinned in tests/test_round13_properties.py and
+    tests/test_round14_properties.py.  Same float-seam contingency as
+    sim_ivf_index_append (rankings must clear float noise — pinned on
+    this corpus for the append gate's identical scoring).  Scale: per
+    batch one delta-sized assignment scan + appends touching only the
+    receiving cell directories; the corpus is never rescanned."""
+    from ..streaming.dedup import continuous_ivf_ingest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scratch = scratch_dir("sivfingest")
+    path = f"{scratch}/idx"
+    try:
+        batches = [
+            emb.filter(F.pmod("vec_id", F.lit(_IVF_INGEST_MOD)) == i)
+            for i in range(_IVF_INGEST_MOD)
+        ]
+        in_dir = stage_stream_dir(batches, f"{scratch}/in")
+        semb = read_file_stream(spark, in_dir, emb.schema)
+        run_available_now(
+            semb,
+            f"{scratch}/ckpt",
+            foreach_batch=continuous_ivf_ingest(path, n_cells=_IVF_INGEST_CELLS),
+        )
+        from ..operators.similarity import ivf_batch_query_persisted
+
+        qrows = (
+            emb.filter(F.col("vec_id") < _IVF_INGEST_Q)
+            .select(F.col("vec_id").alias("qid"), "embedding")
+            .collect()
+        )  # bounded: the 5-vector retrieval batch
+        queries = [(r["qid"], list(r["embedding"])) for r in qrows]
+        result = ivf_batch_query_persisted(
+            spark,
+            path,
+            queries,
+            top_k=_IVF_INGEST_K,
+            nprobe=_IVF_INGEST_NPROBE,
+        ).localCheckpoint(eager=True)
+    finally:
+        cleanup(scratch)
+    return result
+
+
 _STATIC_JOIN_SQL = """
 SELECT n.n_name,
        COUNT(*) AS n_events,

@@ -204,6 +204,14 @@ def continuous_embedding_dedup(
     def handle(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.localCheckpoint(eager=True)
+        # ADVICE r13 (low): an EMPTY micro-batch is a no-op — the same
+        # shape as the minhash handler's zero-indexable guard (an empty
+        # batch could never classify as a replay under `n_batch > 0`,
+        # so each crash-redelivery appended another empty segment, and
+        # an empty FIRST batch would bootstrap a zero-row plane basis).
+        n_batch = batch.count()
+        if n_batch == 0:
+            return
         if not index_generations(spark, table_prefix):
             cosine_lsh_pairs(
                 batch, threshold, dim, id_col, vec_col, multiprobe=N_PLANES
@@ -218,7 +226,6 @@ def continuous_embedding_dedup(
             )
             return
         # classify BEFORE any write — the minhash handler's three cases
-        n_batch = batch.count()
         gen = index_resolve(spark, table_prefix)
         parts = [index_gen_prefix(table_prefix, gen)] + [
             index_seg_prefix(table_prefix, gen, s)
@@ -240,7 +247,7 @@ def continuous_embedding_dedup(
                 "id REUSE across batches, not a replay; stream ids must "
                 "be unique. Nothing was written."
             )
-        replay = n_batch > 0 and n_in == n_batch
+        replay = n_in == n_batch  # n_batch > 0 guaranteed above
         cross = (
             decontaminate_incremental(
                 batch, table_prefix, id_col=id_col, vec_col=vec_col
@@ -269,6 +276,7 @@ def continuous_ivf_ingest(
     n_cells: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_audits: int = 256,
 ):
     """foreachBatch handler: continuous ANN-index INGEST — the vector-DB
     ingestion loop over the persisted IVF index (round 13, late; the
@@ -290,7 +298,12 @@ def continuous_ivf_ingest(
     newest and appends there.  Unlike the dedup handlers this returns
     the per-batch audits through a mutable list argument-free closure
     attribute (``handle.audits``) so a driver loop can act on
-    retrain_due without a sidecar channel."""
+    retrain_due without a sidecar channel.  Retention is BOUNDED
+    (round 14, the r13 verdict's audit): only the newest
+    ``max_audits`` entries are kept — a maintenance loop reacts to the
+    LATEST trigger state, and unbounded growth on a months-long stream
+    is a slow driver-memory leak (one dict per micro-batch); a loop
+    that wants every audit should drain the list as it reads it."""
     from ..operators.similarity import (
         _ivf_generations,
         _ivf_snapshot,
@@ -299,14 +312,24 @@ def continuous_ivf_ingest(
         ivf_resolve,
     )
 
+    def _record(audit: dict) -> None:
+        handle.audits.append(audit)
+        del handle.audits[:-max_audits]
+
     def handle(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.localCheckpoint(eager=True)
+        n_batch = batch.count()
+        # empty micro-batch: a no-op, the same guard as the dedup
+        # handlers (ADVICE r13 low) — it could never classify as a
+        # replay, so each crash-redelivery would append/publish another
+        # empty segment (or bootstrap a zero-row quantizer)
+        if n_batch == 0:
+            return
         if not _ivf_generations(spark, path):
             ivf_build(batch, path, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
-            handle.audits.append({"bootstrap": True, "batch_rows": batch.count()})
+            _record({"bootstrap": True, "batch_rows": n_batch})
             return
-        n_batch = batch.count()
         # the classification below subsumes the append's index-side
         # duplicate check (check_duplicate_ids=False), but NOT its
         # internal-duplicate check — keep that here
@@ -330,10 +353,10 @@ def continuous_ivf_ingest(
                 "batches, not a replay; stream ids must be unique. "
                 "Nothing was written."
             )
-        if n_batch > 0 and n_in == n_batch:
-            handle.audits.append({"replay": True, "batch_rows": n_batch})
+        if n_in == n_batch:  # n_batch > 0 guaranteed above
+            _record({"replay": True, "batch_rows": n_batch})
             return
-        handle.audits.append(
+        _record(
             ivf_append(spark, path, batch, id_col=id_col, vec_col=vec_col,
                        check_duplicate_ids=False)
         )
@@ -441,6 +464,20 @@ def continuous_index_dedup(
             batch, k=k, id_col=id_col, text_col=text_col, hs_df=hs
         ).localCheckpoint(eager=True)
         share = dict(hs_df=hs, sig_df=sig)
+        # ADVICE r13 (low): a batch with ZERO indexable rows (empty
+        # micro-batch, or every doc under k tokens) is a NO-OP — no
+        # pair can form (both pair paths require shingles) and there
+        # is nothing to index.  Without this, such a batch can never
+        # classify as a replay (n_in == n_indexable == 0 fails the
+        # `n_indexable > 0` replay test), so every crash-redelivery
+        # appended and PUBLISHED another empty segment, silently
+        # widening every subsequent read plan until the max_segments
+        # arm tripped; it would likewise bootstrap an empty generation
+        # whose zero-row basis poisons the retrain ledger
+        # (appended_frac = inf from the first real batch).
+        n_indexable = hs.count()
+        if n_indexable == 0:
+            return
         if not index_generations(spark, table_prefix):
             # bootstrap: within-batch pairs, then generation 1 (the
             # marker create is this batch's commit point)
@@ -462,7 +499,6 @@ def continuous_index_dedup(
             index_segments,
         )
 
-        n_indexable = hs.count()
         gen = index_resolve(spark, table_prefix)
         parts = [index_gen_prefix(table_prefix, gen)] + [
             index_seg_prefix(table_prefix, gen, s)
@@ -481,7 +517,7 @@ def continuous_index_dedup(
                 "stream ids must be unique (dedupe upstream with "
                 "exact_dedup_stream). Nothing was written."
             )
-        replay = n_indexable > 0 and n_in == n_indexable
+        replay = n_in == n_indexable  # n_indexable > 0 guaranteed above
         cross = incremental_dedup_pairs(
             batch, table_prefix, threshold=threshold, **kw, **share
         ).select(

@@ -115,39 +115,30 @@ def test_window_order_fills_window_exactly():
 
 def test_changed_code_leads_window():
     # standing policy: the window leads with the queries whose operator
-    # code changed this round — evidence follows the diff (round 13:
-    # the three persisted indexes' READ PATHS — the late-r12 segment
-    # rework plus this round's marker-regex widening and cross-session
-    # ensure_attached land exactly there, so the IVF gate cohort and
-    # both incremental index reads hold the head).  The four batch
-    # members of the r12 AWAITING list drain directly after the head;
-    # the round's new compaction gate follows; the fifth AWAITING
-    # member is streaming and drains in the tail.
+    # code changed this round — evidence follows the diff (round 14:
+    # the on-disk _BUCKET_SPEC contract changes the cross-session read
+    # path of every segment-aware index read — ensure_attached now
+    # recovers the recorded write spec — so the two incremental gates
+    # and the compaction gate, whose reads fan out through
+    # ensure_attached over base + segments, hold the head).  The r13
+    # AWAITING drain (stream_continuous_embedding_dedup) is streaming
+    # and drains in the tail.
     w = window()
-    assert w[:6] == [
-        "sim_ivf_index_append",
-        "sim_ivf_retrain_swap",
-        "sim_ann_ivf_persisted",
-        "sim_knn_gather_mean_ivf",
+    assert w[:3] == [
         "dedup_incremental_pairs",
         "dedup_decontaminate_incremental",
+        "dedup_index_compact",
     ]
-    assert w[6:10] == [
-        "dedup_index_time_travel",
-        "dedup_index_append",
-        "dedup_decontaminate_append",
-        "dedup_index_vacuum",
-    ], "the r12 AWAITING batch gates must drain directly after the head"
-    assert w[10] == "dedup_index_compact"
     streaming_tail = [n for n in w if n.startswith("stream_")]
-    # THREE stream gates this round: the two r08-evidence gates (the
-    # oldest streaming debt, held as tail slots so the greedy ramp
-    # stays batch-only) and the fifth AWAITING drain — slowest gate
-    # class last, as always, with the slowest single gate dead last
+    # THREE stream gates this round: the due cohort's batch-mode-built
+    # streaming member, the changed-path re-pin (the zero-indexable
+    # no-op landed in continuous_index_dedup's handler), and the r13
+    # AWAITING drain — slowest gate class last, as always, with the
+    # slowest single gate dead last
     assert streaming_tail == [
-        "stream_dedup_exact",
-        "stream_requests_dispatch",
+        "stream_tumbling_hour",
         "stream_continuous_index_dedup",
+        "stream_continuous_embedding_dedup",
     ], streaming_tail
     assert w[-1] == streaming_tail[-1]
 

@@ -1,0 +1,416 @@
+"""Round-14 property pins — the r13 ADVICE seams plus the r13 verdict's
+maintenance-story gap, each closed at the root and pinned here:
+
+1. RETRAIN MID-STREAM for the LSH streaming composition (the r13
+   verdict's item 2): the mid-stream-compaction pins existed for the
+   minhash stream and the IVF ingest loop, but nothing proved
+   ``continuous_embedding_dedup`` rides an ``lsh_index_build`` REBUILD
+   (next generation, re-sized planes) between micro-batch runs — the
+   maintenance act its measured no-maintenance drift shape assumes
+   production performs.  Pinned end-to-end on one checkpoint.
+
+2. On-disk bucket spec (ADVICE r13 medium): ``ensure_attached`` call
+   sites hardcoded the default bucket counts, so an index built with a
+   non-default ``n_buckets`` read from a fresh session was auto-attached
+   with a mismatched CLUSTERED BY spec — mislabeled bucket membership,
+   silently missed pairs.  ``write_bucketed`` now records the spec in a
+   ``_BUCKET_SPEC`` sidecar (invisible to scans — the _SUCCESS naming
+   rule), ``ensure_attached`` reads it instead of trusting its caller,
+   and an explicit ``attach_bucketed`` with a contradicting spec refuses
+   loudly.
+
+3. Zero-indexable micro-batches (ADVICE r13 low): a batch with nothing
+   to index (empty, or every doc under k tokens) could never classify as
+   a replay, so each crash-redelivery appended and PUBLISHED another
+   empty segment — silently widening every subsequent read plan until
+   the max_segments arm tripped.  All three continuous handlers now
+   treat it as a no-op (nothing to index, and no pair can form).
+
+4. ``continuous_ivf_ingest.handle.audits`` retention is BOUNDED (the
+   r13 verdict's anti-pattern audit): one dict per micro-batch for the
+   life of the stream is a slow driver-memory leak; only the newest
+   ``max_audits`` entries are kept.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from urllib.parse import urlparse
+
+import pyspark.sql.functions as F
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _local(uri: str) -> str:
+    p = urlparse(uri)
+    return p.path if p.scheme in ("", "file") else uri
+
+
+def _stage_at(frames, out_dir, offset):
+    """stage_stream_dir with an index offset, so a SECOND availableNow
+    run of the same checkpoint picks up only the new files."""
+    os.makedirs(out_dir, exist_ok=True)
+    for i, df in enumerate(frames, start=offset):
+        tmp = os.path.join(out_dir, f"_stage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        final = os.path.join(out_dir, f"batch{i:04d}.parquet")
+        shutil.move(os.path.join(tmp, part), final)
+        shutil.rmtree(tmp)
+        os.utime(final, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+
+# -- 1: the LSH stream rides a mid-stream RETRAIN -----------------------------
+
+
+def test_continuous_embedding_stream_rides_mid_stream_retrain(spark):
+    """The maintenance story's ACTING half for the one stream where
+    no-maintenance drift is super-linear: the continuous embedding
+    stream bootstraps the index and appends a segment; its drift arm
+    (``retrain_due``) flips; a maintenance job between micro-batch runs
+    REBUILDS the index over the accumulated corpus (lsh_index_build —
+    next generation, planes RE-SIZED to the grown basis); the stream
+    then resumes on the SAME checkpoint — its next batch must resolve
+    the retrained generation, classify as all-new, screen against it,
+    and land as ITS first append segment, with the accumulated distinct
+    pair set still equal to exact all-pairs cosine over the whole
+    corpus.  The retrain twin of
+    test_continuous_stream_rides_mid_stream_compaction."""
+    from distributed_graph_db_c_spark.operators.bucketing import (
+        index_drop_all,
+        index_gen_prefix,
+    )
+    from distributed_graph_db_c_spark.operators.similarity import (
+        N_PLANES,
+        _lsh_index_claim,
+        cosine_pairs,
+        lsh_index_build,
+        lsh_index_status,
+    )
+    from distributed_graph_db_c_spark.sinks import _hadoop_fs
+    from distributed_graph_db_c_spark.sources.tables import load_table
+    from distributed_graph_db_c_spark.streaming.dedup import (
+        EMB_PAIRS_DDL,
+        continuous_embedding_dedup,
+    )
+    from distributed_graph_db_c_spark.streaming.sources import (
+        cleanup,
+        read_file_stream,
+        run_available_now,
+        scratch_dir,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    expected = sorted(
+        tuple(r) for r in cosine_pairs(emb, threshold=0.45).collect()
+    )
+    assert expected, "corpus must contain near-dup embedding pairs"
+    prefix = "r14retrain"
+    index_drop_all(spark, prefix, ("_buckets", "_vectors", "_meta"))
+    scratch = scratch_dir("retrain")
+    try:
+        batches = [emb.filter(F.pmod("vec_id", F.lit(3)) == i) for i in range(3)]
+        in_dir = f"{scratch}/in"
+        handler = continuous_embedding_dedup(prefix, f"{scratch}/pairs")
+        # phase 1: bootstrap (gen 1, planes sized to batch 0) + one
+        # append segment — equal thirds, so the drift arm flips
+        _stage_at(batches[:2], in_dir, 0)
+        semb = read_file_stream(spark, in_dir, emb.schema)
+        run_available_now(semb, f"{scratch}/ckpt", foreach_batch=handler)
+        st = lsh_index_status(spark, prefix)
+        assert (st["generation"], st["segments"]) == (1, [1])
+        assert st["retrain_due"], "equal thirds must trip the 0.5 drift arm"
+        assert st["basis_rows"] == batches[0].count()
+        # maintenance between micro-batch runs: the act retrain_due
+        # cues — a full rebuild over the accumulated corpus, with the
+        # stream's own recall floor (the handler bootstraps with
+        # multiprobe=N_PLANES; the rebuild must keep that operating
+        # point or resumed screens would silently lose recall)
+        grown = batches[0].unionByName(batches[1])
+        gen = lsh_index_build(
+            grown, prefix, threshold=0.45, dim=64, multiprobe=N_PLANES
+        )
+        assert gen == 2
+        st = lsh_index_status(spark, prefix)
+        assert (st["generation"], st["segments"]) == (2, [])
+        assert not st["retrain_due"], "a fresh rebuild has zero drift"
+        # the planes were genuinely RE-SIZED: the recorded sizing basis
+        # grew from one third of the corpus to two
+        assert st["basis_rows"] == grown.count() > batches[0].count()
+        meta = spark.table(f"{index_gen_prefix(prefix, 2)}_meta").head()
+        assert int(meta["n_rows"]) == st["basis_rows"]
+        # phase 2: the stream resumes on the SAME checkpoint and must
+        # ride the retrained generation
+        _stage_at(batches[2:], in_dir, 2)
+        semb = read_file_stream(spark, in_dir, emb.schema)
+        run_available_now(semb, f"{scratch}/ckpt", foreach_batch=handler)
+        st = lsh_index_status(spark, prefix)
+        assert (st["generation"], st["segments"]) == (2, [1])
+        got = sorted(
+            tuple(r)
+            for r in spark.read.schema(EMB_PAIRS_DDL)
+            .parquet(f"{scratch}/pairs")
+            .distinct()
+            .collect()
+        )
+        assert got == expected
+    finally:
+        index_drop_all(spark, prefix, ("_buckets", "_vectors", "_meta"))
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        fs, jpath = _hadoop_fs(spark, warehouse)
+        fs.delete(jpath(_lsh_index_claim(warehouse, prefix)), False)
+        cleanup(scratch)
+
+
+# -- 2: the on-disk bucket spec ------------------------------------------------
+
+
+def test_bucket_spec_recorded_and_recovered_cross_session(spark):
+    """An index built with a NON-DEFAULT bucket count must read
+    correctly from a session that never saw the build: write_bucketed
+    records the spec on disk, and ensure_attached recovers THAT spec
+    instead of its caller's default — the silent-missed-pairs corruption
+    the r13 ADVICE named."""
+    from distributed_graph_db_c_spark.operators.bucketing import (
+        ensure_attached,
+        read_bucket_spec,
+        warehouse_location,
+        write_bucketed,
+    )
+
+    table = "r14spec_t"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    df = spark.range(500).select(
+        F.col("id"), (F.col("id") % 7).alias("grp")
+    )
+    try:
+        write_bucketed(df, table, key="id", n_buckets=5)
+        spec = read_bucket_spec(spark, table)
+        assert spec == {"keys": ["id"], "n_buckets": 5, "sorted": True}
+        expected = spark.table(table).count()
+        # simulate a fresh session: drop the catalog entry, keep files
+        loc = _local(warehouse_location(spark, table))
+        staged = loc + "__staged"
+        shutil.copytree(loc, staged)
+        spark.sql(f"DROP TABLE {table}")
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
+        shutil.move(staged, loc)
+        # the caller supplies the (wrong) default 32 — the sidecar wins
+        ensure_attached(spark, table, "id bigint, grp bigint", "id", 32)
+        got = spark.catalog.getTable(table)
+        assert got.tableType == "EXTERNAL"
+        assert spark.table(table).count() == expected
+        # the attached spec is the RECORDED one: the co-located join
+        # against a genuinely 5-bucket probe compiles zero-Exchange AND
+        # returns every pair — exactly the property a mislabeled
+        # 32-bucket attach over 5-bucket files silently breaks (no
+        # Exchange, wrong bucket membership, missed matches)
+        probe = "r14spec_probe"
+        spark.sql(f"DROP TABLE IF EXISTS {probe}")
+        write_bucketed(
+            spark.range(500).select("id"), probe, key="id", n_buckets=5
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table(table).join(spark.table(probe), "id")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, "attach must co-locate with 5 buckets"
+            assert j.count() == expected
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql(f"DROP TABLE IF EXISTS {probe}")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_attach_bucketed_refuses_contradicting_spec(spark):
+    """An EXPLICIT attach whose spec contradicts the on-disk record is
+    always the corruption attach_bucketed's docstring warns about —
+    refuse loudly instead of mislabeling bucket membership."""
+    from distributed_graph_db_c_spark.operators.bucketing import (
+        attach_bucketed,
+        warehouse_location,
+        write_bucketed,
+    )
+
+    table = "r14spec_refuse"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    df = spark.range(100).select(F.col("id"))
+    try:
+        write_bucketed(df, table, key="id", n_buckets=5)
+        loc = _local(warehouse_location(spark, table))
+        staged = loc + "__staged"
+        shutil.copytree(loc, staged)
+        spark.sql(f"DROP TABLE {table}")
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
+        shutil.move(staged, loc)
+        with pytest.raises(ValueError, match="contradicts the on-disk"):
+            attach_bucketed(spark, table, "id bigint", "id", 32)
+        # the recorded spec attaches fine
+        attach_bucketed(spark, table, "id bigint", "id", 5)
+        assert spark.table(table).count() == 100
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_bucket_spec_sidecar_invisible_to_scans(spark):
+    """The sidecar must never surface as data: a full scan of the
+    bucketed table (and of its directory read as raw parquet) returns
+    exactly the written rows."""
+    from distributed_graph_db_c_spark.operators.bucketing import (
+        warehouse_location,
+        write_bucketed,
+    )
+
+    table = "r14spec_scan"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        write_bucketed(spark.range(64).select("id"), table, key="id", n_buckets=4)
+        loc = _local(warehouse_location(spark, table))
+        assert os.path.exists(os.path.join(loc, "_BUCKET_SPEC"))
+        assert spark.table(table).count() == 64
+        assert spark.read.parquet(loc).count() == 64
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+# -- 3 + 4: zero-indexable batches are no-ops; audits retention is bounded ----
+
+
+def test_continuous_minhash_empty_and_unindexable_batches_are_noops(spark):
+    """Redelivering a batch with ZERO indexable rows (empty, or every
+    doc under k tokens) must not append — each crash-redelivery used to
+    publish another empty segment, widening every later read plan; nor
+    may such a batch bootstrap an empty generation whose zero-row basis
+    poisons the retrain ledger."""
+    from distributed_graph_db_c_spark.operators.bucketing import (
+        index_drop_all,
+        index_generations,
+    )
+    from distributed_graph_db_c_spark.operators.dedup import (
+        _index_claim,
+        minhash_index_status,
+    )
+    from distributed_graph_db_c_spark.sinks import _hadoop_fs
+    from distributed_graph_db_c_spark.sources.tables import load_table
+    from distributed_graph_db_c_spark.streaming.dedup import continuous_index_dedup
+    from distributed_graph_db_c_spark.streaming.sources import cleanup, scratch_dir
+
+    docs = load_table(spark, SF_DIR, "documents")
+    prefix = "r14noopmh"
+    index_drop_all(spark, prefix, ("_bands", "_shingles"))
+    scratch = scratch_dir("noopmh")
+    try:
+        handler = continuous_index_dedup(prefix, f"{scratch}/pairs")
+        empty = docs.limit(0)
+        short = spark.createDataFrame(
+            [(9_000_001, "too short"), (9_000_002, "also short")],
+            "doc_id long, text string",
+        )
+        # an unindexable FIRST batch must not bootstrap a generation
+        handler(empty, 0)
+        handler(short, 1)
+        assert not index_generations(spark, prefix)
+        # a real batch bootstraps normally afterwards
+        handler(docs.filter(F.pmod("doc_id", F.lit(2)) == 0), 2)
+        st = minhash_index_status(spark, prefix)
+        assert (st["generation"], st["segments"]) == (1, [])
+        # redelivered unindexable batches are no-ops, not empty segments
+        for bid in (3, 4, 5):
+            handler(empty, bid)
+            handler(short, bid + 10)
+        st = minhash_index_status(spark, prefix)
+        assert (st["generation"], st["segments"]) == (1, [])
+    finally:
+        index_drop_all(spark, prefix, ("_bands", "_shingles"))
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        fs, jpath = _hadoop_fs(spark, warehouse)
+        fs.delete(jpath(_index_claim(warehouse, prefix)), False)
+        cleanup(scratch)
+
+
+def test_continuous_embedding_empty_batches_are_noops(spark):
+    from distributed_graph_db_c_spark.operators.bucketing import (
+        index_drop_all,
+        index_generations,
+    )
+    from distributed_graph_db_c_spark.operators.similarity import (
+        _lsh_index_claim,
+        lsh_index_status,
+    )
+    from distributed_graph_db_c_spark.sinks import _hadoop_fs
+    from distributed_graph_db_c_spark.sources.tables import load_table
+    from distributed_graph_db_c_spark.streaming.dedup import (
+        continuous_embedding_dedup,
+    )
+    from distributed_graph_db_c_spark.streaming.sources import cleanup, scratch_dir
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    prefix = "r14noopemb"
+    index_drop_all(spark, prefix, ("_buckets", "_vectors", "_meta"))
+    scratch = scratch_dir("noopemb")
+    try:
+        handler = continuous_embedding_dedup(prefix, f"{scratch}/pairs")
+        empty = emb.limit(0)
+        handler(empty, 0)
+        assert not index_generations(spark, prefix)
+        handler(emb.filter(F.pmod("vec_id", F.lit(2)) == 0), 1)
+        st = lsh_index_status(spark, prefix)
+        assert (st["generation"], st["segments"]) == (1, [])
+        for bid in (2, 3, 4):
+            handler(empty, bid)
+        st = lsh_index_status(spark, prefix)
+        assert (st["generation"], st["segments"]) == (1, [])
+    finally:
+        index_drop_all(spark, prefix, ("_buckets", "_vectors", "_meta"))
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        fs, jpath = _hadoop_fs(spark, warehouse)
+        fs.delete(jpath(_lsh_index_claim(warehouse, prefix)), False)
+        cleanup(scratch)
+
+
+def test_continuous_ivf_ingest_audits_bounded_and_empty_noop(spark):
+    """handle.audits keeps only the newest ``max_audits`` entries (a
+    months-long stream must not leak driver memory one dict per
+    micro-batch), and an empty micro-batch neither appends a segment
+    nor records an audit."""
+    import numpy as np
+
+    from distributed_graph_db_c_spark.operators.similarity import ivf_index_attach
+    from distributed_graph_db_c_spark.streaming.dedup import continuous_ivf_ingest
+    from distributed_graph_db_c_spark.streaming.sources import cleanup, scratch_dir
+
+    rng = np.random.RandomState(44)
+    vecs = rng.randn(60, 8)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    s = scratch_dir("ivf-audits")
+    path = f"{s}/idx"
+    try:
+        handler = continuous_ivf_ingest(path, n_cells=2, max_audits=3)
+        empty = corpus.limit(0)
+        # an empty FIRST batch must not bootstrap a zero-row quantizer
+        handler(empty, 0)
+        assert handler.audits == []
+        batches = [corpus.filter(F.pmod("vec_id", F.lit(6)) == i) for i in range(6)]
+        for i, b in enumerate(batches, start=1):
+            handler(b, i)
+        desc = ivf_index_attach(spark, path)
+        assert (desc["generation"], desc["segments"]) == (1, [1, 2, 3, 4, 5])
+        # bounded retention: only the NEWEST 3 audits are kept
+        assert len(handler.audits) == 3
+        assert [a["segment"] for a in handler.audits] == [3, 4, 5]
+        # empty mid-stream batches: no segment, no audit entry
+        handler(empty, 99)
+        assert ivf_index_attach(spark, path)["segments"] == [1, 2, 3, 4, 5]
+        assert [a["segment"] for a in handler.audits] == [3, 4, 5]
+    finally:
+        cleanup(s)
