@@ -375,6 +375,87 @@ def test_continuous_embedding_empty_batches_are_noops(spark):
         cleanup(scratch)
 
 
+def test_continuous_ivf_ingest_rides_mid_stream_retrain(spark):
+    """The IVF twin of the embedding stream's retrain pin (the acting
+    half of ITS drift arm): the ingest stream bootstraps gen 1 and
+    appends a segment; the append audit flips retrain_due (30 rows onto
+    a 30-row basis = 1.0 >= the 0.25 default); a maintenance job
+    between micro-batch runs RETRAINS the quantizer over the ingested
+    corpus (ivf_retrain_swap -> gen 2, re-seeded centroids); the stream
+    resumes on the SAME checkpoint and its next batch lands as gen 2's
+    first append segment — with probe-all queries still exactly equal
+    to brute force over everything ingested.  Completes the
+    maintenance matrix: compact-mid-stream pins exist for all three
+    streams (r13/r14), retrain-mid-stream now for both drift-prone
+    indexes (LSH above, IVF here)."""
+    import numpy as np
+
+    from distributed_graph_db_c_spark.operators.similarity import (
+        ivf_index_attach,
+        ivf_query_persisted,
+        ivf_retrain_swap,
+    )
+    from distributed_graph_db_c_spark.streaming.dedup import continuous_ivf_ingest
+    from distributed_graph_db_c_spark.streaming.sources import (
+        cleanup,
+        read_file_stream,
+        run_available_now,
+        scratch_dir,
+    )
+
+    rng = np.random.RandomState(47)
+    vecs = rng.randn(90, 16)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(90)],
+        "vec_id long, embedding array<double>",
+    )
+    s = scratch_dir("ivf-retrain")
+    path = f"{s}/idx"
+    try:
+        batches = [corpus.filter(F.pmod("vec_id", F.lit(3)) == i) for i in range(3)]
+        in_dir = f"{s}/in"
+        handler = continuous_ivf_ingest(path, n_cells=4)
+        _stage_at(batches[:2], in_dir, 0)
+        sv = read_file_stream(spark, in_dir, corpus.schema)
+        run_available_now(sv, f"{s}/ckpt", foreach_batch=handler)
+        assert (lambda d: (d["generation"], d["segments"]))(
+            ivf_index_attach(spark, path)
+        ) == (1, [1])
+        assert handler.audits[-1]["retrain_due"], (
+            "an equal-sized append must flip the drift arm"
+        )
+        # maintenance between micro-batch runs: the act the trigger cues
+        ingested = batches[0].unionByName(batches[1])
+        assert ivf_retrain_swap(spark, path, ingested, n_cells=4) == 2
+        # resume on the SAME checkpoint; the next batch must resolve
+        # the retrained generation and append there
+        _stage_at(batches[2:], in_dir, 2)
+        sv = read_file_stream(spark, in_dir, corpus.schema)
+        run_available_now(sv, f"{s}/ckpt", foreach_batch=handler)
+        desc = ivf_index_attach(spark, path)
+        assert (desc["generation"], desc["segments"]) == (2, [1])
+        # probe-all == brute force over everything ingested
+        q = [float(x) for x in vecs[7]]
+        want = {
+            i: round(
+                float(
+                    vecs[7] @ vecs[i]
+                    / (np.linalg.norm(vecs[7]) * np.linalg.norm(vecs[i]))
+                ),
+                9,
+            )
+            for i in range(90)
+        }
+        rows = ivf_query_persisted(
+            spark, path, query_vec=q, top_k=90, nprobe=4
+        ).collect()
+        got = {r["vec_id"]: round(r["cosine"], 9) for r in rows}
+        assert set(got) == set(want)
+        assert all(abs(got[k] - want[k]) < 1e-9 for k in want)
+    finally:
+        cleanup(s)
+
+
 def test_continuous_ivf_ingest_audits_bounded_and_empty_noop(spark):
     """handle.audits keeps only the newest ``max_audits`` entries (a
     months-long stream must not leak driver memory one dict per
