@@ -205,16 +205,19 @@ _STALE_RAMP: list[str] = [
 # owes (1) the AWAITING drain first (stream_continuous_ivf_ingest —
 # registered late r14, strict-green locally, a STREAMING gate whose
 # drain slot belongs in the r15 tail); (2) the due cohort leaving the
-# FOUR-round horizon when r15 publishes — the r11-green-only cohort
-# (the r11 record is 41 wide; most of it re-greened in r12/r13, so
-# the measured due list should be ~25-30 wide: the graph traversal
-# cohort aged r11, rel_intersect/except_nations, the asof family,
-# sketch_quantiles family members, ...); (3) changed-code re-pins for
-# whatever r15 touches (evidence follows the diff); (4) the stale
-# ramp resumes into the remaining r09 cohort (after this round pays
-# graph_bfs_fleet_regions: graph_degree_histogram,
+# FOUR-round horizon when r15 publishes — measured NINE wide against
+# (r12, r13, synthetic-r14-green): dedup_decontaminate_by_source,
+# dedup_semantic_decontaminate, pipeline_sequence_packing,
+# ts_time_weighted_avg, and FIVE streaming members
+# (stream_attribution_last_touch, stream_checkpoint_recovery,
+# stream_foreachbatch_upsert, stream_stream_interval_join,
+# stream_watermark_late_drop) — a streaming-heavy tail round; (3)
+# changed-code re-pins for whatever r15 touches (evidence follows the
+# diff); (4) with only ~15 fixed slots, the greedy stale ramp runs
+# ~30 wide and retires the ENTIRE remaining r09 cohort
+# (graph_bfs_fleet_regions is paid here; graph_degree_histogram,
 # graph_triangle_count_nations, mm_frame_sample, rel_case_bucketing,
-# ... at r09).  Surface candidates banked for round 15: (a)
+# ... follow) plus the oldest r10 entries.  Surface candidates banked for round 15: (a)
 # capability-gated JPEG/FLAC differential rows in ORACLE_LOCAL when a
 # dep-present environment runs them; (b) transformWithState migration
 # A/B when the protobuf runtime ships (twins + equality pins exist);

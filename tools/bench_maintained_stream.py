@@ -17,6 +17,16 @@ Per-phase timings are reported so the drift cost is visible where it
 lives: batch 3's screen+within step against a 2/3-basis retrained index
 vs against a 1/3-basis overgrown one.
 
+Recall is reported, not asserted: the re-sized planes are FINER
+(planes_for grows with the basis), so at this corpus — 0.45
+near-random cosine, the standing LSH worst case where the auto-sizer's
+caps bind below the recall target — the retrained screens trade some
+candidate recall for the occupancy the drift arm exists to reclaim.
+Both shapes' accumulated distinct pair sets are scored against exact
+all-pairs cosine (the oracle of the streaming gate); at dedup-grade
+thresholds (>= 0.8) both sit at recall 1.0 and the sets are equal (the
+sf0.001 pytest pin).
+
 Usage:
     python tools/bench_maintained_stream.py [sf_dir ...]
 defaults to /root/testdata/sf0.1 and .scratch/sf1 (run make_sf1 first).
@@ -100,16 +110,23 @@ def main() -> None:
     sf_dirs = sys.argv[1:] or [SF01, SF1]
     spark = get_spark("bench-maintained-stream")
     spark.sparkContext.setLogLevel("ERROR")
+    from distributed_graph_db_c_spark.operators.similarity import cosine_pairs
+    from distributed_graph_db_c_spark.sources.tables import load_table
+
     for sf_dir in sf_dirs:
         out = {"sf_dir": sf_dir}
         # maintained first so JIT/codegen warmup penalizes it, not the
         # control (conservative for the claim being measured)
         out["maintained"] = run_stream(spark, sf_dir, maintained=True)
         out["no_maintenance"] = run_stream(spark, sf_dir, maintained=False)
-        assert (
-            out["maintained"]["distinct_pairs"]
-            == out["no_maintenance"]["distinct_pairs"]
-        ), "maintenance must not change the accumulated pair set"
+        exact = cosine_pairs(
+            load_table(spark, sf_dir, "embeddings"), threshold=0.45
+        ).count()
+        out["exact_pairs"] = exact
+        for k in ("maintained", "no_maintenance"):
+            out[k]["recall"] = (
+                round(out[k]["distinct_pairs"] / exact, 4) if exact else 1.0
+            )
         print(json.dumps(out))
 
 
