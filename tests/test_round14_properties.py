@@ -375,6 +375,48 @@ def test_continuous_embedding_empty_batches_are_noops(spark):
         cleanup(scratch)
 
 
+def test_ivf_ingest_rankings_have_margin():
+    """stream_continuous_ivf_ingest's oracle contingency — the ingest
+    construction's twin of test_ivf_append_rankings_have_margin:
+    centroids come from the BOOTSTRAP batch (vec_id % 3 == 0) instead
+    of the append gate's base corpus, so the numpy-vs-SQL-fold float
+    seams (cell assignment, probe-boundary ranking) need their own
+    margin pin on this corpus.  Fails loudly if a corpus change pushes
+    any margin within 1e-9 — BEFORE the driver's hash compare could."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from distributed_graph_db_c_spark.queries.streaming import (
+        _IVF_INGEST_CELLS,
+        _IVF_INGEST_MOD,
+        _IVF_INGEST_NPROBE,
+        _IVF_INGEST_Q,
+    )
+
+    for sf in (SF_DIR, "/root/testdata/sf0.01"):
+        t = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+        ids = t["vec_id"].to_numpy()
+        E = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+        bmask = ids % _IVF_INGEST_MOD == 0
+        bids, BE = ids[bmask], E[bmask]
+        h = np.array(
+            [hashlib.md5(str(int(i)).encode()).hexdigest() for i in bids]
+        )
+        cidx = np.lexsort((bids, h))[:_IVF_INGEST_CELLS]
+        C = BE[cidx]
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+        En = E / np.maximum(np.linalg.norm(E, axis=1, keepdims=True), 1e-12)
+        S = En @ Cn.T
+        Ss = np.sort(S, axis=1)
+        assert (Ss[:, -1] - Ss[:, -2]).min() > 1e-9, f"assignment margin at {sf}"
+        Q = np.sort(S[ids < _IVF_INGEST_Q], axis=1)[:, ::-1]
+        assert (
+            Q[:, _IVF_INGEST_NPROBE - 1] - Q[:, _IVF_INGEST_NPROBE]
+        ).min() > 1e-9, f"probe boundary margin at {sf}"
+
+
 def test_continuous_ivf_ingest_rides_mid_stream_retrain(spark):
     """The IVF twin of the embedding stream's retrain pin (the acting
     half of ITS drift arm): the ingest stream bootstraps gen 1 and
