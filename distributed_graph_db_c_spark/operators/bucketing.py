@@ -40,10 +40,18 @@ def _write_bucket_spec(
     spark: SparkSession, location: str, keys: list[str], n_buckets: int,
     sorted_buckets: bool,
 ) -> None:
+    # crash-atomic: stage under a hidden temp name, then RENAME over the
+    # final name — a driver death mid-write must never leave a torn
+    # sidecar that bricks every later attach (rename is a metadata op on
+    # HDFS-compatible stores; the same discipline as sinks._swap_dir)
+    import uuid as _uuid
+
     from ..sinks import _hadoop_fs
 
     fs, jpath = _hadoop_fs(spark, location)
-    out = fs.create(jpath(f"{location.rstrip('/')}/{BUCKET_SPEC_FILE}"), True)
+    final = f"{location.rstrip('/')}/{BUCKET_SPEC_FILE}"
+    tmp = f"{final}__tmp_{_uuid.uuid4().hex[:8]}__"
+    out = fs.create(jpath(tmp), True)
     try:
         out.writeUTF(
             json.dumps(
@@ -52,6 +60,10 @@ def _write_bucket_spec(
         )
     finally:
         out.close()
+    fs.delete(jpath(final), False)  # overwrite-by-rename needs the slot free
+    if not fs.rename(jpath(tmp), jpath(final)):
+        fs.delete(jpath(tmp), False)
+        raise OSError(f"could not publish bucket spec {final}")
 
 
 def read_bucket_spec(
@@ -60,20 +72,32 @@ def read_bucket_spec(
     """The recorded write spec of bucketed table ``table`` (or the
     explicit ``location``), or None for a directory written before the
     sidecar existed (legacy indexes keep the caller-supplied-spec
-    behavior)."""
+    behavior).  A PRESENT-but-unreadable sidecar raises a clear error
+    naming the file: silently falling back to the caller's default here
+    would reintroduce the exact mislabeled-attach corruption the
+    sidecar exists to prevent."""
     from ..sinks import _hadoop_fs
 
     if location is None:
         location = warehouse_location(spark, table.split(".")[-1])
     fs, jpath = _hadoop_fs(spark, location)
-    p = jpath(f"{location.rstrip('/')}/{BUCKET_SPEC_FILE}")
+    path = f"{location.rstrip('/')}/{BUCKET_SPEC_FILE}"
+    p = jpath(path)
     if not fs.exists(p):
         return None
-    inp = fs.open(p)
     try:
-        return json.loads(inp.readUTF())
-    finally:
-        inp.close()
+        inp = fs.open(p)
+        try:
+            return json.loads(inp.readUTF())
+        finally:
+            inp.close()
+    except Exception as exc:
+        raise ValueError(
+            f"bucket spec {path} exists but cannot be read/parsed "
+            f"({type(exc).__name__}) — refusing to guess the bucketing "
+            "contract; restore it (write_bucketed records it) or delete "
+            "the file to fall back to caller-supplied specs"
+        ) from exc
 
 
 def warehouse_location(spark: SparkSession, name: str) -> str:
@@ -156,6 +180,7 @@ def attach_bucketed(
     n_buckets: int = 32,
     location: str | None = None,
     sorted_buckets: bool = True,
+    validate_spec: bool = True,
 ) -> None:
     """RE-ATTACH bucketing metadata to an existing bucketed-parquet
     directory (round 7).  Spark's default in-memory catalog forgets
@@ -180,19 +205,28 @@ def attach_bucketed(
     # round 14 (ADVICE r13 medium): if the directory records its write
     # spec, a contradicting attach spec is ALWAYS the corruption this
     # docstring warns about — refuse loudly instead of mislabeling
-    # bucket membership and silently missing join pairs downstream.
-    spec = read_bucket_spec(spark, table, location)
+    # bucket membership (wrong keys/n_buckets: probe joins silently
+    # miss pairs) or declaring SORTED BY over unsorted bucket files
+    # (sort-merge joins elide the sort and drop matches).
+    # ``validate_spec=False`` is for callers that ALREADY adopted the
+    # recorded spec (ensure_attached) — skips a redundant sidecar read,
+    # which on an object store is a network round-trip per resolved
+    # index part.
+    spec = read_bucket_spec(spark, table, location) if validate_spec else None
     if spec is not None and (
         list(spec["keys"]) != list(keys)
         or int(spec["n_buckets"]) != int(n_buckets)
+        or bool(spec.get("sorted", True)) != bool(sorted_buckets)
     ):
         raise ValueError(
             f"attach_bucketed({table}): supplied spec (keys={keys}, "
-            f"n_buckets={n_buckets}) contradicts the on-disk "
-            f"{BUCKET_SPEC_FILE} (keys={spec['keys']}, "
-            f"n_buckets={spec['n_buckets']}) — attaching would mislabel "
-            "bucket membership and corrupt every co-located join; use "
-            "the recorded spec"
+            f"n_buckets={n_buckets}, sorted={sorted_buckets}) contradicts "
+            f"the on-disk {BUCKET_SPEC_FILE} (keys={spec['keys']}, "
+            f"n_buckets={spec['n_buckets']}, "
+            f"sorted={spec.get('sorted', True)}) — attaching would "
+            "mislabel bucket membership or declare a sort the files "
+            "don't have, corrupting every co-located join; use the "
+            "recorded spec"
         )
     # DROP of a MANAGED table PURGES its data directory — if this
     # session already holds the table from a write_bucketed/saveAsTable
@@ -252,14 +286,18 @@ def ensure_attached(
     if not spark.catalog.tableExists(table):
         spec = read_bucket_spec(spark, table)
         if spec is not None:
-            key = list(spec["keys"])
-            n_buckets = int(spec["n_buckets"])
+            # spec adopted verbatim -> skip attach's own re-read/validate
             attach_bucketed(
-                spark, table, schema_ddl, key, n_buckets,
+                spark, table, schema_ddl,
+                list(spec["keys"]), int(spec["n_buckets"]),
                 sorted_buckets=bool(spec.get("sorted", True)),
+                validate_spec=False,
             )
         else:
-            attach_bucketed(spark, table, schema_ddl, key, n_buckets)
+            # no sidecar (read above) — skip attach's re-read too
+            attach_bucketed(
+                spark, table, schema_ddl, key, n_buckets, validate_spec=False
+            )
 
 
 # -- round 12: generation-versioned warehouse indexes ------------------------

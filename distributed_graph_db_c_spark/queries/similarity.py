@@ -674,19 +674,25 @@ _APPEND_NPROBE = 8
 _APPEND_Q = 5
 _APPEND_K = 3
 
-# The MAINTAINED-INDEX oracle: same replay structure as _KNN_IVF_SQL,
-# with one change that IS the append semantics — centroid choice ranks
-# md5 over the BASE corpus only (the quantizer is frozen at build time),
-# while assignment/probe/scoring run over base ∪ delta (the maintained
-# contents).  A full hash-match therefore proves the append routed every
-# delta vector exactly where a frozen-quantizer rebuild would have.
-_IVF_APPEND_SQL = f"""
+def _ivf_oracle_sql(
+    base_where: str, cells: int, nprobe: int, n_q: int, k: int
+) -> str:
+    """The frozen-quantizer IVF replay, parameterized (round 14 — one
+    builder for every IVF lifecycle oracle so the shared arithmetic can
+    never silently diverge between gates): centroid choice ranks md5
+    over the ``base_where`` corpus (empty string = the full corpus,
+    i.e. the fresh-build / post-retrain quantizer), while assignment,
+    probe ranking and scoring run over the full maintained contents.
+    A full hash-match proves the maintained index routed every vector
+    exactly where a frozen-quantizer rebuild over that base would
+    have."""
+    return f"""
 WITH cents AS (
   SELECT cid, ce, crk FROM (
     SELECT vec_id AS cid, embedding AS ce,
            ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS crk
-    FROM embeddings WHERE vec_id % {_APPEND_BASE_MOD} <> 0)
-  WHERE crk <= {_APPEND_CELLS}),
+    FROM embeddings {base_where})
+  WHERE crk <= {cells}),
 asgn AS (
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, c.crk AS cell,
@@ -695,7 +701,7 @@ asgn AS (
                                 / (sqrt({dot_sql('e.embedding', 'e.embedding')})
                                    * sqrt({dot_sql('c.ce', 'c.ce')})) DESC, c.crk) AS rn
     FROM embeddings e, cents c) WHERE rn = 1),
-q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {_APPEND_Q}),
+q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {n_q}),
 probes AS (
   SELECT qid, cell FROM (
     SELECT q.qid, c.crk AS cell,
@@ -703,7 +709,7 @@ probes AS (
                               ORDER BY {dot_sql('q.qe', 'c.ce')}
                                 / (sqrt({dot_sql('q.qe', 'q.qe')})
                                    * sqrt({dot_sql('c.ce', 'c.ce')})) DESC, c.crk) AS prk
-    FROM q, cents c) WHERE prk <= {_APPEND_NPROBE}),
+    FROM q, cents c) WHERE prk <= {nprobe}),
 scored AS (
   SELECT q.qid, e.vec_id,
          {dot_sql('e.embedding', 'q.qe')}
@@ -718,8 +724,20 @@ ranked AS (
   SELECT qid, vec_id, cosine,
          row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
   FROM scored)
-SELECT qid, vec_id, cosine FROM ranked WHERE rn <= {_APPEND_K}
+SELECT qid, vec_id, cosine FROM ranked WHERE rn <= {k}
 """
+
+
+# The MAINTAINED-INDEX oracle: same replay structure as _KNN_IVF_SQL,
+# with one change that IS the append semantics — centroid choice ranks
+# md5 over the BASE corpus only (the quantizer is frozen at build time),
+# while assignment/probe/scoring run over base ∪ delta (the maintained
+# contents).  A full hash-match therefore proves the append routed every
+# delta vector exactly where a frozen-quantizer rebuild would have.
+_IVF_APPEND_SQL = _ivf_oracle_sql(
+    f"WHERE vec_id % {_APPEND_BASE_MOD} <> 0",
+    _APPEND_CELLS, _APPEND_NPROBE, _APPEND_Q, _APPEND_K,
+)
 
 
 @register("sim_ivf_index_append", oracle=_IVF_APPEND_SQL)
@@ -785,46 +803,9 @@ def sim_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 # md5-seeded over the CURRENT (full) corpus, which is exactly the
 # fresh-build construction; the swap's whole contract is that the
 # served index is indistinguishable from that rebuild.
-_IVF_RETRAIN_SQL = f"""
-WITH cents AS (
-  SELECT cid, ce, crk FROM (
-    SELECT vec_id AS cid, embedding AS ce,
-           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS crk
-    FROM embeddings)
-  WHERE crk <= {_APPEND_CELLS}),
-asgn AS (
-  SELECT vec_id, cell FROM (
-    SELECT e.vec_id, c.crk AS cell,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                              ORDER BY {dot_sql('e.embedding', 'c.ce')}
-                                / (sqrt({dot_sql('e.embedding', 'e.embedding')})
-                                   * sqrt({dot_sql('c.ce', 'c.ce')})) DESC, c.crk) AS rn
-    FROM embeddings e, cents c) WHERE rn = 1),
-q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {_APPEND_Q}),
-probes AS (
-  SELECT qid, cell FROM (
-    SELECT q.qid, c.crk AS cell,
-           ROW_NUMBER() OVER (PARTITION BY q.qid
-                              ORDER BY {dot_sql('q.qe', 'c.ce')}
-                                / (sqrt({dot_sql('q.qe', 'q.qe')})
-                                   * sqrt({dot_sql('c.ce', 'c.ce')})) DESC, c.crk) AS prk
-    FROM q, cents c) WHERE prk <= {_APPEND_NPROBE}),
-scored AS (
-  SELECT q.qid, e.vec_id,
-         {dot_sql('e.embedding', 'q.qe')}
-           / (sqrt({dot_sql('e.embedding', 'e.embedding')})
-              * sqrt({dot_sql('q.qe', 'q.qe')})) AS cosine
-  FROM embeddings e
-  JOIN asgn a ON a.vec_id = e.vec_id
-  JOIN probes p ON p.cell = a.cell
-  JOIN q ON q.qid = p.qid
-  WHERE e.vec_id <> q.qid),
-ranked AS (
-  SELECT qid, vec_id, cosine,
-         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
-  FROM scored)
-SELECT qid, vec_id, cosine FROM ranked WHERE rn <= {_APPEND_K}
-"""
+_IVF_RETRAIN_SQL = _ivf_oracle_sql(
+    "", _APPEND_CELLS, _APPEND_NPROBE, _APPEND_Q, _APPEND_K
+)
 
 
 @register("sim_ivf_retrain_swap", oracle=_IVF_RETRAIN_SQL)

@@ -442,49 +442,12 @@ _IVF_INGEST_K = 3
 
 
 def _ivf_ingest_sql() -> str:
-    from ..functions.vectors import dot_sql
+    from .similarity import _ivf_oracle_sql
 
-    return f"""
-WITH cents AS (
-  SELECT cid, ce, crk FROM (
-    SELECT vec_id AS cid, embedding AS ce,
-           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS crk
-    FROM embeddings WHERE vec_id % {_IVF_INGEST_MOD} = 0)
-  WHERE crk <= {_IVF_INGEST_CELLS}),
-asgn AS (
-  SELECT vec_id, cell FROM (
-    SELECT e.vec_id, c.crk AS cell,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                              ORDER BY {dot_sql('e.embedding', 'c.ce')}
-                                / (sqrt({dot_sql('e.embedding', 'e.embedding')})
-                                   * sqrt({dot_sql('c.ce', 'c.ce')})) DESC, c.crk) AS rn
-    FROM embeddings e, cents c) WHERE rn = 1),
-q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-      WHERE vec_id < {_IVF_INGEST_Q}),
-probes AS (
-  SELECT qid, cell FROM (
-    SELECT q.qid, c.crk AS cell,
-           ROW_NUMBER() OVER (PARTITION BY q.qid
-                              ORDER BY {dot_sql('q.qe', 'c.ce')}
-                                / (sqrt({dot_sql('q.qe', 'q.qe')})
-                                   * sqrt({dot_sql('c.ce', 'c.ce')})) DESC, c.crk) AS prk
-    FROM q, cents c) WHERE prk <= {_IVF_INGEST_NPROBE}),
-scored AS (
-  SELECT q.qid, e.vec_id,
-         {dot_sql('e.embedding', 'q.qe')}
-           / (sqrt({dot_sql('e.embedding', 'e.embedding')})
-              * sqrt({dot_sql('q.qe', 'q.qe')})) AS cosine
-  FROM embeddings e
-  JOIN asgn a ON a.vec_id = e.vec_id
-  JOIN probes p ON p.cell = a.cell
-  JOIN q ON q.qid = p.qid
-  WHERE e.vec_id <> q.qid),
-ranked AS (
-  SELECT qid, vec_id, cosine,
-         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn
-  FROM scored)
-SELECT qid, vec_id, cosine FROM ranked WHERE rn <= {_IVF_INGEST_K}
-"""
+    return _ivf_oracle_sql(
+        f"WHERE vec_id % {_IVF_INGEST_MOD} = 0",
+        _IVF_INGEST_CELLS, _IVF_INGEST_NPROBE, _IVF_INGEST_Q, _IVF_INGEST_K,
+    )
 
 
 @register("stream_continuous_ivf_ingest", oracle=_ivf_ingest_sql())

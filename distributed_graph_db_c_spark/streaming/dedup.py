@@ -312,6 +312,14 @@ def continuous_ivf_ingest(
         ivf_resolve,
     )
 
+    if max_audits < 1:
+        raise ValueError(
+            f"continuous_ivf_ingest: max_audits must be >= 1, got "
+            f"{max_audits} (0 would keep EVERY audit — lst[:-0] is the "
+            "empty slice — re-enabling the unbounded growth the bound "
+            "exists to prevent)"
+        )
+
     def _record(audit: dict) -> None:
         handle.audits.append(audit)
         del handle.audits[:-max_audits]
@@ -460,10 +468,6 @@ def continuous_index_dedup(
         hs = shingle_hash_sets(batch, k, id_col, text_col).localCheckpoint(
             eager=True
         )
-        sig = minhash_signatures(
-            batch, k=k, id_col=id_col, text_col=text_col, hs_df=hs
-        ).localCheckpoint(eager=True)
-        share = dict(hs_df=hs, sig_df=sig)
         # ADVICE r13 (low): a batch with ZERO indexable rows (empty
         # micro-batch, or every doc under k tokens) is a NO-OP — no
         # pair can form (both pair paths require shingles) and there
@@ -474,10 +478,17 @@ def continuous_index_dedup(
         # widening every subsequent read plan until the max_segments
         # arm tripped; it would likewise bootstrap an empty generation
         # whose zero-row basis poisons the retrain ledger
-        # (appended_frac = inf from the first real batch).
+        # (appended_frac = inf from the first real batch).  The guard
+        # sits BEFORE the signing pass: hs is already materialized, so
+        # the count is cheap, and a discarded batch must not pay a
+        # full signature job it will throw away.
         n_indexable = hs.count()
         if n_indexable == 0:
             return
+        sig = minhash_signatures(
+            batch, k=k, id_col=id_col, text_col=text_col, hs_df=hs
+        ).localCheckpoint(eager=True)
+        share = dict(hs_df=hs, sig_df=sig)
         if not index_generations(spark, table_prefix):
             # bootstrap: within-batch pairs, then generation 1 (the
             # marker create is this batch's commit point)

@@ -28,12 +28,19 @@ def scratch_dir(label: str) -> str:
     return d
 
 
-def stage_stream_dir(frames: list[DataFrame], out_dir: str) -> str:
+def stage_stream_dir(frames: list[DataFrame], out_dir: str, start: int = 0) -> str:
     """Write each DataFrame as one single-file parquet batch under
     ``out_dir`` with strictly increasing mtimes, so a file-stream source
-    with maxFilesPerTrigger=1 replays them in order."""
+    with maxFilesPerTrigger=1 replays them in order.
+
+    ``start`` offsets the batch index (round 14): staging a SECOND
+    tranche into the same directory with ``start=<prior count>`` gives
+    the new files later names and mtimes, so an availableNow rerun of
+    the same checkpoint picks up exactly the new batches — the
+    stop/maintain/resume pattern the mid-stream compaction and retrain
+    pins drive."""
     os.makedirs(out_dir, exist_ok=True)
-    for i, df in enumerate(frames):
+    for i, df in enumerate(frames, start=start):
         tmp = os.path.join(out_dir, f"_stage{i}")
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))

@@ -202,19 +202,12 @@ def test_decode_audio_handles_predicted_flac_everywhere():
 
 def _stage_at(frames, out_dir, offset):
     """stage_stream_dir with an index offset, so a SECOND availableNow
-    run of the same checkpoint picks up only the new files."""
-    import os
-    import shutil
+    run of the same checkpoint picks up only the new files.  Round 14:
+    delegates to the shared helper — the staging convention (names,
+    mtime base/spacing) lives in ONE place."""
+    from distributed_graph_db_c_spark.streaming.sources import stage_stream_dir
 
-    os.makedirs(out_dir, exist_ok=True)
-    for i, df in enumerate(frames, start=offset):
-        tmp = os.path.join(out_dir, f"_stage{i}")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        final = os.path.join(out_dir, f"batch{i:04d}.parquet")
-        shutil.move(os.path.join(tmp, part), final)
-        shutil.rmtree(tmp)
-        os.utime(final, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    stage_stream_dir(frames, out_dir, start=offset)
 
 
 def test_continuous_stream_rides_mid_stream_compaction(spark):

@@ -51,16 +51,11 @@ def _local(uri: str) -> str:
 
 def _stage_at(frames, out_dir, offset):
     """stage_stream_dir with an index offset, so a SECOND availableNow
-    run of the same checkpoint picks up only the new files."""
-    os.makedirs(out_dir, exist_ok=True)
-    for i, df in enumerate(frames, start=offset):
-        tmp = os.path.join(out_dir, f"_stage{i}")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
-        final = os.path.join(out_dir, f"batch{i:04d}.parquet")
-        shutil.move(os.path.join(tmp, part), final)
-        shutil.rmtree(tmp)
-        os.utime(final, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+    run of the same checkpoint picks up only the new files — delegates
+    to the shared helper so the staging convention lives in ONE place."""
+    from distributed_graph_db_c_spark.streaming.sources import stage_stream_dir
+
+    stage_stream_dir(frames, out_dir, start=offset)
 
 
 # -- 1: the LSH stream rides a mid-stream RETRAIN -----------------------------
@@ -257,6 +252,65 @@ def test_attach_bucketed_refuses_contradicting_spec(spark):
         assert spark.table(table).count() == 100
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_attach_bucketed_refuses_sorted_mismatch_and_torn_sidecar(spark):
+    """Review follow-ups (round 14): (a) a SORTED BY attach over
+    unsorted bucket files is the same silent-corruption class as a
+    bucket-count mismatch (one file per bucket means Spark trusts the
+    sort metadata and elides the sort in sort-merge joins) — the
+    contradiction check covers the sorted flag too; (b) a torn/empty
+    sidecar must raise a CLEAR error naming the file, not a py4j
+    EOFException on every later attach, and never silently fall back
+    to the caller's (possibly wrong) spec."""
+    from distributed_graph_db_c_spark.operators.bucketing import (
+        attach_bucketed,
+        read_bucket_spec,
+        warehouse_location,
+        write_bucketed,
+    )
+
+    table = "r14spec_sorted"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        write_bucketed(
+            spark.range(100).select("id"), table, key="id", n_buckets=5,
+            sorted_buckets=False,
+        )
+        loc = _local(warehouse_location(spark, table))
+        staged = loc + "__staged"
+        shutil.copytree(loc, staged)
+        spark.sql(f"DROP TABLE {table}")
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
+        shutil.move(staged, loc)
+        # (a) right keys + count, WRONG sort claim -> refuse
+        with pytest.raises(ValueError, match="contradicts the on-disk"):
+            attach_bucketed(spark, table, "id bigint", "id", 5)
+        attach_bucketed(
+            spark, table, "id bigint", "id", 5, sorted_buckets=False
+        )
+        assert spark.table(table).count() == 100
+        spark.sql(f"DROP TABLE {table}")
+        # (b) torn sidecar (created, never written) -> clear refusal
+        spec_path = os.path.join(loc, "_BUCKET_SPEC")
+        open(spec_path, "w").close()
+        with pytest.raises(ValueError, match="cannot be read/parsed"):
+            read_bucket_spec(spark, table)
+        with pytest.raises(ValueError, match="cannot be read/parsed"):
+            attach_bucketed(spark, table, "id bigint", "id", 5)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_continuous_ivf_ingest_rejects_degenerate_audit_bound():
+    import pytest as _pytest
+
+    from distributed_graph_db_c_spark.streaming.dedup import continuous_ivf_ingest
+
+    with _pytest.raises(ValueError, match="max_audits must be >= 1"):
+        continuous_ivf_ingest("/tmp/never-used", max_audits=0)
 
 
 def test_bucket_spec_sidecar_invisible_to_scans(spark):
