@@ -51,19 +51,35 @@ def _write_bucket_spec(
     fs, jpath = _hadoop_fs(spark, location)
     final = f"{location.rstrip('/')}/{BUCKET_SPEC_FILE}"
     tmp = f"{final}__tmp_{_uuid.uuid4().hex[:8]}__"
-    out = fs.create(jpath(tmp), True)
     try:
-        out.writeUTF(
-            json.dumps(
-                {"keys": keys, "n_buckets": n_buckets, "sorted": sorted_buckets}
+        out = fs.create(jpath(tmp), True)
+        try:
+            out.writeUTF(
+                json.dumps(
+                    {"keys": keys, "n_buckets": n_buckets,
+                     "sorted": sorted_buckets}
+                )
             )
-        )
-    finally:
-        out.close()
-    fs.delete(jpath(final), False)  # overwrite-by-rename needs the slot free
-    if not fs.rename(jpath(tmp), jpath(final)):
-        fs.delete(jpath(tmp), False)
-        raise OSError(f"could not publish bucket spec {final}")
+        finally:
+            out.close()
+        # rename-first: only if the destination is occupied (a
+        # re-publish over an existing sidecar) clear it and retry — the
+        # no-sidecar window exists only on that re-publish path, where
+        # the whole table directory is mid-overwrite anyway
+        # (write_bucketed clears the directory before saveAsTable, so
+        # the common path renames into an empty slot atomically)
+        if not fs.rename(jpath(tmp), jpath(final)):
+            fs.delete(jpath(final), False)
+            if not fs.rename(jpath(tmp), jpath(final)):
+                raise OSError(f"could not publish bucket spec {final}")
+    except Exception:
+        # never leave the hidden temp behind (one orphan per failed
+        # attempt would accumulate in the table directory forever)
+        try:
+            fs.delete(jpath(tmp), False)
+        except Exception:
+            pass
+        raise
 
 
 def read_bucket_spec(
@@ -542,8 +558,12 @@ def index_drop_all(
         for s in index_segments(spark, table_prefix, g):
             fs.delete(jpath(_index_seg_marker(warehouse, table_prefix, g, s)), False)
         fs.delete(jpath(_index_marker(warehouse, table_prefix, g)), False)
+    # \d{8,}/\d{4,}, NOT fixed width (round 14 review): %08d/%04d widen
+    # past their field width, and the module's marker regexes already
+    # accept that — a fixed-width pattern here would leak segment-10000
+    # tables/directories past the drop while the markers vanish
     pat = _re.compile(
-        rf"^{_re.escape(table_prefix)}(__g\d{{8}}(_s\d{{4}})?)?"
+        rf"^{_re.escape(table_prefix)}(__g\d{{8,}}(_s\d{{4,}})?)?"
         rf"({'|'.join(_re.escape(s) for s in suffixes)})$"
     )
     for t in spark.catalog.listTables():

@@ -90,7 +90,16 @@ def incremental_minhash_dedup(
         sig = minhash_signatures(batch, k=k, id_col=id_col, text_col=text_col, hs_df=hs_new)
         bk_new = minhash_band_buckets(sig).localCheckpoint(eager=True)
 
-        have_index = os.path.isdir(buckets_dir)
+        # existence probe through the Hadoop filesystem, NOT
+        # os.path.isdir (round 14 review): a driver-local isdir on an
+        # object-store/HDFS index_dir is always False, so the
+        # accumulated index would never be consulted and every
+        # cross-batch pair silently lost — the resolve-don't-assume
+        # discipline every other probe in the engine follows
+        from ..sinks import _hadoop_fs
+
+        fs, jpath = _hadoop_fs(spark, buckets_dir)
+        have_index = fs.exists(jpath(buckets_dir))
         new_a = bk_new.select(F.col("id").alias("doc_a"), "band", "bucket")
         new_b = bk_new.select(F.col("id").alias("doc_b"), "band", "bucket")
         # new-vs-new: within-batch collisions, ordered by id
@@ -135,9 +144,17 @@ def incremental_minhash_dedup(
             .filter(F.col("jaccard") >= threshold)
         )
         pairs.write.mode("append").parquet(pairs_dir)
-        # index writes LAST (see at-least-once note above)
-        bk_new.write.mode("append").parquet(buckets_dir)
+        # index writes LAST (see at-least-once note above), hs BEFORE
+        # buckets (round 14 review): ``have_index`` gates on
+        # buckets_dir, so the LAST-written directory must be the gate —
+        # a crash between the two writes then replays with
+        # have_index=False (hs rows duplicated, which the exact-Jaccard
+        # verify renders as byte-identical pair rows that readers'
+        # distinct() collapses), instead of the old order's permanent
+        # wedge (gate true, hs_dir missing, PATH_NOT_FOUND on every
+        # redelivery)
         hs_new.write.mode("append").parquet(hs_dir)
+        bk_new.write.mode("append").parquet(buckets_dir)
 
     return handle
 
@@ -212,6 +229,21 @@ def continuous_embedding_dedup(
         n_batch = batch.count()
         if n_batch == 0:
             return
+        # internal duplicate ids refuse BEFORE any write, for EVERY
+        # batch including the bootstrap (round 14 review):
+        # lsh_index_build has no duplicate check — unlike
+        # lsh_index_append, which refuses them on every later batch —
+        # so a duplicated first batch would silently build a
+        # generation that double-scores that vector in every screen,
+        # permanently; and on later batches the append's own refusal
+        # fires only after the pairs write (harmless but churny).
+        if batch.select(id_col).distinct().count() != n_batch:
+            raise ValueError(
+                f"continuous_embedding_dedup({table_prefix}): batch "
+                f"{batch_id} has internally duplicated {id_col} values "
+                "— the same vector would index and score twice. "
+                "Nothing was written."
+            )
         if not index_generations(spark, table_prefix):
             cosine_lsh_pairs(
                 batch, threshold, dim, id_col, vec_col, multiprobe=N_PLANES
@@ -231,6 +263,23 @@ def continuous_embedding_dedup(
             index_seg_prefix(table_prefix, gen, s)
             for s in index_segments(spark, table_prefix, gen)
         ]
+        # cross-session seam (round 14 review): the classify step reads
+        # the resolved parts BEFORE the screen call whose own
+        # ensure_attached would self-heal them — a segment another
+        # session (the nightly job this stream converges with)
+        # published since this session attached would otherwise kill
+        # the stream with TABLE_OR_VIEW_NOT_FOUND on every redelivery
+        from ..operators.bucketing import ensure_attached
+        from ..operators.similarity import (
+            LSH_INDEX_N_BUCKETS,
+            LSH_INDEX_VECTORS_DDL,
+        )
+
+        for p in parts:
+            ensure_attached(
+                spark, f"{p}_vectors", LSH_INDEX_VECTORS_DDL, "id",
+                LSH_INDEX_N_BUCKETS,
+            )
         existing = _reduce(
             DataFrame.unionByName,
             [spark.table(f"{p}_vectors").select("id") for p in parts],
@@ -334,19 +383,24 @@ def continuous_ivf_ingest(
         # empty segment (or bootstrap a zero-row quantizer)
         if n_batch == 0:
             return
-        if not _ivf_generations(spark, path):
-            ivf_build(batch, path, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
-            _record({"bootstrap": True, "batch_rows": n_batch})
-            return
-        # the classification below subsumes the append's index-side
-        # duplicate check (check_duplicate_ids=False), but NOT its
-        # internal-duplicate check — keep that here
+        # internal duplicate ids refuse BEFORE anything — including the
+        # BOOTSTRAP (round 14 review: ivf_build performs no duplicate
+        # check, so a duplicated first batch silently built a poisoned
+        # generation 1, and its crash-redelivery then hit this check —
+        # generations exist by then — wedging the stream on a batch
+        # whose first delivery "succeeded").  The classification below
+        # subsumes the append's index-side duplicate check
+        # (check_duplicate_ids=False), but NOT this internal one.
         if batch.select(id_col).distinct().count() != n_batch:
             raise ValueError(
                 f"continuous_ivf_ingest({path}): batch {batch_id} has "
                 "internally duplicated ids — the same candidate would "
                 "score twice per query. Nothing was written."
             )
+        if not _ivf_generations(spark, path):
+            ivf_build(batch, path, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+            _record({"bootstrap": True, "batch_rows": n_batch})
+            return
         content = ivf_resolve(spark, path)
         _, ids_table, _ = _ivf_snapshot(spark, content)
         n_in = (
@@ -515,6 +569,18 @@ def continuous_index_dedup(
             index_seg_prefix(table_prefix, gen, s)
             for s in index_segments(spark, table_prefix, gen)
         ]
+        # cross-session seam (round 14 review): attach any part missing
+        # from this session's catalog BEFORE the classify read — the
+        # screen call's own ensure_attached runs too late to save a
+        # stream racing the nightly job's append
+        from ..operators.bucketing import ensure_attached
+        from ..operators.dedup import INDEX_N_BUCKETS, INDEX_SHINGLES_DDL
+
+        for p in parts:
+            ensure_attached(
+                spark, f"{p}_shingles", INDEX_SHINGLES_DDL, "id",
+                INDEX_N_BUCKETS,
+            )
         existing = _reduce(
             DataFrame.unionByName,
             [spark.table(f"{p}_shingles").select("id") for p in parts],

@@ -30,6 +30,16 @@ maintenance-story gap, each closed at the root and pinned here:
    r13 verdict's anti-pattern audit): one dict per micro-batch for the
    life of the stream is a slow driver-memory leak; only the newest
    ``max_audits`` entries are kept.
+
+5. Round-14 review pins (the in-round review of the diff + the
+   streaming/index seam): classify-step reads auto-attach cross-session
+   segments BEFORE they can kill the stream; duplicated BOOTSTRAP
+   batches refuse pre-write in both vector handlers (their builds,
+   unlike their appends, perform no duplicate check); the scratch-index
+   stream's hs/buckets write order leaves no permanent-wedge crash
+   window; index_drop_all reclaims width-overflowed segment names; the
+   _BUCKET_SPEC sidecar republishes atomically with no orphaned temps,
+   validates the sorted flag, and refuses (clearly) when torn.
 """
 
 from __future__ import annotations
@@ -591,3 +601,218 @@ def test_continuous_ivf_ingest_audits_bounded_and_empty_noop(spark):
         assert [a["segment"] for a in handler.audits] == [3, 4, 5]
     finally:
         cleanup(s)
+
+
+# -- round-14 review pins: streaming/index seam hardening ---------------------
+
+
+def _drop_preserving_files(spark, tables: list[str]) -> None:
+    """Simulate 'another session appended': destroy THIS session's
+    catalog entries for ``tables`` while preserving their warehouse
+    directories (managed DROP purges, so the data is staged aside and
+    restored) — the same simulation as test_round13_properties."""
+    from distributed_graph_db_c_spark.operators.bucketing import warehouse_location
+
+    staged = {}
+    for t in tables:
+        loc = _local(warehouse_location(spark, t))
+        staged[t] = loc + "__staged"
+        shutil.copytree(loc, staged[t])
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    for t, s in staged.items():
+        loc = _local(warehouse_location(spark, t))
+        if os.path.exists(loc):
+            shutil.rmtree(loc)
+        shutil.move(s, loc)
+
+
+def test_continuous_stream_classify_survives_cross_session_append(spark):
+    """The classify step reads the resolved index parts BEFORE the
+    screen call whose own ensure_attached would self-heal them (round
+    14 review): a segment another session published after this session
+    attached must not kill the stream with TABLE_OR_VIEW_NOT_FOUND —
+    simulated by destroying the catalog entries (files preserved)
+    between an append and the next micro-batch."""
+    from distributed_graph_db_c_spark.operators.bucketing import (
+        index_drop_all,
+        index_seg_prefix,
+    )
+    from distributed_graph_db_c_spark.operators.dedup import (
+        _index_claim,
+        minhash_dedup_pairs,
+        minhash_index_status,
+    )
+    from distributed_graph_db_c_spark.sinks import _hadoop_fs
+    from distributed_graph_db_c_spark.sources.tables import load_table
+    from distributed_graph_db_c_spark.streaming.dedup import (
+        PAIRS_DDL,
+        continuous_index_dedup,
+    )
+    from distributed_graph_db_c_spark.streaming.sources import cleanup, scratch_dir
+
+    docs = load_table(spark, SF_DIR, "documents")
+    expected = sorted(
+        tuple(r) for r in minhash_dedup_pairs(docs, threshold=0.8).collect()
+    )
+    prefix = "r14xsesscls"
+    index_drop_all(spark, prefix, ("_bands", "_shingles"))
+    scratch = scratch_dir("xsesscls")
+    try:
+        batches = [docs.filter(F.pmod("doc_id", F.lit(3)) == i) for i in range(3)]
+        handler = continuous_index_dedup(prefix, f"{scratch}/pairs")
+        handler(batches[0], 0)  # bootstrap gen 1
+        handler(batches[1], 1)  # segment 1
+        # "another session appended": this session's catalog forgets the
+        # segment tables, the on-disk markers still name them
+        sp = index_seg_prefix(prefix, 1, 1)
+        _drop_preserving_files(spark, [f"{sp}_bands", f"{sp}_shingles"])
+        handler(batches[2], 2)  # classify must auto-attach, not die
+        st = minhash_index_status(spark, prefix)
+        assert (st["generation"], st["segments"]) == (1, [1, 2])
+        got = sorted(
+            tuple(r)
+            for r in spark.read.schema(PAIRS_DDL)
+            .parquet(f"{scratch}/pairs")
+            .distinct()
+            .collect()
+        )
+        assert got == expected
+    finally:
+        index_drop_all(spark, prefix, ("_bands", "_shingles"))
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        fs, jpath = _hadoop_fs(spark, warehouse)
+        fs.delete(jpath(_index_claim(warehouse, prefix)), False)
+        cleanup(scratch)
+
+
+def test_continuous_handlers_refuse_duplicated_bootstrap_batch(spark):
+    """lsh_index_build / ivf_build perform no internal-duplicate check
+    (unlike their appends), so before round 14 a duplicated FIRST batch
+    silently built a poisoned generation 1 — and the IVF stream then
+    wedged on that batch's own crash-redelivery (generations exist by
+    then, so the replay hit the duplicate refusal).  Both handlers now
+    refuse BEFORE any write, bootstrap included."""
+    import numpy as np
+
+    from distributed_graph_db_c_spark.operators.bucketing import (
+        index_drop_all,
+        index_generations,
+    )
+    from distributed_graph_db_c_spark.sources.tables import load_table
+    from distributed_graph_db_c_spark.streaming.dedup import (
+        continuous_embedding_dedup,
+        continuous_ivf_ingest,
+    )
+    from distributed_graph_db_c_spark.streaming.sources import cleanup, scratch_dir
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    prefix = "r14dupboot"
+    index_drop_all(spark, prefix, ("_buckets", "_vectors", "_meta"))
+    scratch = scratch_dir("dupboot")
+    try:
+        dup = emb.limit(5).unionByName(emb.limit(2))
+        handler = continuous_embedding_dedup(prefix, f"{scratch}/pairs")
+        with pytest.raises(ValueError, match="internally duplicated"):
+            handler(dup, 0)
+        assert not index_generations(spark, prefix)
+        assert not os.path.exists(f"{scratch}/pairs")
+
+        rng = np.random.RandomState(52)
+        vecs = rng.randn(12, 8)
+        corpus = spark.createDataFrame(
+            [(i % 9, [float(x) for x in vecs[i]]) for i in range(12)],
+            "vec_id long, embedding array<double>",
+        )  # ids 0..8 with 0,1,2 duplicated
+        ivf = continuous_ivf_ingest(f"{scratch}/idx", n_cells=2)
+        with pytest.raises(ValueError, match="internally duplicated"):
+            ivf(corpus, 0)
+        assert not os.path.exists(f"{scratch}/idx")
+    finally:
+        index_drop_all(spark, prefix, ("_buckets", "_vectors", "_meta"))
+        cleanup(scratch)
+
+
+def test_incremental_minhash_replay_survives_crash_between_index_writes(spark):
+    """The scratch-index stream's crash window (round 14 review): the
+    hs store now lands BEFORE the buckets store, and ``have_index``
+    gates on buckets (the LAST write) — a crash between the two leaves
+    hs-without-buckets, which a redelivery treats as no-index (its hs
+    rows duplicate; the exact-Jaccard verify makes the duplicate pair
+    rows byte-identical, collapsed by readers' distinct()) instead of
+    the old order's permanent PATH_NOT_FOUND wedge."""
+    import shutil as _shutil
+
+    from distributed_graph_db_c_spark.operators.dedup import minhash_dedup_pairs
+    from distributed_graph_db_c_spark.sources.tables import load_table
+    from distributed_graph_db_c_spark.streaming.dedup import (
+        PAIRS_DDL,
+        incremental_minhash_dedup,
+    )
+    from distributed_graph_db_c_spark.streaming.sources import cleanup, scratch_dir
+
+    docs = load_table(spark, SF_DIR, "documents")
+    expected = sorted(
+        tuple(r) for r in minhash_dedup_pairs(docs, threshold=0.8).collect()
+    )
+    scratch = scratch_dir("crashwin")
+    try:
+        a = docs.filter(F.pmod("doc_id", F.lit(2)) == 0)
+        b = docs.filter(F.pmod("doc_id", F.lit(2)) == 1)
+        handler = incremental_minhash_dedup(
+            f"{scratch}/idx", f"{scratch}/pairs", threshold=0.8
+        )
+        handler(a, 0)
+        # crash between the hs write and the buckets write: hs persisted,
+        # buckets gone
+        _shutil.rmtree(f"{scratch}/idx/buckets")
+        handler(a, 0)  # redelivery must not raise (old order: wedge)
+        handler(b, 1)
+        got = sorted(
+            tuple(r)
+            for r in spark.read.schema(PAIRS_DDL)
+            .parquet(f"{scratch}/pairs")
+            .distinct()
+            .collect()
+        )
+        assert got == expected
+    finally:
+        cleanup(scratch)
+
+
+def test_index_drop_all_reclaims_wide_segment_names(spark):
+    """index_drop_all's cleanup pattern accepts widened %04d/%08d
+    numbers (round 14 review) — segment 10000's tables must not leak
+    past the drop the way the marker regexes already guard."""
+    from distributed_graph_db_c_spark.operators.bucketing import index_drop_all
+
+    wide = "r14wide__g00000001_s10000_bands"
+    spark.sql(f"DROP TABLE IF EXISTS {wide}")
+    spark.range(3).write.mode("overwrite").saveAsTable(wide)
+    assert spark.catalog.tableExists(wide)
+    index_drop_all(spark, "r14wide", ("_bands", "_shingles"))
+    assert not spark.catalog.tableExists(wide)
+
+
+def test_bucket_spec_republish_leaves_single_sidecar(spark):
+    """Re-publishing a bucketed table (write_bucketed over the same
+    name) must leave exactly one _BUCKET_SPEC and no orphaned
+    __tmp files (round 14 review: the rename-first retry path)."""
+    from distributed_graph_db_c_spark.operators.bucketing import (
+        read_bucket_spec,
+        warehouse_location,
+        write_bucketed,
+    )
+
+    table = "r14spec_repub"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        write_bucketed(spark.range(50).select("id"), table, key="id", n_buckets=4)
+        write_bucketed(spark.range(60).select("id"), table, key="id", n_buckets=8)
+        assert read_bucket_spec(spark, table)["n_buckets"] == 8
+        loc = _local(warehouse_location(spark, table))
+        names = os.listdir(loc)
+        assert names.count("_BUCKET_SPEC") == 1
+        assert not [n for n in names if "__tmp_" in n]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -162,6 +162,8 @@ STREAM_QUERIES = [
     "stream_freq_items_incremental",
     "stream_attribution_last_touch",  # round 8
     "stream_continuous_index_dedup",  # round 12, late: durable-index form
+    "stream_continuous_embedding_dedup",  # round 13, late: LSH-index form
+    "stream_continuous_ivf_ingest",  # round 14: ANN ingest loop
 ]
 
 N_PASSES = 2
