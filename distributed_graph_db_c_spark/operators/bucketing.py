@@ -36,30 +36,27 @@ from pyspark.sql import DataFrame, SparkSession
 BUCKET_SPEC_FILE = "_BUCKET_SPEC"
 
 
-def _write_bucket_spec(
-    spark: SparkSession, location: str, keys: list[str], n_buckets: int,
-    sorted_buckets: bool,
+def write_json_sidecar(
+    spark: SparkSession, location: str, name: str, payload: dict
 ) -> None:
-    # crash-atomic: stage under a hidden temp name, then RENAME over the
-    # final name — a driver death mid-write must never leave a torn
-    # sidecar that bricks every later attach (rename is a metadata op on
-    # HDFS-compatible stores; the same discipline as sinks._swap_dir)
+    """Publish a small JSON contract file inside a data directory,
+    crash-atomically: stage under a hidden temp name, then RENAME over
+    the final name — a driver death mid-write must never leave a torn
+    sidecar that bricks every later read (rename is a metadata op on
+    HDFS-compatible stores; the same discipline as sinks._swap_dir).
+    ``name`` must start with "_" so scans never see it as data."""
     import uuid as _uuid
 
     from ..sinks import _hadoop_fs
 
+    assert name.startswith("_"), name
     fs, jpath = _hadoop_fs(spark, location)
-    final = f"{location.rstrip('/')}/{BUCKET_SPEC_FILE}"
+    final = f"{location.rstrip('/')}/{name}"
     tmp = f"{final}__tmp_{_uuid.uuid4().hex[:8]}__"
     try:
         out = fs.create(jpath(tmp), True)
         try:
-            out.writeUTF(
-                json.dumps(
-                    {"keys": keys, "n_buckets": n_buckets,
-                     "sorted": sorted_buckets}
-                )
-            )
+            out.writeUTF(json.dumps(payload))
         finally:
             out.close()
         # rename-first: only if the destination is occupied (a
@@ -71,7 +68,7 @@ def _write_bucket_spec(
         if not fs.rename(jpath(tmp), jpath(final)):
             fs.delete(jpath(final), False)
             if not fs.rename(jpath(tmp), jpath(final)):
-                raise OSError(f"could not publish bucket spec {final}")
+                raise OSError(f"could not publish sidecar {final}")
     except Exception:
         # never leave the hidden temp behind (one orphan per failed
         # attempt would accumulate in the table directory forever)
@@ -82,22 +79,18 @@ def _write_bucket_spec(
         raise
 
 
-def read_bucket_spec(
-    spark: SparkSession, table: str, location: str | None = None
+def read_json_sidecar(
+    spark: SparkSession, location: str, name: str
 ) -> dict | None:
-    """The recorded write spec of bucketed table ``table`` (or the
-    explicit ``location``), or None for a directory written before the
-    sidecar existed (legacy indexes keep the caller-supplied-spec
-    behavior).  A PRESENT-but-unreadable sidecar raises a clear error
-    naming the file: silently falling back to the caller's default here
-    would reintroduce the exact mislabeled-attach corruption the
-    sidecar exists to prevent."""
+    """Read a contract sidecar published by :func:`write_json_sidecar`,
+    or None if absent (legacy directory).  A PRESENT-but-unreadable
+    sidecar raises a clear error naming the file: silently treating it
+    as absent would reintroduce exactly the trusted-wrong-default
+    corruption the sidecar exists to prevent."""
     from ..sinks import _hadoop_fs
 
-    if location is None:
-        location = warehouse_location(spark, table.split(".")[-1])
     fs, jpath = _hadoop_fs(spark, location)
-    path = f"{location.rstrip('/')}/{BUCKET_SPEC_FILE}"
+    path = f"{location.rstrip('/')}/{name}"
     p = jpath(path)
     if not fs.exists(p):
         return None
@@ -109,11 +102,33 @@ def read_bucket_spec(
             inp.close()
     except Exception as exc:
         raise ValueError(
-            f"bucket spec {path} exists but cannot be read/parsed "
-            f"({type(exc).__name__}) — refusing to guess the bucketing "
-            "contract; restore it (write_bucketed records it) or delete "
-            "the file to fall back to caller-supplied specs"
+            f"sidecar {path} exists but cannot be read/parsed "
+            f"({type(exc).__name__}) — refusing to guess the recorded "
+            "contract; restore it (its writer records it) or delete the "
+            "file to fall back to caller-supplied values"
         ) from exc
+
+
+def _write_bucket_spec(
+    spark: SparkSession, location: str, keys: list[str], n_buckets: int,
+    sorted_buckets: bool,
+) -> None:
+    write_json_sidecar(
+        spark, location, BUCKET_SPEC_FILE,
+        {"keys": keys, "n_buckets": n_buckets, "sorted": sorted_buckets},
+    )
+
+
+def read_bucket_spec(
+    spark: SparkSession, table: str, location: str | None = None
+) -> dict | None:
+    """The recorded write spec of bucketed table ``table`` (or the
+    explicit ``location``), or None for a directory written before the
+    sidecar existed (legacy indexes keep the caller-supplied-spec
+    behavior)."""
+    if location is None:
+        location = warehouse_location(spark, table.split(".")[-1])
+    return read_json_sidecar(spark, location, BUCKET_SPEC_FILE)
 
 
 def warehouse_location(spark: SparkSession, name: str) -> str:

@@ -29,9 +29,16 @@ from ..functions.text import shingles, tokens
 
 
 def exact_dedup(df: DataFrame, cols: list[str], key: str) -> DataFrame:
-    """Keep the min-``key`` row per duplicate group over ``cols``.
-    Equivalent semantics to dropDuplicates(cols) but with a deterministic
-    survivor (dropDuplicates keeps an arbitrary row)."""
+    """Survivor-key SUMMARY of exact duplicate groups over ``cols``:
+    one row per group carrying the group columns, the deterministic
+    min-``key`` survivor id, and ``n_copies``.  NOT a full-row
+    dropDuplicates replacement — other columns of the surviving row are
+    deliberately absent (round 14 review: the previous docstring
+    claimed dropDuplicates-equivalent semantics); join the result back
+    on ``key`` to recover the survivor's payload, or use
+    ``min_by``/a row_number window when the full row is wanted in one
+    pass.  What it adds over dropDuplicates: a DETERMINISTIC survivor
+    (dropDuplicates keeps an arbitrary row) and the copy count."""
     return df.groupBy(*cols).agg(F.min(key).alias(key), F.count("*").alias("n_copies"))
 
 
@@ -329,7 +336,20 @@ def containment_pairs(
         F.row_number().over(w).alias("pos"),
         F.count("*").over(Window.partitionBy("id")).alias("n"),
     )
-    prefix_len = F.floor(F.lit(1.0 - threshold) * F.col("n")).cast("int") + 1
+    # prefix = misses+1 = n - ceil(t*n) + 1, computed ceil-side with an
+    # epsilon guard (round 14 review): the floor((1-t)*n)+1 form is
+    # equal in exact arithmetic but float-poisoned — 1.0-0.9 is
+    # 0.09999999999999998, so at t=0.9, n=10 it yielded prefix 1 where
+    # the pigeonhole bound needs 2, silently dropping exact-boundary
+    # pairs from an operator documented as total-recall.  The 1e-9
+    # slack only ever treats t*n sitting within noise of an integer AS
+    # that integer, i.e. it can only LENGTHEN the prefix (recall-safe;
+    # at most one extra candidate shingle per doc).
+    prefix_len = (
+        F.col("n")
+        - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9)).cast("int")
+        + 1
+    )
     prefix = ranked.filter(F.col("pos") <= prefix_len).select(
         F.col("id").alias("id_p"), "h"
     )
@@ -497,6 +517,10 @@ def minhash_index_build(
         # must keep naming its dead builder) — see docstring
         if owned:
             hs.unpersist()
+    # record the build parameters on disk BEFORE the publish (round 14
+    # review) so readers/appends can validate theirs — see
+    # MINHASH_PARAMS_FILE
+    _record_minhash_params(spark, gp, num_perm, bands, rows, k)
     # publish THEN release the claim: the marker create is the atomic
     # commit point (claim_marker O_EXCL — under our build claim it
     # cannot collide; failing here leaves the claim as the loud wedge)
@@ -509,6 +533,60 @@ def minhash_index_build(
 
 def _index_claim(warehouse: str, table_prefix: str) -> str:
     return f"{warehouse.rstrip('/')}/_{table_prefix}__index_build__"
+
+
+# On-disk record of the minhash index's BUILD PARAMETERS (round 14
+# review): the LSH index persists its sizing in {prefix}_meta because "a
+# delta bucketed under different parameters would silently miss every
+# candidate" — the identical hazard was open in this index (build with
+# non-default num_perm/bands/rows/k, read or append with defaults: the
+# bkey spaces differ and every probe join returns zero candidates, no
+# error anywhere).  The record is a JSON sidecar in the generation's
+# shingle-table directory (the _BUCKET_SPEC pattern — invisible to
+# scans, crash-atomic publish); readers and appends VALIDATE their
+# caller-supplied parameters against it and refuse loudly on mismatch.
+# Generations written before the sidecar existed keep the old
+# caller-trusting behavior (read_json_sidecar returns None).
+MINHASH_PARAMS_FILE = "_MINHASH_PARAMS"
+
+
+def _minhash_params_location(spark, gp: str) -> str:
+    from .bucketing import warehouse_location
+
+    return warehouse_location(spark, f"{gp}_shingles")
+
+
+def _record_minhash_params(
+    spark, gp: str, num_perm: int, bands: int, rows: int, k: int
+) -> None:
+    from .bucketing import write_json_sidecar
+
+    write_json_sidecar(
+        spark, _minhash_params_location(spark, gp), MINHASH_PARAMS_FILE,
+        {"num_perm": num_perm, "bands": bands, "rows": rows, "k": k},
+    )
+
+
+def _check_minhash_params(
+    spark, gp: str, who: str, num_perm: int, bands: int, rows: int, k: int
+) -> None:
+    from .bucketing import read_json_sidecar
+
+    rec = read_json_sidecar(
+        spark, _minhash_params_location(spark, gp), MINHASH_PARAMS_FILE
+    )
+    if rec is None:
+        return  # pre-sidecar generation: caller-trusting legacy behavior
+    got = {"num_perm": num_perm, "bands": bands, "rows": rows, "k": k}
+    if {key: int(v) for key, v in rec.items()} != got:
+        raise ValueError(
+            f"{who}: caller parameters {got} contradict the index's "
+            f"recorded build parameters {rec} — the band-bucket keys "
+            "live in a different space, so every probe join would "
+            "silently return zero candidates (or an append would "
+            "publish a segment keyed in a foreign space); pass the "
+            "recorded parameters"
+        )
 
 
 # Appended-rows / base-rows ratio at which an append recommends a full
@@ -618,6 +696,8 @@ def minhash_index_append(
     # PRE-MUTATION SECTION (mirrors ivf_append): failures here release
     # the claim and re-raise — the index is untouched and valid, and
     # "rerun the append" would fail identically forever behind a wedge.
+    owned = hs_df is None
+    hs = None
     try:
         gens = index_generations(spark, table_prefix)
         if not gens:
@@ -632,6 +712,13 @@ def minhash_index_append(
         seg = (segs[-1] if segs else 0) + 1
         gp = index_gen_prefix(table_prefix, gen)
         parts = [gp] + [index_seg_prefix(table_prefix, gen, s) for s in segs]
+        # a mismatched-parameter segment would be keyed in a foreign
+        # bkey space, silently poisoning recall — validate against the
+        # generation's recorded build parameters (round 14 review)
+        _check_minhash_params(
+            spark, gp, f"minhash_index_append({table_prefix})",
+            num_perm=num_perm, bands=bands, rows=rows, k=k,
+        )
         # internal-duplicate check BEFORE shingling: shingle_hash_sets
         # groups by id, so two delta rows sharing an id would silently
         # MERGE their shingle sets into one indexed document — check the
@@ -648,7 +735,6 @@ def minhash_index_append(
         # hs_df/sig_df: share one shingling/signing pass when the caller
         # runs several phases over the same batch (minhash_dedup_pairs
         # has the full note); caller owns a provided frame's lifecycle
-        owned = hs_df is None
         hs = (
             shingle_hash_sets(new_docs, k, id_col, text_col).persist()
             if owned
@@ -657,17 +743,25 @@ def minhash_index_append(
         batch_rows = hs.count()
         if check_duplicate_ids:
             # one slim semi-join per part against the 2-column shingle
-            # store's id column; a hit refuses BEFORE any mutation
+            # store's id column; a hit refuses BEFORE any mutation.
+            # Cross-session seam (round 14 review): a part published by
+            # another session since this one attached must auto-attach
+            # here, not die on TABLE_OR_VIEW_NOT_FOUND
             from functools import reduce
 
+            from .bucketing import ensure_attached
+
+            for p in parts:
+                ensure_attached(
+                    spark, f"{p}_shingles", INDEX_SHINGLES_DDL, "id",
+                    INDEX_N_BUCKETS,
+                )
             existing = reduce(
                 DataFrame.unionByName,
                 [spark.table(f"{p}_shingles").select("id") for p in parts],
             )
             n_dup = hs.select("id").join(existing, "id", "left_semi").count()
             if n_dup:
-                if owned:
-                    hs.unpersist()
                 raise ValueError(
                     f"minhash_index_append({table_prefix}): {n_dup} delta "
                     f"id(s) already indexed in generation {gen} — append "
@@ -677,6 +771,12 @@ def minhash_index_append(
                     "guaranteed upstream."
                 )
     except BaseException:
+        # release discipline (round 14 review): EVERY pre-mutation
+        # failure after the persist — not just the duplicate refusal —
+        # must unpersist an owned hs, or each retried append strands
+        # one cached delta's shingle sets for the session lifetime
+        if owned and hs is not None:
+            hs.unpersist()
         fs.delete(jpath(claim), False)
         raise
     # MUTATION SECTION: claim is success-only from here (docstring).
@@ -701,7 +801,15 @@ def minhash_index_append(
     )
     fs.delete(jpath(claim), False)
     # retrain ledger — recomputed from the (cheap, slim) shingle-store
-    # row counts so a fresh session's minhash_index_status agrees
+    # row counts so a fresh session's minhash_index_status agrees; the
+    # parts attach unconditionally here (the dup-check loop above only
+    # runs under check_duplicate_ids)
+    from .bucketing import ensure_attached
+
+    for p in parts:
+        ensure_attached(
+            spark, f"{p}_shingles", INDEX_SHINGLES_DDL, "id", INDEX_N_BUCKETS
+        )
     base_rows = spark.table(f"{gp}_shingles").count()
     prior_rows = sum(
         spark.table(f"{index_seg_prefix(table_prefix, gen, s)}_shingles").count()
@@ -808,6 +916,19 @@ def minhash_index_compact(spark, table_prefix: str, n_buckets: int = 16) -> dict
             [spark.table(f"{p}_shingles").select("id", "hs") for p in parts],
         )
         write_bucketed(shingles, f"{np_}_shingles", key="id", n_buckets=n_buckets)
+        # carry the recorded build parameters to the new generation
+        # VERBATIM (round 14 review) — compaction changes layout, never
+        # the bkey space, so the contract travels with the fold
+        from .bucketing import read_json_sidecar, write_json_sidecar
+
+        rec = read_json_sidecar(
+            spark, _minhash_params_location(spark, parts[0]), MINHASH_PARAMS_FILE
+        )
+        if rec is not None:
+            write_json_sidecar(
+                spark, _minhash_params_location(spark, np_),
+                MINHASH_PARAMS_FILE, rec,
+            )
         index_publish_generation(
             spark, table_prefix, new_gen, f"minhash_index_compact({table_prefix})"
         )
@@ -845,6 +966,16 @@ def minhash_index_status(
     gen = index_resolve(spark, table_prefix)
     segs = index_segments(spark, table_prefix, gen) if gen else []
     gp = index_gen_prefix(table_prefix, gen)
+    # cross-session seam (round 14 review): "recomputed FROM DISK"
+    # must hold for parts other sessions published too
+    from .bucketing import ensure_attached
+
+    if gen:
+        for p in [gp] + [index_seg_prefix(table_prefix, gen, s) for s in segs]:
+            ensure_attached(
+                spark, f"{p}_shingles", INDEX_SHINGLES_DDL, "id",
+                INDEX_N_BUCKETS,
+            )
     base_rows = spark.table(f"{gp}_shingles").count()
     appended_rows = sum(
         spark.table(f"{index_seg_prefix(table_prefix, gen, s)}_shingles").count()
@@ -952,6 +1083,13 @@ def incremental_dedup_pairs(
         segs = [s for s in segs if s <= as_of_segment]
     gp = index_gen_prefix(table_prefix, gen)
     parts = [gp] + [index_seg_prefix(table_prefix, gen, s) for s in segs]
+    # caller parameters must match the generation's recorded build
+    # parameters or the probe joins return zero candidates silently
+    # (round 14 review; pre-sidecar generations skip the check)
+    _check_minhash_params(
+        spark, gp, f"incremental_dedup_pairs({table_prefix})",
+        num_perm=num_perm, bands=bands, rows=rows, k=k,
+    )
     # cross-session seam: a segment published by ANOTHER session after
     # this one attached is in the marker listing but not this session's
     # catalog — attach any missing part before binding the plan

@@ -34,15 +34,22 @@ N_PLANES = 4
 N_TABLES = 8
 
 
+@functools.lru_cache(maxsize=32)
 def _planes(dim: int, n_planes: int = N_PLANES, n_tables: int = N_TABLES) -> np.ndarray:
     """Deterministic pseudo-random hyperplanes in [-0.5, 0.5), shape
     (n_tables * n_planes, dim) — md5-derived, no RNG state, identical on
-    every executor forever."""
+    every executor forever.  Memoized (round 14 review): the nested
+    Python md5 loop is tables*planes*dim digests (~786k at a
+    24x32x1024 production sizing, seconds of driver time) for a pure
+    function of its arguments, and the hot paths call it once per
+    operator invocation; the cached array is frozen read-only so no
+    caller can corrupt the shared copy."""
     vals = np.empty((n_tables * n_planes, dim))
     for p in range(n_tables * n_planes):
         for i in range(dim):
             h = hashlib.md5(f"plane:{p}:{i}".encode()).digest()
             vals[p, i] = int.from_bytes(h[:8], "big") / 2**64 - 0.5
+    vals.flags.writeable = False
     return vals
 
 
@@ -165,7 +172,13 @@ def ann_topk(
             # projection > 0
             base = int(sum(1 << b for b in range(N_PLANES) if margins[b] > 0))
             probe_rows.append((t, base))
-            for b in np.argsort(np.abs(margins))[: min(multiprobe, N_PLANES)]:
+            # kind="stable" (round 14 review): default introsort breaks
+            # |margin| ties by internal partitioning order, which varies
+            # across numpy versions — the same hazard _probe_cells
+            # already pins; ties must flip the LOWEST bit first
+            for b in np.argsort(np.abs(margins), kind="stable")[
+                : min(multiprobe, N_PLANES)
+            ]:
                 probe_rows.append((t, base ^ (1 << int(b))))
         qvec = embeddings.filter(F.col(id_col) == query_id).select(
             F.col(vec_col).alias("_qvec")
@@ -872,6 +885,10 @@ def lsh_index_append(
             )
         gen = gens[-1]
         gp = index_gen_prefix(table_prefix, gen)
+        # cross-session seam (round 14 review): a generation/segment
+        # published by another session since this one attached must
+        # auto-attach here, not kill the maintenance path
+        _ensure_meta_attached(spark, gp)
         meta = spark.table(f"{gp}_meta").head()
         n_planes, n_tables = int(meta["n_planes"]), int(meta["n_tables"])
         dim, basis_rows = int(meta["dim"]), int(meta["n_rows"])
@@ -898,7 +915,14 @@ def lsh_index_append(
                 "the recorded plane parameters; fix the batch upstream."
             )
         if check_duplicate_ids:
+            from .bucketing import ensure_attached
+
             parts = [gp] + [index_seg_prefix(table_prefix, gen, s) for s in segs]
+            for p in parts:
+                ensure_attached(
+                    spark, f"{p}_vectors", LSH_INDEX_VECTORS_DDL, "id",
+                    LSH_INDEX_N_BUCKETS,
+                )
             existing = functools.reduce(
                 DataFrame.unionByName,
                 [spark.table(f"{p}_vectors").select("id") for p in parts],
@@ -999,6 +1023,18 @@ def lsh_index_status(
     gen = index_resolve(spark, table_prefix)
     segs = index_segments(spark, table_prefix, gen) if gen else []
     gp = index_gen_prefix(table_prefix, gen)
+    # cross-session seam (round 14 review): the ledger is documented as
+    # "recomputed FROM DISK — no sidecar state", so a generation or
+    # segment another session published must auto-attach, not die
+    from .bucketing import ensure_attached
+
+    if gen:
+        _ensure_meta_attached(spark, gp)
+        for p in [gp] + [index_seg_prefix(table_prefix, gen, s) for s in segs]:
+            ensure_attached(
+                spark, f"{p}_vectors", LSH_INDEX_VECTORS_DDL, "id",
+                LSH_INDEX_N_BUCKETS,
+            )
     basis_rows = int(spark.table(f"{gp}_meta").head()["n_rows"])
     # appended = rows beyond the SIZING BASIS, wherever they live: a
     # compaction (lsh_index_compact) folds segment rows into the base
@@ -1024,6 +1060,23 @@ def lsh_index_status(
             and (frac >= retrain_frac or len(segs) >= max_segments)
         ),
     }
+
+
+def _ensure_meta_attached(spark, gp: str) -> None:
+    """Attach generation ``gp``'s plain-parquet ``_meta`` table in this
+    session's catalog if missing (round 14 review) — the cross-session
+    seam for the ONE non-bucketed index table: a generation published
+    by another session (a rebuild) is resolved from the on-disk
+    markers, but its meta read would die on TABLE_OR_VIEW_NOT_FOUND
+    without this.  Same CREATE as lsh_index_attach's meta step."""
+    from .bucketing import warehouse_location
+
+    meta = f"{gp}_meta"
+    if not spark.catalog.tableExists(meta):
+        spark.sql(
+            f"CREATE TABLE {meta} ({LSH_INDEX_META_DDL}) USING parquet "
+            f"LOCATION '{warehouse_location(spark, meta)}'"
+        )
 
 
 def lsh_index_attach(
@@ -2104,13 +2157,28 @@ def ivf_append(
                 "fraction is undefined; rebuild with ivf_build or "
                 "ivf_retrain_swap instead of appending."
             )
+        # empty-delta refusal BEFORE any mutation (round 14 review): a
+        # partitioned write of an empty frame emits a lists directory
+        # with no parquet data files, and once the segment marker
+        # publishes, every later read of the generation dies on
+        # UNABLE_TO_INFER_SCHEMA — the poisoned-segment hazard the
+        # streaming handler guards against; the direct batch API must
+        # refuse it too (unlike the catalog-backed minhash/LSH appends,
+        # whose schema survives an empty table)
+        n_in = new_vectors.count()
+        if n_in == 0:
+            raise ValueError(
+                f"ivf_append({path}): empty delta — nothing to append, "
+                "and a published empty segment's fileless lists "
+                "directory would break every subsequent read of the "
+                "generation. Treat an empty batch as a no-op upstream."
+            )
         if check_duplicate_ids:
             # internal duplicates first (round 12, late — parity with
             # the minhash/LSH appends): two delta rows sharing an id
             # would both land in the segment and score the same
             # candidate twice per query, exactly the hazard the
             # index-side check below refuses
-            n_in = new_vectors.count()
             n_ids = new_vectors.select(F.col(id_col)).distinct().count()
             if n_ids != n_in:
                 raise ValueError(
@@ -2179,11 +2247,20 @@ def ivf_append(
             "retrain_due": pa.array([audit["retrain_due"]], type=pa.bool_()),
         }
     )
+    # the Spark fallback rows must carry EXACTLY the DDL's four columns
+    # (round 14 review: tuple(audit.values()) silently drifted to six
+    # values when segment/n_segments joined the audit — the pyarrow
+    # branch masked it locally, while any non-local warehouse crashed
+    # here AFTER the segment published and BEFORE the claim released,
+    # wedging the index)
     _write_small_parquet(
         spark,
         f"{content}/append_log",
         log_table,
-        [tuple(audit.values())],
+        [(
+            audit["batch_rows"], audit["total_rows"],
+            audit["appended_frac"], audit["retrain_due"],
+        )],
         "batch_rows long, total_rows long, appended_frac double, retrain_due boolean",
         append=True,
     )

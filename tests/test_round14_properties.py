@@ -816,3 +816,84 @@ def test_bucket_spec_republish_leaves_single_sidecar(spark):
         assert not [n for n in names if "__tmp_" in n]
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_minhash_index_refuses_mismatched_parameters(spark):
+    """The minhash index now records its build parameters on disk (the
+    LSH meta hazard's twin, round 14 review): a read or append with
+    parameters that disagree with the recorded build would bucket in a
+    foreign bkey space and silently return zero candidates / publish a
+    poisoned segment — both must refuse loudly, while matching
+    parameters (and pre-sidecar generations) behave as before."""
+    from distributed_graph_db_c_spark.operators.bucketing import index_drop_all
+    from distributed_graph_db_c_spark.operators.dedup import (
+        incremental_dedup_pairs,
+        minhash_index_append,
+        minhash_index_build,
+    )
+    from distributed_graph_db_c_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    prefix = "r14params"
+    index_drop_all(spark, prefix, ("_bands", "_shingles"))
+    try:
+        # non-default banding: 32 bands x 2 rows (num_perm still 64)
+        minhash_index_build(
+            docs.filter(F.pmod("doc_id", F.lit(2)) == 0), prefix,
+            bands=32, rows=2,
+        )
+        delta = docs.filter(F.pmod("doc_id", F.lit(2)) == 1)
+        with pytest.raises(ValueError, match="recorded build parameters"):
+            incremental_dedup_pairs(delta, prefix)  # defaults: 16x4
+        with pytest.raises(ValueError, match="recorded build parameters"):
+            minhash_index_append(delta, prefix)  # defaults: 16x4
+        # the recorded parameters work end-to-end
+        minhash_index_append(delta, prefix, bands=32, rows=2)
+        probe = docs.limit(30).select(
+            (F.col("doc_id") + 7_000_000).alias("doc_id"), "text"
+        )
+        got = incremental_dedup_pairs(probe, prefix, bands=32, rows=2)
+        assert got.count() > 0, "shifted copies must pair with originals"
+    finally:
+        index_drop_all(spark, prefix, ("_bands", "_shingles"))
+
+
+def test_ivf_append_refuses_empty_delta_and_logs_on_spark_branch(spark, monkeypatch):
+    """Two ivf_append seams (round 14 review): (a) an EMPTY delta must
+    refuse pre-mutation — a published empty segment's fileless lists
+    directory breaks every later read of the generation with
+    UNABLE_TO_INFER_SCHEMA; (b) the append_log's Spark fallback rows
+    (any non-local warehouse) must carry exactly the DDL's four columns
+    — tuple(audit.values()) had drifted to six, crashing every
+    remote-warehouse append AFTER the segment published and BEFORE the
+    claim released (the local pyarrow branch masked it)."""
+    import numpy as np
+
+    from distributed_graph_db_c_spark.operators import similarity as sim
+    from distributed_graph_db_c_spark.streaming.sources import cleanup, scratch_dir
+
+    rng = np.random.RandomState(61)
+    vecs = rng.randn(40, 8)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    s = scratch_dir("ivfempty")
+    path = f"{s}/idx"
+    try:
+        sim.ivf_build(corpus.filter(F.col("vec_id") < 30), path, n_cells=4)
+        with pytest.raises(ValueError, match="empty delta"):
+            sim.ivf_append(spark, path, corpus.limit(0))
+        # (a) the refusal left no segment and released the claim: a
+        # real append still lands
+        # (b) force the Spark fallback for the append_log write
+        monkeypatch.setattr(sim, "_local_fs_path", lambda _spark, _p: None)
+        audit = sim.ivf_append(spark, path, corpus.filter(F.col("vec_id") >= 30))
+        assert audit["segment"] == 1 and audit["batch_rows"] == 10
+        log = spark.read.parquet(f"{sim.ivf_resolve(spark, path)}/append_log")
+        assert set(log.columns) == {
+            "batch_rows", "total_rows", "appended_frac", "retrain_due"
+        }
+        assert log.count() >= 1
+    finally:
+        cleanup(s)
