@@ -115,14 +115,17 @@ def test_window_order_fills_window_exactly():
 
 def test_changed_code_leads_window():
     # standing policy: the window leads with the queries whose operator
-    # code changed this round — evidence follows the diff (round 14:
-    # the on-disk _BUCKET_SPEC contract changes the cross-session read
-    # path of every segment-aware index read — ensure_attached now
-    # recovers the recorded write spec — so the two incremental gates
-    # and the compaction gate, whose reads fan out through
-    # ensure_attached over base + segments, hold the head).  The r13
-    # AWAITING drain (stream_continuous_embedding_dedup) is streaming
-    # and drains in the tail.
+    # code changed this round — evidence follows the diff (round 15:
+    # the _BUCKET_SPEC sidecar byte format moved from Java writeUTF
+    # framing to raw UTF-8 JSON and the republish path gained a backup
+    # rename — both in operators/bucketing.py — which changes the
+    # cross-session bucket-spec read path of every segment-aware index
+    # read, so the two incremental gates and the compaction gate,
+    # whose reads fan out through ensure_attached over base +
+    # segments, hold the head).  The r14 AWAITING drain
+    # (stream_continuous_ivf_ingest) is streaming and drains in the
+    # tail; the third ADVICE seam (hs_dir redelivery dedup) lands in
+    # incremental_minhash_dedup, whose gate re-pins in the tail too.
     w = window()
     assert w[:3] == [
         "dedup_incremental_pairs",
@@ -130,15 +133,24 @@ def test_changed_code_leads_window():
         "dedup_index_compact",
     ]
     streaming_tail = [n for n in w if n.startswith("stream_")]
-    # THREE stream gates this round: the due cohort's batch-mode-built
-    # streaming member, the changed-path re-pin (the zero-indexable
-    # no-op landed in continuous_index_dedup's handler), and the r13
-    # AWAITING drain — slowest gate class last, as always, with the
-    # slowest single gate dead last
+    # ELEVEN stream gates this round — the streaming-heavy tail the
+    # r14 handoff predicted: the due cohort's 5 streaming members, the
+    # r09-stale cohort's 5 (stream_dedup_minhash_incremental doubling
+    # as the hs_dir changed-path re-pin), and the r14 AWAITING drain —
+    # slowest gate class last, as always, slowest single gate dead
+    # last (order from the r15 pre-measure).
     assert streaming_tail == [
-        "stream_tumbling_hour",
-        "stream_continuous_index_dedup",
-        "stream_continuous_embedding_dedup",
+        "stream_checkpoint_recovery",
+        "stream_foreachbatch_upsert",
+        "stream_watermark_late_drop",
+        "stream_static_join_enrich",
+        "stream_sliding_30m",
+        "stream_session_window",
+        "stream_stateful_user_totals",
+        "stream_stream_interval_join",
+        "stream_attribution_last_touch",
+        "stream_dedup_minhash_incremental",
+        "stream_continuous_ivf_ingest",
     ], streaming_tail
     assert w[-1] == streaming_tail[-1]
 
