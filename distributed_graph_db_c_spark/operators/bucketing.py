@@ -44,7 +44,13 @@ def write_json_sidecar(
     the final name — a driver death mid-write must never leave a torn
     sidecar that bricks every later read (rename is a metadata op on
     HDFS-compatible stores; the same discipline as sinks._swap_dir).
-    ``name`` must start with "_" so scans never see it as data."""
+    ``name`` must start with "_" so scans never see it as data.
+
+    Bytes on disk are RAW UTF-8 JSON (ADVICE r14: the earlier Java
+    ``DataOutputStream.writeUTF`` framing capped payloads at 64 KiB of
+    modified UTF-8 behind a 2-byte length prefix and made the file
+    unreadable to external JSON tools); :func:`read_json_sidecar`
+    still accepts the legacy framing for sidecars already on disk."""
     import uuid as _uuid
 
     from ..sinks import _hadoop_fs
@@ -53,25 +59,42 @@ def write_json_sidecar(
     fs, jpath = _hadoop_fs(spark, location)
     final = f"{location.rstrip('/')}/{name}"
     tmp = f"{final}__tmp_{_uuid.uuid4().hex[:8]}__"
+    backup = None
     try:
         out = fs.create(jpath(tmp), True)
         try:
-            out.writeUTF(json.dumps(payload))
+            out.write(bytearray(json.dumps(payload).encode("utf-8")))
         finally:
             out.close()
         # rename-first: only if the destination is occupied (a
-        # re-publish over an existing sidecar) clear it and retry — the
-        # no-sidecar window exists only on that re-publish path, where
-        # the whole table directory is mid-overwrite anyway
+        # re-publish over an existing sidecar) move the OLD sidecar
+        # aside to a hidden backup name and retry — a concurrent
+        # reader that misses the final name then finds the backup
+        # (read_json_sidecar checks it), so no reader ever observes
+        # ABSENCE and silently falls back to caller-supplied values
         # (write_bucketed clears the directory before saveAsTable, so
         # the common path renames into an empty slot atomically)
         if not fs.rename(jpath(tmp), jpath(final)):
-            fs.delete(jpath(final), False)
+            backup = f"{final}__bak_{_uuid.uuid4().hex[:8]}__"
+            if not fs.rename(jpath(final), jpath(backup)):
+                # backup rename refused (e.g. destination vanished
+                # between the two renames) — fall back to delete+retry
+                backup = None
+                fs.delete(jpath(final), False)
             if not fs.rename(jpath(tmp), jpath(final)):
                 raise OSError(f"could not publish sidecar {final}")
+        # backups are only deleted AFTER the new sidecar is live; the
+        # sweep runs on EVERY successful publish (not just ones that
+        # made a backup) so a stale backup from a prior crashed or
+        # interrupted publish is reclaimed the next time the contract
+        # is written — at this point final is authoritative again
+        for st in fs.globStatus(jpath(f"{final}__bak_*__")) or []:
+            fs.delete(st.getPath(), False)
     except Exception:
         # never leave the hidden temp behind (one orphan per failed
-        # attempt would accumulate in the table directory forever)
+        # attempt would accumulate in the table directory forever);
+        # the backup, if any, stays — it is the only readable copy
+        # when the publish died between the two renames
         try:
             fs.delete(jpath(tmp), False)
         except Exception:
@@ -86,20 +109,49 @@ def read_json_sidecar(
     or None if absent (legacy directory).  A PRESENT-but-unreadable
     sidecar raises a clear error naming the file: silently treating it
     as absent would reintroduce exactly the trusted-wrong-default
-    corruption the sidecar exists to prevent."""
+    corruption the sidecar exists to prevent.
+
+    Accepts both byte formats: raw UTF-8 JSON (current) and the legacy
+    Java ``writeUTF`` framing (2-byte big-endian length prefix +
+    modified UTF-8) for sidecars written before round 15.  When the
+    final name is mid-republish (the writer moved the old sidecar to a
+    hidden ``__bak_*__`` name before installing the new one), the
+    backup is read instead, so a concurrent reader never observes
+    absence and silently falls back to caller-supplied values."""
     from ..sinks import _hadoop_fs
 
     fs, jpath = _hadoop_fs(spark, location)
     path = f"{location.rstrip('/')}/{name}"
     p = jpath(path)
     if not fs.exists(p):
-        return None
+        # mid-republish window: the old sidecar lives under a backup
+        # name between the writer's two renames — read it rather than
+        # reporting absence (re-check final first in case the publish
+        # completed and swept the backup while we globbed)
+        backups = fs.globStatus(jpath(f"{path}__bak_*__")) or []
+        if fs.exists(p):
+            pass
+        elif backups:
+            p = backups[0].getPath()
+        else:
+            return None
     try:
         inp = fs.open(p)
         try:
-            return json.loads(inp.readUTF())
+            from ..sinks import _read_stream_bytes
+
+            data = _read_stream_bytes(spark, inp)
         finally:
             inp.close()
+        try:
+            return json.loads(data.decode("utf-8"))
+        except (ValueError, UnicodeDecodeError):
+            # legacy writeUTF framing: 2-byte big-endian length prefix,
+            # then modified UTF-8 (identical to UTF-8 for the BMP JSON
+            # these sidecars hold)
+            if len(data) >= 2 and int.from_bytes(data[:2], "big") == len(data) - 2:
+                return json.loads(data[2:].decode("utf-8"))
+            raise
     except Exception as exc:
         raise ValueError(
             f"sidecar {path} exists but cannot be read/parsed "

@@ -424,6 +424,200 @@ def stream_continuous_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataF
     return pairs
 
 
+# The MAINTAINED embedding stream (round 15, the r14 verdict's item 3 —
+# the acting half of the LSH drift arm lifted from its pytest pin
+# (tests/test_round14_properties.py) to a driver oracle gate): the
+# stream bootstraps gen 1 and appends a segment, STOPS at retrain_due,
+# a maintenance job rebuilds via lsh_index_build (generation 2, planes
+# RE-SIZED to the grown corpus), and the stream resumes on the SAME
+# checkpoint, landing its next batch as gen 2's first append segment.
+# The whole construction is deterministic end-to-end, so the oracle
+# replays BOTH generations' sizing in SQL — planes by the occupancy
+# rule, tables then probes grown until predicted recall >= 0.9
+# (operators/similarity.py: planes_for / lsh_params_for, the md5-plane
+# bucketing's THREE pinned integers) — exactly as _ivf_oracle_sql
+# replays the IVF lifecycle, plus the accumulated pair set (exact
+# all-pairs cosine, the standing total-recall contingency).  Sentinel
+# -1 (never NULL) pads the two row kinds so every column keeps one
+# non-nullable dtype through both engines' pandas conversion.
+_MAINT_MOD = 3  # bootstrap basis = vec_id % 3 == 0; retrain basis adds == 1
+
+
+def _lsh_sizing_sql(generation: int, where: str) -> str:
+    """One (generation, n_planes, n_tables, multiprobe, basis_rows,
+    n_segments) row replaying lsh_params_for(n, 0.45, min_multiprobe=4)
+    over the corpus ``where`` selects — the same closed-form recall
+    model, iterated in SQL over the same L/q candidate ranges (validated
+    equal to the Python sizing from gate scale through the cap-binding
+    regimes at 1e5..1e7 rows)."""
+    return f"""
+SELECT CAST({generation} AS BIGINT) AS generation,
+       P AS n_planes,
+       t AS n_tables,
+       CAST(q AS BIGINT) AS multiprobe,
+       n AS basis_rows,
+       CAST(1 AS BIGINT) AS n_segments,
+       CAST(-1 AS BIGINT) AS id_a,
+       CAST(-1 AS BIGINT) AS id_b,
+       CAST(-1.0 AS DOUBLE) AS cosine
+FROM (
+  WITH n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings {where}),
+  p0 AS (SELECT n, CASE WHEN n <= 512 THEN CAST(4 AS BIGINT)
+                        ELSE LEAST(CAST(24 AS BIGINT),
+                                   CAST(CEIL(LOG2(n / 32.0)) AS BIGINT)) END AS P
+         FROM n0),
+  r0 AS (SELECT 1.0 - ACOS(0.45) / PI() AS r),
+  t0 AS (SELECT COALESCE(MIN(L), CAST(32 AS BIGINT)) AS t
+         FROM range(8, 33) s(L), p0, r0
+         WHERE 1.0 - POWER(1.0 - LEAST(POWER(r, P) * (1.0 + 4 * (1.0 - r) / r), 1.0), L) >= 0.9),
+  qc0 AS (SELECT CASE WHEN P > 4 THEN LEAST(CAST(8 AS BIGINT), P)
+                      ELSE CAST(4 AS BIGINT) END AS cap FROM p0),
+  q0 AS (SELECT COALESCE(
+           (SELECT MIN(Q) FROM range(4, 9) s(Q), p0, r0, t0, qc0
+            WHERE Q <= cap
+              AND 1.0 - POWER(1.0 - LEAST(POWER(r, P) * (1.0 + Q * (1.0 - r) / r), 1.0), t) >= 0.9),
+           (SELECT cap FROM qc0)) AS q)
+  SELECT n, P, t, q FROM p0, t0, q0
+)
+"""
+
+
+def _maintained_stream_sql() -> str:
+    return f"""
+{_lsh_sizing_sql(1, f"WHERE vec_id % {_MAINT_MOD} = 0")}
+UNION ALL
+{_lsh_sizing_sql(2, f"WHERE vec_id % {_MAINT_MOD} IN (0, 1)")}
+UNION ALL
+SELECT CAST(-1 AS BIGINT) AS generation,
+       CAST(-1 AS BIGINT) AS n_planes,
+       CAST(-1 AS BIGINT) AS n_tables,
+       CAST(-1 AS BIGINT) AS multiprobe,
+       CAST(-1 AS BIGINT) AS basis_rows,
+       CAST(-1 AS BIGINT) AS n_segments,
+       id_a, id_b, cosine
+FROM ({_EMB_STREAM_SQL}) pairs
+"""
+
+
+_MAINT_DDL = (
+    "generation BIGINT, n_planes BIGINT, n_tables BIGINT, multiprobe BIGINT,"
+    " basis_rows BIGINT, n_segments BIGINT, id_a BIGINT, id_b BIGINT,"
+    " cosine DOUBLE"
+)
+
+
+@register("stream_continuous_embedding_dedup_maintained", oracle=_maintained_stream_sql())
+def stream_continuous_embedding_dedup_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MAINTAINED twin of stream_continuous_embedding_dedup (round
+    15 — the r14 verdict's item 3): same handler, same checkpoint, but
+    the stream STOPS when the drift arm flips and production's cued
+    maintenance actually runs — lsh_index_build over the accumulated
+    corpus publishes generation 2 with planes re-sized to the grown
+    basis (the act the no-maintenance gate's measured super-linear
+    drift demands, benched cheaper-than-not-acting in
+    tools/bench_maintained_stream.py) — then the stream RESUMES on the
+    same checkpoint, classifies its next batch against the retrained
+    generation, and lands it as gen 2's first append segment.
+
+    Result rows: one sizing row per generation read back from the
+    index's {{prefix}}_meta tables (generation, n_planes, n_tables,
+    multiprobe, basis_rows, n_segments; pair columns -1), plus the
+    accumulated distinct pair set (sizing columns -1).  The oracle
+    replays both generations' sizing in SQL from the corpus counts
+    (planes_for / lsh_params_for closed form) and the pair set as
+    exact all-pairs cosine >= 0.45 — a full hash match proves the
+    stop-retrain-resume composition left behind exactly the index a
+    fresh build at each basis would have, AND that no pair was lost or
+    duplicated across the generation boundary.  Same corpus-contingent
+    LSH total-recall contingency as the unmaintained gate.  Scale: the
+    retrain is one bounded corpus pass between micro-batches; per
+    batch the stream still pays one bucketing pass + co-located probe
+    joins, never a corpus rescan."""
+    from ..operators.bucketing import (
+        index_drop_all,
+        index_gen_prefix,
+        index_segments,
+    )
+    from ..operators.similarity import (
+        N_PLANES,
+        _lsh_index_claim,
+        lsh_index_build,
+        lsh_index_status,
+    )
+    from ..sinks import _hadoop_fs
+    from ..streaming.dedup import EMB_PAIRS_DDL, continuous_embedding_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scratch = scratch_dir("sembmaint")
+    prefix = f"embmaint_{uuid.uuid4().hex[:8]}"
+    try:
+        batches = [
+            emb.filter(F.pmod("vec_id", F.lit(_MAINT_MOD)) == i)
+            for i in range(_MAINT_MOD)
+        ]
+        in_dir = f"{scratch}/in"
+        handler = continuous_embedding_dedup(prefix, f"{scratch}/pairs")
+        # phase 1: bootstrap (gen 1, planes sized to batch 0) + one
+        # append segment — equal thirds trip the 0.5 drift arm
+        stage_stream_dir(batches[:2], in_dir)
+        semb = read_file_stream(spark, in_dir, emb.schema)
+        run_available_now(semb, f"{scratch}/ckpt", foreach_batch=handler)
+        if not lsh_index_status(spark, prefix)["retrain_due"]:
+            # loud even under python -O (assert would vanish)
+            raise RuntimeError("gate corpus must trip the drift arm")
+        # maintenance between micro-batch runs: full rebuild over the
+        # accumulated corpus, keeping the stream's own recall floor
+        gen = lsh_index_build(
+            batches[0].unionByName(batches[1]), prefix,
+            threshold=0.45, dim=64, multiprobe=N_PLANES,
+        )
+        if gen != 2:
+            raise RuntimeError(f"retrain must publish generation 2, got {gen}")
+        # phase 2: resume on the SAME checkpoint; the next batch rides
+        # the retrained generation and lands as its first segment
+        stage_stream_dir(batches[2:], in_dir, start=2)
+        semb = read_file_stream(spark, in_dir, emb.schema)
+        run_available_now(semb, f"{scratch}/ckpt", foreach_batch=handler)
+        sizing = [
+            (
+                g,
+                int(m["n_planes"]), int(m["n_tables"]), int(m["multiprobe"]),
+                int(m["n_rows"]), len(index_segments(spark, prefix, g)),
+                -1, -1, -1.0,
+            )
+            for g in (1, 2)
+            for m in [spark.table(f"{index_gen_prefix(prefix, g)}_meta").head()]
+        ]
+        pairs = (
+            spark.read.schema(EMB_PAIRS_DDL)
+            .parquet(f"{scratch}/pairs")
+            .distinct()  # at-least-once sink: replays append exact duplicates
+            .select(
+                F.lit(-1).cast("long").alias("generation"),
+                F.lit(-1).cast("long").alias("n_planes"),
+                F.lit(-1).cast("long").alias("n_tables"),
+                F.lit(-1).cast("long").alias("multiprobe"),
+                F.lit(-1).cast("long").alias("basis_rows"),
+                F.lit(-1).cast("long").alias("n_segments"),
+                "id_a", "id_b", "cosine",
+            )
+        )
+        result = (
+            spark.createDataFrame(sizing, _MAINT_DDL)
+            .unionByName(pairs)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        index_drop_all(spark, prefix, ("_buckets", "_vectors", "_meta"))
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        fs, jpath = _hadoop_fs(spark, warehouse)
+        fs.delete(jpath(_lsh_index_claim(warehouse, prefix)), False)
+        cleanup(scratch)
+    return result
+
+
 # The STREAM-BUILT IVF index oracle (round 14, the r13 verdict's item 5
 # banked for an r15 slot): the continuous ingest loop's construction is
 # deterministic end to end — the quantizer freezes at the BOOTSTRAP

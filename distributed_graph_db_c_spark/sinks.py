@@ -238,6 +238,18 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return fs, jvm.org.apache.hadoop.fs.Path
 
 
+def _read_stream_bytes(spark: SparkSession, inp) -> bytes:
+    """Drain a JVM input stream (FSDataInputStream) to raw Python bytes
+    via Hadoop's own IOUtils copy — one JVM-side pass, no per-byte py4j
+    round-trips, no assumption about framing (callers parse the bytes
+    themselves; contrast readUTF, which demands Java's 2-byte-prefixed
+    modified-UTF-8 layout and caps payloads at 64 KiB)."""
+    jvm = spark._jvm
+    bout = jvm.java.io.ByteArrayOutputStream()
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(inp, bout, 4096, False)
+    return bytes(bout.toByteArray())
+
+
 def _swap_dir(fs, jpath_cls, staging: str, final: str) -> None:
     """Replace directory ``final`` with ``staging``: old → trash-suffix,
     staging → final, delete old.  Each step is one rename/delete.

@@ -126,7 +126,17 @@ def incremental_minhash_dedup(
                 )
             )
             cand = cand.unionByName(cross)
-            hs_lookup = hs_new.unionByName(spark.read.parquet(hs_dir))
+            # prefer the batch's fresh hs rows over any stored copy of
+            # the same ids (a replayed batch that crashed between the
+            # hs and buckets writes has its rows in BOTH) — broadcast
+            # anti on the small batch id set, so the verify join never
+            # sees the same id twice and its row count stays exact even
+            # mid-replay
+            hs_lookup = hs_new.unionByName(
+                spark.read.parquet(hs_dir).join(
+                    F.broadcast(hs_new.select("id")), on="id", how="left_anti"
+                )
+            )
         cand = cand.distinct()
 
         a = hs_lookup.select(F.col("id").alias("doc_a"), F.col("hs").alias("hs_a"))
@@ -148,12 +158,29 @@ def incremental_minhash_dedup(
         # buckets (round 14 review): ``have_index`` gates on
         # buckets_dir, so the LAST-written directory must be the gate —
         # a crash between the two writes then replays with
-        # have_index=False (hs rows duplicated, which the exact-Jaccard
-        # verify renders as byte-identical pair rows that readers'
-        # distinct() collapses), instead of the old order's permanent
-        # wedge (gate true, hs_dir missing, PATH_NOT_FOUND on every
-        # redelivery)
-        hs_new.write.mode("append").parquet(hs_dir)
+        # have_index=False, instead of the old order's permanent wedge
+        # (gate true, hs_dir missing, PATH_NOT_FOUND on every
+        # redelivery).  The hs append is IDEMPOTENT (ADVICE r14): a
+        # crash-redelivered batch re-appended its hs rows verbatim, and
+        # repeated crash cycles compounded — multiplying verify-join
+        # rows for the affected ids in every future batch.  Ids already
+        # present in hs_dir are dropped before the write (hs content is
+        # deterministic per id, so the stored copy is identical); the
+        # probe is two broadcast joins — batch ids broadcast against a
+        # column-pruned id scan of hs_dir, collisions broadcast back —
+        # never a corpus-side shuffle.
+        if fs.exists(jpath(hs_dir)):
+            collided = (
+                spark.read.parquet(hs_dir)
+                .select("id")
+                .join(F.broadcast(hs_new.select("id")), on="id", how="semi")
+            )
+            hs_to_write = hs_new.join(
+                F.broadcast(collided), on="id", how="left_anti"
+            )
+        else:
+            hs_to_write = hs_new
+        hs_to_write.write.mode("append").parquet(hs_dir)
         bk_new.write.mode("append").parquet(buckets_dir)
 
     return handle
