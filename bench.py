@@ -187,6 +187,12 @@ HEADLINE = [
     "stream_continuous_embedding_dedup",
     # round 14: the ANN index's streaming ingestion loop, oracle-gated
     "stream_continuous_ivf_ingest",
+    # round 15: the maintained (stop -> retrain -> resume) twin of the
+    # embedding stream — the drift arm's acting half, oracle-gated
+    "stream_continuous_embedding_dedup_maintained",
+    # round 15: the IVF twin — retrain-mid-stream for the second
+    # drift-prone index at oracle-gate strength
+    "stream_continuous_ivf_ingest_maintained",
 ]
 
 

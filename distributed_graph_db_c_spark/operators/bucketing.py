@@ -123,6 +123,7 @@ def read_json_sidecar(
     fs, jpath = _hadoop_fs(spark, location)
     path = f"{location.rstrip('/')}/{name}"
     p = jpath(path)
+    reading_backup = False
     if not fs.exists(p):
         # mid-republish window: the old sidecar lives under a backup
         # name between the writer's two renames — read it rather than
@@ -133,16 +134,20 @@ def read_json_sidecar(
             pass
         elif backups:
             p = backups[0].getPath()
+            reading_backup = True
         else:
             return None
     try:
-        inp = fs.open(p)
         try:
-            from ..sinks import _read_stream_bytes
-
-            data = _read_stream_bytes(spark, inp)
-        finally:
-            inp.close()
+            data = _read_all(spark, fs, p)
+        except Exception:
+            # a backup can legitimately vanish between the glob and the
+            # open (the interrupted publish completed and swept it) —
+            # by then the final name is live again; only that path gets
+            # a second look, a torn FINAL file still refuses below
+            if not (reading_backup and fs.exists(jpath(path))):
+                raise
+            data = _read_all(spark, fs, jpath(path))
         try:
             return json.loads(data.decode("utf-8"))
         except (ValueError, UnicodeDecodeError):
@@ -159,6 +164,16 @@ def read_json_sidecar(
             "contract; restore it (its writer records it) or delete the "
             "file to fall back to caller-supplied values"
         ) from exc
+
+
+def _read_all(spark: SparkSession, fs, p) -> bytes:
+    from ..sinks import _read_stream_bytes
+
+    inp = fs.open(p)
+    try:
+        return _read_stream_bytes(spark, inp)
+    finally:
+        inp.close()
 
 
 def _write_bucket_spec(

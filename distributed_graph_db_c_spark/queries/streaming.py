@@ -708,6 +708,157 @@ def stream_continuous_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+# The MAINTAINED IVF ingest stream (round 15 — the IVF twin of
+# stream_continuous_embedding_dedup_maintained, completing the
+# maintenance matrix AT ORACLE-GATE STRENGTH: retrain-mid-stream for
+# both drift-prone indexes is now driver-checkable, not only
+# pytest-pinned in tests/test_round14_properties.py): the ingest
+# stream bootstraps gen 1 and appends a segment, the append audit
+# flips retrain_due, a maintenance job RETRAINS the quantizer over
+# the ingested corpus (ivf_retrain_swap -> generation 2, centroids
+# re-seeded md5-over-corpus), and the stream resumes on the SAME
+# checkpoint with its next batch landing as gen 2's first append
+# segment.  The oracle replays the POST-RETRAIN construction in SQL:
+# centroids md5-ranked over the retrain corpus (vec_id % 3 <> 2),
+# assignment/probe/scoring over the full ingested contents — plus
+# one descriptor row (generation, n_cells, basis_rows, total_rows,
+# n_segments) whose Spark side is READ FROM DISK via
+# ivf_index_attach, so the hash match proves batch 3 really landed
+# on generation 2 (a batch wrongly appended to gen 1 would leave
+# gen 2 segment-less AND vanish from the scored corpus).  Sentinel
+# -1 (never NULL) pads the two row kinds, as in the LSH twin.
+_IVF_MAINT_DDL = (
+    "generation BIGINT, n_cells BIGINT, basis_rows BIGINT,"
+    " total_rows BIGINT, n_segments BIGINT, qid BIGINT, vec_id BIGINT,"
+    " cosine DOUBLE"
+)
+
+
+def _ivf_maint_sql() -> str:
+    from .similarity import _ivf_oracle_sql
+
+    query_sql = _ivf_oracle_sql(
+        f"WHERE vec_id % {_IVF_INGEST_MOD} <> 2",
+        _IVF_INGEST_CELLS, _IVF_INGEST_NPROBE, _IVF_INGEST_Q, _IVF_INGEST_K,
+    )
+    return f"""
+SELECT CAST(2 AS BIGINT) AS generation,
+       CAST({_IVF_INGEST_CELLS} AS BIGINT) AS n_cells,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+        WHERE vec_id % {_IVF_INGEST_MOD} <> 2) AS basis_rows,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS total_rows,
+       CAST(1 AS BIGINT) AS n_segments,
+       CAST(-1 AS BIGINT) AS qid,
+       CAST(-1 AS BIGINT) AS vec_id,
+       CAST(-1.0 AS DOUBLE) AS cosine
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+       qid, vec_id, cosine
+FROM ({query_sql}) q
+"""
+
+
+@register("stream_continuous_ivf_ingest_maintained", oracle=_ivf_maint_sql())
+def stream_continuous_ivf_ingest_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MAINTAINED twin of stream_continuous_ivf_ingest (round 15):
+    same handler, same checkpoint, but when the append audit flips
+    retrain_due the cued maintenance actually RUNS — ivf_retrain_swap
+    re-seeds the coarse quantizer over the ingested corpus and
+    publishes generation 2 — then the stream resumes and its next
+    batch classifies against, and appends to, the retrained
+    generation.  With stream_continuous_embedding_dedup_maintained
+    this lifts the r14 retrain-mid-stream pytest pins
+    (tests/test_round14_properties.py) to driver oracle strength for
+    BOTH drift-prone indexes.
+
+    Result rows: one descriptor row read back from the index on disk
+    via ivf_index_attach (generation, n_cells, basis_rows=meta n_base,
+    total_rows, n_segments; query columns -1) plus the pruned top-k
+    retrieval batch over the final index (descriptor columns -1).
+    The oracle replays the post-retrain construction in SQL
+    (_ivf_oracle_sql with the retrain corpus as the centroid basis)
+    and predicts the descriptor from the corpus counts — a full hash
+    match proves the stop-retrain-resume composition left behind
+    exactly the index a frozen-quantizer rebuild-plus-append would
+    have.  Same float-seam contingency as sim_ivf_index_append.
+    Scale: the retrain is one bounded corpus pass between
+    micro-batches (measured cheaper than the unmaintained drift in
+    BENCH_SF1.md r14 for the LSH twin; the IVF retrain is the same
+    shape); per batch the stream still pays one delta-sized
+    assignment scan + cell-local appends, never a corpus rescan."""
+    from ..operators.similarity import (
+        ivf_batch_query_persisted,
+        ivf_index_attach,
+        ivf_retrain_swap,
+    )
+    from ..streaming.dedup import continuous_ivf_ingest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scratch = scratch_dir("sivfmaint")
+    path = f"{scratch}/idx"
+    try:
+        batches = [
+            emb.filter(F.pmod("vec_id", F.lit(_IVF_INGEST_MOD)) == i)
+            for i in range(_IVF_INGEST_MOD)
+        ]
+        in_dir = f"{scratch}/in"
+        handler = continuous_ivf_ingest(path, n_cells=_IVF_INGEST_CELLS)
+        # phase 1: bootstrap (gen 1, quantizer frozen at batch 0) +
+        # one append segment — an equal-sized append trips the arm
+        stage_stream_dir(batches[:2], in_dir)
+        semb = read_file_stream(spark, in_dir, emb.schema)
+        run_available_now(semb, f"{scratch}/ckpt", foreach_batch=handler)
+        if not handler.audits[-1]["retrain_due"]:
+            # loud even under python -O (assert would vanish)
+            raise RuntimeError("gate corpus must trip the drift arm")
+        # maintenance between micro-batch runs: the act the trigger
+        # cues — quantizer re-seeded over everything ingested so far
+        gen = ivf_retrain_swap(
+            spark, path, batches[0].unionByName(batches[1]),
+            n_cells=_IVF_INGEST_CELLS,
+        )
+        if gen != 2:
+            raise RuntimeError(f"retrain must publish generation 2, got {gen}")
+        # phase 2: resume on the SAME checkpoint; the next batch rides
+        # the retrained generation and lands as its first segment
+        stage_stream_dir(batches[2:], in_dir, start=2)
+        semb = read_file_stream(spark, in_dir, emb.schema)
+        run_available_now(semb, f"{scratch}/ckpt", foreach_batch=handler)
+        desc = ivf_index_attach(spark, path)
+        qrows = (
+            emb.filter(F.col("vec_id") < _IVF_INGEST_Q)
+            .select(F.col("vec_id").alias("qid"), "embedding")
+            .collect()
+        )  # bounded: the 5-vector retrieval batch
+        queries = [(r["qid"], list(r["embedding"])) for r in qrows]
+        knn = ivf_batch_query_persisted(
+            spark, path, queries,
+            top_k=_IVF_INGEST_K, nprobe=_IVF_INGEST_NPROBE,
+        ).select(
+            F.lit(-1).cast("long").alias("generation"),
+            F.lit(-1).cast("long").alias("n_cells"),
+            F.lit(-1).cast("long").alias("basis_rows"),
+            F.lit(-1).cast("long").alias("total_rows"),
+            F.lit(-1).cast("long").alias("n_segments"),
+            "qid", "vec_id", "cosine",
+        )
+        head = spark.createDataFrame(
+            [(
+                int(desc["generation"]), int(desc["n_cells"]),
+                int(desc["n_base"]), int(desc["total_rows"]),
+                len(desc["segments"]), -1, -1, -1.0,
+            )],
+            _IVF_MAINT_DDL,
+        )
+        result = head.unionByName(knn).localCheckpoint(eager=True)
+    finally:
+        cleanup(scratch)
+    return result
+
+
 _STATIC_JOIN_SQL = """
 SELECT n.n_name,
        COUNT(*) AS n_events,

@@ -130,6 +130,12 @@ _ROUND_NEW: list[str] = []
 # STREAMING gate, so its r16 slot belongs in that window's tail).
 AWAITING_FIRST_SLOT: list[str] = [
     "stream_continuous_embedding_dedup_maintained",
+    # the IVF twin (round 15): retrain-mid-stream at oracle-gate
+    # strength for the second drift-prone index — stop at retrain_due,
+    # ivf_retrain_swap -> generation 2, resume on the same checkpoint;
+    # oracle replays the post-retrain construction plus an on-disk
+    # descriptor row.  Strict-green locally at 32 and 5 partitions.
+    "stream_continuous_ivf_ingest_maintained",
 ]
 
 # (d) the recomputed due list under the FOUR-round horizon: headline
@@ -204,10 +210,11 @@ _STALE_RAMP: list[str] = [
 # ROUND-16 HANDOFF (computed against the published r13-r14 records
 # with a synthetic r15 = this window all-green; the look-ahead test
 # recomputes and enforces it at r16 build time): the round-16 window
-# owes (1) the AWAITING drain first
-# (stream_continuous_embedding_dedup_maintained — registered late
-# r15, strict-green locally, a STREAMING gate whose drain slot
-# belongs in the r16 tail); (2) the due cohort leaving the FOUR-round
+# owes (1) the AWAITING drains first — BOTH maintained-stream gates
+# (stream_continuous_embedding_dedup_maintained and its IVF twin
+# stream_continuous_ivf_ingest_maintained, registered late r15,
+# strict-green locally, STREAMING gates whose drain slots belong in
+# the r16 tail); (2) the due cohort leaving the FOUR-round
 # horizon when r16 publishes — the r11-green-only remainder after
 # this round's 13-slot r11 ramp absorption (recompute it from the
 # records at build time; the r11 cohort was 41 wide, so expect ~28

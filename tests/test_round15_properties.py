@@ -150,6 +150,63 @@ def test_sidecar_republish_backup_never_absent(spark):
         shutil.rmtree(loc, ignore_errors=True)
 
 
+def test_sidecar_backup_vanish_falls_back_to_final(spark, monkeypatch):
+    """A backup can legitimately vanish between the reader's glob and
+    its open — the interrupted publish completed and swept it, so the
+    final name is live again with the NEW contract.  The reader must
+    re-read the final rather than misreporting a torn sidecar.  A
+    vanished backup with NO live final still refuses loudly (the writer
+    crashed with the contract genuinely unrecoverable)."""
+    from distributed_graph_db_c_spark.operators import bucketing
+
+    loc = "/tmp/r15_backup_vanish"
+    shutil.rmtree(loc, ignore_errors=True)
+    os.makedirs(loc)
+    final = os.path.join(loc, bucketing.BUCKET_SPEC_FILE)
+    bak = final + "__bak_cafef00d__"
+    old = {"keys": ["id"], "n_buckets": 4, "sorted": True}
+    new = {"keys": ["id"], "n_buckets": 16, "sorted": True}
+    real_read_all = bucketing._read_all
+    try:
+        with open(bak, "w") as fh:
+            json.dump(old, fh)
+        calls = {"racing": 0}
+
+        def racing_read_all(sp, fs, p):
+            if "__bak_" in str(p):
+                # the writer completes between the glob and our open:
+                # backup swept, new contract installed under final
+                calls["racing"] += 1
+                os.remove(bak)
+                with open(final, "w") as fh:
+                    json.dump(new, fh)
+                raise OSError("backup swept mid-read")
+            return real_read_all(sp, fs, p)
+
+        monkeypatch.setattr(bucketing, "_read_all", racing_read_all)
+        got = bucketing.read_json_sidecar(spark, loc, bucketing.BUCKET_SPEC_FILE)
+        assert got == new, got
+        assert calls["racing"] == 1
+
+        # arm 2: backup vanishes but the final never appears — the
+        # clear contract error, never None or a stale guess
+        os.remove(final)
+        with open(bak, "w") as fh:
+            json.dump(old, fh)
+
+        def vanish_only(sp, fs, p):
+            if "__bak_" in str(p):
+                os.remove(bak)
+                raise OSError("backup swept, no final installed")
+            return real_read_all(sp, fs, p)
+
+        monkeypatch.setattr(bucketing, "_read_all", vanish_only)
+        with pytest.raises(ValueError, match="cannot be read/parsed"):
+            bucketing.read_json_sidecar(spark, loc, bucketing.BUCKET_SPEC_FILE)
+    finally:
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 def test_hs_append_idempotent_under_repeated_crash_redelivery(spark):
     """ADVICE r14 #3: repeated crash cycles on the SAME micro-batch
     must not grow hs_dir — after N redeliveries every id still has
