@@ -207,6 +207,132 @@ def test_sidecar_backup_vanish_falls_back_to_final(spark, monkeypatch):
         shutil.rmtree(loc, ignore_errors=True)
 
 
+def test_ivf_post_retrain_batch_crash_redelivery_is_noop(spark):
+    """The one replay arm the r14 retrain pin left unexercised: the
+    batch that lands AFTER a mid-stream retrain gets crash-redelivered.
+    Its rows are fully indexed in generation 2 by then, so the
+    handler's three-way classify must take the replay-skip arm against
+    the RETRAINED generation — no second segment, no duplicate
+    scoring, same query answers."""
+    import numpy as np
+
+    from distributed_graph_db_c_spark.operators.similarity import (
+        ivf_index_attach,
+        ivf_query_persisted,
+        ivf_retrain_swap,
+    )
+    from distributed_graph_db_c_spark.streaming.dedup import continuous_ivf_ingest
+    from distributed_graph_db_c_spark.streaming.sources import cleanup, scratch_dir
+
+    rng = np.random.RandomState(53)
+    vecs = rng.randn(60, 8)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    s = scratch_dir("ivf-replay-g2")
+    path = f"{s}/idx"
+    try:
+        batches = [corpus.filter(F.pmod("vec_id", F.lit(3)) == i) for i in range(3)]
+        handler = continuous_ivf_ingest(path, n_cells=4)
+        handler(batches[0], 0)
+        handler(batches[1], 1)
+        assert ivf_retrain_swap(
+            spark, path, batches[0].unionByName(batches[1]), n_cells=4
+        ) == 2
+        handler(batches[2], 2)
+        desc = ivf_index_attach(spark, path)
+        assert (desc["generation"], desc["segments"]) == (2, [1])
+        q = [float(x) for x in vecs[11]]
+        before = sorted(
+            (r["vec_id"], round(r["cosine"], 9))
+            for r in ivf_query_persisted(
+                spark, path, query_vec=q, top_k=60, nprobe=4
+            ).collect()
+        )
+        # crash-redelivery of the post-retrain batch: must classify as
+        # fully-indexed against gen 2 and skip — not append a second
+        # segment, not refuse
+        handler(batches[2], 2)
+        desc = ivf_index_attach(spark, path)
+        assert (desc["generation"], desc["segments"]) == (2, [1])
+        after = sorted(
+            (r["vec_id"], round(r["cosine"], 9))
+            for r in ivf_query_persisted(
+                spark, path, query_vec=q, top_k=60, nprobe=4
+            ).collect()
+        )
+        assert after == before
+    finally:
+        cleanup(s)
+
+
+def test_lsh_post_retrain_batch_crash_redelivery_keeps_pairs_exact(spark):
+    """The LSH twin of the IVF pin above: the embedding-dedup batch
+    that lands after a mid-stream retrain gets crash-redelivered.  The
+    classify step must see its ids fully indexed in generation 2 and
+    take the replay arm — re-emitting byte-identical pair rows (the
+    at-least-once sink contract; distinct() collapses them) and
+    appending NO second segment — so the accumulated distinct pair set
+    still equals exact all-pairs cosine."""
+    from distributed_graph_db_c_spark.operators.bucketing import index_drop_all
+    from distributed_graph_db_c_spark.operators.similarity import (
+        N_PLANES,
+        _lsh_index_claim,
+        cosine_pairs,
+        lsh_index_build,
+        lsh_index_status,
+    )
+    from distributed_graph_db_c_spark.sinks import _hadoop_fs
+    from distributed_graph_db_c_spark.sources.tables import load_table
+    from distributed_graph_db_c_spark.streaming.dedup import (
+        EMB_PAIRS_DDL,
+        continuous_embedding_dedup,
+    )
+    from distributed_graph_db_c_spark.streaming.sources import cleanup, scratch_dir
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    expected = sorted(
+        tuple(r) for r in cosine_pairs(emb, threshold=0.45).collect()
+    )
+    prefix = "r15lshreplay"
+    index_drop_all(spark, prefix, ("_buckets", "_vectors", "_meta"))
+    scratch = scratch_dir("lsh-replay-g2")
+    try:
+        batches = [emb.filter(F.pmod("vec_id", F.lit(3)) == i) for i in range(3)]
+        handler = continuous_embedding_dedup(prefix, f"{scratch}/pairs")
+        handler(batches[0], 0)
+        handler(batches[1], 1)
+        assert lsh_index_status(spark, prefix)["retrain_due"]
+        assert lsh_index_build(
+            batches[0].unionByName(batches[1]), prefix,
+            threshold=0.45, dim=64, multiprobe=N_PLANES,
+        ) == 2
+        handler(batches[2], 2)
+        st = lsh_index_status(spark, prefix)
+        assert (st["generation"], st["segments"]) == (2, [1])
+        # crash-redelivery of the post-retrain batch
+        handler(batches[2], 2)
+        st = lsh_index_status(spark, prefix)
+        assert (st["generation"], st["segments"]) == (2, [1]), (
+            "replay must not append a second segment"
+        )
+        got = sorted(
+            tuple(r)
+            for r in spark.read.schema(EMB_PAIRS_DDL)
+            .parquet(f"{scratch}/pairs")
+            .distinct()
+            .collect()
+        )
+        assert got == expected
+    finally:
+        index_drop_all(spark, prefix, ("_buckets", "_vectors", "_meta"))
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        fs, jpath = _hadoop_fs(spark, warehouse)
+        fs.delete(jpath(_lsh_index_claim(warehouse, prefix)), False)
+        cleanup(scratch)
+
+
 def test_hs_append_idempotent_under_repeated_crash_redelivery(spark):
     """ADVICE r14 #3: repeated crash cycles on the SAME micro-batch
     must not grow hs_dir — after N redeliveries every id still has
