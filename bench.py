@@ -193,6 +193,9 @@ HEADLINE = [
     # round 15: the IVF twin — retrain-mid-stream for the second
     # drift-prone index at oracle-gate strength
     "stream_continuous_ivf_ingest_maintained",
+    # round 15: the compact half of the maintenance matrix at
+    # oracle-gate strength (fold mid-stream, resume on gen 2)
+    "stream_continuous_index_dedup_compacted",
 ]
 
 

@@ -424,6 +424,118 @@ def stream_continuous_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataF
     return pairs
 
 
+# The COMPACTED minhash stream (round 15 — the compact half of the
+# maintenance matrix lifted to oracle-gate strength, as the two
+# retrain gates do for the drift half; pytest pin:
+# tests/test_round13_properties.py::
+# test_continuous_stream_rides_mid_stream_compaction): the stream
+# bootstraps gen 1 and appends a segment, a maintenance job COMPACTS
+# (segments fold into generation 2 at IO cost), the stream resumes on
+# the SAME checkpoint and its remaining batches land as gen 2's
+# append segments.  Compaction preserves content, so the pair oracle
+# is the SAME exact-Jaccard SQL as the uncompacted gate — what the
+# descriptor row adds is disk-state proof that the fold happened and
+# the resumed stream rode it (generation 2 with exactly the two
+# post-compact segments; a stream that silently kept riding gen 1
+# would report (1, 3) and hash-mismatch).
+_CMP_DDL = "generation BIGINT, n_segments BIGINT, doc_a BIGINT, doc_b BIGINT, jaccard DOUBLE"
+
+
+def _compacted_stream_sql() -> str:
+    return f"""
+SELECT CAST(2 AS BIGINT) AS generation,
+       CAST(2 AS BIGINT) AS n_segments,
+       CAST(-1 AS BIGINT) AS doc_a,
+       CAST(-1 AS BIGINT) AS doc_b,
+       CAST(-1.0 AS DOUBLE) AS jaccard
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), doc_a, doc_b, jaccard
+FROM ({_MINHASH_STREAM_SQL}) p
+"""
+
+
+@register("stream_continuous_index_dedup_compacted", oracle=_compacted_stream_sql())
+def stream_continuous_index_dedup_compacted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The COMPACTED twin of stream_continuous_index_dedup (round 15):
+    same handler, same checkpoint, but the nightly maintenance act the
+    segment-count trigger cues actually RUNS mid-stream —
+    minhash_index_compact folds generation 1 + its segment into
+    generation 2 between micro-batch runs — and the stream resumes,
+    screening its remaining batches against the compacted generation
+    and appending there.  With the two retrain gates this puts BOTH
+    maintenance operations (fold and re-size) under driver oracle
+    evidence riding a live checkpoint; the three pytest
+    compact-mid-stream pins remain the broader matrix.
+
+    Result rows: one descriptor row read back from the index on disk
+    via minhash_index_status (generation, n_segments; pair columns
+    -1), plus the accumulated distinct pair set (descriptor columns
+    -1).  Compaction preserves content, so the pair half of the oracle
+    is the same exact-Jaccard SQL as the uncompacted gate; the
+    descriptor half pins the fold and the resumed ride.  Same
+    corpus-contingent LSH total-recall contingency as
+    dedup_minhash_pairs.  Scale: the compact is segments-sized IO
+    between batches; per batch the stream still pays one shingling
+    pass + co-located probe joins, never a corpus rescan."""
+    import uuid as _uuid
+
+    from ..operators.bucketing import index_drop_all
+    from ..operators.dedup import (
+        _index_claim,
+        minhash_index_compact,
+        minhash_index_status,
+    )
+    from ..sinks import _hadoop_fs
+    from ..streaming.dedup import PAIRS_DDL, continuous_index_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    scratch = scratch_dir("scmpdedup")
+    prefix = f"cmpgate_{_uuid.uuid4().hex[:8]}"
+    try:
+        batches = [docs.filter(F.pmod("doc_id", F.lit(4)) == i) for i in range(4)]
+        in_dir = f"{scratch}/in"
+        handler = continuous_index_dedup(prefix, f"{scratch}/pairs")
+        # phase 1: bootstrap (gen 1) + one append segment
+        stage_stream_dir(batches[:2], in_dir)
+        sdocs = read_file_stream(spark, in_dir, docs.schema)
+        run_available_now(sdocs, f"{scratch}/ckpt", foreach_batch=handler)
+        # maintenance between micro-batch runs: fold the segment away
+        audit = minhash_index_compact(spark, prefix)
+        if audit["generation"] != 2:
+            # loud even under python -O (assert would vanish)
+            raise RuntimeError(f"compact must publish generation 2: {audit}")
+        # phase 2: resume on the SAME checkpoint; the remaining batches
+        # must ride the compacted generation and append there
+        stage_stream_dir(batches[2:], in_dir, start=2)
+        sdocs = read_file_stream(spark, in_dir, docs.schema)
+        run_available_now(sdocs, f"{scratch}/ckpt", foreach_batch=handler)
+        st = minhash_index_status(spark, prefix)
+        head = spark.createDataFrame(
+            [(int(st["generation"]), len(st["segments"]), -1, -1, -1.0)],
+            _CMP_DDL,
+        )
+        pairs = (
+            spark.read.schema(PAIRS_DDL)
+            .parquet(f"{scratch}/pairs")
+            .distinct()  # at-least-once sink: replays append exact duplicates
+            .select(
+                F.lit(-1).cast("long").alias("generation"),
+                F.lit(-1).cast("long").alias("n_segments"),
+                "doc_a", "doc_b", "jaccard",
+            )
+        )
+        result = head.unionByName(pairs).localCheckpoint(eager=True)
+    finally:
+        index_drop_all(spark, prefix, ("_bands", "_shingles"))
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        fs, jpath = _hadoop_fs(spark, warehouse)
+        fs.delete(jpath(_index_claim(warehouse, prefix)), False)
+        cleanup(scratch)
+    return result
+
+
 # The MAINTAINED embedding stream (round 15, the r14 verdict's item 3 —
 # the acting half of the LSH drift arm lifted from its pytest pin
 # (tests/test_round14_properties.py) to a driver oracle gate): the

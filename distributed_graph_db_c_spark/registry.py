@@ -136,6 +136,11 @@ AWAITING_FIRST_SLOT: list[str] = [
     # oracle replays the post-retrain construction plus an on-disk
     # descriptor row.  Strict-green locally at 32 and 5 partitions.
     "stream_continuous_ivf_ingest_maintained",
+    # the compact half (round 15): minhash_index_compact folds the
+    # segment mid-stream, the resumed batches ride generation 2 —
+    # same pair oracle as the uncompacted gate plus a disk-state
+    # descriptor row.  Strict-green locally at 32 and 5 partitions.
+    "stream_continuous_index_dedup_compacted",
 ]
 
 # (d) the recomputed due list under the FOUR-round horizon: headline
@@ -210,11 +215,12 @@ _STALE_RAMP: list[str] = [
 # ROUND-16 HANDOFF (computed against the published r13-r14 records
 # with a synthetic r15 = this window all-green; the look-ahead test
 # recomputes and enforces it at r16 build time): the round-16 window
-# owes (1) the AWAITING drains first — BOTH maintained-stream gates
-# (stream_continuous_embedding_dedup_maintained and its IVF twin
-# stream_continuous_ivf_ingest_maintained, registered late r15,
-# strict-green locally, STREAMING gates whose drain slots belong in
-# the r16 tail); (2) the due cohort leaving the FOUR-round
+# owes (1) the AWAITING drains first — the THREE maintenance-
+# composition gates (stream_continuous_embedding_dedup_maintained,
+# its IVF twin stream_continuous_ivf_ingest_maintained, and the
+# compact half stream_continuous_index_dedup_compacted — registered
+# late r15, strict-green locally, STREAMING gates whose drain slots
+# belong in the r16 tail); (2) the due cohort leaving the FOUR-round
 # horizon when r16 publishes — the r11-green-only remainder after
 # this round's 13-slot r11 ramp absorption (recompute it from the
 # records at build time; the r11 cohort was 41 wide, so expect ~28
