@@ -40,6 +40,18 @@ def get_spark(app_name: str = "dgdb-spark", shuffle_partitions: int | None = Non
         # Deterministic timestamp semantics against the DuckDB oracle.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # Whole-stage codegen emits one compiled class per generated
+        # plan; a 145-query benchmark session fills the JVM's default
+        # 240 MB reserved code cache mid-run, at which point HotSpot
+        # DISABLES the JIT ("CodeHeap 'non-profiled nmethods' is full")
+        # and every later query runs interpreted — observed as a 15%
+        # suite-total regression on the second full bench pass.  Double
+        # the cache (takes effect only at JVM launch, so it must be set
+        # here, not post-hoc).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
