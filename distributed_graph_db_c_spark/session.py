@@ -41,7 +41,7 @@ def get_spark(app_name: str = "dgdb-spark", shuffle_partitions: int | None = Non
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         # Whole-stage codegen emits one compiled class per generated
-        # plan; a 145-query benchmark session fills the JVM's default
+        # plan; a 146-query benchmark session fills the JVM's default
         # 240 MB reserved code cache mid-run, at which point HotSpot
         # DISABLES the JIT ("CodeHeap 'non-profiled nmethods' is full")
         # and every later query runs interpreted — observed as a 15%
