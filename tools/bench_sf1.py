@@ -164,6 +164,10 @@ STREAM_QUERIES = [
     "stream_continuous_index_dedup",  # round 12, late: durable-index form
     "stream_continuous_embedding_dedup",  # round 13, late: LSH-index form
     "stream_continuous_ivf_ingest",  # round 14: ANN ingest loop
+    # round 15: the maintenance matrix at oracle strength
+    "stream_continuous_embedding_dedup_maintained",
+    "stream_continuous_ivf_ingest_maintained",
+    "stream_continuous_index_dedup_compacted",
 ]
 
 N_PASSES = 2
