@@ -198,6 +198,25 @@ def read_bucket_spec(
     return read_json_sidecar(spark, location, BUCKET_SPEC_FILE)
 
 
+def count_and_distinct(df: DataFrame, col: str) -> tuple[int, int]:
+    """(row count, distinct count of ``col``) in ONE aggregation job
+    (round 15, guide §1.2): the ``df.count()`` +
+    ``df.select(col).distinct().count()`` idiom every append/stream
+    validation used costs two full passes over the delta — at 100 TB two
+    delta scans, locally two scheduled jobs — for numbers one partial
+    aggregate produces together.  NULL semantics match
+    ``distinct().count()`` exactly: ``count_distinct`` ignores NULLs, so
+    a NULL-presence flag adds the one distinct row NULLs collapse to."""
+    import pyspark.sql.functions as F
+
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(col)).alias("d"),
+        F.max(F.col(col).isNull().cast("int")).alias("has_null"),
+    ).head()
+    return int(row["n"]), int(row["d"]) + int(row["has_null"] or 0)
+
+
 def warehouse_location(spark: SparkSession, name: str) -> str:
     """The FULLY-QUALIFIED URI of warehouse entry ``name``, resolved
     through the Hadoop filesystem (ADVICE r10): composing a LOCATION

@@ -722,9 +722,11 @@ def minhash_index_append(
         # internal-duplicate check BEFORE shingling: shingle_hash_sets
         # groups by id, so two delta rows sharing an id would silently
         # MERGE their shingle sets into one indexed document — check the
-        # raw input (two delta-sized aggregations on slim projections)
-        n_input = new_docs.count()
-        n_ids = new_docs.select(F.col(id_col)).distinct().count()
+        # raw input (round 15: ONE fused aggregation on a slim
+        # projection, guide §1.2 — was two separate delta passes)
+        from .bucketing import count_and_distinct
+
+        n_input, n_ids = count_and_distinct(new_docs, id_col)
         if n_ids != n_input:
             raise ValueError(
                 f"minhash_index_append({table_prefix}): delta batch has "
@@ -810,11 +812,26 @@ def minhash_index_append(
         ensure_attached(
             spark, f"{p}_shingles", INDEX_SHINGLES_DDL, "id", INDEX_N_BUCKETS
         )
-    base_rows = spark.table(f"{gp}_shingles").count()
-    prior_rows = sum(
-        spark.table(f"{index_seg_prefix(table_prefix, gen, s)}_shingles").count()
-        for s in segs
+    # ledger counts in ONE job (round 15, guide §1.2): was one count()
+    # job per part — a union tagged by part index aggregates them all
+    from functools import reduce as _reduce
+
+    _tagged = _reduce(
+        DataFrame.unionByName,
+        [spark.table(f"{gp}_shingles").select(F.lit(0).alias("_pi"))]
+        + [
+            spark.table(
+                f"{index_seg_prefix(table_prefix, gen, s)}_shingles"
+            ).select(F.lit(int(s)).alias("_pi"))
+            for s in segs
+        ],
     )
+    _cnt = {
+        int(r["_pi"]): int(r["c"])
+        for r in _tagged.groupBy("_pi").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    base_rows = _cnt.get(0, 0)
+    prior_rows = sum(_cnt.get(int(s), 0) for s in segs)
     appended_rows = prior_rows + batch_rows
     frac = appended_rows / base_rows if base_rows else float("inf")
     n_segments = len(segs) + 1

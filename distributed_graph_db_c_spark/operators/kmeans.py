@@ -140,6 +140,52 @@ def _assign_with_d2(cents: list[list[int]]):
     return assign
 
 
+def _assign_and_moments(cents: list[list[int]], dim: int):
+    """Fused assignment + per-(partition, cluster) moment summary for the
+    fit loop (round 15, guide §4): the split formulation chained TWO
+    ``mapInPandas`` evals per iteration, shipping every row's
+    ``array<long>`` vector JVM->Python->JVM->Python — the intermediate
+    assigned frame crossed the boundary solely to be re-grouped.  One
+    eval computes the same integer argmin assignment and accumulates the
+    same exact-integer sums (numpy int64 per batch-group block, merged
+    into arbitrary-precision Python ints — identical magnitudes, so the
+    same no-overflow argument), yielding only k tiny summary rows per
+    partition.  Centroids, inertia and the fixed point are bit-identical
+    to the split path; only boundary bytes change."""
+    c = np.asarray(cents, dtype=np.int64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[int, list] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            w = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["w"]])
+            d2 = ((w[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            am = np.argmin(d2, axis=1)
+            d2m = d2[np.arange(len(am)), am]
+            for cl in np.unique(am):
+                mask = am == cl
+                a = acc.setdefault(int(cl), [0, [0] * dim, 0])
+                a[0] += int(mask.sum())
+                # per-block column sums <= rows * 2^21: int64-safe, then
+                # accumulated into Python ints for arbitrary precision
+                cs = w[mask].sum(axis=0)
+                for i in range(dim):
+                    a[1][i] += int(cs[i])
+                # row-wise d2 < 2^50 into Python ints (the kmeans_summary
+                # decimal(38,0) guard, applied per block)
+                a[2] += sum(int(x) for x in d2m[mask])
+        yield pd.DataFrame(
+            [
+                (cl, a[0], [str(v) for v in a[1]], str(a[2]))
+                for cl, a in acc.items()
+            ],
+            columns=["cluster", "n", "s", "inertia"],
+        )
+
+    return run
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int = 8,
@@ -172,11 +218,12 @@ def kmeans_fit(
         iters = 0
         for _ in range(max_iters):
             iters += 1
-            assigned = q.mapInPandas(
-                _assign_with_d2(cents), schema=f"{id_col} long, w array<long>, cluster int, d2 long"
-            )
+            moment_rows = q.mapInPandas(
+                _assign_and_moments(cents, dim),
+                schema="cluster int, n long, s array<string>, inertia string",
+            ).collect()
             merged: dict[int, list] = {}
-            for r in _moments(assigned, dim):
+            for r in moment_rows:
                 a = merged.setdefault(int(r["cluster"]), [0, [0] * dim, 0])
                 a[0] += int(r["n"])
                 for i, v in enumerate(r["s"]):

@@ -894,19 +894,33 @@ def lsh_index_append(
         dim, basis_rows = int(meta["dim"]), int(meta["n_rows"])
         segs = index_segments(spark, table_prefix, gen)
         seg = (segs[-1] if segs else 0) + 1
-        n_input = new_vectors.count()
-        n_ids = new_vectors.select(F.col(id_col)).distinct().count()
+        # count + distinct-count + width check in ONE aggregation job
+        # (round 15, guide §1.2): three separate delta passes fused —
+        # same checks, same refusal order, one scan.  The width term
+        # counts rows whose size(vec) != dim exactly as the filter-count
+        # did (a NULL vector's NULL size fails the <> and lands in
+        # otherwise(0), matching filter's NULL-drops-row semantics).
+        _vrow = new_vectors.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(id_col)).alias("d"),
+            F.max(F.col(id_col).isNull().cast("int")).alias("has_null"),
+            F.sum(
+                F.when(F.size(F.col(vec_col)) != dim, 1).otherwise(0)
+            ).alias("n_bad"),
+        ).head()
+        n_input = int(_vrow["n"])
+        n_ids = int(_vrow["d"]) + int(_vrow["has_null"] or 0)
+        n_bad = int(_vrow["n_bad"] or 0)
         if n_ids != n_input:
             raise ValueError(
                 f"lsh_index_append({table_prefix}): delta batch has "
                 f"{n_input - n_ids} internally duplicated {id_col} "
                 "value(s) — ids must be unique"
             )
-        # width check PRE-MUTATION (a delta-sized slim count): the
-        # per-row checked_norm raise below would otherwise fire during
-        # the segment write and wedge the success-only claim over an
+        # width check PRE-MUTATION (fused above): the per-row
+        # checked_norm raise below would otherwise fire during the
+        # segment write and wedge the success-only claim over an
         # untouched index — refuse cleanly here instead, claim released
-        n_bad = new_vectors.filter(F.size(F.col(vec_col)) != dim).count()
         if n_bad:
             raise ValueError(
                 f"lsh_index_append({table_prefix}): {n_bad} delta "
@@ -975,16 +989,31 @@ def lsh_index_append(
         spark, table_prefix, gen, seg, f"lsh_index_append({table_prefix})"
     )
     fs.delete(jpath(claim), False)
-    batch_rows = spark.table(f"{sp}_vectors").count()
+    # ledger counts in ONE job (round 15, guide §1.2): the per-part
+    # count() loop scheduled 2 + len(segs) jobs over slim tables; a
+    # union tagged by part index yields every count in one aggregation.
+    _tagged = functools.reduce(
+        DataFrame.unionByName,
+        [spark.table(f"{sp}_vectors").select(F.lit(-1).alias("_pi"))]
+        + [spark.table(f"{gp}_vectors").select(F.lit(0).alias("_pi"))]
+        + [
+            spark.table(
+                f"{index_seg_prefix(table_prefix, gen, s)}_vectors"
+            ).select(F.lit(int(s)).alias("_pi"))
+            for s in segs
+        ],
+    )
+    _cnt = {
+        int(r["_pi"]): int(r["c"])
+        for r in _tagged.groupBy("_pi").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    batch_rows = _cnt.get(-1, 0)
     # same basis-excess accounting as lsh_index_status: rows a prior
     # compaction folded into the base still count toward plane drift
     appended_rows = (
         batch_rows
-        + max(0, spark.table(f"{gp}_vectors").count() - basis_rows)
-        + sum(
-            spark.table(f"{index_seg_prefix(table_prefix, gen, s)}_vectors").count()
-            for s in segs
-        )
+        + max(0, _cnt.get(0, 0) - basis_rows)
+        + sum(_cnt.get(int(s), 0) for s in segs)
     )
     frac = appended_rows / basis_rows if basis_rows else float("inf")
     n_segments = len(segs) + 1
@@ -2165,7 +2194,11 @@ def ivf_append(
         # streaming handler guards against; the direct batch API must
         # refuse it too (unlike the catalog-backed minhash/LSH appends,
         # whose schema survives an empty table)
-        n_in = new_vectors.count()
+        # count + distinct-count in ONE aggregation job (round 15,
+        # guide §1.2 — was two separate delta passes)
+        from .bucketing import count_and_distinct
+
+        n_in, n_ids = count_and_distinct(new_vectors, id_col)
         if n_in == 0:
             raise ValueError(
                 f"ivf_append({path}): empty delta — nothing to append, "
@@ -2179,7 +2212,6 @@ def ivf_append(
             # would both land in the segment and score the same
             # candidate twice per query, exactly the hazard the
             # index-side check below refuses
-            n_ids = new_vectors.select(F.col(id_col)).distinct().count()
             if n_ids != n_in:
                 raise ValueError(
                     f"ivf_append({path}): delta batch has "

@@ -1150,7 +1150,7 @@ def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-pairs, planted recall, and repeat-run identity.  Clustering
     normalizes (cosine geometry: planted mixtures have sqrt(5)x norms);
     pair scoring uses the ORIGINAL vectors, same as the grade gates."""
-    from ..functions.vectors import cosine_seq, norm2_seq
+    from ..functions.vectors import norm2_seq
     from ..operators.kmeans import kmeans_assign, kmeans_fit
     from ..operators.traversal import pairs_to_canonical
 
@@ -1167,12 +1167,39 @@ def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cents, _iters, _inertia = kmeans_fit(unit, k=k, vec_col="nv", dim=64)
         asg = kmeans_assign(unit, cents, vec_col="nv")
-        withc = corpus.join(asg, "vec_id")
+        # Round-15 optimization (guide §4.1/§2.3): score pairs with the
+        # UNPACKED-COLUMN dot product instead of cosine_seq — the
+        # interpreted zip_with/aggregate HOFs evaluated dot + BOTH norms
+        # per PAIR (~n^2/k interpreted 64-element folds), where the norm
+        # is a per-ROW quantity.  Precompute nrm once per row before the
+        # join and run the dot as a left-associated codegen multiply/add
+        # chain — bit-identical to cosine_seq's sequential fold (same
+        # double casts, same association order, 0.0 + x0 == x0; the
+        # cosine_lsh_pairs rescore argument verbatim), so the pair set
+        # and every cosine value are unchanged.
+        withc = corpus.join(asg, "vec_id").select(
+            "vec_id",
+            "cluster",
+            norm2_seq(F.col("v")).alias("_n"),
+            *[F.col("v")[i].alias(f"_x{i}") for i in range(64)],
+        )
         a = withc.select(
-            F.col("vec_id").alias("id_a"), F.col("v").alias("_va"), "cluster"
+            F.col("vec_id").alias("id_a"),
+            "cluster",
+            F.col("_n").alias("_na"),
+            *[F.col(f"_x{i}").alias(f"_a{i}") for i in range(64)],
         )
         b = withc.select(
-            F.col("vec_id").alias("id_b"), F.col("v").alias("_vb"), "cluster"
+            F.col("vec_id").alias("id_b"),
+            "cluster",
+            F.col("_n").alias("_nb"),
+            *[F.col(f"_x{i}").alias(f"_b{i}") for i in range(64)],
+        )
+        import functools as _functools
+
+        dot = _functools.reduce(
+            lambda acc, t: acc + t,
+            [F.col(f"_a{i}") * F.col(f"_b{i}") for i in range(64)],
         )
         pairs = (
             a.join(b, "cluster")
@@ -1180,7 +1207,7 @@ def dedup_semantic_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "id_a",
                 "id_b",
-                cosine_seq(F.col("_va"), F.col("_vb")).alias("cosine"),
+                (dot / (F.col("_na") * F.col("_nb"))).alias("cosine"),
             )
             .filter(F.col("cosine") >= _GRADE_THRESHOLD)
             # CC iterates over the pair frame — cut the cluster-join

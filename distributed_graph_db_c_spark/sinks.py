@@ -51,6 +51,13 @@ def _claim_marker_local(claim: str, token: str, what: str) -> None:
     import os
 
     path = _local_claim_path(claim)
+    # A claim may be the very first write into the warehouse of a fresh
+    # checkout (observed: dedup_incremental_pairs as the first query of a
+    # sweep, ENOENT on the marker open) — the directory is normally created
+    # lazily by Spark's first managed-table write, so create it here too.
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     try:
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     except FileExistsError as exc:

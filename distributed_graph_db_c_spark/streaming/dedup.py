@@ -248,12 +248,16 @@ def continuous_embedding_dedup(
     def handle(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.localCheckpoint(eager=True)
+        from ..operators.bucketing import count_and_distinct
+
         # ADVICE r13 (low): an EMPTY micro-batch is a no-op — the same
         # shape as the minhash handler's zero-indexable guard (an empty
         # batch could never classify as a replay under `n_batch > 0`,
         # so each crash-redelivery appended another empty segment, and
         # an empty FIRST batch would bootstrap a zero-row plane basis).
-        n_batch = batch.count()
+        # Round 15 (guide §1.2): count + distinct-count fused into one
+        # aggregation job — two passes over the pinned batch become one.
+        n_batch, n_ids = count_and_distinct(batch, id_col)
         if n_batch == 0:
             return
         # internal duplicate ids refuse BEFORE any write, for EVERY
@@ -264,16 +268,21 @@ def continuous_embedding_dedup(
         # generation that double-scores that vector in every screen,
         # permanently; and on later batches the append's own refusal
         # fires only after the pairs write (harmless but churny).
-        if batch.select(id_col).distinct().count() != n_batch:
+        if n_ids != n_batch:
             raise ValueError(
                 f"continuous_embedding_dedup({table_prefix}): batch "
                 f"{batch_id} has internally duplicated {id_col} values "
                 "— the same vector would index and score twice. "
                 "Nothing was written."
             )
+        # n_rows=n_batch (round 15, guide §1.2): the auto-sizing inside
+        # cosine_lsh_pairs and lsh_index_build would each re-count the
+        # pinned batch — the count is already in hand and identical, so
+        # the sizing (and therefore every result bit) is unchanged.
         if not index_generations(spark, table_prefix):
             cosine_lsh_pairs(
-                batch, threshold, dim, id_col, vec_col, multiprobe=N_PLANES
+                batch, threshold, dim, id_col, vec_col, multiprobe=N_PLANES,
+                n_rows=n_batch,
             ).select(
                 F.col("id_a").cast("long"),
                 F.col("id_b").cast("long"),
@@ -282,6 +291,7 @@ def continuous_embedding_dedup(
             lsh_index_build(
                 batch, table_prefix, threshold=threshold, dim=dim,
                 id_col=id_col, vec_col=vec_col, multiprobe=N_PLANES,
+                n_rows=n_batch,
             )
             return
         # classify BEFORE any write — the minhash handler's three cases
@@ -336,7 +346,8 @@ def continuous_embedding_dedup(
             )
         )
         within = cosine_lsh_pairs(
-            batch, threshold, dim, id_col, vec_col, multiprobe=N_PLANES
+            batch, threshold, dim, id_col, vec_col, multiprobe=N_PLANES,
+            n_rows=n_batch,
         ).select(
             F.col("id_a").cast("long"), F.col("id_b").cast("long"), "cosine"
         )
@@ -403,7 +414,11 @@ def continuous_ivf_ingest(
     def handle(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.localCheckpoint(eager=True)
-        n_batch = batch.count()
+        from ..operators.bucketing import count_and_distinct
+
+        # count + distinct-count in ONE aggregation job (round 15,
+        # guide §1.2 — one pass over the pinned batch, not two)
+        n_batch, n_ids = count_and_distinct(batch, id_col)
         # empty micro-batch: a no-op, the same guard as the dedup
         # handlers (ADVICE r13 low) — it could never classify as a
         # replay, so each crash-redelivery would append/publish another
@@ -418,7 +433,7 @@ def continuous_ivf_ingest(
         # whose first delivery "succeeded").  The classification below
         # subsumes the append's index-side duplicate check
         # (check_duplicate_ids=False), but NOT this internal one.
-        if batch.select(id_col).distinct().count() != n_batch:
+        if n_ids != n_batch:
             raise ValueError(
                 f"continuous_ivf_ingest({path}): batch {batch_id} has "
                 "internally duplicated ids — the same candidate would "
