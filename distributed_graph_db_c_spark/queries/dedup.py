@@ -238,17 +238,33 @@ def dedup_index_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 4 == 0)
     prefix = f"ttgate_{_uuid.uuid4().hex[:8]}"
     try:
-        g1 = minhash_index_build(snapshot, prefix)
-        g2 = minhash_index_build(survivors, prefix)
-        if (g1, g2) != (1, 2):
-            raise RuntimeError(f"expected generations (1, 2), got ({g1}, {g2})")
-        # ONE shingling/signing pass for every screen of the same batch
-        # (round 13: the operators' hs_df/sig_df sharing parameters)
+        # ONE full-corpus shingling/signing pass shared by BOTH builds
+        # and the screens (round 15, guide §1.2): snapshot (3/4 of the
+        # corpus), survivors (2/4) and batch (1/4) overlap, so building
+        # each from its own pass shingled 1.5 corpus-equivalents; hs/sig
+        # are per-document, so filtering one checkpointed full pass is
+        # bit-identical and touches each document once.
         from ..operators.dedup import minhash_signatures, shingle_hash_sets
 
-        hs = shingle_hash_sets(batch).localCheckpoint(eager=True)
-        sig = minhash_signatures(batch, hs_df=hs).localCheckpoint(eager=True)
-        share = dict(hs_df=hs, sig_df=sig)
+        hs_all = shingle_hash_sets(docs).localCheckpoint(eager=True)
+        sig_all = minhash_signatures(docs, hs_df=hs_all).localCheckpoint(
+            eager=True
+        )
+
+        def _sub(cond):
+            return dict(
+                hs_df=hs_all.filter(cond), sig_df=sig_all.filter(cond)
+            )
+
+        g1 = minhash_index_build(
+            snapshot, prefix, **_sub(F.col("id") % 4 != 0)
+        )
+        g2 = minhash_index_build(
+            survivors, prefix, **_sub((F.col("id") % 4).isin([2, 3]))
+        )
+        if (g1, g2) != (1, 2):
+            raise RuntimeError(f"expected generations (1, 2), got ({g1}, {g2})")
+        share = _sub(F.col("id") % 4 == 0)
         pinned = incremental_dedup_pairs(
             batch, prefix, threshold=0.8, generation=1, **share
         ).select(F.lit(1).cast("long").alias("generation"), "old_id", "new_id", "jaccard")
@@ -444,9 +460,32 @@ def dedup_index_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 4 == 0)
     prefix = f"vacgate_{_uuid.uuid4().hex[:8]}"
     try:
-        g1 = minhash_index_build(base, prefix)
-        audit = minhash_index_append(seg, prefix)
-        g2 = minhash_index_build(survivors, prefix)
+        # ONE full-corpus shingling/signing pass shared by the builds,
+        # the append, and the final screen (round 15, guide §1.2): the
+        # base/segment/survivor subsets overlap (%4==2 is indexed twice),
+        # so per-phase passes shingled 1.5 corpus-equivalents; hs/sig
+        # are per-document, filtering one checkpointed pass is identical.
+        from ..operators.dedup import minhash_signatures, shingle_hash_sets
+
+        hs_all = shingle_hash_sets(docs).localCheckpoint(eager=True)
+        sig_all = minhash_signatures(docs, hs_df=hs_all).localCheckpoint(
+            eager=True
+        )
+
+        def _sub(cond):
+            return dict(
+                hs_df=hs_all.filter(cond), sig_df=sig_all.filter(cond)
+            )
+
+        g1 = minhash_index_build(
+            base, prefix, **_sub((F.col("id") % 4).isin([1, 2]))
+        )
+        audit = minhash_index_append(
+            seg, prefix, **_sub(F.col("id") % 4 == 3)
+        )
+        g2 = minhash_index_build(
+            survivors, prefix, **_sub((F.col("id") % 4).isin([2, 3]))
+        )
         if (g1, audit["segment"], g2) != (1, 1, 2):
             raise RuntimeError(
                 f"expected lifecycle (g1, seg 1, g2), got "
@@ -465,7 +504,9 @@ def dedup_index_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "must raise, never silently re-resolve"
             )
         result = (
-            incremental_dedup_pairs(batch, prefix, threshold=0.8)
+            incremental_dedup_pairs(
+                batch, prefix, threshold=0.8, **_sub(F.col("id") % 4 == 0)
+            )
             .select(
                 F.lit(2).cast("long").alias("surviving_generation"),
                 F.lit(1).cast("long").alias("removed_generation"),
@@ -1300,9 +1341,14 @@ def dedup_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _grade_corpus(spark, sf_dir)
     ev = corpus.filter(_is_eval_col())
     tr = corpus.filter(~_is_eval_col())
+    # n_rows = one corpus count (round 15, guide §1.2): eval/train
+    # partition the corpus exactly, so the auto-sizing basis
+    # left.count() + right.count() equals corpus.count() — one job and
+    # one grade-corpus materialization instead of two, same basis value
+    # and therefore identical plane parameters and results.
     pairs = cosine_lsh_cross_pairs(
         ev, tr, threshold=_GRADE_THRESHOLD, dim=64,
-        vec_col="v", multiprobe=_GRADE_MULTIPROBE,
+        vec_col="v", multiprobe=_GRADE_MULTIPROBE, n_rows=corpus.count(),
     )
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
     return (

@@ -353,7 +353,16 @@ def continuous_embedding_dedup(
         )
         cross.unionByName(within).write.mode("append").parquet(pairs_dir)
         if not replay:
-            lsh_index_append(batch, table_prefix, id_col=id_col, vec_col=vec_col)
+            # check_duplicate_ids=False (round 15, guide §1.2): the
+            # classification above already semi-joined the batch's ids
+            # against every part and proved ALL-NEW — the append's
+            # index-side duplicate check would re-run the identical
+            # join; the ivf handler's standing subsumption argument.
+            # The append's INTERNAL duplicate check still runs.
+            lsh_index_append(
+                batch, table_prefix, id_col=id_col, vec_col=vec_col,
+                check_duplicate_ids=False,
+            )
 
     return handle
 
@@ -649,6 +658,14 @@ def continuous_index_dedup(
         ).select("doc_a", "doc_b", "jaccard")
         cross.unionByName(within).write.mode("append").parquet(pairs_dir)
         if not replay:
-            minhash_index_append(batch, table_prefix, **kw, **share)
+            # check_duplicate_ids=False (round 15, guide §1.2): the
+            # classify semi-join above already proved the batch ALL-NEW
+            # against every part — the append's index-side duplicate
+            # check is the identical join re-run (the ivf handler's
+            # standing subsumption argument); its INTERNAL duplicate
+            # check still runs.
+            minhash_index_append(
+                batch, table_prefix, **kw, **share, check_duplicate_ids=False
+            )
 
     return handle
