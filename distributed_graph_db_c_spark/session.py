@@ -39,6 +39,18 @@ def get_spark(app_name: str = "dgdb-spark", shuffle_partitions: int | None = Non
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Deterministic timestamp semantics against the DuckDB oracle.
         .config("spark.sql.session.timeZone", "UTC")
+        # Round 15 (guide §1.2/§7.3 — planning cost is driver-side work):
+        # constraint propagation infers IsNotNull/equality constraints
+        # across every projected column, and the engine's unpacked-column
+        # vector scoring projects 64+ columns into self-joins — the
+        # inference is combinatorial in plan width (observed: the
+        # 64-column rescore joins carried ~130-term inferred Filter
+        # chains, and dedup_embedding_pairs_grade ran 6.4s -> 3.8s with
+        # it off; A/B over 24 queries spanning every family showed no
+        # regression).  Inference-only: user predicates still push down
+        # to scans, results are bit-identical, and the cost it removes
+        # grows with plan width, not data size — scale-independent.
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         # Whole-stage codegen emits one compiled class per generated
         # plan; a 146-query benchmark session fills the JVM's default

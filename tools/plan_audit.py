@@ -139,9 +139,17 @@ EXPECTATIONS: dict[str, list[tuple[str, str, bool]]] = {
         ("generator for salts", r"Generate explode", True),
     ],
     "rel_q4_late_shipping": [
-        ("pushdown orderdate", r"PushedFilters: \[[^\]]*o_orderdate", True),
+        # r15: the old "pushdown orderdate" line pinned an
+        # IsNotNull(o_orderdate) that existed only as a
+        # constraint-propagation inference from the join condition (the
+        # query has no user predicate on o_orderdate, and the column is
+        # never null, so the pushdown skipped zero rows); with
+        # spark.sql.constraintPropagation.enabled=false (session.py,
+        # r15 — planning-width cost) the artifact disappears while the
+        # join shape and results are unchanged.  Pin the shape instead.
         ("semi not inner", r"LeftSemi", True),
         ("no cartesian", r"CartesianProduct", False),
+        ("codegen", r"\*\(\d+\)", True),
     ],
     "rel_q10_returned_items": [
         ("pushdown returnflag", r"PushedFilters: \[[^\]]*EqualTo\(l_returnflag", True),
