@@ -993,11 +993,26 @@ def minhash_index_status(
                 spark, f"{p}_shingles", INDEX_SHINGLES_DDL, "id",
                 INDEX_N_BUCKETS,
             )
-    base_rows = spark.table(f"{gp}_shingles").count()
-    appended_rows = sum(
-        spark.table(f"{index_seg_prefix(table_prefix, gen, s)}_shingles").count()
-        for s in segs
+    # per-part counts in ONE job (round 15, guide §1.2 — the append
+    # ledger's tagged-union fuse applied to the status recompute)
+    from functools import reduce as _reduce
+
+    _tagged = _reduce(
+        DataFrame.unionByName,
+        [spark.table(f"{gp}_shingles").select(F.lit(0).alias("_pi"))]
+        + [
+            spark.table(
+                f"{index_seg_prefix(table_prefix, gen, s)}_shingles"
+            ).select(F.lit(int(s)).alias("_pi"))
+            for s in segs
+        ],
     )
+    _cnt = {
+        int(r["_pi"]): int(r["c"])
+        for r in _tagged.groupBy("_pi").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    base_rows = _cnt.get(0, 0)
+    appended_rows = sum(_cnt.get(int(s), 0) for s in segs)
     frac = appended_rows / base_rows if base_rows else float("inf")
     return {
         "generation": gen,

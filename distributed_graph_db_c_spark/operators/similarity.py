@@ -1072,10 +1072,25 @@ def lsh_index_status(
     # in excess of meta.n_rows are exactly the folded appends (an
     # explicit oversized n_rows at build clamps to 0 — no drift until
     # the corpus outgrows the recorded basis).
-    base_rows = spark.table(f"{gp}_vectors").count()
+    # per-part counts in ONE job (round 15, guide §1.2 — the append
+    # ledger's tagged-union fuse applied to the status recompute)
+    _tagged = functools.reduce(
+        DataFrame.unionByName,
+        [spark.table(f"{gp}_vectors").select(F.lit(0).alias("_pi"))]
+        + [
+            spark.table(
+                f"{index_seg_prefix(table_prefix, gen, s)}_vectors"
+            ).select(F.lit(int(s)).alias("_pi"))
+            for s in segs
+        ],
+    )
+    _cnt = {
+        int(r["_pi"]): int(r["c"])
+        for r in _tagged.groupBy("_pi").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    base_rows = _cnt.get(0, 0)
     appended_rows = max(0, base_rows - basis_rows) + sum(
-        spark.table(f"{index_seg_prefix(table_prefix, gen, s)}_vectors").count()
-        for s in segs
+        _cnt.get(int(s), 0) for s in segs
     )
     frac = appended_rows / basis_rows if basis_rows else float("inf")
     return {
