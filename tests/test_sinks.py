@@ -51,6 +51,15 @@ def test_partitioned_sorted_layout(spark):
             .executedPlan()
             .toString()
         )
-        assert "PartitionFilters: [isnotnull(o_orderstatus" in plan
+        # r15: pin the user predicate reaching PartitionFilters — the
+        # old isnotnull(o_orderstatus) prefix was an inferred-constraint
+        # artifact that vanished with
+        # spark.sql.constraintPropagation.enabled=false (session.py);
+        # pruning itself rides the EqualTo
+        assert "PartitionFilters: [" in plan
+        import re as _re
+
+        pf = _re.search(r"PartitionFilters: \[[^\]]*\]", plan).group(0)
+        assert "o_orderstatus" in pf and "= F" in pf, pf
     finally:
         cleanup(scratch)
