@@ -269,6 +269,16 @@ def main() -> None:
                 "queries_streaming": streaming,
                 "queries_median": medians,
                 "errors": errors,
+                # round 16 (VERDICT r15 item 2 — additions only): echo the
+                # EFFECTIVE master and parallelism so the scaling harness
+                # can verify $SPARK_GRAFT_CPUS took effect instead of
+                # inferring it from timing ratios that are noise-bound at
+                # this SF (suspect_cpus_ignored in PERF_r15).
+                "master": spark.sparkContext.master,
+                "cpus_effective": spark.sparkContext.defaultParallelism,
+                "shuffle_partitions": int(
+                    spark.conf.get("spark.sql.shuffle.partitions")
+                ),
                 "bench_runs": n_passes,
                 "note": "per-query min over full-suite passes; single runs vary +/-40% with machine load; batch total is the round-over-round comparable",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

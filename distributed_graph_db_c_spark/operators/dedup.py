@@ -620,6 +620,7 @@ def minhash_index_append(
     check_duplicate_ids: bool = True,
     hs_df: DataFrame | None = None,
     sig_df: DataFrame | None = None,
+    hs_rows: int | None = None,
 ) -> dict:
     """INCREMENTAL minhash-index maintenance (round 12, late — the
     banked handoff candidate e, the lifecycle counterpart of
@@ -742,7 +743,11 @@ def minhash_index_append(
             if owned
             else hs_df
         )
-        batch_rows = hs.count()
+        # hs_rows (round 16, guide §1.2): a caller that already counted
+        # the SAME pinned hs frame (the streaming handler's indexable
+        # guard runs hs.count() per batch) passes it and this job is
+        # skipped — identical value by construction
+        batch_rows = hs.count() if hs_rows is None else int(hs_rows)
         if check_duplicate_ids:
             # one slim semi-join per part against the 2-column shingle
             # store's id column; a hit refuses BEFORE any mutation.

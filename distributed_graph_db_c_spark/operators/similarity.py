@@ -381,10 +381,22 @@ def cosine_lsh_pairs(
     n_planes: int | None = None,
     n_tables: int | None = None,
     n_rows: int | None = None,
+    buckets_df: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs with cosine >= threshold via LSH bucketing — the scale twin
     of :func:`cosine_pairs` for the embedding NEAR-DUP problem (the
     pairs analogue of :func:`ann_topk`).
+
+    ``buckets_df`` (round 16, guide §4 — the hs_df/sig_df sharing
+    contract applied to the Arrow bucketing pass): a caller running
+    several phases over the SAME frame may pass the
+    :func:`with_lsh_buckets` output once instead of paying one
+    JVM->Python->JVM round-trip per phase.  The caller GUARANTEES it
+    was computed over ``embeddings`` with exactly the (n_planes,
+    n_tables) this call resolves — the streaming handler checks the
+    recorded index parameters against the batch sizing before sharing;
+    a mismatched frame would silently corrupt candidate recall, which
+    is why the default recomputes.
 
     RECALL MODEL (read this before trusting "all pairs"): precision is
     exact (every candidate is re-scored with the exact cosine), but
@@ -455,9 +467,13 @@ def cosine_lsh_pairs(
         multiprobe = max(multiprobe, auto_probe)
     if n_tables is None:
         n_tables = N_TABLES
-    bkt = with_lsh_buckets(
-        embeddings, dim, n_planes=n_planes, n_tables=n_tables,
-        id_col=id_col, vec_col=vec_col,
+    bkt = (
+        buckets_df
+        if buckets_df is not None
+        else with_lsh_buckets(
+            embeddings, dim, n_planes=n_planes, n_tables=n_tables,
+            id_col=id_col, vec_col=vec_col,
+        )
     )
     bt = bkt.select(
         F.col(id_col).alias("id"), F.posexplode("buckets").alias("table", "bucket")
@@ -684,6 +700,7 @@ def lsh_index_build(
     multiprobe: int = 0,
     n_buckets: int = LSH_INDEX_N_BUCKETS,
     n_rows: int | None = None,
+    buckets_df: DataFrame | None = None,
 ) -> int:
     """PERSIST the train side of semantic decontamination (round 10 —
     the minhash_index_build pattern applied to embedding cross-pairs):
@@ -745,10 +762,20 @@ def lsh_index_build(
     n_planes, n_tables, probe, _pred = lsh_params_for(
         n_rows, threshold, min_multiprobe=multiprobe
     )
-    bt = with_lsh_buckets(
-        train, dim, n_planes=n_planes, n_tables=n_tables,
-        id_col=id_col, vec_col=vec_col,
-    ).select(
+    # buckets_df: the cosine_lsh_pairs sharing contract (round 16,
+    # guide §4) — caller guarantees it is with_lsh_buckets(train, dim,
+    # n_planes, n_tables) for exactly the parameters this sizing
+    # resolves (the streaming handler derives both from the same
+    # lsh_params_for call, so they match by construction)
+    bkt = (
+        buckets_df
+        if buckets_df is not None
+        else with_lsh_buckets(
+            train, dim, n_planes=n_planes, n_tables=n_tables,
+            id_col=id_col, vec_col=vec_col,
+        )
+    )
+    bt = bkt.select(
         F.col(id_col).alias("id"),
         F.posexplode("buckets").alias("table", "bucket"),
     )
@@ -820,6 +847,8 @@ def lsh_index_append(
     retrain_frac: float = LSH_RETRAIN_FRAC,
     max_segments: int = LSH_MAX_SEGMENTS,
     check_duplicate_ids: bool = True,
+    buckets_df: DataFrame | None = None,
+    precounted: tuple[int, int, int, int] | None = None,
 ) -> dict:
     """INCREMENTAL decontamination-index maintenance (round 12, late —
     the minhash_index_append pattern applied to the embedding index):
@@ -900,17 +929,27 @@ def lsh_index_append(
         # counts rows whose size(vec) != dim exactly as the filter-count
         # did (a NULL vector's NULL size fails the <> and lands in
         # otherwise(0), matching filter's NULL-drops-row semantics).
-        _vrow = new_vectors.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.count_distinct(F.col(id_col)).alias("d"),
-            F.max(F.col(id_col).isNull().cast("int")).alias("has_null"),
-            F.sum(
-                F.when(F.size(F.col(vec_col)) != dim, 1).otherwise(0)
-            ).alias("n_bad"),
-        ).head()
-        n_input = int(_vrow["n"])
-        n_ids = int(_vrow["d"]) + int(_vrow["has_null"] or 0)
-        n_bad = int(_vrow["n_bad"] or 0)
+        # ``precounted`` (round 16, guide §1.2): a caller that already
+        # ran this exact aggregation over the same pinned frame (the
+        # streaming handler's per-batch validation) passes
+        # (n_input, n_ids, n_bad, dim_counted) and the delta pass is
+        # skipped; it is trusted only when dim_counted matches the
+        # index's recorded dim — a caller that counted widths against a
+        # different dim falls back to the fused aggregation.
+        if precounted is not None and int(precounted[3]) == dim:
+            n_input, n_ids, n_bad = (int(x) for x in precounted[:3])
+        else:
+            _vrow = new_vectors.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(F.col(id_col)).alias("d"),
+                F.max(F.col(id_col).isNull().cast("int")).alias("has_null"),
+                F.sum(
+                    F.when(F.size(F.col(vec_col)) != dim, 1).otherwise(0)
+                ).alias("n_bad"),
+            ).head()
+            n_input = int(_vrow["n"])
+            n_ids = int(_vrow["d"]) + int(_vrow["has_null"] or 0)
+            n_bad = int(_vrow["n_bad"] or 0)
         if n_ids != n_input:
             raise ValueError(
                 f"lsh_index_append({table_prefix}): delta batch has "
@@ -958,10 +997,19 @@ def lsh_index_append(
         raise
     # MUTATION SECTION: claim is success-only from here.
     sp = index_seg_prefix(table_prefix, gen, seg)
-    bt = with_lsh_buckets(
-        new_vectors, dim, n_planes=n_planes, n_tables=n_tables,
-        id_col=id_col, vec_col=vec_col,
-    ).select(
+    # buckets_df: the sharing contract (round 16, guide §4) — caller
+    # guarantees it was bucketed under the index's RECORDED
+    # (n_planes, n_tables); the streaming handler checks the recorded
+    # meta against its sizing before sharing
+    bkt = (
+        buckets_df
+        if buckets_df is not None
+        else with_lsh_buckets(
+            new_vectors, dim, n_planes=n_planes, n_tables=n_tables,
+            id_col=id_col, vec_col=vec_col,
+        )
+    )
+    bt = bkt.select(
         F.col(id_col).alias("id"),
         F.posexplode("buckets").alias("table", "bucket"),
     )
@@ -1323,6 +1371,7 @@ def decontaminate_incremental(
     materialize: bool = True,
     generation: int | None = None,
     as_of_segment: int | None = None,
+    buckets_df: DataFrame | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs between an EVAL batch and the indexed
     TRAIN snapshot at cosine >= the index's threshold — the nightly
@@ -1407,10 +1456,21 @@ def decontaminate_incremental(
     probe = int(meta["multiprobe"]) if multiprobe is None else max(
         int(meta["multiprobe"]), multiprobe
     )
-    ev = with_lsh_buckets(
-        eval_batch, dim, n_planes=n_planes, n_tables=n_tables,
-        id_col=id_col, vec_col=vec_col,
-    ).select(
+    # buckets_df: the sharing contract (round 16, guide §4) — caller
+    # guarantees it was bucketed under the index's RECORDED
+    # (n_planes, n_tables) over this exact eval_batch; the streaming
+    # handler checks the recorded meta against its sizing before
+    # sharing (a mismatched frame silently loses candidates, which is
+    # why the default recomputes)
+    bkt = (
+        buckets_df
+        if buckets_df is not None
+        else with_lsh_buckets(
+            eval_batch, dim, n_planes=n_planes, n_tables=n_tables,
+            id_col=id_col, vec_col=vec_col,
+        )
+    )
+    ev = bkt.select(
         F.col(id_col).alias("id_a"),
         F.posexplode("buckets").alias("table", "bucket"),
     )
@@ -2087,6 +2147,7 @@ def ivf_append(
     retrain_frac: float = IVF_RETRAIN_FRAC,
     max_segments: int = IVF_MAX_SEGMENTS,
     check_duplicate_ids: bool = True,
+    precounted: tuple[int, int] | None = None,
 ) -> dict:
     """INCREMENTAL IVF index maintenance (round 10 — the banked r9
     handoff candidate b, the lifecycle counterpart of the minhash
@@ -2210,10 +2271,18 @@ def ivf_append(
         # refuse it too (unlike the catalog-backed minhash/LSH appends,
         # whose schema survives an empty table)
         # count + distinct-count in ONE aggregation job (round 15,
-        # guide §1.2 — was two separate delta passes)
+        # guide §1.2 — was two separate delta passes).  ``precounted``
+        # (round 16, guide §1.2): a caller that already ran the same
+        # count_and_distinct over the same pinned frame (the streaming
+        # handler's per-batch validation) passes (n, n_ids) and this
+        # delta pass is skipped — identical values by construction.
         from .bucketing import count_and_distinct
 
-        n_in, n_ids = count_and_distinct(new_vectors, id_col)
+        n_in, n_ids = (
+            (int(precounted[0]), int(precounted[1]))
+            if precounted is not None
+            else count_and_distinct(new_vectors, id_col)
+        )
         if n_in == 0:
             raise ValueError(
                 f"ivf_append({path}): empty delta — nothing to append, "

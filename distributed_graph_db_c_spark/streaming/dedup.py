@@ -248,7 +248,6 @@ def continuous_embedding_dedup(
     def handle(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         batch = batch.localCheckpoint(eager=True)
-        from ..operators.bucketing import count_and_distinct
 
         # ADVICE r13 (low): an EMPTY micro-batch is a no-op — the same
         # shape as the minhash handler's zero-indexable guard (an empty
@@ -257,7 +256,21 @@ def continuous_embedding_dedup(
         # an empty FIRST batch would bootstrap a zero-row plane basis).
         # Round 15 (guide §1.2): count + distinct-count fused into one
         # aggregation job — two passes over the pinned batch become one.
-        n_batch, n_ids = count_and_distinct(batch, id_col)
+        # Round 16 (guide §1.2): the WIDTH term rides the same
+        # aggregation (identical expression to lsh_index_append's fused
+        # validation — NULL size lands in otherwise(0)), so the append
+        # can skip its own validation pass entirely (``precounted``).
+        _vrow = batch.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(id_col)).alias("d"),
+            F.max(F.col(id_col).isNull().cast("int")).alias("has_null"),
+            F.sum(
+                F.when(F.size(F.col(vec_col)) != dim, 1).otherwise(0)
+            ).alias("n_bad"),
+        ).head()
+        n_batch = int(_vrow["n"])
+        n_ids = int(_vrow["d"]) + int(_vrow["has_null"] or 0)
+        n_bad = int(_vrow["n_bad"] or 0)
         if n_batch == 0:
             return
         # internal duplicate ids refuse BEFORE any write, for EVERY
@@ -279,10 +292,26 @@ def continuous_embedding_dedup(
         # cosine_lsh_pairs and lsh_index_build would each re-count the
         # pinned batch — the count is already in hand and identical, so
         # the sizing (and therefore every result bit) is unchanged.
+        # buckets_df (round 16, guide §4): BOTH bootstrap phases size
+        # via the same lsh_params_for(n_batch, threshold,
+        # min_multiprobe=N_PLANES) call, so their (n_planes, n_tables)
+        # match by construction — ONE Arrow bucketing pass over the
+        # pinned batch serves the within-batch pairs and the build
+        # (buckets are a pure per-row function of the vector and those
+        # parameters, so sharing is exact).
+        from ..operators.similarity import lsh_params_for, with_lsh_buckets
+
         if not index_generations(spark, table_prefix):
+            b_planes, b_tables, _bp, _ = lsh_params_for(
+                n_batch, threshold, min_multiprobe=N_PLANES
+            )
+            boot_buckets = with_lsh_buckets(
+                batch, dim, n_planes=b_planes, n_tables=b_tables,
+                id_col=id_col, vec_col=vec_col,
+            ).localCheckpoint(eager=True)
             cosine_lsh_pairs(
                 batch, threshold, dim, id_col, vec_col, multiprobe=N_PLANES,
-                n_rows=n_batch,
+                n_rows=n_batch, buckets_df=boot_buckets,
             ).select(
                 F.col("id_a").cast("long"),
                 F.col("id_b").cast("long"),
@@ -291,7 +320,7 @@ def continuous_embedding_dedup(
             lsh_index_build(
                 batch, table_prefix, threshold=threshold, dim=dim,
                 id_col=id_col, vec_col=vec_col, multiprobe=N_PLANES,
-                n_rows=n_batch,
+                n_rows=n_batch, buckets_df=boot_buckets,
             )
             return
         # classify BEFORE any write — the minhash handler's three cases
@@ -334,9 +363,44 @@ def continuous_embedding_dedup(
                 "be unique. Nothing was written."
             )
         replay = n_in == n_batch  # n_batch > 0 guaranteed above
+        # ONE Arrow bucketing pass per batch (round 16, guide §4 — the
+        # minhash handler's hs_df/sig_df sharing applied to the
+        # embedding boundary): the screen, the within-batch pairs and
+        # the append each bucket the SAME pinned batch.  The screen and
+        # append use the index's RECORDED (n_planes, n_tables) — read
+        # once here from the generation's meta — and the within pass
+        # auto-sizes from n_batch; whenever the two sizings coincide
+        # (every batch at gate scale) all three phases share the one
+        # pass, else the within pass recomputes its own.  Buckets are a
+        # pure per-row function of (vector, dim, planes, tables), so
+        # sharing is bit-exact.
+        from ..operators.similarity import (
+            _ensure_meta_attached,
+            lsh_params_for,
+            with_lsh_buckets,
+        )
+
+        _ensure_meta_attached(spark, parts[0])
+        _meta = spark.table(f"{parts[0]}_meta").head()
+        m_planes, m_tables, m_dim = (
+            int(_meta["n_planes"]), int(_meta["n_tables"]), int(_meta["dim"]),
+        )
+        idx_buckets = None
+        if m_dim == dim:
+            idx_buckets = with_lsh_buckets(
+                batch, dim, n_planes=m_planes, n_tables=m_tables,
+                id_col=id_col, vec_col=vec_col,
+            ).localCheckpoint(eager=True)
+        w_planes, w_tables, _wp, _ = lsh_params_for(
+            n_batch, threshold, min_multiprobe=N_PLANES
+        )
+        within_buckets = (
+            idx_buckets if (w_planes, w_tables) == (m_planes, m_tables) else None
+        )
         cross = (
             decontaminate_incremental(
-                batch, table_prefix, id_col=id_col, vec_col=vec_col
+                batch, table_prefix, id_col=id_col, vec_col=vec_col,
+                buckets_df=idx_buckets,
             )
             .filter(F.col("id_a") != F.col("id_b"))
             .select(
@@ -347,7 +411,7 @@ def continuous_embedding_dedup(
         )
         within = cosine_lsh_pairs(
             batch, threshold, dim, id_col, vec_col, multiprobe=N_PLANES,
-            n_rows=n_batch,
+            n_rows=n_batch, buckets_df=within_buckets,
         ).select(
             F.col("id_a").cast("long"), F.col("id_b").cast("long"), "cosine"
         )
@@ -359,9 +423,24 @@ def continuous_embedding_dedup(
             # index-side duplicate check would re-run the identical
             # join; the ivf handler's standing subsumption argument.
             # The append's INTERNAL duplicate check still runs.
+            # SINGLE-WRITER ASSUMPTION (ADVICE r15): the classify ran
+            # OUTSIDE the index claim, so a segment with overlapping ids
+            # published by a concurrent writer between classify and
+            # append is not re-checked inside the claim.  foreachBatch
+            # handlers are inherently single-writer per index (one
+            # stream owns its index; the nightly job converges BETWEEN
+            # batches, and its own append takes the claim) — a
+            # deployment with genuinely concurrent id-overlapping
+            # writers must keep check_duplicate_ids=True.
+            # buckets_df + precounted (round 16, guide §1.2/§4): the
+            # shared bucketing pass and this batch's fused validation
+            # counts ride into the append — two fewer jobs per batch
+            # (the Arrow re-bucketing and the validation aggregation),
+            # same refusal order and values by construction.
             lsh_index_append(
                 batch, table_prefix, id_col=id_col, vec_col=vec_col,
-                check_duplicate_ids=False,
+                check_duplicate_ids=False, buckets_df=idx_buckets,
+                precounted=(n_batch, n_ids, n_bad, dim),
             )
 
     return handle
@@ -469,9 +548,13 @@ def continuous_ivf_ingest(
         if n_in == n_batch:  # n_batch > 0 guaranteed above
             _record({"replay": True, "batch_rows": n_batch})
             return
+        # precounted (round 16, guide §1.2): this batch's fused
+        # count/distinct rides into the append — one fewer delta pass
+        # per micro-batch, identical values by construction.
         _record(
             ivf_append(spark, path, batch, id_col=id_col, vec_col=vec_col,
-                       check_duplicate_ids=False)
+                       check_duplicate_ids=False,
+                       precounted=(n_batch, n_ids))
         )
 
     handle.audits = []
@@ -663,9 +746,20 @@ def continuous_index_dedup(
             # against every part — the append's index-side duplicate
             # check is the identical join re-run (the ivf handler's
             # standing subsumption argument); its INTERNAL duplicate
-            # check still runs.
+            # check still runs.  SINGLE-WRITER ASSUMPTION (ADVICE r15):
+            # the classify ran outside the index claim, so an
+            # id-overlapping segment published by a CONCURRENT writer
+            # between classify and append is not re-checked in-claim;
+            # foreachBatch handlers are single-writer per index (the
+            # nightly job converges between batches under its own
+            # claim) — concurrent id-overlapping writers must keep
+            # check_duplicate_ids=True.
+            # hs_rows (round 16, guide §1.2): the indexable-guard count
+            # above already counted the SAME pinned hs frame — the
+            # append's batch_rows job is skipped, identical value.
             minhash_index_append(
-                batch, table_prefix, **kw, **share, check_duplicate_ids=False
+                batch, table_prefix, **kw, **share, check_duplicate_ids=False,
+                hs_rows=n_indexable,
             )
 
     return handle

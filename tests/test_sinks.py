@@ -60,6 +60,9 @@ def test_partitioned_sorted_layout(spark):
         import re as _re
 
         pf = _re.search(r"PartitionFilters: \[[^\]]*\]", plan).group(0)
-        assert "o_orderstatus" in pf and "= F" in pf, pf
+        # ADVICE r15: "= F" matched any filter ending in an F-token and
+        # would break if the literal ever renders quoted — pin the
+        # attribute = literal form (optional quotes) instead
+        assert _re.search(r"o_orderstatus#\d+ = '?F'?\b", pf), pf
     finally:
         cleanup(scratch)
