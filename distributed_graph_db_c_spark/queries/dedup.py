@@ -1026,6 +1026,12 @@ def dedup_embedding_pairs_grade(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_grade_pairs_total_recall; realized 72/72 at sf0.01)."""
     from ..operators.similarity import cosine_lsh_pairs
 
+    # Round 16: a shared-corpus materialization was A/B-tested here
+    # (lazy vs localCheckpoint vs persist, interleaved min-of-3) and
+    # LEFT LAZY — the plant join is cheap relative to the LSH work, a
+    # localCheckpoint's stats-less LogicalRDD flips the rescore
+    # broadcast joins to sort-merge (measured 2x on the groups twin),
+    # and persist was at best neutral.
     corpus = _grade_corpus(spark, sf_dir)
     return cosine_lsh_pairs(
         corpus, threshold=_GRADE_THRESHOLD, dim=64,
@@ -1071,6 +1077,11 @@ def dedup_embedding_groups_grade(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine_lsh_pairs
     from ..operators.traversal import pairs_to_canonical
 
+    # Round 16: LEFT LAZY after an interleaved A/B — a localCheckpoint
+    # of the corpus measured ~2x SLOWER here (6.3 -> 10.7 s min-of-3):
+    # the stats-less LogicalRDD flips the unpacked rescore's broadcast
+    # joins to sort-merge, and the CC tail loses the vec_id-only scan
+    # pruning; persist kept stats but was still no better than lazy.
     corpus = _grade_corpus(spark, sf_dir)
     pairs = cosine_lsh_pairs(
         corpus, threshold=_GRADE_THRESHOLD, dim=64,
@@ -1338,7 +1349,10 @@ def dedup_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine_lsh_cross_pairs
     from pyspark.sql import Window
 
-    corpus = _grade_corpus(spark, sf_dir)
+    # ONE planted-corpus materialization (round 16, guide §1.2): ev/tr
+    # slices feed the sizing count, two bucketing passes and two
+    # unpacked rescore sides — each recomputed the plant join before
+    corpus = _grade_corpus(spark, sf_dir).localCheckpoint(eager=True)
     ev = corpus.filter(_is_eval_col())
     tr = corpus.filter(~_is_eval_col())
     # n_rows = one corpus count (round 15, guide §1.2): eval/train
@@ -1475,7 +1489,10 @@ def dedup_decontaminate_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         lsh_index_build,
     )
 
-    corpus = _grade_corpus(spark, sf_dir)
+    # ONE planted-corpus materialization (round 16, guide §1.2): the
+    # build's sizing count + bucket + vector passes and the screen's
+    # bucket + rescore side each recomputed the plant join before
+    corpus = _grade_corpus(spark, sf_dir).localCheckpoint(eager=True)
     ev = corpus.filter(_is_eval_col())
     tr = corpus.filter(~_is_eval_col())
     prefix = f"decongate_{_uuid.uuid4().hex[:8]}"
@@ -1567,7 +1584,12 @@ def dedup_decontaminate_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_index_build,
     )
 
-    corpus = _grade_corpus(spark, sf_dir)
+    # ONE planted-corpus materialization (round 16, guide §1.2): this
+    # gate is the heaviest consumer — build (count + bucket + vectors
+    # over the base half), append (validation agg + dup semi-join +
+    # bucket + vectors over the delta half) and TWO screens (bucket +
+    # rescore side each) all sliced the lazily recomputed plant join
+    corpus = _grade_corpus(spark, sf_dir).localCheckpoint(eager=True)
     ev = corpus.filter(_is_eval_col())
     tr = corpus.filter(~_is_eval_col())
     half = (F.floor(F.col("vec_id") / 7) % 2 == 0)
